@@ -1,0 +1,62 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line with per-query
+wall-clock seconds.
+
+The first query pays JVM/session warm-up; a throwaway warm-up count()
+is run first so the numbers reflect query execution, not session start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    import __spark_entry__ as e
+    from power_generation_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # Warm-up pass: JVM JIT + whole-stage codegen compilation + parquet
+    # footers. Timed pass below reflects steady-state query execution.
+    for _name, fn in e.queries().items():
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # keep bench robust to a single bad query
+            print(f"# warmup {_name} failed: {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if df.isStreaming is False else 0
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total wall-clock for all registered queries",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,594 @@
+"""Named analytic queries — the engine's operator inventory, expressed
+over the driver's synthetic tables (TESTDATA.md).
+
+Each entry demonstrates one operator family from SURVEY.md §2 of the
+reference (`nicholas-abad/power-generation-etl`), re-expressed as a
+declarative Spark plan. Every query has a DuckDB oracle in ``ORACLES``
+(same column names / aliases), unless genuinely non-SQL-expressible.
+
+Design rules (100 TB discipline):
+- built-in `pyspark.sql.functions` only in hot paths — no Python UDFs;
+- aggregates are hash-aggregable (map-side partial aggregation);
+- dimension joins are explicitly `broadcast()`;
+- double-typed aggregate outputs are `round()`ed identically on both
+  sides so value-hash comparison is robust to fp summation order;
+- dates/timestamps are emitted as formatted strings so session-timezone
+  differences between engines cannot skew the comparison.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic table. Parquet → vectorized columnar read with
+    predicate pushdown + column pruning handled by Catalyst.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's reader
+    rejects by default; read it as long nanos and convert to a proper
+    timestamp (microsecond truncation — matches DuckDB's µs semantics).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # The raw int64 is the file's *naive* wall-clock encoded as
+            # epoch-nanos. Rebuild it as TIMESTAMP_NTZ so date_trunc /
+            # date_format are independent of the session timezone:
+            # instant(ns→µs, integer div — double division would lose
+            # precision at 1e18) → session wall-clock NTZ → shift back
+            # from session tz to UTC wall-clock = the original naive value.
+            ntz = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            df = df.withColumn(
+                "ts", F.convert_timezone(F.current_timezone(), F.lit("UTC"), ntz)
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape).
+# Covers A1/A6-style hash aggregation with arithmetic measures
+# (reference schema/materialized_views.sql:23-33, src/database.py:829-893).
+# Plan shape: parquet scan (pruned to 8 cols, shipdate predicate pushed)
+# → partial hash agg → single shuffle on 6 groups → final agg. At 100 TB
+# the 6-group cardinality makes the shuffle negligible; scan dominates.
+# ---------------------------------------------------------------------------
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A3: monthly per-category rollup (mv_<source>_monthly shape,
+# reference schema/materialized_views.sql:23-33, 55-64).
+# ---------------------------------------------------------------------------
+@_register(
+    "monthly_type_rollup",
+    """
+    SELECT strftime(date_trunc('month', ts), '%Y-%m-01') AS month,
+           event_type,
+           round(sum(value), 2) AS total_value,
+           count(*)             AS n_rows
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def monthly_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-01").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("month", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A4: per-entity monthly rollup with the MW→MWh-style derived measure
+# (reference schema/materialized_views.sql:36-48; F14 energy conversion
+# generation_mw * COALESCE(resolution_minutes,60)/60.0 → here modeled as
+# quantity * (1-discount) scaling on lineitem).
+# ---------------------------------------------------------------------------
+@_register(
+    "plant_monthly_rollup",
+    """
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-01') AS month,
+           l_returnflag AS flag,
+           round(sum(l_quantity * coalesce(l_discount, 0.06) / 0.06), 2) AS scaled_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def plant_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    scaled = F.col("l_quantity") * F.coalesce(F.col("l_discount"), F.lit(0.06)) / 0.06
+    return (
+        li.groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-01").alias("month"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .agg(
+            F.round(F.sum(scaled), 2).alias("scaled_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("month", "flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: per-day row-count view (reference schema/row_count_views.sql:17-100;
+# events span one month, so day-granularity is the faithful analog).
+# ---------------------------------------------------------------------------
+@_register(
+    "daily_row_counts",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_rows
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def daily_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: aggregate-export — sum/count/avg/max at a (month, category) grain
+# (reference src/database.py:829-893).
+# ---------------------------------------------------------------------------
+@_register(
+    "aggregate_export",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS month,
+           o_orderpriority,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(*)                    AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(max(o_totalprice), 2) AS peak_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def aggregate_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-01").alias("month"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.max("o_totalprice"), 2).alias("peak_price"),
+        )
+        .orderBy("month", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: distinct-years probe (reference src/database.py:863-872).
+# ---------------------------------------------------------------------------
+@_register(
+    "distinct_years",
+    """
+    SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS year
+    FROM orders
+    ORDER BY year
+    """,
+)
+def distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select(F.year("o_orderdate").alias("year")).distinct().orderBy("year")
+
+
+# ---------------------------------------------------------------------------
+# A8: duplicate counting — COUNT(*) - COUNT(DISTINCT key)
+# (reference schema/migrations/001a...sql:27-31).
+# ---------------------------------------------------------------------------
+@_register(
+    "duplicate_count",
+    """
+    SELECT count(*) - count(DISTINCT (user_id, event_type)) AS dup_count
+    FROM events
+    """,
+)
+def duplicate_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return ev.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.struct("user_id", "event_type"))).alias(
+            "dup_count"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9/A10: min/max date-range + watermark (reference src/database.py:1539-1563,
+# src/get_latest_date.py:19-35). Parquet footer min/max stats make this a
+# metadata-only aggregate at scale (spark.sql.parquet.aggregatePushdown).
+# ---------------------------------------------------------------------------
+@_register(
+    "date_range_watermark",
+    """
+    SELECT strftime(min(ts), '%Y-%m-%d') AS start_date,
+           strftime(max(ts), '%Y-%m-%d') AS end_date,
+           CAST(max(CAST(ts AS DATE)) AS VARCHAR) AS latest_date
+    FROM events
+    """,
+)
+def date_range_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return ev.agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("start_date"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("end_date"),
+        F.max(F.to_date("ts")).cast("string").alias("latest_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11: table stats — COUNT(*) per table (reference src/database.py:1503-1537).
+# ---------------------------------------------------------------------------
+_STAT_TABLES = ["customer", "orders", "lineitem", "events", "documents"]
+
+
+@_register(
+    "table_stats",
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in _STAT_TABLES
+    )
+    + " ORDER BY table_name",
+)
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        T(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in _STAT_TABLES
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionAll(p)
+    return df.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# A12: extraction-summary shape — grouped count/sum/conditional-count/min/max
+# (reference schema/extraction_metadata.sql:69-81, P6 COUNT(*) FILTER).
+# ---------------------------------------------------------------------------
+@_register(
+    "source_summary",
+    """
+    SELECT source,
+           count(*)                             AS n_docs,
+           sum(n_chars)                         AS total_chars,
+           count(*) FILTER (WHERE lang = 'en')  AS n_english,
+           count(*) FILTER (WHERE lang <> 'en') AS n_other,
+           min(n_chars)                         AS min_chars,
+           max(n_chars)                         AS max_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_if(F.col("lang") == "en").alias("n_english"),
+            F.count_if(F.col("lang") != "en").alias("n_other"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2: top-k with deterministic tiebreak (reference
+# schema/extraction_metadata.sql:84-95 — ORDER BY ... DESC LIMIT 20).
+# Spark executes this as TakeOrderedAndProject: per-partition top-k then a
+# driver merge — no global sort, no full shuffle.
+# ---------------------------------------------------------------------------
+@_register(
+    "top_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderpriority")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1/D3/W1: first-wins ordered dedup via row_number window (reference
+# src/validator.py:490-521 first-wins in-file dedup and
+# schema/migrations/001b_dedup_and_constrain_ons.sql:20-47 retro-dedup).
+# event_id is the ingestion-order column (the reference uses BIGSERIAL id).
+# ---------------------------------------------------------------------------
+@_register(
+    "first_wins_dedup",
+    """
+    SELECT event_id, user_id, event_type
+    FROM (
+        SELECT event_id, user_id, event_type,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/A14: anti-join drift check (reference src/check_crosswalk_drift.py:54-69)
+# — "keys in the fact table with no match in the dimension".
+# ---------------------------------------------------------------------------
+@_register(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    ORDER BY c_custkey
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").select("o_custkey").filter(F.col("o_custkey").isNotNull())
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: dimension equi-joins with broadcast (reference downstream dashboard
+# contract, schema/materialized_views.sql:160-162). TPC-H Q5 shape:
+# fact → fact join (shuffle) then three broadcast dim joins — the small
+# sides never shuffle the lineitem table.
+# ---------------------------------------------------------------------------
+@_register(
+    "regional_revenue",
+    """
+    SELECT n_name AS nation,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY nation
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3/F12: year-equality filter + agg (reference src/database.py:885-891).
+# The year() predicate is evaluated at scan time; with month/year-partitioned
+# production tables this becomes partition pruning.
+# ---------------------------------------------------------------------------
+@_register(
+    "year_filter_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) = 1997
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def year_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.year("l_shipdate") == 1997)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3: static dictionary mapping with coalesce fallback (reference
+# PSR_TO_FUEL_TYPE, src/database.py:35-56, 667-670). A literal map is
+# constant-folded by Catalyst — no join, no shuffle.
+# ---------------------------------------------------------------------------
+_EVENT_CATEGORY = {
+    "click": "engagement",
+    "view": "engagement",
+    "purchase": "conversion",
+    "signup": "conversion",
+}
+
+
+@_register(
+    "category_map_rollup",
+    """
+    SELECT CASE event_type
+             WHEN 'click' THEN 'engagement'
+             WHEN 'view' THEN 'engagement'
+             WHEN 'purchase' THEN 'conversion'
+             WHEN 'signup' THEN 'conversion'
+             ELSE 'other'
+           END AS category,
+           count(*) AS n_rows,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY category
+    """,
+)
+def category_map_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    mapping = F.create_map(*[F.lit(x) for kv in _EVENT_CATEGORY.items() for x in kv])
+    return (
+        ev.groupBy(F.coalesce(mapping[F.col("event_type")], F.lit("other")).alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("category")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V1-V9: validation predicates as a single-pass error taxonomy over raw
+# rows (reference src/validator.py:97-119, 496-524 — counts by error type).
+# Rules modeled on the reference's: non_negative measure, non_empty
+# category, positive timestamp not too far in the future.
+# ---------------------------------------------------------------------------
+@_register(
+    "validation_error_taxonomy",
+    """
+    SELECT CASE
+             WHEN value IS NULL THEN 'missing required field: value'
+             WHEN value < 0 THEN 'invalid value: negative'
+             WHEN event_type IS NULL OR length(trim(event_type)) = 0
+               THEN 'missing required field: event_type'
+             WHEN ts IS NULL THEN 'missing required field: ts'
+             WHEN ts > TIMESTAMP '2026-01-01' THEN 'invalid value: future timestamp'
+             ELSE 'valid'
+           END AS error_type,
+           count(*) AS n_records
+    FROM events
+    GROUP BY 1
+    ORDER BY error_type
+    """,
+)
+def validation_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    err = (
+        F.when(F.col("value").isNull(), "missing required field: value")
+        .when(F.col("value") < 0, "invalid value: negative")
+        .when(
+            F.col("event_type").isNull() | (F.length(F.trim("event_type")) == 0),
+            "missing required field: event_type",
+        )
+        .when(F.col("ts").isNull(), "missing required field: ts")
+        .when(F.col("ts") > F.lit("2026-01-01").cast("timestamp"), "invalid value: future timestamp")
+        .otherwise("valid")
+    )
+    return (
+        ev.groupBy(err.alias("error_type"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy("error_type")
+    )

@@ -1,0 +1,44 @@
+"""Every registered query with an oracle must match DuckDB on row count,
+column names, and order-insensitive values — a local mirror of the
+driver's t2 correctness gate, run at sf0.001 for speed."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from power_generation_etl_spark.plans import ORACLES, QUERIES
+from tools.check_correctness import TABLES, _norm_rows
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        assert srows is not None  # rows-only check: must run and collect
+        return
+    res = duck.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert _norm_rows(scols, srows) == _norm_rows(ocols, orows)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
