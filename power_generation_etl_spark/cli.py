@@ -1,0 +1,128 @@
+"""CLI — verb parity with the reference's database_management.py
+(src/database_management.py:262-422) plus the companion scripts as
+subcommands (refresh-views, latest-date, backfill-dates, check-drift).
+
+Usage:
+    python -m power_generation_etl_spark.cli --warehouse /path setup
+    python -m power_generation_etl_spark.cli --warehouse /path \
+        load-data entsoe data.jsonl [--strict] [--report report.json]
+    ... stats | clear-table T | aggregate-export OUT [--granularity g]
+      | refresh-views [--source s] | latest-date SOURCE
+      | backfill-dates | check-drift CROSSWALK_PARQUET
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from power_generation_etl_spark.engine import Engine
+from power_generation_etl_spark.schemas import SOURCES
+from power_generation_etl_spark.session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="power-generation-etl-spark")
+    p.add_argument("--warehouse", required=True, help="warehouse directory")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("setup")
+
+    load = sub.add_parser("load-data")
+    load.add_argument("source", choices=sorted(SOURCES))
+    load.add_argument("file")
+    load.add_argument("--strict", action="store_true")
+    load.add_argument("--report")
+    load.add_argument("--run-id")
+
+    sub.add_parser("stats")
+
+    clear = sub.add_parser("clear-table")
+    clear.add_argument("table")
+
+    exp = sub.add_parser("aggregate-export")
+    exp.add_argument("output_dir")
+    exp.add_argument(
+        "--granularity", choices=["plant", "country-fuel", "country"], default="plant"
+    )
+
+    rv = sub.add_parser("refresh-views")
+    rv.add_argument("--source", choices=sorted(SOURCES), default=None)
+
+    ld = sub.add_parser("latest-date")
+    ld.add_argument("source", choices=sorted(SOURCES))
+
+    sub.add_parser("backfill-dates")
+
+    drift = sub.add_parser("check-drift")
+    drift.add_argument("crosswalk", help="parquet path with plant_crosswalk columns")
+    drift.add_argument("--output", default="drift_report.json")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark("pg-etl-cli")
+    eng = Engine(spark, args.warehouse)
+    try:
+        return _dispatch(args, spark, eng)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(args, spark, eng: Engine) -> int:
+
+    if args.cmd == "setup":
+        created = eng.setup()
+        print(f"created {len(created)} tables: {', '.join(created) or '(none)'}")
+    elif args.cmd == "load-data":
+        res = eng.load_jsonl(
+            args.source,
+            args.file,
+            strict=args.strict,
+            run_id=args.run_id,
+            save_report_path=args.report,
+        )
+        r = res.report
+        print(
+            f"inserted {res.inserted} rows "
+            f"({res.skipped_existing} duplicates skipped); "
+            f"valid={r.valid_count} invalid={r.invalid_count} "
+            f"in-file duplicates={r.duplicate_count}"
+        )
+        if r.invalid_count and args.strict:
+            return 1
+    elif args.cmd == "stats":
+        total = 0
+        for table, n in eng.stats().items():
+            print(f"{table:32s} {n:>12,}")
+            total += n
+        print(f"{'TOTAL':32s} {total:>12,}")
+    elif args.cmd == "clear-table":
+        n = eng.clear_table(args.table)
+        print(f"cleared {n} rows from {args.table}")
+    elif args.cmd == "aggregate-export":
+        ok, n = eng.aggregate_export(args.output_dir, args.granularity)
+        print(f"exported {n} rows to {args.output_dir}")
+        return 0 if ok else 1
+    elif args.cmd == "refresh-views":
+        for v in eng.refresh_views(args.source):
+            print(f"refreshed {v}")
+    elif args.cmd == "latest-date":
+        print(eng.get_latest_date(args.source))
+    elif args.cmd == "backfill-dates":
+        print(f"backfilled {eng.backfill_extraction_dates()} runs")
+    elif args.cmd == "check-drift":
+        cw = spark.read.parquet(args.crosswalk)
+        rep = eng.check_crosswalk_drift(cw)
+        with open(args.output, "w") as f:
+            json.dump(rep, f, indent=2)
+        print(f"total_missing={rep['total_missing']} → {args.output}")
+        return 1 if rep["total_missing"] > 0 else 0
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

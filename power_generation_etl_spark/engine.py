@@ -1,0 +1,373 @@
+"""Engine — programmatic API with parity to the reference's
+`PowerGenerationDatabase` (reference src/database.py:159) plus the
+companion scripts (refresh_views, get_latest_date, check_crosswalk_drift,
+backfill_extraction_dates), re-expressed over a Spark parquet warehouse.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.operators.dedupe import anti_join_new_rows
+from power_generation_etl_spark.plans.mv import ALL_VIEWS, SOURCE_VIEWS, VIEW_BUILDERS
+from power_generation_etl_spark.schemas import (
+    EXTRACTION_METADATA_SCHEMA,
+    KNOWN_TABLES,
+    SOURCES,
+)
+from power_generation_etl_spark.sources.jsonl import load_and_validate
+from power_generation_etl_spark.store import TableStore
+from power_generation_etl_spark.validation import ORDER_COL, ValidationReport, strict_gate
+
+# Drift-check configuration: (source_system, raw_table, raw_key, crosswalk_key)
+# (reference src/check_crosswalk_drift.py:28-38).
+DRIFT_SOURCE_CHECKS = [
+    ("EIA", "eia_generation_data", "plant_code", "plant_code"),
+    ("ENTSOE", "entsoe_generation_data", "plant_name", "plant_name"),
+    ("NPP", "npp_generation", "plant", "plant_name"),
+    ("ONS", "ons_generation_data", "plant", "plant_name"),
+    ("OE", "oe_facility_generation_data", "facility_code", "plant_code"),
+    ("OCCTO", "occto_generation_data", "plant", "plant_name"),
+    ("CHILE", "chile_generation_data", "plant", "plant_name"),
+]
+
+
+@dataclass
+class LoadResult:
+    success: bool
+    inserted: int
+    skipped_existing: int
+    report: ValidationReport | None
+    run_id: str | None = None
+
+
+class Engine:
+    """Load / query / maintain the power-generation warehouse."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.store = TableStore(spark, warehouse)
+
+    # --- S9/S10: setup -------------------------------------------------------
+    def setup(self) -> list[str]:
+        """Create all known tables (empty) — the reference's
+        `create_all_tables` (src/database.py:362-449)."""
+        created = []
+        for source, schema in SOURCES.items():
+            if not self.store.exists(schema.table):
+                self.store.create(schema.table, schema.struct_type())
+                created.append(schema.table)
+        if not self.store.exists("extraction_metadata"):
+            self.store.create("extraction_metadata", EXTRACTION_METADATA_SCHEMA)
+            created.append("extraction_metadata")
+        return created
+
+    def table(self, name: str) -> DataFrame:
+        return self.store.read(name)
+
+    # --- lifecycle §3.1: load-data ------------------------------------------
+    def load_jsonl(
+        self,
+        source: str,
+        path: str,
+        strict: bool = False,
+        run_id: str | None = None,
+        save_report_path: str | None = None,
+        write_metadata: bool = True,
+    ) -> LoadResult:
+        """Read → fixup → validate → first-wins dedup → idempotent append →
+        lineage upsert. The insert-count contract matches the reference
+        (src/database.py:533-537): `inserted` new rows, the rest of the
+        valid batch counted as skipped-existing."""
+        schema = SOURCES[source]
+        run_id = run_id or str(uuid.uuid4())
+        valid, report = load_and_validate(self.spark, source, path, run_id=run_id)
+        # Lineage uses the run id carried by the data when present
+        # (reference src/database.py:627-630 first_run_id capture).
+        from power_generation_etl_spark.sources.jsonl import peek_first_record
+
+        first = peek_first_record(self.spark, path)
+        if isinstance(first.get("extraction_run_id"), str):
+            run_id = first["extraction_run_id"]
+        if strict:
+            strict_gate(report)
+
+        batch = valid.drop(ORDER_COL)
+        if self.store.exists(schema.table):
+            new_rows = anti_join_new_rows(batch, self.store.read(schema.table), schema)
+        else:
+            new_rows = batch
+        new_rows = new_rows.persist()
+        inserted = new_rows.count()
+        if inserted:
+            self.store.append(schema.table, new_rows)
+        new_rows.unpersist()
+        skipped = report.valid_count - inserted
+
+        if write_metadata:
+            start, end = self.get_date_range_for_run(source, run_id)
+            self.upsert_metadata(
+                {
+                    "extraction_run_id": run_id,
+                    "source": source,
+                    "total_records": report.total_count,
+                    "failed_count": report.invalid_count,
+                    "success": True,
+                    "start_date": start,
+                    "end_date": end,
+                    "failed_details": (
+                        json.dumps(report.errors_by_type) if report.errors_by_type else None
+                    ),
+                }
+            )
+        if save_report_path:
+            save_report(report, save_report_path)
+        return LoadResult(True, inserted, skipped, report, run_id)
+
+    # --- M1/M2: metadata upsert ----------------------------------------------
+    _CONFLICT_UPDATE_COLS = [
+        # only these are updated on conflict (reference src/database.py:1765-1784)
+        "total_records",
+        "failed_count",
+        "success",
+        "failed_details",
+        "start_date",
+        "end_date",
+    ]
+
+    def upsert_metadata(self, row: dict) -> None:
+        meta_cols = [f.name for f in EXTRACTION_METADATA_SCHEMA.fields]
+        full = {c: row.get(c) for c in meta_cols}
+        if full.get("extraction_timestamp") is None:
+            from datetime import datetime, timezone
+
+            full["extraction_timestamp"] = datetime.now(timezone.utc).replace(tzinfo=None)
+        for c in ("start_date", "end_date"):
+            if isinstance(full.get(c), str):
+                from datetime import date
+
+                full[c] = date.fromisoformat(full[c])
+        new = self.spark.createDataFrame([full], EXTRACTION_METADATA_SCHEMA)
+
+        if not self.store.exists("extraction_metadata"):
+            self.store.append("extraction_metadata", new)
+            return
+        existing = self.store.read("extraction_metadata")
+        run_id = full["extraction_run_id"]
+        match = existing.filter(F.col("extraction_run_id") == run_id)
+        if match.isEmpty():
+            self.store.append("extraction_metadata", new)
+            return
+        # Conflict: update the 6 updatable columns, keep the original
+        # extraction_timestamp / config_snapshot / source_urls.
+        kept = existing.filter(F.col("extraction_run_id") != run_id)
+        merged_row = match.head().asDict()
+        for c in self._CONFLICT_UPDATE_COLS:
+            merged_row[c] = full[c]
+        merged = self.spark.createDataFrame(
+            [{c: merged_row.get(c) for c in meta_cols}], EXTRACTION_METADATA_SCHEMA
+        )
+        self.store.overwrite("extraction_metadata", kept.unionByName(merged))
+
+    # --- A9: per-run date range ----------------------------------------------
+    def get_date_range_for_run(self, source: str, run_id: str) -> tuple[str | None, str | None]:
+        schema = SOURCES[source]
+        if not self.store.exists(schema.table):
+            return None, None
+        row = (
+            self.store.read(schema.table)
+            .filter(F.col("extraction_run_id") == run_id)
+            .agg(
+                F.date_format(F.timestamp_millis(F.min("timestamp_ms")), "yyyy-MM-dd").alias("lo"),
+                F.date_format(F.timestamp_millis(F.max("timestamp_ms")), "yyyy-MM-dd").alias("hi"),
+            )
+            .head()
+        )
+        return row["lo"], row["hi"]
+
+    # --- A10: watermark --------------------------------------------------------
+    def get_latest_date(self, source: str) -> str:
+        """MAX(timestamp)::date with '1970-01-01' fallback
+        (reference src/get_latest_date.py:19-35)."""
+        schema = SOURCES[source]
+        if not self.store.exists(schema.table):
+            return "1970-01-01"
+        row = (
+            self.store.read(schema.table)
+            .agg(F.max(F.to_date(F.timestamp_millis(F.col("timestamp_ms")))).alias("d"))
+            .head()
+        )
+        return str(row["d"]) if row["d"] else "1970-01-01"
+
+    # --- M3: refresh materialized views ---------------------------------------
+    def refresh_views(self, source: str | None = None) -> list[str]:
+        views = SOURCE_VIEWS.get(source, ALL_VIEWS) if source else ALL_VIEWS
+        refreshed = []
+        for v in views:
+            src_table, builder = VIEW_BUILDERS[v]
+            if not self.store.exists(src_table):
+                continue
+            self.store.overwrite(v, builder(self.store.read(src_table)))
+            refreshed.append(v)
+        return refreshed
+
+    # --- A6/S7: aggregate export ------------------------------------------------
+    def aggregate_export(
+        self, output_dir: str, granularity: str = "plant"
+    ) -> tuple[bool, int]:
+        """ENTSOE monthly aggregation exported as one CSV per year
+        (reference src/database.py:812-908). Single Spark job: the
+        reference's per-year query loop becomes a year partition column."""
+        dims = {
+            "plant": ["country_code", "psr_type", "plant_name"],
+            "country-fuel": ["country_code", "psr_type"],
+            "country": ["country_code"],
+        }[granularity]
+        df = self.store.read("entsoe_generation_data")
+        ts = F.timestamp_millis(F.col("timestamp_ms"))
+        agg = (
+            df.groupBy(
+                F.year(ts).alias("_year"),
+                F.date_format(F.date_trunc("month", ts), "yyyy-MM-01").alias("month"),
+                *dims,
+            )
+            .agg(
+                # NOTE: no resolution scaling here — faithful to the
+                # reference export (SUM of raw MW aliased as mwh).
+                F.sum("generation_mw").alias("total_generation_mwh"),
+                F.count(F.lit(1)).alias("hours_of_data"),
+                F.avg("generation_mw").alias("avg_generation_mw"),
+                F.max("generation_mw").alias("peak_generation_mw"),
+            )
+            .orderBy("month", *dims)
+        )
+        os.makedirs(output_dir, exist_ok=True)
+        rows_by_year: dict[int, list] = {}
+        total = 0
+        collected = agg.collect()
+        header = ["month", *dims, "total_generation_mwh", "hours_of_data",
+                  "avg_generation_mw", "peak_generation_mw"]
+        for r in collected:
+            rows_by_year.setdefault(r["_year"], []).append(r)
+        import csv
+
+        for year, rows in sorted(rows_by_year.items()):
+            out = os.path.join(output_dir, f"entsoe_monthly_{year}.csv")
+            with open(out, "w", newline="") as fh:
+                w = csv.writer(fh)
+                w.writerow(header)
+                for r in rows:
+                    w.writerow([r[c] for c in header])
+            total += len(rows)
+        return True, total
+
+    # --- A11: stats --------------------------------------------------------------
+    def stats(self) -> dict[str, int]:
+        out = {}
+        for source, schema in SOURCES.items():
+            out[schema.table] = self.store.count(schema.table)
+        return out
+
+    # --- S11: clear-table ----------------------------------------------------------
+    def clear_table(self, table: str) -> int:
+        if table not in set(KNOWN_TABLES.values()) | {"extraction_metadata"} | set(ALL_VIEWS):
+            raise ValueError(f"unknown table: {table}")  # identifier guard (S12)
+        return self.store.truncate(table)
+
+    # --- J1/A14: crosswalk drift -----------------------------------------------------
+    def check_crosswalk_drift(self, crosswalk: DataFrame) -> dict:
+        """Anti-join every source's plant key against plant_crosswalk
+        (reference src/check_crosswalk_drift.py:54-102)."""
+        report, total_missing = {}, 0
+        for source_system, table, raw_key, cw_key in DRIFT_SOURCE_CHECKS:
+            if not self.store.exists(table):
+                continue
+            raw = (
+                self.store.read(table)
+                .select(F.col(raw_key).alias("plant_id"))
+                .filter(F.col("plant_id").isNotNull())
+                .distinct()
+            )
+            cw = (
+                crosswalk.filter(
+                    (F.col("source_system") == source_system)
+                    & F.col(cw_key).isNotNull()
+                )
+                .select(F.col(cw_key).alias("plant_id"))
+                .distinct()
+            )
+            missing = [
+                r["plant_id"]
+                for r in raw.join(F.broadcast(cw), "plant_id", "left_anti")
+                .orderBy("plant_id")
+                .collect()
+            ]
+            report[source_system] = {
+                "count": len(missing),
+                "raw_table": table,
+                "raw_key": raw_key,
+                "crosswalk_key": cw_key,
+                "sample": missing[:20],
+            }
+            total_missing += len(missing)
+        return {"total_missing": total_missing, "by_source": report}
+
+    # --- extraction summary views (schema/extraction_metadata.sql:69-95) ---------------
+    def extraction_summary(self) -> DataFrame:
+        meta = self.store.read("extraction_metadata")
+        return (
+            meta.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("total_runs"),
+                F.sum("total_records").alias("total_records"),
+                F.sum("failed_count").alias("total_failed"),
+                F.count_if(F.col("success")).alias("successful_runs"),
+                F.count_if(~F.col("success")).alias("failed_runs"),
+                F.min("start_date").alias("earliest_data"),
+                F.max("end_date").alias("latest_data"),
+                F.max("extraction_timestamp").alias("last_extraction"),
+            )
+            .orderBy("source")
+        )
+
+    def recent_extractions(self, limit: int = 20) -> DataFrame:
+        meta = self.store.read("extraction_metadata")
+        return (
+            meta.select(
+                "extraction_run_id", "source", "extraction_timestamp",
+                "start_date", "end_date", "total_records", "failed_count", "success",
+            )
+            .orderBy(F.col("extraction_timestamp").desc())
+            .limit(limit)
+        )
+
+    # --- M2: backfill dates (reference src/backfill_extraction_dates.py) ----------------
+    def backfill_extraction_dates(self) -> int:
+        meta = self.store.read("extraction_metadata")
+        todo = meta.filter(
+            F.col("start_date").isNull() | F.col("end_date").isNull()
+        ).orderBy(F.col("extraction_timestamp").desc())
+        n = 0
+        for r in todo.collect():
+            start, end = self.get_date_range_for_run(r["source"], r["extraction_run_id"])
+            if start is None:
+                continue
+            row = r.asDict()
+            row["start_date"], row["end_date"] = start, end
+            self.upsert_metadata(row)
+            n += 1
+        return n
+
+
+def save_report(report: ValidationReport, output_path: str) -> None:
+    """S8: JSON report sink (reference src/validator.py:527-552)."""
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    with open(output_path, "w") as f:
+        json.dump(report.to_dict(), f, indent=2)

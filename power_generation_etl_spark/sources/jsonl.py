@@ -1,0 +1,333 @@
+"""JSONL scans + per-source fixup chains (the reference's "plans").
+
+Covers SURVEY §2.1 S1-S4 (scans), §2.3 F1-F9 (row-level fixups), and
+the per-source load pipelines of reference src/database.py:451-1728.
+
+Ordering: first-wins dedup (D1) is order-sensitive, so the scan must
+expose the exact file line order. We read with ``wholetext`` and
+``posexplode`` the line split — JVM-side, exact order, one row per
+file per task. Fine up to multi-GB files (the reference's monthly
+feeds are far smaller); at 100 TB you'd pre-split files and rely on
+(file, line) lexicographic order, which this reader also provides.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.schemas import SOURCES, SourceSchema
+from power_generation_etl_spark.validation import (
+    ORDER_COL,
+    SKIP_COL,
+    VARIANT_COL,
+    ValidationReport,
+    parse_fields,
+    typ_col,
+    validate,
+)
+
+# ENTSO-E PSR code → fuel-type name (public ENTSO-E transparency-platform
+# code list; reference src/database.py:35-56 uses the same mapping).
+PSR_TO_FUEL_TYPE = {
+    "B01": "Biomass",
+    "B02": "Fossil Brown coal/Lignite",
+    "B03": "Fossil Coal-derived gas",
+    "B04": "Fossil Gas",
+    "B05": "Fossil Hard coal",
+    "B06": "Fossil Oil",
+    "B07": "Fossil Oil shale",
+    "B08": "Fossil Peat",
+    "B09": "Geothermal",
+    "B10": "Hydro Pumped Storage",
+    "B11": "Hydro Run-of-river and poundage",
+    "B12": "Hydro Water Reservoir",
+    "B13": "Marine",
+    "B14": "Nuclear",
+    "B15": "Other renewable",
+    "B16": "Solar",
+    "B17": "Waste",
+    "B18": "Wind Offshore",
+    "B19": "Wind Onshore",
+    "B20": "Other",
+}
+
+# Longest-first, single strip each, data-type before fuel-type
+# (reference src/database.py:59-61, 672-682).
+_FUEL_SUFFIXES = sorted(PSR_TO_FUEL_TYPE.values(), key=len, reverse=True)
+_DATA_TYPE_SUFFIXES = ["Actual Aggregated", "Actual Consumption"]
+
+
+def read_jsonl_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S1-S3: blank-line-tolerant JSONL scan with exact line order.
+
+    Returns columns (_file, _order, line). ``_order`` is the 0-based
+    index among non-blank lines of the file, matching the reference's
+    ``enumerate`` over stripped lines.
+    """
+    whole = spark.read.option("wholetext", True).text(path)
+    lines = whole.select(
+        F.input_file_name().alias("_file"),
+        F.posexplode(F.split("value", "\r?\n")).alias("_pos", "line"),
+    ).filter(F.length(F.trim("line")) > 0)
+    # Re-rank after blank-line removal so _order matches record index.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_file").orderBy("_pos")
+    return lines.select(
+        "_file", (F.row_number().over(w) - 1).alias(ORDER_COL), "line"
+    )
+
+
+def peek_first_record(spark: SparkSession, path: str) -> dict:
+    """Driver-side look at the first non-blank line (the reference's
+    ``data[0]`` presence checks)."""
+    row = (
+        read_jsonl_lines(spark, path)
+        .orderBy(ORDER_COL)
+        .select("line")
+        .head(1)
+    )
+    if not row:
+        return {}
+    try:
+        rec = json.loads(row[0]["line"])
+        return rec if isinstance(rec, dict) else {}
+    except (ValueError, TypeError):
+        return {}
+
+
+@dataclass
+class LoadContext:
+    run_id: str
+    created_at_ms: int
+    first_record: dict
+
+
+def _inject(df: DataFrame, fname: str, value, vtyp: str, only_missing: bool = True) -> DataFrame:
+    """Set field + its JSON-type marker; either fill-missing or overwrite."""
+    lit = F.lit(value)
+    if only_missing:
+        df = df.withColumn(fname, F.coalesce(F.col(fname), lit)).withColumn(
+            typ_col(fname), F.coalesce(F.col(typ_col(fname)), F.lit(vtyp))
+        )
+    else:
+        df = df.withColumn(fname, lit).withColumn(typ_col(fname), F.lit(vtyp))
+    return df
+
+
+def _inject_metadata_first_record_gated(df: DataFrame, ctx: LoadContext) -> DataFrame:
+    """EIA/ONS/OE/OE-facility/OCCTO/Chile pattern (reference
+    src/database.py:961-974 etc.): if the *first* record lacks the field,
+    set it on every record."""
+    if "extraction_run_id" not in ctx.first_record:
+        df = _inject(df, "extraction_run_id", ctx.run_id, "STRING", only_missing=False)
+    if "created_at_ms" not in ctx.first_record:
+        df = _inject(df, "created_at_ms", ctx.created_at_ms, "BIGINT", only_missing=False)
+    return df
+
+
+def _fixup_npp(df: DataFrame, ctx: LoadContext) -> DataFrame:
+    """Reference src/database.py:480-499: per-record harmonized/legacy split."""
+    harmonized = F.col(typ_col("extraction_run_id")).isNotNull() & F.col(
+        typ_col("timestamp_ms")
+    ).isNotNull()
+    # Harmonized: fill created_at if missing. Legacy: overwrite run
+    # metadata, convert epoch-seconds `date` → timestamp_ms.
+    legacy_ts = F.expr(f"try_variant_get({VARIANT_COL}, '$.date', 'double')")
+    df = (
+        df.withColumn(
+            "extraction_run_id",
+            F.when(harmonized, F.col("extraction_run_id")).otherwise(F.lit(ctx.run_id)),
+        )
+        .withColumn(
+            typ_col("extraction_run_id"),
+            F.when(harmonized, F.col(typ_col("extraction_run_id"))).otherwise(
+                F.lit("STRING")
+            ),
+        )
+        .withColumn(
+            "created_at_ms",
+            F.when(
+                harmonized, F.coalesce(F.col("created_at_ms"), F.lit(ctx.created_at_ms))
+            ).otherwise(F.lit(ctx.created_at_ms)),
+        )
+        .withColumn(
+            typ_col("created_at_ms"),
+            F.when(
+                harmonized, F.coalesce(F.col(typ_col("created_at_ms")), F.lit("BIGINT"))
+            ).otherwise(F.lit("BIGINT")),
+        )
+        .withColumn(
+            "timestamp_ms",
+            F.when(harmonized, F.col("timestamp_ms")).otherwise(
+                (legacy_ts * 1000).cast("long")
+            ),
+        )
+        .withColumn(
+            typ_col("timestamp_ms"),
+            F.when(harmonized, F.col(typ_col("timestamp_ms"))).otherwise(
+                F.when(legacy_ts.isNotNull(), F.lit("BIGINT"))
+            ),
+        )
+    )
+    return df
+
+
+def _fixup_entsoe(df: DataFrame, ctx: LoadContext) -> DataFrame:
+    """Reference src/database.py:621-682: per-record metadata injection,
+    string-timestamp parse (naive treated as UTC, unparseable/null →
+    record skipped with warning), PSR→fuel_type remap, plant-name
+    suffix strip."""
+    df = _inject(df, "extraction_run_id", ctx.run_id, "STRING")
+    df = _inject(df, "created_at_ms", ctx.created_at_ms, "BIGINT")
+
+    t = F.col(typ_col("timestamp_ms"))
+    raw_str = F.expr(f"try_variant_get({VARIANT_COL}, '$.timestamp_ms', 'string')")
+    # Naive datetime strings are wall-clocks to be read as UTC. try_to_timestamp
+    # interprets them in the session tz, so shift: epoch(naive-in-session-tz)
+    # + session-offset = naive-as-UTC epoch. Offset-carrying strings are
+    # already absolute instants.
+    parsed = F.try_to_timestamp(raw_str)
+    has_tz = raw_str.rlike(r"([+-][0-9]{2}:?[0-9]{2}|[zZ])\s*$")
+    parsed_ms = F.when(has_tz, F.unix_millis(parsed)).otherwise(
+        F.unix_millis(F.from_utc_timestamp(parsed, F.current_timezone()))
+    )
+    is_string_ts = t == "STRING"
+    is_numeric_ts = (t == "BIGINT") | (t == "DOUBLE") | t.startswith("DECIMAL") | (t == "BOOLEAN")
+    numeric_ms = F.expr(
+        f"try_variant_get({VARIANT_COL}, '$.timestamp_ms', 'double')"
+    ).cast("long")
+
+    df = (
+        df.withColumn(
+            SKIP_COL,
+            F.when(is_string_ts & parsed.isNull(), F.lit("unparseable timestamp")).when(
+                t == "VOID", F.lit("null timestamp")
+            ),
+        )
+        .withColumn(
+            "timestamp_ms",
+            F.when(is_string_ts, parsed_ms)
+            .when(is_numeric_ts, numeric_ms)
+            .otherwise(F.col("timestamp_ms")),
+        )
+        .withColumn(
+            typ_col("timestamp_ms"),
+            F.when(is_string_ts & parsed.isNotNull(), F.lit("BIGINT"))
+            .when(is_numeric_ts, F.lit("BIGINT"))
+            .otherwise(t),
+        )
+    )
+
+    # PSR remap: fuel_type overridden whenever psr_type matches the code
+    # table (reference src/database.py:667-670).
+    psr_map = F.create_map(*[F.lit(x) for kv in PSR_TO_FUEL_TYPE.items() for x in kv])
+    mapped = psr_map[F.col("psr_type")]
+    df = df.withColumn(
+        "fuel_type", F.when(mapped.isNotNull(), mapped).otherwise(F.col("fuel_type"))
+    ).withColumn(
+        typ_col("fuel_type"),
+        F.when(mapped.isNotNull(), F.lit("STRING")).otherwise(F.col(typ_col("fuel_type"))),
+    )
+
+    # Suffix strip: one data-type suffix, then one fuel-type suffix
+    # (longest-first). `get(plant_name, "")` semantics: missing name is
+    # treated as "" by the reference, so null passes through unchanged.
+    name = F.col("plant_name")
+    for sfx in _DATA_TYPE_SUFFIXES:
+        cut = F.lit("_" + sfx)
+        name = F.when(
+            F.col("plant_name").endswith(cut),
+            F.col("plant_name").substr(
+                F.lit(1), F.length("plant_name") - F.length(cut)
+            ),
+        ).otherwise(name)
+    stripped_once = name
+    name2 = stripped_once
+    fuel_conds = []
+    for sfx in _FUEL_SUFFIXES:
+        cut = F.lit("_" + sfx)
+        cond = stripped_once.endswith(cut)
+        # longest-first, at most one strip: apply the first matching
+        # suffix only (earlier whens win).
+        fuel_conds.append(
+            (
+                cond,
+                stripped_once.substr(F.lit(1), F.length(stripped_once) - F.length(cut)),
+            )
+        )
+    expr = None
+    for cond, val in fuel_conds:
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    name2 = expr.otherwise(stripped_once)
+    return df.withColumn("plant_name", name2)
+
+
+def _fixup_eia(df: DataFrame, ctx: LoadContext) -> DataFrame:
+    """Reference src/database.py:961-988: first-record-gated metadata
+    injection; utility_id/plant_code/generator_id stringified *before*
+    validation (so a numeric id validates and dedups as its string)."""
+    df = _inject_metadata_first_record_gated(df, ctx)
+    for fname in ("utility_id", "plant_code", "generator_id"):
+        t = F.col(typ_col(fname))
+        df = df.withColumn(
+            typ_col(fname),
+            F.when(t.isNull() | (t == "VOID"), t).otherwise(F.lit("STRING")),
+        )
+    return df
+
+
+def _fixup_chile(df: DataFrame, ctx: LoadContext) -> DataFrame:
+    """Reference src/database.py:1629-1640: legacy plant_id →
+    chile_plant_id rename, then first-record-gated injection."""
+    legacy = F.expr(f"try_variant_get({VARIANT_COL}, '$.plant_id', 'string')")
+    legacy_typ = F.expr(
+        f"schema_of_variant(try_variant_get({VARIANT_COL}, '$.plant_id'))"
+    )
+    take_legacy = F.col(typ_col("chile_plant_id")).isNull() & legacy_typ.isNotNull()
+    df = df.withColumn(
+        "chile_plant_id", F.when(take_legacy, legacy).otherwise(F.col("chile_plant_id"))
+    ).withColumn(
+        typ_col("chile_plant_id"),
+        F.when(take_legacy, legacy_typ).otherwise(F.col(typ_col("chile_plant_id"))),
+    )
+    return _inject_metadata_first_record_gated(df, ctx)
+
+
+_FIXUPS = {
+    "npp": _fixup_npp,
+    "entsoe": _fixup_entsoe,
+    "eia": _fixup_eia,
+    "ons": _inject_metadata_first_record_gated,
+    "oe": _inject_metadata_first_record_gated,
+    "oe_facility": _inject_metadata_first_record_gated,
+    "occto": _inject_metadata_first_record_gated,
+    "chile": _fixup_chile,
+}
+
+
+def load_and_validate(
+    spark: SparkSession,
+    source: str,
+    path: str,
+    run_id: str | None = None,
+    now_ms: int | None = None,
+) -> tuple[DataFrame, ValidationReport]:
+    """Full pre-insert pipeline: scan → fixups → validate → first-wins
+    dedup. Returns (valid typed DataFrame incl. _order, report)."""
+    schema: SourceSchema = SOURCES[source]
+    ctx = LoadContext(
+        run_id=run_id or str(uuid.uuid4()),
+        created_at_ms=now_ms if now_ms is not None else int(time.time() * 1000),
+        first_record=peek_first_record(spark, path),
+    )
+    raw = read_jsonl_lines(spark, path)
+    parsed = parse_fields(raw, schema)
+    fixed = _FIXUPS[source](parsed, ctx)
+    return validate(fixed, schema, source_file=path, now_ms=ctx.created_at_ms)

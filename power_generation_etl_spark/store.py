@@ -1,0 +1,118 @@
+"""Parquet-warehouse table store.
+
+Physical design for the 100 TB target:
+- fact tables are hive-partitioned by `_month` (yyyy-MM of
+  timestamp_ms) so month-grain queries, incremental loads, and the
+  idempotent-append anti-join all prune partitions;
+- the partition column is engine-internal: reads drop it, so logical
+  schemas match the reference DDL exactly;
+- writes go through a temp-dir + atomic-ish rename only when
+  replacing (`overwrite`); appends write new files into existing
+  partitions (safe for parquet append).
+
+This replaces the reference's PostgreSQL heap tables + B-tree indexes
+(reference schema/*.sql): parquet min/max row-group stats give the
+equivalent of the `(timestamp, …)` composite indexes for time-range
+scans, and partitioning gives partition-level pruning that Postgres
+indexes cannot.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MONTH_COL = "_month"
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _schema_file(self, table: str) -> str:
+        # Leading underscore → invisible to Spark's file listing.
+        return os.path.join(self.path(table), "_schema.json")
+
+    def _has_data(self, table: str) -> bool:
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return False
+        for _dir, _sub, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def exists(self, table: str) -> bool:
+        return self._has_data(table) or os.path.isfile(self._schema_file(table))
+
+    def create(self, table: str, schema) -> None:
+        """Register an empty table by persisting its schema (no data
+        files yet — the partitioned layout stays clean for appends)."""
+        os.makedirs(self.path(table), exist_ok=True)
+        if not os.path.isfile(self._schema_file(table)):
+            with open(self._schema_file(table), "w") as f:
+                f.write(schema.json())
+
+    def read(self, table: str) -> DataFrame:
+        if not self._has_data(table):
+            from pyspark.sql.types import StructType
+
+            with open(self._schema_file(table)) as f:
+                schema = StructType.fromJson(__import__("json").load(f))
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.option("basePath", self.path(table)).parquet(
+            self.path(table)
+        )
+        return df.drop(MONTH_COL) if MONTH_COL in df.columns else df
+
+    def _with_month(self, df: DataFrame) -> DataFrame:
+        if "timestamp_ms" in df.columns:
+            return df.withColumn(
+                MONTH_COL,
+                F.date_format(F.timestamp_millis(F.col("timestamp_ms")), "yyyy-MM"),
+            )
+        return df
+
+    def append(self, table: str, df: DataFrame) -> None:
+        self.create(table, df.schema)  # persist logical schema on first write
+        df = self._with_month(df)
+        writer = df.write.mode("append")
+        if MONTH_COL in df.columns:
+            writer = writer.partitionBy(MONTH_COL)
+        writer.parquet(self.path(table))
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        """Replace table contents atomically-enough for local use: write
+        to a temp location, then swap. (On a real deployment this is a
+        Delta/Iceberg `REPLACE` — parquet has no transaction log.)"""
+        tmp = self.path(table) + "__tmp__"
+        df = self._with_month(df)
+        writer = df.write.mode("overwrite")
+        if MONTH_COL in df.columns:
+            writer = writer.partitionBy(MONTH_COL)
+        writer.parquet(tmp)
+        final = self.path(table)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        self.spark.catalog.clearCache()
+
+    def truncate(self, table: str) -> int:
+        """S11: destructive clear with pre-count
+        (reference src/database.py:910-935)."""
+        n = self.read(table).count() if self.exists(table) else 0
+        p = self.path(table)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        return n
+
+    def count(self, table: str) -> int:
+        return self.read(table).count() if self.exists(table) else 0

@@ -1,0 +1,229 @@
+"""End-to-end engine tests: the minimum slice of SURVEY §7.2 —
+load ENTSOE JSONL → validated, first-wins-deduped, idempotently
+appended table → mv_entsoe_monthly — plus maintenance operators."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from power_generation_etl_spark.engine import Engine
+
+RUN_ID = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+NOW = int(time.time() * 1000)
+JAN = 1704067200000  # 2024-01-01T00:00:00Z
+FEB = 1706745600000  # 2024-02-01T00:00:00Z
+
+
+def _entsoe(ts, plant, mw, res=60, **over):
+    rec = {
+        "extraction_run_id": RUN_ID,
+        "created_at_ms": NOW,
+        "timestamp_ms": ts,
+        "country_code": "DE",
+        "psr_type": "B16",
+        "plant_name": plant,
+        "fuel_type": "Unknown",
+        "data_type": "Actual Aggregated",
+        "generation_mw": mw,
+        "resolution_minutes": res,
+    }
+    rec.update(over)
+    return rec
+
+
+def _write(tmp_path, records, name="data.jsonl"):
+    p = tmp_path / name
+    with open(p, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "warehouse"))
+
+
+def test_minimum_slice_end_to_end(engine, spark, tmp_path):
+    recs = [
+        _entsoe(JAN, "P1", 100.0, res=60),
+        _entsoe(JAN + 3_600_000, "P1", 50.0, res=30),
+        _entsoe(FEB, "P2", 10.0, res=60, psr_type="B14"),
+        _entsoe(JAN, "P1", 999.0),  # in-file duplicate of rec 1 → dropped
+    ]
+    path = _write(tmp_path, recs)
+
+    res = engine.load_jsonl("entsoe", path)
+    assert res.inserted == 3
+    assert res.report.duplicate_count == 1
+
+    # Idempotent re-load: 0 inserted, all skipped (D2 contract).
+    res2 = engine.load_jsonl("entsoe", path)
+    assert res2.inserted == 0
+    assert res2.skipped_existing == 3
+
+    # MV refresh (A1): mwh = mw * res/60.
+    engine.refresh_views("entsoe")
+    mv = {
+        (r["month"], r["fuel_type"]): r["generation_mwh"]
+        for r in engine.table("mv_entsoe_monthly").collect()
+    }
+    assert mv[("2024-01-01", "Solar")] == pytest.approx(100.0 + 50.0 * 30 / 60)
+    assert mv[("2024-02-01", "Nuclear")] == pytest.approx(10.0)
+
+    # Watermark (A10).
+    assert engine.get_latest_date("entsoe") == "2024-02-01"
+    assert engine.get_latest_date("npp") == "1970-01-01"
+
+    # Lineage (M1): one row, correct date range.
+    meta = engine.table("extraction_metadata").collect()
+    assert len(meta) == 1
+    m = meta[0]
+    assert m["source"] == "entsoe" and str(m["start_date"]) == "2024-01-01"
+    assert str(m["end_date"]) == "2024-02-01"
+
+    # Stats (A11) + truncate (S11).
+    assert engine.stats()["entsoe_generation_data"] == 3
+    assert engine.clear_table("entsoe_generation_data") == 3
+    assert engine.stats()["entsoe_generation_data"] == 0
+
+
+def test_cross_run_dedup_partial_overlap(engine, spark, tmp_path):
+    p1 = _write(tmp_path, [_entsoe(JAN, "P1", 1.0), _entsoe(JAN, "P2", 2.0)], "a.jsonl")
+    p2 = _write(
+        tmp_path,
+        [_entsoe(JAN, "P2", 999.0), _entsoe(JAN, "P3", 3.0)],
+        "b.jsonl",
+    )
+    assert engine.load_jsonl("entsoe", p1).inserted == 2
+    r = engine.load_jsonl("entsoe", p2)
+    assert r.inserted == 1 and r.skipped_existing == 1
+    rows = {x["plant_name"]: x["generation_mw"] for x in engine.table("entsoe_generation_data").collect()}
+    assert rows == {"P1": 1.0, "P2": 2.0, "P3": 3.0}  # first run wins
+
+
+def test_ons_null_coalesced_natural_key(engine, spark, tmp_path):
+    def ons(plant_id, mwh):
+        return {
+            "extraction_run_id": RUN_ID,
+            "created_at_ms": NOW,
+            "timestamp_ms": JAN,
+            "plant": "PL",
+            "generation_mwh": mwh,
+            "ons_plant_id": plant_id,
+        }
+
+    p1 = _write(tmp_path, [ons(None, 1.0)], "a.jsonl")
+    p2 = _write(tmp_path, [ons(None, 2.0)], "b.jsonl")
+    assert engine.load_jsonl("ons", p1).inserted == 1
+    # COALESCE(ons_plant_id,'') uniqueness: null collides with null.
+    assert engine.load_jsonl("ons", p2).inserted == 0
+
+
+def test_metadata_upsert_updates_subset_only(engine, spark):
+    engine.upsert_metadata(
+        {
+            "extraction_run_id": RUN_ID,
+            "source": "entsoe",
+            "total_records": 10,
+            "failed_count": 0,
+            "success": True,
+            "config_snapshot": '{"a":1}',
+        }
+    )
+    first = engine.table("extraction_metadata").head()
+    engine.upsert_metadata(
+        {
+            "extraction_run_id": RUN_ID,
+            "source": "entsoe",
+            "total_records": 20,
+            "failed_count": 2,
+            "success": False,
+            "config_snapshot": '{"a":2}',  # NOT updated on conflict
+        }
+    )
+    rows = engine.table("extraction_metadata").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["total_records"] == 20 and r["failed_count"] == 2 and r["success"] is False
+    assert r["config_snapshot"] == '{"a":1}'
+    assert r["extraction_timestamp"] == first["extraction_timestamp"]
+
+
+def test_extraction_summary_and_recent(engine, spark):
+    for i, ok in enumerate([True, True, False]):
+        engine.upsert_metadata(
+            {
+                "extraction_run_id": f"{i}2345678-1234-1234-1234-123456789abc",
+                "source": "npp",
+                "total_records": 5,
+                "failed_count": 0 if ok else 5,
+                "success": ok,
+            }
+        )
+    s = engine.extraction_summary().collect()[0]
+    assert s["total_runs"] == 3 and s["successful_runs"] == 2 and s["failed_runs"] == 1
+    assert engine.recent_extractions().count() == 3
+
+
+def test_crosswalk_drift(engine, spark, tmp_path):
+    p = _write(
+        tmp_path,
+        [_entsoe(JAN, "Known Plant", 1.0), _entsoe(JAN, "Mystery Plant", 2.0)],
+    )
+    engine.load_jsonl("entsoe", p)
+    crosswalk = spark.createDataFrame(
+        [("ENTSOE", "Known Plant", None)],
+        "source_system string, plant_name string, plant_code string",
+    )
+    rep = engine.check_crosswalk_drift(crosswalk)
+    assert rep["total_missing"] == 1
+    assert rep["by_source"]["ENTSOE"]["sample"] == ["Mystery Plant"]
+
+
+def test_aggregate_export(engine, spark, tmp_path):
+    p = _write(
+        tmp_path,
+        [
+            _entsoe(JAN, "P1", 100.0),
+            _entsoe(JAN + 3_600_000, "P1", 200.0),
+            _entsoe(FEB, "P2", 10.0),
+        ],
+    )
+    engine.load_jsonl("entsoe", p)
+    out = tmp_path / "export"
+    ok, total = engine.aggregate_export(str(out), granularity="country")
+    assert ok and total == 2  # two months, one country
+    files = sorted(f.name for f in out.iterdir())
+    assert files == ["entsoe_monthly_2024.csv"]
+    lines = (out / "entsoe_monthly_2024.csv").read_text().strip().splitlines()
+    assert lines[0] == "month,country_code,total_generation_mwh,hours_of_data,avg_generation_mw,peak_generation_mw"
+    assert lines[1].startswith("2024-01-01,DE,300.0,2,150.0,200.0")
+
+
+def test_setup_creates_empty_tables(engine):
+    created = engine.setup()
+    assert "entsoe_generation_data" in created
+    assert engine.table("npp_generation").count() == 0
+    # Setup is idempotent.
+    assert engine.setup() == []
+
+
+def test_backfill_dates(engine, spark, tmp_path):
+    p = _write(tmp_path, [_entsoe(JAN, "P1", 1.0)])
+    res = engine.load_jsonl("entsoe", p, write_metadata=False)
+    engine.upsert_metadata(
+        {
+            "extraction_run_id": res.run_id,
+            "source": "entsoe",
+            "total_records": 1,
+            "failed_count": 0,
+            "success": True,
+        }
+    )
+    assert engine.backfill_extraction_dates() == 1
+    m = engine.table("extraction_metadata").head()
+    assert str(m["start_date"]) == "2024-01-01"
