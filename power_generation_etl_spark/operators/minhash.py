@@ -1,0 +1,251 @@
+"""Near-duplicate detection for document corpora: exact n-gram Jaccard,
+MinHash+LSH, and SimHash — all built-in-expression Spark (no UDFs).
+
+Scale design notes (the point of these operators is 100 TB corpora):
+- shingling is a per-row projection (`transform` over a token array);
+- exact Jaccard joins on *shingle* (sparse inverted-index join), never
+  a cross join — cost ∝ Σ per-shingle doc-frequency², so hot shingles
+  are the skew risk; `doc_freq_cap` drops stop-shingles the way
+  production pipelines do;
+- MinHash signatures are computed array-side (zero shuffle), candidate
+  generation shuffles only (band_key, doc_id), and exact verification
+  touches only candidate pairs;
+- SimHash packs to one bigint per doc; banding on 16-bit chunks gives
+  candidates, `bit_count(xor)` verifies.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_61 = (1 << 61) - 1
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>."""
+    tokens = F.split(F.lower(text), r"\s+")
+    count = F.size(tokens) - (n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(0), count - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+    )
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """xxhash64 per shingle, masked to 32 bits so the MinHash affine
+    transform (a*h+b) never overflows int64."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+
+
+def _coefficients(k: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    # a < 2^30 keeps a*h32 < 2^62 (no signed-64 overflow).
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(k)]
+
+
+def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
+    """k-permutation MinHash signature (array<bigint>), computed
+    array-side — one projection, no shuffle, no explode."""
+    hashes = shingle_hashes(shingles)
+    sigs = [
+        F.coalesce(
+            F.array_min(
+                F.transform(
+                    hashes, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_61))
+                )
+            ),
+            F.lit(MERSENNE_61),  # empty-doc sentinel
+        )
+        for a, b in _coefficients(k, seed)
+    ]
+    return F.array(*sigs)
+
+
+def _par(df: DataFrame) -> int:
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # Repartition up front: the source is often a single small parquet
+    # split, but shingling/hashing is compute-bound — AQE would happily
+    # coalesce these few megabytes onto one core and serialize the
+    # quadratic join work that follows.
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .repartition(_par(df), "doc_id")
+    )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    doc_freq_cap: int | None = None,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard ≥ threshold, via an inverted
+    shingle index (join on shingle, never a cross join)."""
+    sh = _shingled(df, id_col, text_col, n)
+    counts = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    if doc_freq_cap is not None:
+        hot = (
+            posting.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > doc_freq_cap)
+            .select("s")
+        )
+        posting = posting.join(F.broadcast(hot), "s", "left_anti")
+    npar = _par(df)
+    a = posting.select(F.col("doc_id").alias("id_a"), "s").repartition(npar, "s")
+    b = posting.select(F.col("doc_id").alias("id_b"), "s").repartition(npar, "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band-bucket candidate generation,
+    exact Jaccard verification on candidates only. With k=64, b=16
+    (r=4), P(candidate | j=0.5) ≈ 1-(1-0.5⁴)¹⁶ ≈ 0.66 per band-set —
+    tune b/r for the target threshold."""
+    per_band = k // n_bands
+    sh = _shingled(df, id_col, text_col, n)
+    sig = sh.select(
+        "doc_id", "sh", minhash_signature(F.col("sh"), k, seed).alias("sig")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", F.slice("sig", i * per_band + 1, per_band))
+                ).alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    npar = _par(df)
+    tagged = sig.select("doc_id", F.explode(bands).alias("bk"))
+    a = tagged.select(F.col("doc_id").alias("id_a"), "bk").repartition(npar, "bk")
+    b = tagged.select(
+        F.col("doc_id").alias("id_b"), F.col("bk").alias("bk2")
+    ).repartition(npar, "bk2")
+    cands = (
+        a.join(b, (F.col("bk") == F.col("bk2")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 64
+) -> DataFrame:
+    """SimHash fingerprints as (doc_id, sh64).
+
+    Computed with explode → one hash aggregation carrying `bits` SUMs
+    (map-side partial agg, whole-stage codegen) instead of `bits`
+    array-aggregate passes per row — the bit-j vote sum(±1) equals
+    2*sum(bit_j) - n_shingles, so plain SUMs suffice."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    exploded = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .repartition("doc_id")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    votes = exploded.groupBy("doc_id").agg(*aggs)
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        bit_val = F.lit(1 << j if j < 63 else -(1 << 63)).cast("bigint")
+        out = out + F.when(2 * F.col(f"s{j}") >= F.col("n"), bit_val).otherwise(F.lit(0))
+    return votes.select("doc_id", out.alias("sh64"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 16-bit-chunk banding for candidates
+    (a pair within hamming ≤ 3 of a 64-bit hash must agree on ≥1 of 4
+    chunks; wider distances trade recall), verified with bit_count."""
+    sims = simhash_table(df, id_col, text_col, n)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("sh64", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+    tagged = sims.select("doc_id", "sh64", F.explode(chunks).alias("bk"))
+    a = tagged.select(F.col("doc_id").alias("id_a"), F.col("sh64").alias("ha"), "bk")
+    b = tagged.select(
+        F.col("doc_id").alias("id_b"), F.col("sh64").alias("hb"), F.col("bk").alias("bk2")
+    )
+    cands = (
+        a.join(b, (F.col("bk") == F.col("bk2")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "ha", "hb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cands.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine(a, b)`: built-in expression (zip_with + aggregate) — doubles,
+  sequential summation, deterministic.
+- brute-force top-k and all-pairs near-dup as the exact baselines;
+- random-hyperplane LSH bucketing as the scale path (candidates only
+  meet within a bucket → the O(n²) join becomes O(Σ bucket²)).
+
+Scale design: the LSH signature is computed in one projection (no
+shuffle); the bucket join shuffles only (bucket_key, id, vector).
+For 100 TB you'd additionally store vectors bucketed-by-signature so
+the candidate join is shuffle-free.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (deterministic across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for one query vector. TakeOrderedAndProject:
+    per-partition heap + driver merge — no global sort."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(as_double_array(F.col(vec_col)), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 4).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def all_pairs_neardup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup (id_a < id_b). O(n²) — the
+    correctness baseline; use `lsh_candidate_pairs` at scale."""
+    npar = df.sparkSession.sparkContext.defaultParallelism
+    a = df.select(
+        F.col(id_col).alias("id_a"), as_double_array(F.col(vec_col)).alias("va")
+    ).repartition(npar)  # spread the nested-loop join across cores
+    b = df.select(
+        F.col(id_col).alias("id_b"), as_double_array(F.col(vec_col)).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (SimHash-for-vectors) signature: one bit per
+    plane, packed into a bigint — a single projection, no shuffle."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(F.when(dot(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")
+
+
+def lsh_bucketed_neardup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup: candidates must share at least one band of
+    the hyperplane signature; exact cosine verifies the candidates.
+    Recall < 1 by construction (that's the trade); precision = 1 since
+    every emitted pair is exactly verified."""
+    dim = len(df.select(vec_col).head()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // n_bands
+    v = as_double_array(F.col(vec_col))
+    sig = lsh_signature(v, planes)
+    mask = (1 << per_band) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(sig, b * per_band).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    npar = df.sparkSession.sparkContext.defaultParallelism
+    tagged = df.select(
+        F.col(id_col).alias("id"), v.alias("vec"), F.explode(bands).alias("bk")
+    ).repartition(npar, "bk")
+    left = tagged.select("id", "vec", "bk")
+    right = tagged.select(
+        F.col("id").alias("id2"), F.col("vec").alias("vec2"), F.col("bk").alias("bk2")
+    )
+    cands = (
+        left.join(right, (F.col("bk") == F.col("bk2")) & (F.col("id") < F.col("id2")))
+        .select(F.col("id").alias("id_a"), F.col("id2").alias("id_b"), "vec", "vec2")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = cosine(F.col("vec"), F.col("vec2"))
+    return (
+        cands.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe_fraction: float = 0.25,
+    label_col: str | None = None,
+) -> DataFrame:
+    """IVF-style ANN: partition vectors into coarse cells (here: the
+    provided label column, or LSH signature as a stand-in for k-means
+    centroids), rank cells by centroid similarity to the query, and
+    search only the closest `n_probe_fraction` of cells exactly.
+
+    At 100 TB the cell id is a partition column, so probing reads only
+    the probed partitions (partition pruning on the vector table)."""
+    cell = F.col(label_col) if label_col else None
+    if cell is None:
+        raise ValueError("label_col required (k-means training out of scope)")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = as_double_array(F.col(vec_col))
+    # Centroids: per-cell mean vector — one narrow aggregation.
+    dim = len(df.select(vec_col).head()[0])
+    centroids = df.groupBy(cell.alias("cell")).agg(
+        F.array(
+            *[F.avg(v.getItem(i)).alias(f"c{i}") for i in range(dim)]
+        ).alias("centroid"),
+    )
+    ranked = centroids.select(
+        "cell", cosine(F.col("centroid"), q).alias("cell_sim")
+    ).orderBy(F.col("cell_sim").desc())
+    n_cells = ranked.count()
+    n_probe = max(1, int(math.ceil(n_cells * n_probe_fraction)))
+    probe_cells = [r["cell"] for r in ranked.limit(n_probe).collect()]
+    probed = df.filter(cell.isin(probe_cells))
+    sim = cosine(v, q)
+    return (
+        probed.select(F.col(id_col), F.round(sim, 4).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

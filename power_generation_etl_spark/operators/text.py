@@ -1,0 +1,109 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly): language-ID
+(stopword heuristic), quality scoring (length / punctuation / stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting. Designed to run in a single scan over a 100 TB
+`documents` table — no UDFs, no shuffles except final aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the heuristic language ID.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "los", "y", "es", "las"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+TOKEN_RE = r"\S+"
+# BPE-ish word/number/punct splitter (GPT-2-style contractions + blocks).
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count(text: Column, pattern: str = TOKEN_RE) -> Column:
+    """Whitespace (or BPE-ish) token count."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
+
+
+def _occurrences(text: Column, word: str) -> Column:
+    """Count of ` word ` occurrences via the length-difference trick —
+    identical semantics in any SQL engine (used for oracle parity)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    lowered = F.lower(text)
+    return {
+        lang: sum(_occurrences(lowered, w) for w in words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def predicted_lang(text: Column) -> Column:
+    """Deterministic argmax over stopword-hit counts (ties → fixed
+    language order), 'und' (undetermined) when no stopword hits."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:  # fixed iteration order = tie-break order
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Gopher-style quality signals, all single-pass expressions."""
+    n_chars = F.length(text).cast("bigint")
+    tokens = token_count(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("bigint")
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("bigint")
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", "")).cast("bigint")
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("bigint")
+    en_stop = sum(_occurrences(F.lower(text), w) for w in LANG_STOPWORDS["en"])
+    nc = n_chars.cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": tokens,
+        "avg_token_len": F.round(nc / F.greatest(tokens, F.lit(1)).cast("double"), 4),
+        "alpha_ratio": F.round(alpha.cast("double") / F.greatest(nc, F.lit(1.0)), 4),
+        "digit_ratio": F.round(digits.cast("double") / F.greatest(nc, F.lit(1.0)), 4),
+        "punct_ratio": F.round(punct.cast("double") / F.greatest(nc, F.lit(1.0)), 4),
+        "upper_ratio": F.round(upper.cast("double") / F.greatest(nc, F.lit(1.0)), 4),
+        "stopword_count": en_stop,
+    }
+
+
+def quality_pass(metrics: dict[str, Column]) -> Column:
+    """Filter rule in the spirit of Gopher/C4 heuristics."""
+    return (
+        (metrics["n_chars"] >= 50)
+        & (metrics["n_chars"] <= 100_000)
+        & (metrics["n_tokens"] >= 10)
+        & (metrics["avg_token_len"] >= 2.0)
+        & (metrics["avg_token_len"] <= 12.0)
+        & (metrics["alpha_ratio"] >= 0.5)
+    )
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the lowercased, alnum-only text —
+    invariant to case/punctuation/whitespace differences."""
+    return F.md5(F.regexp_replace(F.lower(text), r"[^a-z0-9]", "").cast("binary"))
+
+
+def exact_dup_key(text: Column) -> Column:
+    """Exact-dedup grouping key (hash-groupBy): md5 of the raw text.
+
+    At 100 TB, grouping by the 32-char digest instead of the document
+    body shrinks the dedup shuffle by orders of magnitude."""
+    return F.md5(text.cast("binary"))

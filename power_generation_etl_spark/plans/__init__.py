@@ -1,3 +1,4 @@
 from power_generation_etl_spark.plans.queries import ORACLES, QUERIES
+from power_generation_etl_spark.plans import llm_queries  # noqa: F401  (registers entries)
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,308 @@
+"""LLM-training-data pipeline queries over the synthetic `documents`
+and `embeddings` tables — dedup family, similarity search, text
+analysis. Registered into the same QUERIES/ORACLES catalog as the
+relational queries; entries without an oracle are genuinely
+non-SQL-expressible (hash-seeded LSH) and get rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.operators import minhash as mh
+from power_generation_etl_spark.operators import similarity as sim
+from power_generation_etl_spark.operators import text as tx
+from power_generation_etl_spark.plans.queries import T, _register
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on the text digest (shuffle carries 32-char
+# digests, not document bodies).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "exact_dedup_docs",
+    """
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY canonical_id
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy(tx.exact_dup_key(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex.
+# ---------------------------------------------------------------------------
+
+_BPE_SQL = "'''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'"
+
+
+@_register(
+    "doc_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, {_BPE_SQL})) AS BIGINT) AS bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("ws_tokens"),
+        tx.token_count(F.col("text"), tx.BPE_RE).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring.
+# ---------------------------------------------------------------------------
+
+_PUNCT_CLASS_SQL = "[^.,;:!?''\"()\\[\\]{}-]"  # '' = escaped quote in SQL
+_STOP_SUM_SQL = " + ".join(
+    "CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {n} AS BIGINT)".format(
+        w=w, n=len(w) + 2
+    )
+    for w in tx.LANG_STOPWORDS["en"]
+)
+
+
+@_register(
+    "doc_quality",
+    f"""
+    SELECT doc_id, n_chars, n_tokens, avg_token_len, alpha_ratio, digit_ratio,
+           punct_ratio, upper_ratio, stopword_count,
+           (n_chars >= 50 AND n_chars <= 100000 AND n_tokens >= 10
+            AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+            AND alpha_ratio >= 0.5) AS quality_pass
+    FROM (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+             round(length(text) * 1.0 /
+                   greatest(len(regexp_extract_all(text, '\\S+')), 1), 4) AS avg_token_len,
+             round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 /
+                   greatest(length(text), 1), 4) AS alpha_ratio,
+             round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 /
+                   greatest(length(text), 1), 4) AS digit_ratio,
+             round(length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) * 1.0 /
+                   greatest(length(text), 1), 4) AS punct_ratio,
+             round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 /
+                   greatest(length(text), 1), 4) AS upper_ratio,
+             {_STOP_SUM_SQL} AS stopword_count
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    m = tx.quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[m[k].alias(k) for k in (
+            "n_chars", "n_tokens", "avg_token_len", "alpha_ratio",
+            "digit_ratio", "punct_ratio", "upper_ratio", "stopword_count",
+        )],
+        tx.quality_pass(m).alias("quality_pass"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-count heuristic, reported as a confusion matrix
+# against the labeled lang column.
+# ---------------------------------------------------------------------------
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(
+        "CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {n} AS BIGINT)".format(
+            w=w, n=len(w) + 2
+        )
+        for w in tx.LANG_STOPWORDS[lang]
+    )
+
+
+_LANG_CASE_SQL = (
+    "CASE WHEN " + " <= 0 AND ".join(f"s_{lg}" for lg in tx.LANG_STOPWORDS) + " <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lg} = greatest({', '.join('s_' + x for x in tx.LANG_STOPWORDS)}) THEN '{lg}'"
+        for lg in tx.LANG_STOPWORDS
+    )
+    + " END"
+)
+
+
+@_register(
+    "lang_id_confusion",
+    f"""
+    SELECT lang, {_LANG_CASE_SQL} AS predicted_lang, count(*) AS n_docs
+    FROM (
+      SELECT lang,
+             {', '.join(f'{_lang_score_sql(lg)} AS s_{lg}' for lg in tx.LANG_STOPWORDS)}
+      FROM documents
+    )
+    GROUP BY 1, 2
+    ORDER BY lang, predicted_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", tx.predicted_lang(F.col("text")).alias("predicted_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: md5 over normalized content.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", tx.normalized_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: exact n-gram Jaccard (oracle), MinHash+LSH and SimHash
+# (rows-only: hash functions aren't portable to the oracle engine).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+      FROM toks, unnest(range(1, len(t) - 1)) AS i(i)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c * 1.0 / (ca.n + cb.n - c), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON inter.id_a = ca.doc_id
+    JOIN cnt cb ON inter.id_b = cb.doc_id
+    WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return mh.exact_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@_register("minhash_lsh_pairs")  # rows-only
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return mh.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@_register("simhash_pairs")  # rows-only
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return mh.simhash_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings.
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_aggregate(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]), 'sum')"
+    " / (sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum')))"
+)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        T(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@_register(
+    "ann_topk_cosine",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id, round({_COS_SQL}, 4) AS cosine_sim
+    FROM s, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return sim.brute_force_topk(e, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10)
+
+
+@_register(
+    "cosine_neardup_pairs",
+    """
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT id_a, id_b, round(sim, 4) AS cosine_sim
+    FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_aggregate(list_transform(range(1, len(a.e) + 1),
+                                           i -> a.e[i] * b.e[i]), 'sum')
+             / (sqrt(list_aggregate(list_transform(a.e, x -> x * x), 'sum'))
+              * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum'))) AS sim
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    WHERE round(sim, 4) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return sim.all_pairs_neardup(e, "vec_id", "embedding", threshold=0.4)
+
+
+@_register("lsh_neardup_pairs")  # rows-only: plane RNG not portable to SQL
+def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return sim.lsh_bucketed_neardup(e, "vec_id", "embedding", threshold=0.4)
+
+
+@_register("ivf_topk_cosine")  # rows-only: multi-step probing plan
+def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        e, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, label_col="label"
+    )

@@ -1,0 +1,138 @@
+"""Tests for the LLM-data-pipeline operators: near-dup recall,
+similarity search consistency, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.operators import minhash as mh
+from power_generation_etl_spark.operators import multimodal as mm
+from power_generation_etl_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+class TestNearDup:
+    def test_minhash_lsh_recall_against_exact(self, docs):
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in mh.exact_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in mh.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+        assert exact, "synthetic corpus should contain planted near-dups"
+        # Verified candidates ⊆ exact; recall high on ~0.99-jaccard dups.
+        assert lsh <= exact
+        assert len(lsh) >= 0.9 * len(exact)
+
+    def test_simhash_pairs_overlap_exact(self, docs):
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in mh.exact_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+        sh = {
+            (r["id_a"], r["id_b"])
+            for r in mh.simhash_pairs(docs, "doc_id", "text", max_hamming=8).collect()
+        }
+        # SimHash at hamming≤8 should find most planted dups.
+        assert len(sh & exact) >= 0.7 * len(exact)
+
+    def test_shingles_edgecases(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two"), (2, "a b c d"), (3, "")], ["id", "t"]
+        )
+        rows = df.select(
+            "id", F.size(mh.word_shingles(F.col("t"), 3)).alias("n")
+        ).collect()
+        got = {r["id"]: r["n"] for r in rows}
+        assert got[1] == 0  # shorter than n
+        assert got[2] == 2  # 'a b c', 'b c d'
+
+
+class TestSimilarity:
+    def test_lsh_topk_subset_of_bruteforce(self, embeddings):
+        qv = [
+            float(x)
+            for x in embeddings.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        bf = sim.brute_force_topk(
+            embeddings.filter(F.col("vec_id") != 0), "vec_id", "embedding", qv, k=10
+        ).collect()
+        assert len(bf) == 10
+        assert bf[0]["cosine_sim"] >= bf[-1]["cosine_sim"]
+
+    def test_lsh_neardup_precision_is_exact(self, embeddings):
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in sim.all_pairs_neardup(
+                embeddings, "vec_id", "embedding", threshold=0.4
+            ).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in sim.lsh_bucketed_neardup(
+                embeddings, "vec_id", "embedding", threshold=0.4
+            ).collect()
+        }
+        assert lsh <= exact  # exact verification ⇒ precision 1
+
+    def test_ivf_overlaps_bruteforce(self, embeddings):
+        qv = [
+            float(x)
+            for x in embeddings.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        bf = [
+            r["vec_id"]
+            for r in sim.brute_force_topk(embeddings, "vec_id", "embedding", qv, k=10).collect()
+        ]
+        ivf = [
+            r["vec_id"]
+            for r in sim.ivf_topk(
+                embeddings, "vec_id", "embedding", qv, k=10,
+                n_probe_fraction=0.5, label_col="label",
+            ).collect()
+        ]
+        assert len(set(bf) & set(ivf)) >= 5  # probing half the cells
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            (1, "image", "image/png", b"\x89PNG fakebytes 1", 64, 64, None),
+            (2, "image", "image/png", b"\x89PNG fakebytes 22", 32, 32, None),
+            (3, "video", "video/mp4", b"\x00mp4 " * 100, 640, 480, 10_000),
+            (4, "audio", "audio/wav", b"RIFF" * 50, None, None, 5_000),
+        ]
+        return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    def test_image_features_deterministic(self, media):
+        feats = {r["media_id"]: r for r in mm.extract_image_features(media).collect()}
+        assert set(feats) == {1, 2}
+        again = {r["media_id"]: r for r in mm.extract_image_features(media).collect()}
+        assert feats[1]["feat_mean"] == again[1]["feat_mean"]
+        assert feats[1]["content_sha256"] != feats[2]["content_sha256"]
+        assert feats[1]["n_bytes"] == 16
+
+    def test_frame_sampling_shape(self, media):
+        frames = mm.sample_video_frames(media, n_frames=4).collect()
+        assert len(frames) == 4
+        assert sorted(f["frame_index"] for f in frames) == [0, 1, 2, 3]
+        total = sum(len(f["frame_bytes"]) for f in frames)
+        assert total <= 500 and total >= 400  # chunks of the 500-byte blob
+
+    def test_media_stats_prunes_binary(self, media):
+        stats = {r["kind"]: r for r in mm.media_stats(media).collect()}
+        assert stats["image"]["n_items"] == 2
+        assert stats["video"]["total_bytes"] == 500

@@ -1,0 +1,102 @@
+"""Structured Streaming: file-drop ingest with exactly-once per file,
+and event-time windowed rollup with watermark."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from power_generation_etl_spark.engine import Engine
+from power_generation_etl_spark.streaming.ingest import stream_load, streaming_monthly_rollup
+
+RUN_ID = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+NOW = int(time.time() * 1000)
+JAN = 1704067200000
+
+
+def _rec(ts, plant, mwh):
+    return {
+        "extraction_run_id": RUN_ID,
+        "created_at_ms": NOW,
+        "timestamp_ms": ts,
+        "plant": plant,
+        "plant_and_unit": f"{plant} U1",
+        "generation_mwh": mwh,
+    }
+
+
+def test_stream_load_exactly_once_per_file(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    engine = Engine(spark, str(tmp_path / "wh"))
+
+    with open(landing / "a.jsonl", "w") as f:
+        f.write(json.dumps(_rec(JAN, "P1", 1.0)) + "\n")
+        f.write(json.dumps(_rec(JAN, "P2", 2.0)) + "\n")
+
+    q = stream_load(engine, "npp", str(landing), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert engine.store.count("npp_generation") == 2
+
+    # Drop a second file (one new record + one cross-file duplicate).
+    with open(landing / "b.jsonl", "w") as f:
+        f.write(json.dumps(_rec(JAN, "P2", 999.0)) + "\n")
+        f.write(json.dumps(_rec(JAN, "P3", 3.0)) + "\n")
+
+    q2 = stream_load(engine, "npp", str(landing), str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    rows = {
+        r["plant"]: r["generation_mwh"]
+        for r in engine.table("npp_generation").collect()
+    }
+    # a.jsonl was NOT reprocessed (checkpoint), P2 dedup held (D2).
+    assert rows == {"P1": 1.0, "P2": 2.0, "P3": 3.0}
+
+
+def test_streaming_monthly_rollup(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        {"timestamp_ms": JAN, "fuel_type": "Solar", "generation_mwh": 1.0},
+        {"timestamp_ms": JAN + 3600_000, "fuel_type": "Solar", "generation_mwh": 2.0},
+        {"timestamp_ms": JAN, "fuel_type": "Wind", "generation_mwh": 5.0},
+    ]
+    with open(src / "e.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema(
+            "timestamp_ms long, fuel_type string, generation_mwh double"
+        )
+        .json(str(src))
+    )
+    rollup = streaming_monthly_rollup(spark, stream)
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")  # append emits only closed windows…
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # …so assert via complete-mode semantics instead: run a second pass
+    # in update mode to a new sink to observe the aggregates.
+    q2 = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_test_upd")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {
+        (r["window_start"], r["fuel_type"]): r["generation_mwh"]
+        for r in spark.sql("select * from rollup_test_upd").collect()
+    }
+    assert got[(list(got)[0][0], "Solar")] == pytest.approx(3.0)
+    assert got[(list(got)[0][0], "Wind")] == pytest.approx(5.0)
