@@ -496,8 +496,16 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def year_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
+    # year(ts) == 1997 would defeat parquet predicate pushdown (function
+    # wraps the column); the equivalent half-open range predicate reaches
+    # the scan (PushedFilters: GreaterThanOrEqual/LessThan) and prunes
+    # row groups — at 100 TB this is the difference between scanning one
+    # year and scanning everything.
     return (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
         .groupBy("l_returnflag")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
