@@ -268,6 +268,26 @@ class Engine:
             total += len(rows)
         return True, total
 
+    # --- SQL surface: spark.sql over registered tables/views ----------------------
+    def register_views(self) -> list[str]:
+        """Expose every existing table + MV + the two summary views as
+        temp views so `engine.sql(...)` / `spark.sql(...)` work — the
+        reference's third API surface (SQL against Postgres)."""
+        registered = []
+        for name in list(KNOWN_TABLES.values()) + ["extraction_metadata"] + ALL_VIEWS:
+            if self.store.exists(name):
+                self.store.read(name).createOrReplaceTempView(name)
+                registered.append(name)
+        if self.store.exists("extraction_metadata"):
+            self.extraction_summary().createOrReplaceTempView("extraction_summary")
+            self.recent_extractions().createOrReplaceTempView("recent_extractions")
+            registered += ["extraction_summary", "recent_extractions"]
+        return registered
+
+    def sql(self, query: str) -> DataFrame:
+        self.register_views()
+        return self.spark.sql(query)
+
     # --- A11: stats --------------------------------------------------------------
     def stats(self) -> dict[str, int]:
         out = {}

@@ -71,16 +71,20 @@ def _par(df: DataFrame) -> int:
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    # Repartition up front: the source is often a single small parquet
-    # split, but shingling/hashing is compute-bound — AQE would happily
-    # coalesce these few megabytes onto one core and serialize the
-    # quadratic join work that follows.
+    # Repartition the *raw* rows before shingling: the source is often a
+    # single small parquet split, but shingling/hashing is compute-bound —
+    # AQE would happily coalesce these few megabytes onto one core and
+    # serialize everything downstream. Shuffling raw text rows is far
+    # cheaper than shuffling shingle arrays after the fact.
+    # localCheckpoint (eager): shingling feeds 2-3 subtrees per operator
+    # (counts, both join sides); materializing once avoids recomputing the
+    # transform for each. Blocks are dropped when the plan is GC'd.
     return (
-        df.select(
-            F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
-        )
-        .filter(F.size("sh") > 0)
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
         .repartition(_par(df), "doc_id")
+        .select("doc_id", word_shingles(F.col("_text"), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .localCheckpoint()
     )
 
 
@@ -196,10 +200,11 @@ def simhash_table(
     sh = df.select(
         F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
-    exploded = (
-        sh.select("doc_id", F.explode("sh").alias("s"))
-        .select("doc_id", F.xxhash64("s").alias("h"))
-        .repartition("doc_id")
+    # No explicit repartition: the groupBy's partial (map-side) aggregation
+    # already combines per-partition, and the final agg shuffles only
+    # 65 longs per doc.
+    exploded = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
     )
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"s{j}")

@@ -227,3 +227,16 @@ def test_backfill_dates(engine, spark, tmp_path):
     assert engine.backfill_extraction_dates() == 1
     m = engine.table("extraction_metadata").head()
     assert str(m["start_date"]) == "2024-01-01"
+
+
+def test_sql_surface(engine, spark, tmp_path):
+    p = _write(tmp_path, [_entsoe(JAN, "P1", 100.0), _entsoe(FEB, "P2", 10.0)])
+    engine.load_jsonl("entsoe", p)
+    engine.refresh_views("entsoe")
+    row = engine.sql(
+        "SELECT count(*) AS n, round(sum(generation_mw), 2) AS mw "
+        "FROM entsoe_generation_data"
+    ).head()
+    assert row["n"] == 2 and row["mw"] == 110.0
+    assert engine.sql("SELECT * FROM mv_entsoe_monthly").count() == 2
+    assert engine.sql("SELECT * FROM extraction_summary").head()["source"] == "entsoe"
