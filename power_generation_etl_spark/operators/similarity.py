@@ -183,7 +183,7 @@ def ivf_topk(
     )
     ranked = centroids.select(
         "cell", cosine(F.col("centroid"), q).alias("cell_sim")
-    ).orderBy(F.col("cell_sim").desc())
+    ).orderBy(F.col("cell_sim").desc(), F.col("cell"))
     n_cells = ranked.count()
     n_probe = max(1, int(math.ceil(n_cells * n_probe_fraction)))
     probe_cells = [r["cell"] for r in ranked.limit(n_probe).collect()]

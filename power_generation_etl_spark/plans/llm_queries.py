@@ -300,7 +300,32 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucketed_neardup(e, "vec_id", "embedding", threshold=0.4)
 
 
-@_register("ivf_topk_cosine")  # rows-only: multi-step probing plan
+@_register(
+    "ivf_topk_cosine",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    dims AS (SELECT label, i.i AS i, avg(e[i.i]) AS c
+             FROM v, unnest(range(1, len(e) + 1)) AS i(i) GROUP BY label, i.i),
+    cent AS (SELECT label, list(c ORDER BY i) AS cv FROM dims GROUP BY label),
+    ranked AS (
+      SELECT label,
+             list_aggregate(list_transform(range(1, len(cv) + 1), i -> cv[i] * qv[i]), 'sum')
+             / (sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum'))
+              * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))) AS cell_sim
+      FROM cent, q
+    ),
+    probed AS (SELECT label FROM ranked ORDER BY cell_sim DESC, label
+               LIMIT (SELECT CAST(ceil(count(*) * 0.25) AS BIGINT) FROM ranked))
+    SELECT vec_id, round(
+      list_aggregate(list_transform(range(1, len(e) + 1), i -> e[i] * qv[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+       * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))), 4) AS cosine_sim
+    FROM v, q WHERE v.label IN (SELECT label FROM probed)
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
 def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     return sim.ivf_topk(
