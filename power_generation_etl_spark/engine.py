@@ -101,7 +101,17 @@ class Engine:
 
         batch = valid.drop(ORDER_COL)
         if self.store.exists(schema.table):
-            new_rows = anti_join_new_rows(batch, self.store.read(schema.table), schema)
+            # Partition-pruned target read: only the batch's months are
+            # even listed, so the anti-join scans O(batch months).
+            bounds = batch.agg(
+                F.min("timestamp_ms").alias("lo"), F.max("timestamp_ms").alias("hi")
+            ).head()
+            existing = (
+                self.store.read_range(schema.table, bounds["lo"], bounds["hi"])
+                if bounds["lo"] is not None
+                else self.store.read(schema.table)
+            )
+            new_rows = anti_join_new_rows(batch, existing, schema)
         else:
             new_rows = batch
         new_rows = new_rows.persist()

@@ -331,3 +331,51 @@ def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(
         e, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, label_col="label"
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup dedup: keep every document that is not the
+# higher-id member of a >= 0.5-Jaccard pair (the "drop later copies"
+# policy of training-data pipelines; with transitive chains the kept
+# set is a superset of the minimal cover — the standard one-pass rule).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "neardup_dedup_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+      FROM toks, unnest(range(1, len(t) - 1)) AS i(i)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT id_b
+      FROM inter
+      JOIN cnt ca ON inter.id_a = ca.doc_id
+      JOIN cnt cb ON inter.id_b = cb.doc_id
+      WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+    )
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM dups)
+    ORDER BY doc_id
+    """,
+)
+def neardup_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    pairs = mh.exact_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    dups = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        d.join(dups, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -73,6 +73,26 @@ class TableStore:
         )
         return df.drop(MONTH_COL) if MONTH_COL in df.columns else df
 
+    def read_range(self, table: str, lo_ms: int, hi_ms: int) -> DataFrame:
+        """Time-bounded read with *partition* pruning: the `_month`
+        predicate eliminates whole partition directories before any file
+        is opened (check PartitionFilters in .explain), then the
+        `timestamp_ms` predicate prunes row groups via parquet stats.
+        This is what makes the idempotent-append anti-join O(batch
+        months), not O(table), on a 100 TB table."""
+        if not self._has_data(table):
+            return self.read(table)
+        df = self.spark.read.option("basePath", self.path(table)).parquet(
+            self.path(table)
+        )
+        if MONTH_COL in df.columns:
+            lo_m = F.date_format(F.timestamp_millis(F.lit(lo_ms)), "yyyy-MM")
+            hi_m = F.date_format(F.timestamp_millis(F.lit(hi_ms)), "yyyy-MM")
+            df = df.filter(F.col(MONTH_COL).between(lo_m, hi_m)).drop(MONTH_COL)
+        if "timestamp_ms" in df.columns:
+            df = df.filter(F.col("timestamp_ms").between(F.lit(lo_ms), F.lit(hi_ms)))
+        return df
+
     def _with_month(self, df: DataFrame) -> DataFrame:
         if "timestamp_ms" in df.columns:
             return df.withColumn(

@@ -240,3 +240,42 @@ def test_sql_surface(engine, spark, tmp_path):
     assert row["n"] == 2 and row["mw"] == 110.0
     assert engine.sql("SELECT * FROM mv_entsoe_monthly").count() == 2
     assert engine.sql("SELECT * FROM extraction_summary").head()["source"] == "entsoe"
+
+
+def test_read_range_partition_pruning(engine, spark, tmp_path):
+    """The anti-join's target read must prune _month partition dirs
+    (PartitionFilters), not just parquet row groups."""
+    p = _write(tmp_path, [_entsoe(JAN, "P1", 1.0), _entsoe(FEB, "P2", 2.0)])
+    engine.load_jsonl("entsoe", p)
+    pruned = engine.store.read_range("entsoe_generation_data", JAN, JAN + 1000)
+    assert pruned.count() == 1  # only the January row
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_month" in plan
+
+
+def test_retry_backoff():
+    from power_generation_etl_spark.incremental import retry
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise ConnectionError("transient")
+        return "ok"
+
+    assert retry(flaky, base_wait=0.01) == "ok"
+    assert len(calls) == 3
+
+    def hopeless():
+        raise OSError("down")
+
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        retry(hopeless, base_wait=0.01)
