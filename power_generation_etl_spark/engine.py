@@ -259,23 +259,40 @@ class Engine:
             .orderBy("month", *dims)
         )
         os.makedirs(output_dir, exist_ok=True)
-        rows_by_year: dict[int, list] = {}
-        total = 0
-        collected = agg.collect()
         header = ["month", *dims, "total_generation_mwh", "hours_of_data",
                   "avg_generation_mw", "peak_generation_mw"]
-        for r in collected:
-            rows_by_year.setdefault(r["_year"], []).append(r)
-        import csv
+        # Distributed export: one task per year (repartition by the year
+        # column), rows sorted within each partition, written directly as
+        # CSV by executors — no driver-side collect. The per-year part
+        # file is then renamed to the reference's layout
+        # (`entsoe_monthly_<year>.csv`). At 100 TB the driver never
+        # holds data; only the rename loop is local.
+        tmp = os.path.join(output_dir, "__export_tmp__")
+        (
+            agg.repartition("_year")
+            .sortWithinPartitions("month", *dims)
+            .select("_year", *header)
+            .write.mode("overwrite")
+            .partitionBy("_year")
+            .option("header", True)
+            .csv(tmp)
+        )
+        import glob
+        import shutil
 
-        for year, rows in sorted(rows_by_year.items()):
+        total = 0
+        for ydir in sorted(glob.glob(os.path.join(tmp, "_year=*"))):
+            year = ydir.rsplit("=", 1)[1]
+            parts = sorted(glob.glob(os.path.join(ydir, "part-*.csv")))
             out = os.path.join(output_dir, f"entsoe_monthly_{year}.csv")
-            with open(out, "w", newline="") as fh:
-                w = csv.writer(fh)
-                w.writerow(header)
-                for r in rows:
-                    w.writerow([r[c] for c in header])
-            total += len(rows)
+            with open(out, "w") as dst:
+                for i, p in enumerate(parts):
+                    with open(p) as srcf:
+                        lines = srcf.readlines()
+                    dst.writelines(lines if i == 0 else lines[1:])
+            with open(out) as fh:
+                total += sum(1 for _ in fh) - 1
+        shutil.rmtree(tmp)
         return True, total
 
     # --- SQL surface: spark.sql over registered tables/views ----------------------

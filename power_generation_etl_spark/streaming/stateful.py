@@ -1,0 +1,121 @@
+"""Custom stateful streaming operators.
+
+Beyond-reference streaming surface (the reference is batch-only):
+
+- `streaming_dedup`: cross-micro-batch duplicate dropping with bounded
+  state — built-in `dropDuplicatesWithinWatermark`, the streaming form
+  of the D2 idempotent-append guarantee (state expires with the
+  watermark instead of growing forever).
+- `sessionize`: arbitrary per-key state via `applyInPandasWithState` —
+  the escape hatch for operators Spark lacks. Groups events into
+  activity sessions (gap-based) per user; state is one open session
+  per key, timed out by event-time watermark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop duplicate keys across micro-batches with bounded state."""
+    return events.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionizer: emits a session when the state times out
+    (no events past the watermark + gap)."""
+    gap_ms = 30 * 60 * 1000  # 30-minute inactivity gap
+    if state.hasTimedOut:
+        (start_us, end_us, n, total) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs))
+    ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
+    lo, hi = int(ts_us.min()), int(ts_us.max())
+    n_new, total_new = len(rows), float(rows["value"].sum())
+    if state.exists:
+        start_us, end_us, n, total = state.get
+        state.update((min(start_us, lo), max(end_us, hi), n + n_new, total + total_new))
+    else:
+        state.update((lo, hi, n_new, total_new))
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
+    yield pd.DataFrame(
+        columns=["user_id", "session_start", "session_end", "n_events", "total_value"]
+    ).astype(
+        {
+            "user_id": "int64",
+            "n_events": "int64",
+            "total_value": "float64",
+        }
+    )
+
+
+def sessionize(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Per-user gap sessions over a streaming (ts, user_id, value) frame."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
