@@ -706,3 +706,85 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional rollup (CUBE): beyond the reference's flat group-bys,
+# the standard OLAP summary a dashboard needs at 100 TB — computed in one
+# pass with partial aggregation instead of four separate queries.
+# ---------------------------------------------------------------------------
+@_register(
+    "cube_event_summary",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), '(all)') AS day,
+           round(sum(value), 2) AS total_value,
+           count(*) AS n_rows
+    FROM events
+    GROUP BY CUBE (event_type, date_trunc('day', ts))
+    ORDER BY event_type, day
+    """,
+)
+def cube_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        ev.cube(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day", F.lit("(all)")).alias("day"),
+            "total_value",
+            "n_rows",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window analytics: lag/lead, running totals, rank — the window-function
+# family beyond the reference's single ROW_NUMBER (W1).
+# ---------------------------------------------------------------------------
+@_register(
+    "window_analytics",
+    """
+    SELECT event_type, day, daily_total,
+           round(coalesce(lag(daily_total) OVER w, 0), 2)      AS prev_day_total,
+           round(sum(daily_total) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           CAST(rank() OVER (PARTITION BY event_type ORDER BY daily_total DESC, day) AS BIGINT) AS day_rank
+    FROM (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             round(sum(value), 2) AS daily_total
+      FROM events
+      GROUP BY 1, 2
+    )
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ORDER BY event_type, day
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("daily_total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.col("daily_total").desc(), F.col("day")
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "daily_total",
+        F.round(F.coalesce(F.lag("daily_total").over(w), F.lit(0)), 2).alias(
+            "prev_day_total"
+        ),
+        F.round(F.sum("daily_total").over(wrun), 2).alias("running_total"),
+        F.rank().over(wrank).cast("bigint").alias("day_rank"),
+    ).orderBy("event_type", "day")
