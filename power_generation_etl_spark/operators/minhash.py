@@ -25,14 +25,24 @@ MERSENNE_61 = (1 << 61) - 1
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>."""
+    """Distinct word n-gram shingles as an array<string>.
+
+    Built from `n` whole-array slices zipped together — O(tokens) per
+    document. (The obvious `transform(sequence, i -> slice(tokens, i, n))`
+    copies an array per shingle, i.e. O(tokens·n) allocations and O(n²)
+    work on long docs — measurably slower at corpus scale.)"""
     tokens = F.split(F.lower(text), r"\s+")
-    count = F.size(tokens) - (n - 1)
-    idx = F.when(count >= 1, F.sequence(F.lit(0), count - 1)).otherwise(
-        F.array().cast("array<int>")
+    size = F.size(tokens)
+    shifted = [F.slice(tokens, k + 1, F.greatest(size - k, F.lit(0))) for k in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    count = size - (n - 1)
+    grams = F.transform(
+        zipped, lambda x: F.concat_ws(" ", *[x.getField(str(k)) for k in range(n)])
     )
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+        F.when(count >= 1, F.slice(grams, 1, count)).otherwise(
+            F.array().cast("array<string>")
+        )
     )
 
 
