@@ -274,11 +274,20 @@ def _fixup_eia(df: DataFrame, ctx: LoadContext) -> DataFrame:
     injection; utility_id/plant_code/generator_id stringified *before*
     validation (so a numeric id validates and dedups as its string)."""
     df = _inject_metadata_first_record_gated(df, ctx)
+    # `str()` is applied to ANY present non-string value (reference
+    # src/database.py:975-983 checks only `not isinstance(v, str)`), so
+    # an explicit null becomes the literal 'None' and a bool becomes
+    # 'True'/'False' — faithful, if surprising.
     for fname in ("utility_id", "plant_code", "generator_id"):
         t = F.col(typ_col(fname))
-        df = df.withColumn(
-            typ_col(fname),
-            F.when(t.isNull() | (t == "VOID"), t).otherwise(F.lit("STRING")),
+        v = F.col(fname)
+        pyified = (
+            F.when(t == "VOID", F.lit("None"))
+            .when(t == "BOOLEAN", F.initcap(v))
+            .otherwise(v)
+        )
+        df = df.withColumn(fname, F.when(t.isNull(), v).otherwise(pyified)).withColumn(
+            typ_col(fname), F.when(t.isNull(), t).otherwise(F.lit("STRING"))
         )
     return df
 
