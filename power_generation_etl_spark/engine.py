@@ -261,38 +261,39 @@ class Engine:
         os.makedirs(output_dir, exist_ok=True)
         header = ["month", *dims, "total_generation_mwh", "hours_of_data",
                   "avg_generation_mw", "peak_generation_mw"]
-        # Distributed export: one task per year (repartition by the year
-        # column), rows sorted within each partition, written directly as
-        # CSV by executors — no driver-side collect. The per-year part
-        # file is then renamed to the reference's layout
-        # (`entsoe_monthly_<year>.csv`). At 100 TB the driver never
-        # holds data; only the rename loop is local.
-        tmp = os.path.join(output_dir, "__export_tmp__")
-        (
-            agg.repartition("_year")
-            .sortWithinPartitions("month", *dims)
-            .select("_year", *header)
-            .write.mode("overwrite")
-            .partitionBy("_year")
-            .option("header", True)
-            .csv(tmp)
-        )
+        # Per-year sorted single-file export, mirroring the reference's
+        # per-year query loop and file layout. Each year is one Spark job
+        # over the already-grouped aggregate: orderBy + coalesce(1)
+        # preserves the global sort into a single part file (a
+        # write.partitionBy variant is NOT order-safe — the file writer's
+        # internal partition-column sort is unstable and scrambles rows).
+        # The aggregate is small (grouped rows), so one file per year is
+        # the right shape even at 100 TB of input.
         import glob
         import shutil
 
+        agg = agg.persist()
+        years = [r["_year"] for r in agg.select("_year").distinct().orderBy("_year").collect()]
         total = 0
-        for ydir in sorted(glob.glob(os.path.join(tmp, "_year=*"))):
-            year = ydir.rsplit("=", 1)[1]
-            parts = sorted(glob.glob(os.path.join(ydir, "part-*.csv")))
+        tmp = os.path.join(output_dir, "__export_tmp__")
+        for year in years:
+            (
+                agg.filter(F.col("_year") == year)
+                .orderBy("month", *dims)
+                .select(*header)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("header", True)
+                .csv(tmp)
+            )
+            part = sorted(glob.glob(os.path.join(tmp, "part-*.csv")))[0]
             out = os.path.join(output_dir, f"entsoe_monthly_{year}.csv")
-            with open(out, "w") as dst:
-                for i, p in enumerate(parts):
-                    with open(p) as srcf:
-                        lines = srcf.readlines()
-                    dst.writelines(lines if i == 0 else lines[1:])
+            shutil.move(part, out)
             with open(out) as fh:
                 total += sum(1 for _ in fh) - 1
-        shutil.rmtree(tmp)
+        agg.unpersist()
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
         return True, total
 
     # --- SQL surface: spark.sql over registered tables/views ----------------------
