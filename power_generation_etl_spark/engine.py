@@ -15,7 +15,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from power_generation_etl_spark.operators.dedupe import anti_join_new_rows
+from power_generation_etl_spark.operators.dedupe import (
+    anti_join_new_rows,
+    dedupe_batch_stored_key,
+)
 from power_generation_etl_spark.plans.mv import ALL_VIEWS, SOURCE_VIEWS, VIEW_BUILDERS
 from power_generation_etl_spark.schemas import (
     EXTRACTION_METADATA_SCHEMA,
@@ -99,7 +102,12 @@ class Engine:
         if strict:
             strict_gate(report)
 
-        batch = valid.drop(ORDER_COL)
+        # In-batch stored-key dedup before the anti-join: rows that are
+        # distinct under in-file duplicate-key semantics (null vs '') can
+        # still collide on the COALESCE('') stored natural key; the later
+        # row is dropped and counted as skipped_existing, matching the
+        # reference's single-statement ON CONFLICT DO NOTHING.
+        batch = dedupe_batch_stored_key(valid, schema, ORDER_COL).drop(ORDER_COL)
         if self.store.exists(schema.table):
             # Partition-pruned target read: only the batch's months are
             # even listed, so the anti-join scans O(batch months).
@@ -240,6 +248,11 @@ class Engine:
             "country-fuel": ["country_code", "psr_type"],
             "country": ["country_code"],
         }[granularity]
+        # Contract parity (reference src/database.py:812-827): a missing
+        # table is the error path → (False, 0); an existing-but-empty
+        # table exports zero rows → (True, 0).
+        if not self.store.exists("entsoe_generation_data"):
+            return False, 0
         df = self.store.read("entsoe_generation_data")
         ts = F.timestamp_millis(F.col("timestamp_ms"))
         agg = (
@@ -398,19 +411,43 @@ class Engine:
 
     # --- M2: backfill dates (reference src/backfill_extraction_dates.py) ----------------
     def backfill_extraction_dates(self) -> int:
+        """Fill missing start/end dates from the source tables in ONE
+        join + ONE table overwrite — the reference loops runs and
+        re-queries per run (src/backfill_extraction_dates.py:33-62),
+        which would rewrite the metadata table once per run here."""
         meta = self.store.read("extraction_metadata")
-        todo = meta.filter(
-            F.col("start_date").isNull() | F.col("end_date").isNull()
-        ).orderBy(F.col("extraction_timestamp").desc())
-        n = 0
-        for r in todo.collect():
-            start, end = self.get_date_range_for_run(r["source"], r["extraction_run_id"])
-            if start is None:
+        ranges = None
+        for source, schema in SOURCES.items():
+            if not self.store.exists(schema.table):
                 continue
-            row = r.asDict()
-            row["start_date"], row["end_date"] = start, end
-            self.upsert_metadata(row)
-            n += 1
+            r = (
+                self.store.read(schema.table)
+                .groupBy("extraction_run_id")
+                .agg(
+                    F.to_date(F.timestamp_millis(F.min("timestamp_ms"))).alias("_start"),
+                    F.to_date(F.timestamp_millis(F.max("timestamp_ms"))).alias("_end"),
+                )
+                .withColumn("source", F.lit(source))
+            )
+            ranges = r if ranges is None else ranges.unionByName(r)
+        if ranges is None:
+            return 0
+        todo = F.col("start_date").isNull() | F.col("end_date").isNull()
+        n = (
+            meta.filter(todo)
+            .join(F.broadcast(ranges), ["extraction_run_id", "source"], "inner")
+            .count()
+        )
+        if n == 0:
+            return 0
+        fill = todo & F.col("_start").isNotNull()
+        merged = (
+            meta.join(F.broadcast(ranges), ["extraction_run_id", "source"], "left")
+            .withColumn("start_date", F.when(fill, F.col("_start")).otherwise(F.col("start_date")))
+            .withColumn("end_date", F.when(fill, F.col("_end")).otherwise(F.col("end_date")))
+            .drop("_start", "_end")
+        )
+        self.store.overwrite("extraction_metadata", merged.select(*meta.columns))
         return n
 
 

@@ -54,6 +54,23 @@ def anti_join_new_rows(
     return out.drop(*key_names)
 
 
+def dedupe_batch_stored_key(
+    batch: DataFrame, schema: SourceSchema, order_col: str
+) -> DataFrame:
+    """Within one load batch, keep only the first row per *stored*
+    natural key (COALESCE('') on nullable parts), ordered by input order.
+
+    The in-file dedup (D1) compares keys with Python-type fidelity, so a
+    null and an empty-string key part are distinct there — but they map
+    to the same COALESCE('') stored key. The reference's
+    ``INSERT … ON CONFLICT DO NOTHING`` (src/database.py:288-294) skips
+    the later conflicting row *within the same statement*; this window
+    restores that stored-uniqueness guarantee for the Spark append."""
+    key_names = [f"_k_{k}" for k in schema.natural_key]
+    keyed = batch.select(batch["*"], *natural_key_cols(schema, batch))
+    return window_dedup(keyed, key_names, order_col).drop(*key_names)
+
+
 def window_dedup(df: DataFrame, key: list[str], order_col: str) -> DataFrame:
     """D3 retro-dedup: keep the first row per key by `order_col`
     (reference schema/migrations/001b_dedup_and_constrain_ons.sql:20-47,

@@ -329,7 +329,7 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            count(*)                             AS n_docs,
-           sum(n_chars)                         AS total_chars,
+           CAST(sum(n_chars) AS BIGINT)         AS total_chars,
            count(*) FILTER (WHERE lang = 'en')  AS n_english,
            count(*) FILTER (WHERE lang <> 'en') AS n_other,
            min(n_chars)                         AS min_chars,
@@ -612,7 +612,7 @@ def validation_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_rollup",
     """
     SELECT event_type,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS total_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
            count(*) AS n_rows
     FROM events
     GROUP BY event_type

@@ -186,6 +186,12 @@ def _fixup_entsoe(df: DataFrame, ctx: LoadContext) -> DataFrame:
     suffix strip."""
     df = _inject(df, "extraction_run_id", ctx.run_id, "STRING")
     df = _inject(df, "created_at_ms", ctx.created_at_ms, "BIGINT")
+    # A *missing* plant_name becomes '' (reference record.get('plant_name','')
+    # + unconditional reassignment, src/database.py:672-682), so it fails
+    # validation as "must be non-empty string", not "missing required
+    # field". An explicit JSON null keeps its VOID type marker and still
+    # fails the type check — `_inject` only fills a NULL (absent) marker.
+    df = _inject(df, "plant_name", "", "STRING")
 
     t = F.col(typ_col("timestamp_ms"))
     raw_str = F.expr(f"try_variant_get({VARIANT_COL}, '$.timestamp_ms', 'string')")

@@ -127,11 +127,25 @@ class TableStore:
 
     def truncate(self, table: str) -> int:
         """S11: destructive clear with pre-count
-        (reference src/database.py:910-935)."""
-        n = self.read(table).count() if self.exists(table) else 0
+        (reference src/database.py:910-935).
+
+        Like the reference's TRUNCATE/DELETE, the emptied table still
+        *exists*: data files go, the `_schema.json` sidecar is
+        re-persisted so `exists()`/`read()` keep working on the empty
+        table."""
+        schema_json = None
+        n = 0
+        if self.exists(table):
+            df = self.read(table)
+            n = df.count()
+            schema_json = df.schema.json()
         p = self.path(table)
         if os.path.isdir(p):
             shutil.rmtree(p)
+        if schema_json is not None:
+            os.makedirs(p, exist_ok=True)
+            with open(self._schema_file(table), "w") as f:
+                f.write(schema_json)
         return n
 
     def count(self, table: str) -> int:

@@ -136,6 +136,14 @@ def _rule_error(f: Field, value: Column, now_ms: int) -> Column | None:
         bad, msg = value < 0, "must be non-negative number"
     elif f.rule == "positive":
         bad, msg = value <= 0, "must be a positive number"
+    elif f.rule == "lat":
+        # Validator-level enforcement of the reference's DB CHECK
+        # constraint (schema/oe_facility_generation.sql:45); the
+        # reference validator itself has validation=None for lat/lon
+        # and relies on the INSERT failing.
+        bad, msg = (value < -90) | (value > 90), "latitude out of range [-90, 90]"
+    elif f.rule == "lon":
+        bad, msg = (value < -180) | (value > 180), "longitude out of range [-180, 180]"
     else:  # pragma: no cover
         raise ValueError(f"unknown rule {f.rule}")
     return F.when(bad, F.lit(f"{f.name}: {msg}"))
@@ -211,7 +219,14 @@ def _field_error(f: Field, df_typ: Column, value: Column, now_ms: int) -> Column
             err = err.otherwise(rule)
         return err
     # Optional: type-checked only when present (reference :418-424).
-    return F.when(df_typ.isNotNull() & ~type_ok, type_err)
+    # Value rules additionally run when present, type-ok, and non-null —
+    # this enforces what the reference pushes down to DB CHECK
+    # constraints (lat/lon); a null value never trips a rule.
+    err = F.when(df_typ.isNotNull() & ~type_ok, type_err)
+    rule = _rule_error(f, value, now_ms)
+    if rule is not None:
+        err = err.otherwise(rule)
+    return err
 
 
 def _dup_key_element(f: Field, df: DataFrame) -> Column:
@@ -249,6 +264,13 @@ def validate(
     dedup window over the duplicate key ordered by input order →
     single aggregation for the report counts, plus a small collect for
     the ≤10 sample errors.
+
+    Scope note: dedup here is whole-file. The reference's ENTSOE loader
+    dedups per 1000-record insert batch (src/database.py:684-704), so
+    for files >1000 records a key recurring across batch boundaries is
+    counted by the reference as skipped-at-insert rather than as an
+    in-file duplicate; totals agree, the attribution differs. Whole-file
+    scope is the stricter (and batch-size-independent) semantics.
     """
     now_ms = now_ms if now_ms is not None else int(time.time() * 1000)
 
@@ -304,12 +326,22 @@ def validate(
         report.warnings["skipped_records"] = counts["skipped"]
 
     # Error taxonomy: one entry per error; duplicates count under
-    # 'duplicate' (reference src/validator.py:500-516).
+    # 'duplicate' (reference src/validator.py:500-516). The key detail
+    # renders as the Python tuple repr the reference emits
+    # (f"... = {dup_key}"): strings quoted, None for null/missing,
+    # True/False for bools, numbers bare.
+    def _dup_val_repr(k: str) -> Column:
+        t, v = df[typ_col(k)], df[k].cast("string")
+        return (
+            F.when(t.isNull() | (t == "VOID"), F.lit("None"))
+            .when(t == "BOOLEAN", F.initcap(v))
+            .when(t == "STRING", F.concat(F.lit("'"), v, F.lit("'")))
+            .otherwise(v)
+        )
+
     dup_msg = F.concat(
         F.lit(f"duplicate key: {tuple(schema.duplicate_key)} = ("),
-        F.concat_ws(
-            ", ", *[F.coalesce(df[k].cast("string"), F.lit("None")) for k in schema.duplicate_key]
-        ),
+        F.concat_ws(", ", *[_dup_val_repr(k) for k in schema.duplicate_key]),
         F.lit(")"),
     )
     errored = (

@@ -279,3 +279,43 @@ def test_retry_backoff():
 
     with _pytest.raises(OSError):
         retry(hopeless, base_wait=0.01)
+
+
+def test_in_batch_stored_key_collision(engine, spark, tmp_path):
+    """A null and an empty-string ons_plant_id at the same (ts, plant)
+    are distinct for in-file dedup (null-kind vs str-kind) but collide
+    on the COALESCE('') stored natural key — only the first inserts."""
+    def ons(plant_id, mwh):
+        rec = {
+            "extraction_run_id": RUN_ID,
+            "created_at_ms": NOW,
+            "timestamp_ms": JAN,
+            "plant": "PL",
+            "generation_mwh": mwh,
+            "ons_plant_id": plant_id,
+        }
+        return rec
+
+    p = _write(tmp_path, [ons(None, 1.0), ons("", 2.0)])
+    r = engine.load_jsonl("ons", p)
+    assert r.report.valid_count == 2 and r.report.duplicate_count == 0
+    assert r.inserted == 1 and r.skipped_existing == 1
+    rows = engine.table("ons_generation_data").collect()
+    assert len(rows) == 1 and rows[0]["generation_mwh"] == 1.0  # first wins
+
+
+def test_truncate_keeps_table_registered(engine, spark, tmp_path):
+    p = _write(tmp_path, [_entsoe(JAN, "P1", 1.0)])
+    assert engine.load_jsonl("entsoe", p).inserted == 1
+    assert engine.clear_table("entsoe_generation_data") == 1
+    # Table still exists, reads empty (reference TRUNCATE leaves the
+    # empty table in place).
+    assert engine.store.exists("entsoe_generation_data")
+    assert engine.table("entsoe_generation_data").count() == 0
+    ok, n = engine.aggregate_export(str(tmp_path / "out"))
+    assert (ok, n) == (True, 0)
+
+
+def test_aggregate_export_missing_table_is_error(engine, tmp_path):
+    ok, n = engine.aggregate_export(str(tmp_path / "out"))
+    assert (ok, n) == (False, 0)

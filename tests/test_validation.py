@@ -302,3 +302,80 @@ def test_strict_gate(spark, tmp_path):
     valid, report = _load(spark, tmp_path, "npp", [_npp(generation_mwh=-1.0)])
     with pytest.raises(ValueError, match="strict mode"):
         strict_gate(report)
+
+
+class TestOeFacilityValidation:
+    @staticmethod
+    def _fac(**over):
+        rec = {
+            "extraction_run_id": RUN_ID,
+            "created_at_ms": NOW,
+            "timestamp_ms": NOW - 1000,
+            "network_code": "NEM",
+            "facility_code": "F1",
+            "facility_name": "Facility One",
+            "fueltech": "solar_utility",
+            "generation_mwh": 5.0,
+        }
+        rec.update(over)
+        return {k: v for k, v in rec.items() if v is not ...}
+
+    def test_lat_lon_in_range_ok(self, spark, tmp_path):
+        valid, report = _load(
+            spark, tmp_path, "oe_facility",
+            [self._fac(latitude=-33.86, longitude=151.21)],
+        )
+        assert report.valid_count == 1 and report.invalid_count == 0
+
+    def test_lat_out_of_range_rejected(self, spark, tmp_path):
+        valid, report = _load(
+            spark, tmp_path, "oe_facility", [self._fac(latitude=95.0)]
+        )
+        assert report.invalid_count == 1
+        assert "latitude" in report.errors_by_type
+        assert "out of range" in report.sample_errors[0]["details"]
+
+    def test_lon_out_of_range_rejected(self, spark, tmp_path):
+        valid, report = _load(
+            spark, tmp_path, "oe_facility", [self._fac(longitude=-200.0)]
+        )
+        assert report.invalid_count == 1
+        assert "longitude" in report.errors_by_type
+
+    def test_null_lat_lon_ok(self, spark, tmp_path):
+        valid, report = _load(
+            spark, tmp_path, "oe_facility",
+            [self._fac(latitude=None, longitude=None)],
+        )
+        assert report.valid_count == 1
+
+
+def test_entsoe_missing_plant_name_is_empty_string_error(spark, tmp_path):
+    """Reference record.get('plant_name','') + reassignment: a missing
+    plant_name validates as empty string, not as a missing field."""
+    rec = {
+        "extraction_run_id": RUN_ID,
+        "created_at_ms": NOW,
+        "timestamp_ms": NOW - 1000,
+        "country_code": "DE",
+        "psr_type": "B16",
+        "fuel_type": "Solar",
+        "data_type": "Actual Aggregated",
+        "generation_mw": 1.0,
+        "resolution_minutes": 60,
+    }
+    valid, report = _load(spark, tmp_path, "entsoe", [rec])
+    assert report.invalid_count == 1
+    assert report.errors_by_type == {"plant_name": 1}
+    assert report.sample_errors[0]["details"] == "plant_name: must be non-empty string"
+
+
+def test_duplicate_detail_python_tuple_repr(spark, tmp_path):
+    """The duplicate detail renders the key as a Python tuple repr —
+    strings quoted, None for nulls (reference validator.py:511-515)."""
+    ts = NOW - 1000
+    valid, report = _load(spark, tmp_path, "npp", [_npp(), _npp()])
+    assert report.duplicate_count == 1
+    assert report.sample_errors[0]["details"] == (
+        f"duplicate key: ('timestamp_ms', 'plant_and_unit') = ({ts}, 'Test Plant U1')"
+    )
