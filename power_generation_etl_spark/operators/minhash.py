@@ -10,8 +10,11 @@ Scale design notes (the point of these operators is 100 TB corpora):
 - MinHash signatures are computed array-side (zero shuffle), candidate
   generation shuffles only (band_key, doc_id), and exact verification
   touches only candidate pairs;
-- SimHash packs to one bigint per doc; banding on 16-bit chunks gives
+- SimHash packs to one bigint per doc; banding on 15-bit chunks gives
   candidates, `bit_count(xor)` verifies.
+- all hashing is a portable md5-prefix (`portable_hash32/60`) so every
+  operator here has an exact DuckDB oracle; swap in xxhash64 for ~2×
+  cheaper hashing when cross-engine verifiability isn't needed.
 """
 
 from __future__ import annotations
@@ -22,6 +25,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MERSENNE_61 = (1 << 61) - 1
+
+
+def portable_hash32(s: Column) -> Column:
+    """32-bit hash as bigint: first 8 hex chars of md5.
+
+    Portable: DuckDB computes the identical value via
+    ``CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)``, which is what
+    makes the MinHash/SimHash catalog queries oracle-checkable.
+    (xxhash64 would be ~2× cheaper per shingle but is JVM-only; at
+    true 100 TB scale swap this expression for ``F.xxhash64`` and give
+    up the cross-engine oracle — the operator logic is unchanged.)"""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def portable_hash60(s: Column) -> Column:
+    """60-bit variant (15 hex chars) — always positive in an int64, so
+    bit arithmetic needs no sign handling in either engine."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -47,9 +68,11 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_hashes(shingles: Column) -> Column:
-    """xxhash64 per shingle, masked to 32 bits so the MinHash affine
-    transform (a*h+b) never overflows int64."""
-    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    """Portable 32-bit hash per shingle; 32 bits so the MinHash affine
+    transform (a*h+b, a < 2^30) never overflows int64 — DuckDB
+    overflow-checks BIGINT multiplication, so this bound is load-bearing
+    for the oracle too."""
+    return F.transform(shingles, portable_hash32)
 
 
 def _coefficients(k: int, seed: int) -> list[tuple[int, int]]:
@@ -163,7 +186,7 @@ def minhash_lsh_pairs(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.xxhash64(
+                portable_hash60(
                     F.concat_ws(",", F.slice("sig", i * per_band + 1, per_band))
                 ).alias("key"),
             )
@@ -199,22 +222,26 @@ def minhash_lsh_pairs(
 
 
 def simhash_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 60
 ) -> DataFrame:
     """SimHash fingerprints as (doc_id, sh64).
 
     Computed with explode → one hash aggregation carrying `bits` SUMs
     (map-side partial agg, whole-stage codegen) instead of `bits`
     array-aggregate passes per row — the bit-j vote sum(±1) equals
-    2*sum(bit_j) - n_shingles, so plain SUMs suffice."""
+    2*sum(bit_j) - n_shingles, so plain SUMs suffice.
+
+    60 bits (not 64) so the fingerprint is always positive and the
+    per-shingle hash / bit extraction are identical expressions in
+    DuckDB — the catalog query is oracle-checked bit-for-bit."""
     sh = df.select(
         F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
     # No explicit repartition: the groupBy's partial (map-side) aggregation
     # already combines per-partition, and the final agg shuffles only
-    # 65 longs per doc.
+    # 61 longs per doc.
     exploded = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("h")
+        "doc_id", portable_hash60("s").alias("h")
     )
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"s{j}")
@@ -223,8 +250,9 @@ def simhash_table(
     votes = exploded.groupBy("doc_id").agg(*aggs)
     out = F.lit(0).cast("bigint")
     for j in range(bits):
-        bit_val = F.lit(1 << j if j < 63 else -(1 << 63)).cast("bigint")
-        out = out + F.when(2 * F.col(f"s{j}") >= F.col("n"), bit_val).otherwise(F.lit(0))
+        out = out + F.when(
+            2 * F.col(f"s{j}") >= F.col("n"), F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0))
     return votes.select("doc_id", out.alias("sh64"))
 
 
@@ -235,15 +263,15 @@ def simhash_pairs(
     max_hamming: int = 8,
     n: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: 16-bit-chunk banding for candidates
-    (a pair within hamming ≤ 3 of a 64-bit hash must agree on ≥1 of 4
+    """Near-dup pairs by SimHash: 15-bit-chunk banding for candidates
+    (a pair within hamming ≤ 3 of a 60-bit hash must agree on ≥1 of 4
     chunks; wider distances trade recall), verified with bit_count."""
     sims = simhash_table(df, id_col, text_col, n)
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftright("sh64", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                F.shiftright("sh64", i * 15).bitwiseAND(F.lit(0x7FFF)).alias("key"),
             )
             for i in range(4)
         ]

@@ -1,8 +1,12 @@
 """LLM-training-data pipeline queries over the synthetic `documents`
 and `embeddings` tables — dedup family, similarity search, text
 analysis. Registered into the same QUERIES/ORACLES catalog as the
-relational queries; entries without an oracle are genuinely
-non-SQL-expressible (hash-seeded LSH) and get rows-only checks.
+relational queries.
+
+Every entry here is oracle-checked, including the LSH family: shingle
+hashing is a portable md5-prefix (identical in DuckDB), and the seeded
+driver-side constants (MinHash affine coefficients, LSH hyperplanes)
+are embedded in the generated oracle SQL as literals.
 """
 
 from __future__ import annotations
@@ -226,13 +230,121 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.exact_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-@_register("minhash_lsh_pairs")  # rows-only
+# Shared shingle CTEs (word 3-grams, distinct, lowercase \s+ split) —
+# identical text in every near-dup oracle so the definitions can't drift.
+_SH_CTES = """toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+      FROM toks, unnest(range(1, len(t) - 1)) AS i(i)
+    )"""
+
+# DuckDB twin of operators.minhash.portable_hash32/60.
+def _md5_int_sql(expr: str, hex_chars: int) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, {hex_chars})) AS BIGINT)"
+
+
+def _minhash_oracle(k: int = 64, seed: int = 42, n_bands: int = 16,
+                    threshold: float = 0.5) -> str:
+    """Generated DuckDB twin of operators.minhash.minhash_lsh_pairs:
+    the seeded affine coefficients are embedded as literals, so the
+    candidate set and the verified output match Spark exactly."""
+    per_band = k // n_bands
+    mins = ",\n             ".join(
+        f"min(({a} * h + {b}) % {mh.MERSENNE_61}) AS m{i}"
+        for i, (a, b) in enumerate(mh._coefficients(k, seed))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {i} AS band, {key} AS key FROM sig".format(
+            i=i,
+            key=_md5_int_sql(
+                "concat_ws(',', "
+                + ", ".join(f"m{j}" for j in range(i * per_band, (i + 1) * per_band))
+                + ")",
+                15,
+            ),
+        )
+        for i in range(n_bands)
+    )
+    return f"""
+    WITH {_SH_CTES},
+    hs AS (SELECT doc_id, {_md5_int_sql('s', 8)} AS h FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hs GROUP BY doc_id
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / (ca.n + cb.n - c), 4) AS jaccard
+    FROM cand
+    JOIN inter USING (id_a, id_b)
+    JOIN cnt ca ON id_a = ca.doc_id
+    JOIN cnt cb ON id_b = cb.doc_id
+    WHERE round(c * 1.0 / (ca.n + cb.n - c), 4) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@_register("minhash_lsh_pairs", _minhash_oracle())
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return mh.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-@_register("simhash_pairs")  # rows-only
+def _simhash_oracle(bits: int = 60, max_hamming: int = 8) -> str:
+    """Generated DuckDB twin of operators.minhash.simhash_pairs."""
+    sums = ",\n             ".join(
+        f"sum((h >> {j}) & 1) AS s{j}" for j in range(bits)
+    )
+    packed = "\n           + ".join(
+        f"(CASE WHEN 2 * s{j} >= n THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+    WITH {_SH_CTES},
+    hs AS (SELECT doc_id, {_md5_int_sql('s', 15)} AS h FROM sh),
+    votes AS (
+      SELECT doc_id, count(*) AS n,
+             {sums}
+      FROM hs GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             {packed} AS sh64
+      FROM votes
+    ),
+    chunks AS (
+      SELECT doc_id, sh64, b.b AS band, (sh64 >> (b.b * 15)) & 32767 AS key
+      FROM fp, unnest([0, 1, 2, 3]) AS b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh64 AS ha, b.sh64 AS hb
+      FROM chunks a JOIN chunks b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@_register("simhash_pairs", _simhash_oracle())
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return mh.simhash_pairs(d, "doc_id", "text", max_hamming=8)
@@ -272,8 +384,72 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(e, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10)
 
 
+_EMBED_DIM = 64  # dim of the synthetic embeddings table (all SFs)
+
+
+def _lsh_oracle(threshold: float = 0.4, n_planes: int = 12, n_bands: int = 3,
+                seed: int = 42) -> str:
+    """Generated DuckDB twin of operators.similarity.lsh_bucketed_neardup:
+    the seeded random hyperplanes are driver-side constants, embedded
+    here as DOUBLE[] literals, so bucketing (sign of dot(e, plane)) and
+    exact-cosine verification reproduce Spark's output exactly."""
+    per_band = n_planes // n_bands
+    mask = (1 << per_band) - 1
+    planes = sim.random_hyperplanes(_EMBED_DIM, n_planes, seed)
+
+    def dot_plane(p: list[float]) -> str:
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        return (
+            f"list_aggregate(list_transform(range(1, len(e) + 1),"
+            f" i -> e[i] * ({arr})[i]), 'sum')"
+        )
+
+    sig = "\n           + ".join(
+        f"(CASE WHEN {dot_plane(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_aggregate(list_transform(range(1, len(va.e) + 1),"
+        " i -> va.e[i] * vb.e[i]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(va.e, x -> x * x), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(vb.e, x -> x * x), 'sum')))"
+    )
+    bands = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (
+      SELECT vec_id,
+             {sig} AS s
+      FROM v
+    ),
+    sigb AS (
+      SELECT vec_id, b.b AS band, (s >> (b.b * {per_band})) & {mask} AS key
+      FROM sig, unnest([{bands}]) AS b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigb a JOIN sigb b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round({cos}, 4) AS cosine_sim
+    FROM cand JOIN v va ON cand.id_a = va.vec_id
+              JOIN v vb ON cand.id_b = vb.vec_id
+    WHERE round({cos}, 4) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@_register("cosine_neardup_pairs", _lsh_oracle())
+def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline embedding near-dup: LSH-bucketed (O(Σ bucket²) candidate
+    join, exact-cosine verification) — the 100 TB path. The exact O(n²)
+    twin below verifies it at small SF."""
+    e = T(spark, sf_dir, "embeddings")
+    return sim.lsh_bucketed_neardup(e, "vec_id", "embedding", threshold=0.4)
+
+
 @_register(
-    "cosine_neardup_pairs",
+    "cosine_allpairs_neardup",
     """
     WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
     SELECT id_a, id_b, round(sim, 4) AS cosine_sim
@@ -289,15 +465,11 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
 )
-def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cosine_allpairs_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dup — the O(n²) correctness baseline
+    for `cosine_neardup_pairs`; never the scale path."""
     e = T(spark, sf_dir, "embeddings")
     return sim.all_pairs_neardup(e, "vec_id", "embedding", threshold=0.4)
-
-
-@_register("lsh_neardup_pairs")  # rows-only: plane RNG not portable to SQL
-def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = T(spark, sf_dir, "embeddings")
-    return sim.lsh_bucketed_neardup(e, "vec_id", "embedding", threshold=0.4)
 
 
 @_register(
