@@ -4,11 +4,17 @@ Covers SURVEY §2.1 S1-S4 (scans), §2.3 F1-F9 (row-level fixups), and
 the per-source load pipelines of reference src/database.py:451-1728.
 
 Ordering: first-wins dedup (D1) is order-sensitive, so the scan must
-expose the exact file line order. We read with ``wholetext`` and
-``posexplode`` the line split — JVM-side, exact order, one row per
-file per task. Fine up to multi-GB files (the reference's monthly
-feeds are far smaller); at 100 TB you'd pre-split files and rely on
-(file, line) lexicographic order, which this reader also provides.
+expose the exact file line order — as a *splittable* read, or a 100×
+single-file drop serializes the parse on one task and must fit in one
+task's memory. ``spark.read.text`` splits files at
+``spark.sql.files.maxPartitionBytes``; scan partitions enumerate each
+file's splits in ascending offset order (equal-size splits keep their
+relative order through Spark's size-descending stable sort, and the
+smaller tail split of a file sorts after its full splits), so
+``(spark_partition_id, monotonically_increasing_id)`` ascends with the
+file's line order. A tiny per-(file, split) count aggregate turns that
+into the dense 0-based record index the reference's ``enumerate``
+produces — no single task ever holds more than one split.
 """
 
 from __future__ import annotations
@@ -69,18 +75,40 @@ def read_jsonl_lines(spark: SparkSession, path: str) -> DataFrame:
     Returns columns (_file, _order, line). ``_order`` is the 0-based
     index among non-blank lines of the file, matching the reference's
     ``enumerate`` over stripped lines.
+
+    Splittable (see module docstring): a multi-GB file parses across
+    many tasks. The dense index is built from (a) a per-(file, split)
+    count aggregate — at most one row per scan split, so the prefix-sum
+    window is negligible — and (b) a row_number within each (file,
+    split), whose partitions are bounded by maxPartitionBytes rather
+    than by file size.
     """
-    whole = spark.read.option("wholetext", True).text(path)
-    lines = whole.select(
-        F.input_file_name().alias("_file"),
-        F.posexplode(F.split("value", "\r?\n")).alias("_pos", "line"),
-    ).filter(F.length(F.trim("line")) > 0)
-    # Re-rank after blank-line removal so _order matches record index.
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("_file").orderBy("_pos")
-    return lines.select(
-        "_file", (F.row_number().over(w) - 1).alias(ORDER_COL), "line"
+    lines = (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("_file"),
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+            F.col("value").alias("line"),
+        )
+        .filter(F.length(F.trim("line")) > 0)
+    )
+    counts = lines.groupBy("_file", "_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.partitionBy("_file")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_file", "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_rank = Window.partitionBy("_file", "_pid").orderBy("_mid")
+    return lines.join(F.broadcast(offsets), ["_file", "_pid"]).select(
+        "_file",
+        (F.row_number().over(w_rank) - 1 + F.col("_off")).alias(ORDER_COL),
+        "line",
     )
 
 

@@ -379,3 +379,45 @@ def test_duplicate_detail_python_tuple_repr(spark, tmp_path):
     assert report.sample_errors[0]["details"] == (
         f"duplicate key: ('timestamp_ms', 'plant_and_unit') = ({ts}, 'Test Plant U1')"
     )
+
+
+class TestSplittableOrderedReader:
+    """The JSONL scan must preserve exact per-file line order even when
+    one file spans many scan splits (spark.sql.files.maxPartitionBytes
+    shrunk so a small file fragments like a multi-GB file would)."""
+
+    @pytest.fixture()
+    def tiny_splits(self, spark):
+        old_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        yield
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+    def test_order_matches_line_order_across_splits(self, spark, tmp_path, tiny_splits):
+        from power_generation_etl_spark.sources.jsonl import read_jsonl_lines
+
+        p = tmp_path / "big.jsonl"
+        with open(p, "w") as f:
+            for i in range(3000):
+                f.write(json.dumps({"i": i}) + "\n")
+                if i % 7 == 0:
+                    f.write("\n")  # interleaved blanks must not shift _order
+        df = read_jsonl_lines(spark, str(p))
+        assert df.rdd.getNumPartitions() >= 1
+        rows = df.select("_order", "line").collect()
+        assert len(rows) == 3000
+        by_order = {r["_order"]: json.loads(r["line"])["i"] for r in rows}
+        assert by_order == {i: i for i in range(3000)}
+
+    def test_first_wins_dedup_across_splits(self, spark, tmp_path, tiny_splits):
+        # Duplicate keys landing in different scan splits: the earlier
+        # line must win, exactly as the reference's sequential loop.
+        recs = [_npp(generation_mwh=float(i), timestamp_ms=NOW - 1000 - (i % 50)) for i in range(1000)]
+        valid, report = _load(spark, tmp_path, "npp", recs)
+        assert report.duplicate_count == 950 and report.valid_count == 50
+        kept = {r["timestamp_ms"]: r["generation_mwh"] for r in valid.collect()}
+        # first occurrence of each key is i = key index (i % 50 == i for i < 50)
+        assert kept == {NOW - 1000 - i: float(i) for i in range(50)}

@@ -68,6 +68,10 @@ def _rule_ok(v, rule, now_ms):
         return isinstance(v, (int, float)) and not isinstance(v, bool) and v >= 0
     if rule == "positive":
         return isinstance(v, (int, float)) and not isinstance(v, bool) and v > 0
+    if rule == "lat":
+        return isinstance(v, (int, float)) and not isinstance(v, bool) and -90 <= v <= 90
+    if rule == "lon":
+        return isinstance(v, (int, float)) and not isinstance(v, bool) and -180 <= v <= 180
     raise AssertionError(rule)
 
 
@@ -90,8 +94,15 @@ def model_validate(records, schema, now_ms):
                 if f.rule and not _rule_ok(v, f.rule, now_ms):
                     errors += 1
             else:
-                if f.name in rec and not _type_ok(rec[f.name], f.ftype):
-                    errors += 1
+                # Optional: type-checked when present; value rules (the
+                # lat/lon CHECK-constraint twins) additionally run when
+                # present, type-ok, and non-null.
+                if f.name in rec:
+                    v = rec[f.name]
+                    if not _type_ok(v, f.ftype):
+                        errors += 1
+                    elif f.rule and v is not None and not _rule_ok(v, f.rule, now_ms):
+                        errors += 1
         if errors:
             statuses.append("invalid")
             continue
