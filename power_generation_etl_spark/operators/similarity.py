@@ -153,6 +153,64 @@ def lsh_bucketed_neardup(
     )
 
 
+def squared_dist(v: Column, cent: list[float]) -> Column:
+    """Sequential-order squared euclidean distance to a constant vector —
+    (a-b)*(a-b) termwise, left-fold sum, so an external SQL engine
+    computes the bit-identical value."""
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cell(v: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id as a single projection (centroids are
+    driver-side constants — no join, no shuffle). Ties break to the
+    lowest cell id (cents must be sorted ascending by id)."""
+    dists = F.array(*[squared_dist(v, c) for _, c in cents])
+    idx = F.array_position(dists, F.array_min(dists)).cast("int")  # 1-based, first=lowest id
+    cell_ids = F.array(*[F.lit(cid) for cid, _ in cents])
+    return F.element_at(cell_ids, idx)
+
+
+def kmeans_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over DataFrame ops, for IVF cell training.
+
+    Scale design: the driver holds only k×dim floats; assignment is a
+    projection (no shuffle) and each update is ONE aggregation whose
+    map-side partial combine reduces every partition to ≤k rows before
+    the shuffle — iters jobs total, each linear in the data.
+
+    Deterministic and oracle-reproducible: seeds are the k lowest-id
+    vectors, centroids are rounded to 6 decimals after every update
+    (forcing bit-identical inputs for the next assignment in any engine
+    that replays the trajectory in SQL), empty cells are dropped, and
+    distance ties assign to the lowest cell id."""
+    v = as_double_array(F.col(vec_col))
+    seeds = df.orderBy(id_col).limit(k).select(v.alias("e")).collect()
+    cents = [(i, [float(x) for x in r["e"]]) for i, r in enumerate(seeds)]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        cell = assign_cell(v, cents)
+        rows = (
+            df.groupBy(cell.alias("cell"))
+            .agg(*[F.round(F.avg(v.getItem(i)), 6).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cell"]), [float(r[f"c{i}"]) for i in range(dim)]) for r in rows
+        )
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -161,31 +219,41 @@ def ivf_topk(
     k: int = 10,
     n_probe_fraction: float = 0.25,
     label_col: str | None = None,
+    n_cells: int = 8,
+    train_iters: int = 3,
 ) -> DataFrame:
-    """IVF-style ANN: partition vectors into coarse cells (here: the
-    provided label column, or LSH signature as a stand-in for k-means
-    centroids), rank cells by centroid similarity to the query, and
-    search only the closest `n_probe_fraction` of cells exactly.
+    """IVF-style ANN: partition vectors into coarse cells (a provided
+    label column, or k-means cells trained by `kmeans_train`), rank
+    cells by centroid similarity to the query, and search only the
+    closest `n_probe_fraction` of cells exactly.
 
     At 100 TB the cell id is a partition column, so probing reads only
     the probed partitions (partition pruning on the vector table)."""
-    cell = F.col(label_col) if label_col else None
-    if cell is None:
-        raise ValueError("label_col required (k-means training out of scope)")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = as_double_array(F.col(vec_col))
-    # Centroids: per-cell mean vector — one narrow aggregation.
-    dim = len(df.select(vec_col).head()[0])
-    centroids = df.groupBy(cell.alias("cell")).agg(
-        F.array(
-            *[F.avg(v.getItem(i)).alias(f"c{i}") for i in range(dim)]
-        ).alias("centroid"),
-    )
-    ranked = centroids.select(
-        "cell", cosine(F.col("centroid"), q).alias("cell_sim")
-    ).orderBy(F.col("cell_sim").desc(), F.col("cell"))
-    n_cells = ranked.count()
-    n_probe = max(1, int(math.ceil(n_cells * n_probe_fraction)))
+    if label_col is not None:
+        cell = F.col(label_col)
+        # Centroids: per-cell mean vector — one narrow aggregation.
+        dim = len(df.select(vec_col).head()[0])
+        centroids = df.groupBy(cell.alias("cell")).agg(
+            F.array(
+                *[F.avg(v.getItem(i)).alias(f"c{i}") for i in range(dim)]
+            ).alias("centroid"),
+        )
+        ranked = centroids.select(
+            "cell", cosine(F.col("centroid"), q).alias("cell_sim")
+        ).orderBy(F.col("cell_sim").desc(), F.col("cell"))
+    else:
+        cents = kmeans_train(df, id_col, vec_col, k=n_cells, iters=train_iters)
+        cell = assign_cell(v, cents)
+        spark = df.sparkSession
+        ranked = spark.createDataFrame(
+            [(cid, c) for cid, c in cents], "cell int, centroid array<double>"
+        ).select("cell", cosine(F.col("centroid"), q).alias("cell_sim")).orderBy(
+            F.col("cell_sim").desc(), F.col("cell")
+        )
+    n_cells_found = ranked.count()
+    n_probe = max(1, int(math.ceil(n_cells_found * n_probe_fraction)))
     probe_cells = [r["cell"] for r in ranked.limit(n_probe).collect()]
     probed = df.filter(cell.isin(probe_cells))
     sim = cosine(v, q)

@@ -505,6 +505,82 @@ def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_ivf_oracle(k: int = 8, iters: int = 3, probe_fraction: float = 0.25,
+                       topk: int = 10) -> str:
+    """Generated DuckDB twin of kmeans_train + ivf_topk(label_col=None):
+    the Lloyd's iterations are unrolled as CTE pairs (assign aN, update
+    cN). Centroids round to 6 decimals after every update on both
+    sides, so each assignment step sees bit-identical inputs and the
+    whole trajectory reproduces exactly."""
+    dim1 = _EMBED_DIM + 1
+    d2 = (
+        "list_aggregate(list_transform(range(1, len(v.e) + 1),"
+        " i -> (v.e[i] - c.cv[i]) * (v.e[i] - c.cv[i])), 'sum')"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, len({a}) + 1),"
+            f" i -> {a}[i] * {b}[i]), 'sum')"
+            f" / (sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+            f" * sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum')))"
+        )
+
+    steps = []
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        steps.append(f"""a{it} AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2}, c.cell) AS rn
+        FROM v, {prev} c) WHERE rn = 1
+    ),
+    c{it} AS (
+      SELECT cell, list(ci ORDER BY i) AS cv FROM (
+        SELECT cell, i.i AS i, round(avg(e[i.i]), 6) AS ci
+        FROM a{it}, unnest(range(1, {dim1})) AS i(i) GROUP BY cell, i.i
+      ) GROUP BY cell
+    )""")
+    last = f"c{iters}"
+    unrolled = ",\n    ".join(steps)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS cv
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})
+    ),
+    {unrolled},
+    ranked AS (SELECT cell, {cos('cv', 'qv')} AS cell_sim FROM {last}, q),
+    probed AS (
+      SELECT cell FROM ranked ORDER BY cell_sim DESC, cell
+      LIMIT (SELECT CAST(ceil(count(*) * {probe_fraction}) AS BIGINT) FROM ranked)
+    ),
+    afin AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2}, c.cell) AS rn
+        FROM v, {last} c) WHERE rn = 1
+    )
+    SELECT vec_id, round({cos('e', 'qv')}, 4) AS cosine_sim
+    FROM afin, q
+    WHERE afin.cell IN (SELECT cell FROM probed)
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT {topk}
+    """
+
+
+@_register("ivf_kmeans_topk", _kmeans_ivf_oracle())
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with engine-trained cells: no label column needed — Lloyd's
+    k-means (operators.similarity.kmeans_train) assigns the coarse
+    cells, then probing works exactly as the labeled variant."""
+    e = T(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        e, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, label_col=None
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end near-dup dedup: keep every document that is not the
 # higher-id member of a >= 0.5-Jaccard pair (the "drop later copies"

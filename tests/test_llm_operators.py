@@ -105,6 +105,36 @@ class TestSimilarity:
         ]
         assert len(set(bf) & set(ivf)) >= 5  # probing half the cells
 
+    def test_ivf_kmeans_full_probe_equals_bruteforce(self, embeddings):
+        """With n_probe_fraction=1.0, IVF over trained k-means cells is
+        an exact search — must equal brute-force top-k exactly."""
+        qv = [
+            float(x)
+            for x in embeddings.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        bf = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in sim.brute_force_topk(embeddings, "vec_id", "embedding", qv, k=10).collect()
+        ]
+        ivf = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in sim.ivf_topk(
+                embeddings, "vec_id", "embedding", qv, k=10,
+                n_probe_fraction=1.0, label_col=None,
+            ).collect()
+        ]
+        assert ivf == bf
+
+    def test_kmeans_train_deterministic(self, embeddings):
+        c1 = sim.kmeans_train(embeddings, "vec_id", "embedding", k=4, iters=2)
+        c2 = sim.kmeans_train(embeddings, "vec_id", "embedding", k=4, iters=2)
+        assert c1 == c2
+        assert 1 <= len(c1) <= 4
+        # every centroid has the embedding dim and the rounding contract
+        for _, cent in c1:
+            assert len(cent) == 64
+            assert all(abs(x - round(x, 6)) < 1e-12 for x in cent)
+
 
 class TestMultimodal:
     @pytest.fixture(scope="class")
