@@ -3,12 +3,13 @@
 subcommands (refresh-views, latest-date, backfill-dates, check-drift).
 
 Usage:
-    python -m power_generation_etl_spark.cli --warehouse /path setup
+    python -m power_generation_etl_spark.cli --warehouse /path setup [table_type]
     python -m power_generation_etl_spark.cli --warehouse /path \
         load-data entsoe data.jsonl [--strict] [--report report.json]
     ... stats | clear-table T | aggregate-export OUT [--granularity g]
       | refresh-views [--source s] | latest-date SOURCE
       | backfill-dates | check-drift CROSSWALK_PARQUET
+      | update-schema [table_type] | create-database | test-connection
 """
 
 from __future__ import annotations
@@ -27,7 +28,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warehouse", required=True, help="warehouse directory")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    sub.add_parser("setup")
+    setup = sub.add_parser("setup")
+    setup.add_argument(
+        "table_type", choices=["all", *sorted(SOURCES)], default="all", nargs="?"
+    )
+
+    upd = sub.add_parser("update-schema")
+    upd.add_argument(
+        "table_type", choices=["all", *sorted(SOURCES)], default="entsoe", nargs="?"
+    )
+
+    sub.add_parser("create-database")
+    sub.add_parser("test-connection")
 
     load = sub.add_parser("load-data")
     load.add_argument("source", choices=sorted(SOURCES))
@@ -75,8 +87,20 @@ def main(argv: list[str] | None = None) -> int:
 def _dispatch(args, spark, eng: Engine) -> int:
 
     if args.cmd == "setup":
-        created = eng.setup()
+        created = eng.setup(args.table_type)
         print(f"created {len(created)} tables: {', '.join(created) or '(none)'}")
+    elif args.cmd == "update-schema":
+        updated = eng.update_schema(args.table_type)
+        print(
+            f"updated {len(updated)} table schemas: {', '.join(updated) or '(none)'}"
+        )
+    elif args.cmd == "create-database":
+        created_db = eng.create_database()
+        print("created warehouse" if created_db else "warehouse already exists")
+    elif args.cmd == "test-connection":
+        ok = eng.test_connection()
+        print("connection OK" if ok else "connection FAILED")
+        return 0 if ok else 1
     elif args.cmd == "load-data":
         res = eng.load_jsonl(
             args.source,

@@ -59,11 +59,15 @@ class Engine:
         self.store = TableStore(spark, warehouse)
 
     # --- S9/S10: setup -------------------------------------------------------
-    def setup(self) -> list[str]:
-        """Create all known tables (empty) — the reference's
-        `create_all_tables` (src/database.py:362-449)."""
+    def setup(self, table_type: str = "all") -> list[str]:
+        """Create known tables (empty) — the reference's
+        `create_all_tables` / per-source `create_*_tables`
+        (src/database.py:362-449, CLI `setup [table_type]`
+        src/database_management.py:287-307)."""
         created = []
         for source, schema in SOURCES.items():
+            if table_type not in ("all", source):
+                continue
             if not self.store.exists(schema.table):
                 self.store.create(schema.table, schema.struct_type())
                 created.append(schema.table)
@@ -71,6 +75,44 @@ class Engine:
             self.store.create("extraction_metadata", EXTRACTION_METADATA_SCHEMA)
             created.append("extraction_metadata")
         return created
+
+    # --- S10: bootstrap / connection probe -----------------------------------
+    def create_database(self) -> bool:
+        """Bootstrap the warehouse if missing — the reference's
+        `create_database` CREATE DATABASE IF NOT EXISTS
+        (src/database.py:304-360). Returns True if it was created."""
+        existed = os.path.isdir(self.store.root)
+        os.makedirs(self.store.root, exist_ok=True)
+        return not existed
+
+    def test_connection(self) -> bool:
+        """Connection probe — the reference's `SELECT 1` ping
+        (src/database.py:341-352): one trivial Spark job plus a
+        warehouse-writability check."""
+        try:
+            ok = self.spark.range(1).count() == 1
+        except Exception:
+            return False
+        return ok and os.access(self.store.root, os.W_OK)
+
+    # --- M4: update-schema ----------------------------------------------------
+    def update_schema(self, table_type: str = "entsoe") -> list[str]:
+        """Schema evolution — the reference ALTERs columns to the current
+        DDL (src/database_management.py:68-102: country_code VARCHAR(16)
+        → VARCHAR(32)). Spark strings are unbounded, so the width change
+        itself is a semantic no-op here; what this verb *does* do is
+        re-persist each existing table's `_schema.json` sidecar from the
+        current schema definition, so stored sidecars track schemas.py
+        the way the reference's tables track its DDL. Returns the tables
+        whose sidecar was refreshed."""
+        updated = []
+        for source, schema in SOURCES.items():
+            if table_type not in ("all", source):
+                continue
+            if self.store.exists(schema.table):
+                self.store.create(schema.table, schema.struct_type(), overwrite_schema=True)
+                updated.append(schema.table)
+        return updated
 
     def table(self, name: str) -> DataFrame:
         return self.store.read(name)

@@ -53,11 +53,13 @@ class TableStore:
     def exists(self, table: str) -> bool:
         return self._has_data(table) or os.path.isfile(self._schema_file(table))
 
-    def create(self, table: str, schema) -> None:
+    def create(self, table: str, schema, overwrite_schema: bool = False) -> None:
         """Register an empty table by persisting its schema (no data
-        files yet — the partitioned layout stays clean for appends)."""
+        files yet — the partitioned layout stays clean for appends).
+        `overwrite_schema` re-persists the sidecar from the given
+        schema (the update-schema / ALTER TABLE path)."""
         os.makedirs(self.path(table), exist_ok=True)
-        if not os.path.isfile(self._schema_file(table)):
+        if overwrite_schema or not os.path.isfile(self._schema_file(table)):
             with open(self._schema_file(table), "w") as f:
                 f.write(schema.json())
 

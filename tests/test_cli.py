@@ -1,0 +1,68 @@
+"""CLI verb-parity probes (reference src/database_management.py:262-422
+verb surface: setup [table_type], update-schema [table_type], load-data,
+stats, aggregate-export, clear-table — plus the database.py bootstrap
+and connection-probe entry points)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from power_generation_etl_spark import cli
+
+NOW = int(time.time() * 1000)
+
+
+def _wh(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _run(tmp_path, *argv) -> int:
+    return cli.main(["--warehouse", _wh(tmp_path), *argv])
+
+
+def test_create_database_and_test_connection(tmp_path, spark, capsys):
+    assert _run(tmp_path, "test-connection") == 0
+    assert "connection OK" in capsys.readouterr().out
+    assert _run(tmp_path, "create-database") == 0
+    assert "already exists" in capsys.readouterr().out  # Engine init made it
+
+
+def test_setup_scoped_to_table_type(tmp_path, spark, capsys):
+    assert _run(tmp_path, "setup", "npp") == 0
+    out = capsys.readouterr().out
+    assert "npp_generation" in out
+    assert "entsoe_generation_data" not in out
+    # default = all: creates the rest, idempotent for npp
+    assert _run(tmp_path, "setup") == 0
+    out = capsys.readouterr().out
+    assert "entsoe_generation_data" in out and "npp_generation," not in out
+
+
+def test_update_schema_refreshes_existing_sidecars(tmp_path, spark, capsys):
+    assert _run(tmp_path, "setup", "entsoe") == 0
+    capsys.readouterr()
+    assert _run(tmp_path, "update-schema") == 0  # default entsoe
+    assert "entsoe_generation_data" in capsys.readouterr().out
+    # tables that don't exist aren't "updated"
+    assert _run(tmp_path, "update-schema", "ons") == 0
+    assert "(none)" in capsys.readouterr().out
+
+
+def test_load_stats_clear_roundtrip(tmp_path, spark, capsys):
+    p = tmp_path / "npp.jsonl"
+    rec = {
+        "extraction_run_id": "12345678-1234-1234-1234-123456789abc",
+        "created_at_ms": NOW,
+        "timestamp_ms": NOW - 1000,
+        "plant": "P",
+        "plant_and_unit": "P U1",
+        "generation_mwh": 1.0,
+    }
+    p.write_text(json.dumps(rec) + "\n")
+    assert _run(tmp_path, "load-data", "npp", str(p)) == 0
+    assert "inserted 1 rows" in capsys.readouterr().out
+    assert _run(tmp_path, "stats") == 0
+    assert "npp_generation" in capsys.readouterr().out
+    assert _run(tmp_path, "clear-table", "npp_generation") == 0
+    assert "cleared 1 rows" in capsys.readouterr().out
