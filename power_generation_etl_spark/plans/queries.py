@@ -788,3 +788,109 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("daily_total").over(wrun), 2).alias("running_total"),
         F.rank().over(wrank).cast("bigint").alias("day_rank"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 load-path fixups (F1 string-ts parse, F3 PSR→fuel map, F4 plant
+# suffix strip) as an oracle-checked catalog query: raw ENTSOE-shaped
+# columns are synthesized deterministically from `orders`, then the
+# *production* fixup helpers — the exact Column expressions the load
+# path applies (sources/jsonl.py::psr_fuel_expr / strip_plant_suffixes_expr
+# / parse_string_ts_ms; reference src/database.py:640-682) — transform
+# them, so the load semantics get a DuckDB row, not only pytest.
+# ---------------------------------------------------------------------------
+def _entsoe_fixup_oracle() -> str:
+    from power_generation_etl_spark.sources.jsonl import (
+        _DATA_TYPE_SUFFIXES,
+        _FUEL_SUFFIXES,
+        PSR_TO_FUEL_TYPE,
+    )
+
+    psr_case = (
+        "CASE psr_type "
+        + " ".join(f"WHEN '{c}' THEN '{f}'" for c, f in sorted(PSR_TO_FUEL_TYPE.items()))
+        + " ELSE raw_fuel END"
+    )
+
+    def strip_case(col: str, suffixes: list[str]) -> str:
+        arms = " ".join(
+            f"WHEN ends_with({col}, '_{s}') THEN left({col}, length({col}) - {len(s) + 1})"
+            for s in suffixes
+        )
+        return f"CASE {arms} ELSE {col} END"
+
+    return f"""
+    WITH raw AS (
+      SELECT concat('B', lpad(CAST(o_orderkey % 25 + 1 AS VARCHAR), 2, '0')) AS psr_type,
+             o_orderpriority AS raw_fuel,
+             concat('Plant ', CAST(o_custkey % 50 AS VARCHAR),
+                    CASE o_orderkey % 4 WHEN 1 THEN '_Solar'
+                         WHEN 2 THEN '_Actual Aggregated'
+                         WHEN 3 THEN '_Solar_Actual Aggregated' ELSE '' END) AS raw_name,
+             concat('2021-', lpad(CAST(o_orderkey % 12 + 1 AS VARCHAR), 2, '0'),
+                    '-15 06:30:00',
+                    CASE WHEN o_orderkey % 5 = 0 THEN '+02:00' ELSE '' END) AS ts_str
+      FROM orders
+    ),
+    mapped AS (
+      SELECT {psr_case} AS fuel_type,
+             {strip_case('raw_name', _DATA_TYPE_SUFFIXES)} AS s1,
+             CASE WHEN ts_str LIKE '%+02:00'
+                  THEN epoch_ms(CAST(ts_str AS TIMESTAMPTZ))
+                  ELSE epoch_ms(CAST(ts_str AS TIMESTAMP)) END AS timestamp_ms
+      FROM raw
+    ),
+    fx AS (
+      SELECT fuel_type, {strip_case('s1', _FUEL_SUFFIXES)} AS plant_name, timestamp_ms
+      FROM mapped
+    )
+    SELECT fuel_type,
+           count(*) AS n_rows,
+           count(DISTINCT plant_name) AS n_plants,
+           min(timestamp_ms) AS min_ts_ms,
+           max(timestamp_ms) AS max_ts_ms
+    FROM fx
+    GROUP BY fuel_type
+    ORDER BY fuel_type
+    """
+
+
+@_register("entsoe_fixup_chain", _entsoe_fixup_oracle())
+def entsoe_fixup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from power_generation_etl_spark.sources.jsonl import (
+        parse_string_ts_ms,
+        psr_fuel_expr,
+        strip_plant_suffixes_expr,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    psr = F.concat(F.lit("B"), F.lpad((k % 25 + 1).cast("string"), 2, "0"))
+    sfx = (
+        F.when(k % 4 == 1, F.lit("_Solar"))
+        .when(k % 4 == 2, F.lit("_Actual Aggregated"))
+        .when(k % 4 == 3, F.lit("_Solar_Actual Aggregated"))
+        .otherwise(F.lit(""))
+    )
+    raw_name = F.concat(F.lit("Plant "), (F.col("o_custkey") % 50).cast("string"), sfx)
+    ts = F.concat(
+        F.lit("2021-"),
+        F.lpad((k % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-15 06:30:00"),
+        F.when(k % 5 == 0, F.lit("+02:00")).otherwise(F.lit("")),
+    )
+    fx = o.select(
+        psr_fuel_expr(psr, F.col("o_orderpriority")).alias("fuel_type"),
+        strip_plant_suffixes_expr(raw_name).alias("plant_name"),
+        parse_string_ts_ms(ts).alias("timestamp_ms"),
+    )
+    return (
+        fx.groupBy("fuel_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("plant_name").alias("n_plants"),
+            F.min("timestamp_ms").alias("min_ts_ms"),
+            F.max("timestamp_ms").alias("max_ts_ms"),
+        )
+        .orderBy("fuel_type")
+    )

@@ -112,6 +112,52 @@ def read_jsonl_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def psr_fuel_expr(psr: Column, fuel: Column) -> Column:
+    """F3: fuel_type overridden whenever psr_type matches the code table
+    (reference src/database.py:667-670); unknown codes keep the raw
+    fuel. Pure Column expression — reused by the load path and by the
+    `entsoe_fixup_chain` catalog query."""
+    psr_map = F.create_map(*[F.lit(x) for kv in PSR_TO_FUEL_TYPE.items() for x in kv])
+    mapped = psr_map[psr]
+    return F.when(mapped.isNotNull(), mapped).otherwise(fuel)
+
+
+def strip_plant_suffixes_expr(name: Column) -> Column:
+    """F4: strip at most one data-type suffix, then at most one
+    fuel-type suffix (longest-first) from a plant name — reference
+    src/database.py:59-61, 672-682. Null passes through."""
+    s1 = name
+    for sfx in _DATA_TYPE_SUFFIXES:
+        cut = "_" + sfx
+        s1 = F.when(
+            name.endswith(F.lit(cut)),
+            name.substr(F.lit(1), F.length(name) - F.lit(len(cut))),
+        ).otherwise(s1)
+    expr = None
+    for sfx in _FUEL_SUFFIXES:
+        cut = "_" + sfx
+        cond = s1.endswith(F.lit(cut))
+        val = s1.substr(F.lit(1), F.length(s1) - F.lit(len(cut)))
+        # longest-first, at most one strip: earlier whens win.
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr.otherwise(s1)
+
+
+def parse_string_ts_ms(raw: Column) -> Column:
+    """F1: string timestamp → epoch-ms; naive wall-clocks are read as
+    UTC, offset-carrying strings are absolute instants (reference
+    src/database.py:640-666). Unparseable → null (callers skip).
+
+    try_to_timestamp interprets naive strings in the session tz, so the
+    naive branch shifts by the session offset to recover naive-as-UTC —
+    session-timezone-independent by construction."""
+    parsed = F.try_to_timestamp(raw)
+    has_tz = raw.rlike(r"([+-][0-9]{2}:?[0-9]{2}|[zZ])\s*$")
+    return F.when(has_tz, F.unix_millis(parsed)).otherwise(
+        F.unix_millis(F.from_utc_timestamp(parsed, F.current_timezone()))
+    )
+
+
 def peek_first_record(spark: SparkSession, path: str) -> dict:
     """Driver-side look at the first non-blank line (the reference's
     ``data[0]`` presence checks)."""
@@ -223,15 +269,8 @@ def _fixup_entsoe(df: DataFrame, ctx: LoadContext) -> DataFrame:
 
     t = F.col(typ_col("timestamp_ms"))
     raw_str = F.expr(f"try_variant_get({VARIANT_COL}, '$.timestamp_ms', 'string')")
-    # Naive datetime strings are wall-clocks to be read as UTC. try_to_timestamp
-    # interprets them in the session tz, so shift: epoch(naive-in-session-tz)
-    # + session-offset = naive-as-UTC epoch. Offset-carrying strings are
-    # already absolute instants.
     parsed = F.try_to_timestamp(raw_str)
-    has_tz = raw_str.rlike(r"([+-][0-9]{2}:?[0-9]{2}|[zZ])\s*$")
-    parsed_ms = F.when(has_tz, F.unix_millis(parsed)).otherwise(
-        F.unix_millis(F.from_utc_timestamp(parsed, F.current_timezone()))
-    )
+    parsed_ms = parse_string_ts_ms(raw_str)
     is_string_ts = t == "STRING"
     is_numeric_ts = (t == "BIGINT") | (t == "DOUBLE") | t.startswith("DECIMAL") | (t == "BOOLEAN")
     numeric_ms = F.expr(
@@ -259,48 +298,18 @@ def _fixup_entsoe(df: DataFrame, ctx: LoadContext) -> DataFrame:
         )
     )
 
-    # PSR remap: fuel_type overridden whenever psr_type matches the code
-    # table (reference src/database.py:667-670).
+    # PSR remap (F3) + suffix strip (F4) via the shared helpers.
     psr_map = F.create_map(*[F.lit(x) for kv in PSR_TO_FUEL_TYPE.items() for x in kv])
     mapped = psr_map[F.col("psr_type")]
     df = df.withColumn(
-        "fuel_type", F.when(mapped.isNotNull(), mapped).otherwise(F.col("fuel_type"))
+        "fuel_type", psr_fuel_expr(F.col("psr_type"), F.col("fuel_type"))
     ).withColumn(
         typ_col("fuel_type"),
         F.when(mapped.isNotNull(), F.lit("STRING")).otherwise(F.col(typ_col("fuel_type"))),
     )
-
-    # Suffix strip: one data-type suffix, then one fuel-type suffix
-    # (longest-first). `get(plant_name, "")` semantics: missing name is
-    # treated as "" by the reference, so null passes through unchanged.
-    name = F.col("plant_name")
-    for sfx in _DATA_TYPE_SUFFIXES:
-        cut = F.lit("_" + sfx)
-        name = F.when(
-            F.col("plant_name").endswith(cut),
-            F.col("plant_name").substr(
-                F.lit(1), F.length("plant_name") - F.length(cut)
-            ),
-        ).otherwise(name)
-    stripped_once = name
-    name2 = stripped_once
-    fuel_conds = []
-    for sfx in _FUEL_SUFFIXES:
-        cut = F.lit("_" + sfx)
-        cond = stripped_once.endswith(cut)
-        # longest-first, at most one strip: apply the first matching
-        # suffix only (earlier whens win).
-        fuel_conds.append(
-            (
-                cond,
-                stripped_once.substr(F.lit(1), F.length(stripped_once) - F.length(cut)),
-            )
-        )
-    expr = None
-    for cond, val in fuel_conds:
-        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-    name2 = expr.otherwise(stripped_once)
-    return df.withColumn("plant_name", name2)
+    return df.withColumn(
+        "plant_name", strip_plant_suffixes_expr(F.col("plant_name"))
+    )
 
 
 def _fixup_eia(df: DataFrame, ctx: LoadContext) -> DataFrame:
