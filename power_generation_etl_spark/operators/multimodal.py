@@ -6,15 +6,17 @@ partition-pruned by metadata, decoded lazily next to the GPU).
 
 The Spark-side machinery here is real and tested: schemas, Arrow-batched
 `mapInPandas` UDF signatures, batch-shape handling, partition-count
-preservation. The codec calls themselves are STUBBED — the container has
-no image/audio libraries — behind `_decode_image_stub` etc.: swap in
-PIL/torchaudio/ffmpeg in production. The stubs are deterministic
-functions of the bytes, so tests can assert exact results.
+preservation. The image codec is an *optional dependency*: when PIL is
+importable (worker-side import-try), `_decode_image` computes real
+grayscale pixel statistics; otherwise it falls back to a deterministic
+stub derived from the byte digest, so the pipeline stays fully testable
+in codec-less environments. Frame sampling remains a stub (ffmpeg).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -22,6 +24,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional codec — absent in this container, used when deployed with it
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised implicitly
+    _PILImage = None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -55,18 +62,33 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def _decode_image_stub(content: bytes) -> tuple[float, float]:
-    """STUB for the real decoder (PIL/libjpeg not in this container).
-
-    Deterministic fake: derive pseudo pixel statistics from the byte
-    digest so the pipeline around it is fully testable. Production:
-    `img = PIL.Image.open(io.BytesIO(content)); arr = np.asarray(img)`.
-    """
+    """Codec-less fallback: deterministic pseudo pixel statistics from
+    the byte digest, so the pipeline around the decode is fully
+    testable without PIL."""
     if content is None:
         raise NotImplementedError("real decode requires an image codec")
     digest = hashlib.sha256(content).digest()
     mean = int.from_bytes(digest[:4], "big") / 2**32 * 255.0
     std = int.from_bytes(digest[4:8], "big") / 2**32 * 64.0
     return mean, std
+
+
+def _decode_image(content: bytes) -> tuple[float | None, float | None]:
+    """Grayscale mean/std of the decoded image when PIL is available;
+    undecodable bytes yield (None, None) — a 100 TB corpus always has
+    corrupt media, and nulling the features beats failing the task.
+    Falls back to the deterministic stub without a codec."""
+    if _PILImage is None:
+        return _decode_image_stub(content)
+    try:
+        import numpy as np
+
+        arr = np.asarray(
+            _PILImage.open(io.BytesIO(content)).convert("L"), dtype="float64"
+        )
+        return float(arr.mean()), float(arr.std())
+    except Exception:
+        return None, None
 
 
 def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
@@ -81,14 +103,14 @@ def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
             feats = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                mean, std = _decode_image_stub(blob)
+                mean, std = _decode_image(blob)
                 feats.append(
                     (
                         media_id,
                         hashlib.sha256(blob).hexdigest(),
                         len(blob),
-                        round(mean, 4),
-                        round(std, 4),
+                        round(mean, 4) if mean is not None else None,
+                        round(std, 4) if std is not None else None,
                     )
                 )
             yield pd.DataFrame(

@@ -12,13 +12,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword lists for the heuristic language ID.
+# Per-language stopword lists for the heuristic language ID (top
+# function words; whitespace-tokenized, so zh uses romanized pinyin —
+# honest limitation: unsegmented CJK needs a char-n-gram model, which
+# the expression-only design trades away). Scores stay single-scan
+# Column expressions whatever the list size.
 LANG_STOPWORDS: dict[str, list[str]] = {
-    "en": ["the", "and", "of", "to", "is"],
-    "de": ["der", "die", "und", "ist", "das"],
-    "fr": ["le", "la", "et", "est", "les"],
-    "es": ["el", "los", "y", "es", "las"],
-    "zh": ["de", "shi", "le", "zai", "he"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was", "with", "are"],
+    "de": ["der", "die", "und", "ist", "das", "nicht", "ein", "ich", "sie", "mit", "den", "auf"],
+    "fr": ["le", "la", "et", "est", "les", "des", "une", "dans", "que", "pour", "pas", "sur"],
+    "es": ["el", "los", "y", "es", "las", "una", "que", "por", "con", "para", "del", "se"],
+    "zh": ["de", "shi", "le", "zai", "he", "wo", "you", "bu", "ta", "men", "zhe", "ge"],
 }
 
 TOKEN_RE = r"\S+"
