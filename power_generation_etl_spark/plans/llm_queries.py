@@ -627,3 +627,57 @@ def neardup_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the ≥0.5-Jaccard pair
+# graph (operators/graph.py — iterative min-label propagation). The
+# one-pass "drop id_b" policy above under-merges transitive chains;
+# grouping by component is the correct dedup unit. Oracle: DuckDB
+# recursive CTE enumerating reachability, component = min reachable id.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "neardup_components",
+    f"""
+    WITH RECURSIVE {_SH_CTES},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN cnt ca ON id_a = ca.doc_id
+      JOIN cnt cb ON id_b = cb.doc_id
+      WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT id AS doc_id, min(reach) AS component_id
+    FROM walk GROUP BY id
+    ORDER BY doc_id
+    """,
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from power_generation_etl_spark.operators.graph import connected_components
+
+    d = T(spark, sf_dir, "documents")
+    pairs = mh.exact_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    ).orderBy("doc_id")

@@ -1,0 +1,152 @@
+"""Temporal-operator catalog queries over `events` — as-of join,
+gap sessionization, bucketed range join (operators/temporal.py), each
+with a DuckDB oracle (DuckDB has native ASOF JOIN; the others are
+window / range-join SQL).
+
+Timestamps: all three queries work in exact epoch-microsecond bigints
+derived from the raw int64 nanos by integer division (`ts div 1000` ↔
+DuckDB `epoch_us(ts)`), so results are session-timezone-independent
+and compare exactly — no NTZ round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.operators import temporal as tmp
+from power_generation_etl_spark.plans.queries import _register
+
+GAP_US = 30 * 60 * 1_000_000  # 30 min session gap / follow-up window
+
+
+def T_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` with `ts_us` (exact epoch-µs bigint) instead of the
+    nanos timestamp — integer division, never float (µs at 1e15 exceed
+    double's exact range only at ns precision)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    return df.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
+
+
+@_register(
+    "asof_clicks_errors",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+               FROM events),
+    c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts_us AS err_ts_us, round(value, 2) AS err_value
+          FROM e WHERE event_type = 'error')
+    SELECT c.event_id, c.user_id, c.ts_us, r.err_value, r.err_ts_us
+    FROM c ASOF LEFT JOIN r
+      ON c.user_id = r.user_id AND c.ts_us >= r.err_ts_us
+    ORDER BY c.event_id
+    """,
+)
+def asof_clicks_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click picks up the most recent prior
+    error's value for the same user. Oracle is DuckDB's native ASOF
+    JOIN; the Spark side is the union+ordered-window formulation
+    (operators/temporal.py::asof_join — one shuffle on the key)."""
+    ev = T_events_us(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts_us").alias("err_ts_us"),
+        F.round("value", 2).alias("err_value"),
+    )
+    joined = tmp.asof_join(
+        clicks, errors, on="user_id", left_ts="ts_us", right_ts="err_ts_us",
+        payload_cols=["err_value"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts_us", "err_value",
+        F.col("_matched_ts").alias("err_ts_us"),
+    ).orderBy("event_id")
+
+
+@_register(
+    "sessionized_events",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    m AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > {GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM m
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts_us) AS start_us,
+           max(ts_us) AS end_us
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session rollup —
+    batch twin of the streaming sessionizer. One window shuffle on
+    user_id (operators/temporal.py::sessionize; ts/gap unit-agnostic,
+    here µs)."""
+    ev = T_events_us(spark, sf_dir).select("user_id", "ts_us")
+    s = tmp.sessionize(ev, key="user_id", ts="ts_us", gap_sec=GAP_US)
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@_register(
+    "range_join_error_clicks",
+    f"""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+               FROM events),
+    err AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts_us AS click_ts_us FROM e WHERE event_type = 'click')
+    SELECT err.event_id, count(*) AS n_followups
+    FROM err JOIN c
+      ON err.user_id = c.user_id
+     AND c.click_ts_us > err.ts_us
+     AND c.click_ts_us <= err.ts_us + {GAP_US}
+    GROUP BY err.event_id
+    ORDER BY err.event_id
+    """,
+)
+def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within 30 min after each error, counted per error — the
+    bucketed (equi-joinable) range join: each probe row explodes to ≤2
+    window-width buckets so Catalyst plans a hash join, with an exact
+    range re-filter (operators/temporal.py::bucketed_range_join). The
+    oracle is the naive range join, fine at oracle SF."""
+    ev = T_events_us(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("click_ts_us")
+    )
+    j = tmp.bucketed_range_join(
+        errors, clicks, on="user_id", probe_ts="ts_us", build_ts="click_ts_us",
+        window_sec=GAP_US,
+    )
+    return (
+        j.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+        .orderBy("event_id")
+    )
