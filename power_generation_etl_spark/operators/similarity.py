@@ -252,9 +252,10 @@ def ivf_topk(
         ).select("cell", cosine(F.col("centroid"), q).alias("cell_sim")).orderBy(
             F.col("cell_sim").desc(), F.col("cell")
         )
-    n_cells_found = ranked.count()
-    n_probe = max(1, int(math.ceil(n_cells_found * n_probe_fraction)))
-    probe_cells = [r["cell"] for r in ranked.limit(n_probe).collect()]
+    # One collect (≤ n_cells tiny rows) instead of count + limit-collect.
+    ranked_rows = ranked.collect()
+    n_probe = max(1, int(math.ceil(len(ranked_rows) * n_probe_fraction)))
+    probe_cells = [r["cell"] for r in ranked_rows[:n_probe]]
     probed = df.filter(cell.isin(probe_cells))
     sim = cosine(v, q)
     return (

@@ -894,3 +894,33 @@ def entsoe_fixup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fuel_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigation path: the same rollup routed through the salted
+# two-phase aggregation (operators/skew.py::salted_sum_count) — results
+# are identical to a plain groupBy (algebraic aggregates only), but a
+# hot key spreads over n_salts reducers instead of stalling one. The
+# oracle is the plain GROUP BY, which is exactly the point.
+# ---------------------------------------------------------------------------
+@_register(
+    "skew_salted_summary",
+    """
+    SELECT event_type,
+           round(sum(value), 2) AS total_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def skew_salted_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from power_generation_etl_spark.operators.skew import salted_sum_count
+
+    ev = T(spark, sf_dir, "events")
+    out = salted_sum_count(ev, ["event_type"], {"total_value": F.col("value")})
+    return out.select(
+        "event_type",
+        F.round("total_value", 2).alias("total_value"),
+        F.col("_count").alias("n_events"),
+    ).orderBy("event_type")
