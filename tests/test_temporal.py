@@ -96,3 +96,30 @@ class TestConnectedComponents:
         )
         got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
         assert got == {i: 0 for i in range(n)}
+
+
+class TestPlanShapes:
+    """Plan-shape guardrails: these operators are only scale-safe if
+    Catalyst picks the intended physical strategy."""
+
+    def test_range_join_is_hash_join_not_bnlj(self, spark, sf_dir):
+        from power_generation_etl_spark.plans import QUERIES
+
+        plan = (
+            QUERIES["range_join_error_clicks"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "NestedLoop" not in plan  # bucket key makes it an equi-join
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_fixup_chain_scan_prunes_columns(self, spark, sf_dir):
+        from power_generation_etl_spark.plans import QUERIES
+
+        plan = (
+            QUERIES["entsoe_fixup_chain"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        # only the three raw inputs are read; the wide orders table is pruned
+        assert "o_orderkey" in scan and "o_custkey" in scan and "o_orderpriority" in scan
+        assert "o_totalprice" not in scan and "o_orderdate" not in scan
