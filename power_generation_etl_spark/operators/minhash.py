@@ -2,7 +2,9 @@
 MinHash+LSH, and SimHash — all built-in-expression Spark (no UDFs).
 
 Scale design notes (the point of these operators is 100 TB corpora):
-- shingling is a per-row projection (`transform` over a token array);
+- shingling is a codegen'd posexplode + window-lead over tokens
+  (`shingle_table`), reusing the compute-spreading repartition as the
+  window partitioning — one shuffle, no interpreted array lambdas;
 - exact Jaccard joins on *shingle* (sparse inverted-index join), never
   a cross join — cost ∝ Σ per-shingle doc-frequency², so hot shingles
   are the skew risk; `doc_freq_cap` drops stop-shingles the way
@@ -106,15 +108,13 @@ def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
 
 
 def minhash_signature_table(sh: DataFrame, k: int = 64, seed: int = 42) -> DataFrame:
-    """(doc_id, m0..m{k-1}) MinHash signature via explode → k `min`
-    aggregates — the SimHash shape: every arithmetic expression stays
-    inside whole-stage codegen, and the map-side partial aggregation
-    reduces each partition to one row per doc before the shuffle
-    (shuffle volume = k longs per doc, same as shipping the signature
-    array). `sh` must be (doc_id, sh: array<string>) with size > 0."""
-    hs = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", portable_hash32(F.col("s")).alias("h")
-    )
+    """(doc_id, m0..m{k-1}) MinHash signature via k `min` aggregates
+    over the (doc_id, s) shingle table — every arithmetic expression
+    stays inside whole-stage codegen, and the map-side partial
+    aggregation reduces each partition to one row per doc before the
+    shuffle (shuffle volume = k longs per doc, same as shipping the
+    signature array)."""
+    hs = sh.select("doc_id", portable_hash32(F.col("s")).alias("h"))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_61))).alias(
             f"m{i}"
@@ -128,22 +128,46 @@ def _par(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 
 
-def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    # Repartition the *raw* rows before shingling: the source is often a
-    # single small parquet split, but shingling/hashing is compute-bound —
-    # AQE would happily coalesce these few megabytes onto one core and
-    # serialize everything downstream. Shuffling raw text rows is far
-    # cheaper than shuffling shingle arrays after the fact.
-    # localCheckpoint (eager): shingling feeds 2-3 subtrees per operator
-    # (counts, both join sides); materializing once avoids recomputing the
-    # transform for each. Blocks are dropped when the plan is GC'd.
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles as a (doc_id, s) TABLE — the form
+    every consumer actually wants (posting lists, signature aggregation,
+    SimHash votes), built with posexplode + window `lead`s so every
+    expression stays inside whole-stage codegen. The array-HOF
+    formulation (`word_shingles`) evaluates its lambdas interpreted and
+    measures ~3× slower end-to-end at sf0.1.
+
+    The pre-shingling repartition spreads compute-bound shingling across
+    cores (a small parquet source would otherwise coalesce onto one
+    task) and doubles as the window's required partitioning — the
+    lead() window adds a sort but no extra exchange.
+
+    localCheckpoint (eager): the table feeds 2-3 subtrees per operator
+    (counts, both join sides, signatures); materializing once avoids
+    recomputing. Blocks are dropped when the plan is GC'd."""
+    from pyspark.sql.window import Window
+
+    ex = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
         .repartition(_par(df), "doc_id")
-        .select("doc_id", word_shingles(F.col("_text"), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .localCheckpoint()
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("_t")), r"\s+")).alias("pos", "t"),
+        )
     )
+    if n == 1:
+        return ex.select("doc_id", F.col("t").alias("s")).distinct().localCheckpoint()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("t", j).over(w) for j in range(1, n)]
+    out = (
+        ex.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("t"), *leads).alias("s"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())  # no (n-1)-gram tails
+        .drop("_last")
+    )
+    return out.distinct().localCheckpoint()
 
 
 def exact_jaccard_pairs(
@@ -156,9 +180,9 @@ def exact_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard ≥ threshold, via an inverted
     shingle index (join on shingle, never a cross join)."""
-    sh = _shingled(df, id_col, text_col, n)
-    counts = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    sh = shingle_table(df, id_col, text_col, n)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    posting = sh
     if doc_freq_cap is not None:
         hot = (
             posting.groupBy("s")
@@ -203,7 +227,7 @@ def minhash_lsh_pairs(
     (r=4), P(candidate | j=0.5) ≈ 1-(1-0.5⁴)¹⁶ ≈ 0.66 per band-set —
     tune b/r for the target threshold."""
     per_band = k // n_bands
-    sh = _shingled(df, id_col, text_col, n)
+    sh = shingle_table(df, id_col, text_col, n)
     sig = minhash_signature_table(sh, k, seed)
     bands = F.array(
         *[
@@ -233,18 +257,25 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_union("sa", "sb"))
+    # Exact verification on candidates only: broadcast the (small)
+    # candidate set into id_a's posting list, equi-join id_b's postings
+    # on (id_b, s) → intersection counts; |union| = na + nb − c.
+    pa = sh.select(F.col("doc_id").alias("id_a"), "s")
+    pb = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        pa.join(F.broadcast(cands), "id_a")
+        .join(pb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
-        )
+        inter.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -263,13 +294,9 @@ def simhash_table(
     60 bits (not 64) so the fingerprint is always positive and the
     per-shingle hash / bit extraction are identical expressions in
     DuckDB — the catalog query is oracle-checked bit-for-bit."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    # No explicit repartition: the groupBy's partial (map-side) aggregation
-    # already combines per-partition, and the final agg shuffles only
-    # 61 longs per doc.
-    exploded = sh.select("doc_id", F.explode("sh").alias("s")).select(
+    # The groupBy's partial (map-side) aggregation combines
+    # per-partition; the final agg shuffles only 61 longs per doc.
+    exploded = shingle_table(df, id_col, text_col, n).select(
         "doc_id", portable_hash60("s").alias("h")
     )
     aggs = [F.count(F.lit(1)).alias("n")] + [
