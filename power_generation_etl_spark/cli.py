@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     clear = sub.add_parser("clear-table")
     clear.add_argument("table")
 
+    cmp = sub.add_parser("compact-table")
+    cmp.add_argument("table")
+    cmp.add_argument("--target-file-mb", type=int, default=128)
+
     exp = sub.add_parser("aggregate-export")
     exp.add_argument("output_dir")
     exp.add_argument(
@@ -127,6 +131,9 @@ def _dispatch(args, spark, eng: Engine) -> int:
     elif args.cmd == "clear-table":
         n = eng.clear_table(args.table)
         print(f"cleared {n} rows from {args.table}")
+    elif args.cmd == "compact-table":
+        before, after = eng.compact_table(args.table, args.target_file_mb)
+        print(f"compacted {args.table}: {before} -> {after} files")
     elif args.cmd == "aggregate-export":
         ok, n = eng.aggregate_export(args.output_dir, args.granularity)
         print(f"exported {n} rows to {args.output_dir}")

@@ -384,6 +384,14 @@ class Engine:
             raise ValueError(f"unknown table: {table}")  # identifier guard (S12)
         return self.store.truncate(table)
 
+    def compact_table(self, table: str, target_file_mb: int = 128) -> tuple[int, int]:
+        """Small-files maintenance (no reference analog — Postgres has
+        VACUUM; a parquet warehouse needs OPTIMIZE). Same identifier
+        guard as clear_table."""
+        if table not in set(KNOWN_TABLES.values()) | {"extraction_metadata"} | set(ALL_VIEWS):
+            raise ValueError(f"unknown table: {table}")
+        return self.store.compact(table, target_file_mb)
+
     # --- J1/A14: crosswalk drift -----------------------------------------------------
     def check_crosswalk_drift(self, crosswalk: DataFrame) -> dict:
         """Anti-join every source's plant key against plant_crosswalk

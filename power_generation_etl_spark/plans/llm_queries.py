@@ -681,3 +681,28 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("id").alias("doc_id"), F.col("component").alias("component_id")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-mod sampling: the reproducible alternative to
+# TABLESAMPLE/sampleBy that training-data pipelines use — membership is
+# a pure function of the key (portable md5-prefix hash), so the sample
+# is stable across engines, runs, and partitionings, and two pipelines
+# sampling the same corpus agree row-for-row. 10% stratum shown;
+# rate = bucket_count/100.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "deterministic_doc_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    ORDER BY doc_id
+    """,
+)
+def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    bucket = F.pmod(mh.portable_hash32(F.col("doc_id").cast("string")), F.lit(100))
+    return d.filter(bucket < 10).select("doc_id", "lang", "source").orderBy("doc_id")

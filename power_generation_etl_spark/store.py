@@ -152,3 +152,42 @@ class TableStore:
 
     def count(self, table: str) -> int:
         return self.read(table).count() if self.exists(table) else 0
+
+    def file_count(self, table: str) -> int:
+        n = 0
+        for _dir, _sub, files in os.walk(self.path(table)):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    def compact(self, table: str, target_file_mb: int = 128) -> tuple[int, int]:
+        """Rewrite the table so each partition holds ~target-sized files.
+
+        Every incremental append adds files; at 100 TB the small-files
+        tax (per-file open cost, tiny row groups breaking min/max
+        pruning) dominates scan time, so periodic compaction is part of
+        operating a parquet warehouse (Delta/Iceberg's OPTIMIZE).
+        Files-per-partition is sized from actual on-disk bytes; the
+        rewrite goes through the atomic `overwrite` swap, preserving the
+        `_month` partition layout. Returns (files_before, files_after).
+        """
+        before = self.file_count(table)
+        if before == 0:
+            return 0, 0
+        total_bytes = 0
+        for _dir, _sub, files in os.walk(self.path(table)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total_bytes += os.path.getsize(os.path.join(_dir, f))
+        n_files = max(1, -(-total_bytes // (target_file_mb << 20)))  # ceil-div
+        df = self.spark.read.option("basePath", self.path(table)).parquet(
+            self.path(table)
+        )
+        if MONTH_COL in df.columns:
+            # repartition by the partition column: each output task holds
+            # whole months → one file per (task, month) pair, no shuffle
+            # fan-out across partitions.
+            df = df.repartition(int(n_files), MONTH_COL).drop(MONTH_COL)
+        else:
+            df = df.repartition(int(n_files))
+        self.overwrite(table, df)
+        return before, self.file_count(table)

@@ -66,3 +66,46 @@ def test_load_stats_clear_roundtrip(tmp_path, spark, capsys):
     assert "npp_generation" in capsys.readouterr().out
     assert _run(tmp_path, "clear-table", "npp_generation") == 0
     assert "cleared 1 rows" in capsys.readouterr().out
+
+
+def test_compact_table_merges_small_files(tmp_path, spark, capsys):
+    """Three separate loads → ≥3 files; compaction rewrites to fewer
+    files with identical contents."""
+    import json as _json
+
+    for i in range(3):
+        p = tmp_path / f"npp{i}.jsonl"
+        rec = {
+            "extraction_run_id": f"12345678-1234-1234-1234-12345678900{i}",
+            "created_at_ms": NOW,
+            "timestamp_ms": NOW - 1000 - i,
+            "plant": "P",
+            "plant_and_unit": f"P U{i}",
+            "generation_mwh": float(i),
+        }
+        p.write_text(_json.dumps(rec) + "\n")
+        assert _run(tmp_path, "load-data", "npp", str(p)) == 0
+    capsys.readouterr()
+
+    from power_generation_etl_spark.engine import Engine
+    from power_generation_etl_spark.session import get_spark
+
+    eng = Engine(get_spark("t"), _wh(tmp_path))
+    assert eng.store.file_count("npp_generation") >= 3
+    rows_before = sorted(
+        (r["plant_and_unit"], r["generation_mwh"])
+        for r in eng.table("npp_generation").collect()
+    )
+    assert _run(tmp_path, "compact-table", "npp_generation") == 0
+    out = capsys.readouterr().out
+    assert "compacted npp_generation" in out
+    assert eng.store.file_count("npp_generation") < 3
+    rows_after = sorted(
+        (r["plant_and_unit"], r["generation_mwh"])
+        for r in eng.table("npp_generation").collect()
+    )
+    assert rows_after == rows_before
+
+
+def test_compact_unknown_table_rejected(tmp_path, spark):
+    assert _run(tmp_path, "compact-table", "nope; DROP TABLE") == 1
