@@ -26,11 +26,21 @@ def main() -> None:
     from power_generation_etl_spark.session import get_spark
 
     spark = get_spark("bench")
-    # Warm-up pass: JVM JIT + whole-stage codegen compilation + parquet
-    # footers. Timed pass below reflects steady-state query execution.
-    for _name, fn in e.queries().items():
+    # Warm-up: JVM JIT + codegen + parquet footers, via one LIGHT query
+    # per base table instead of a full second pass over the catalog (a
+    # full pre-pass doubles the heavy LSH queries and can push total
+    # wall-clock past external time budgets on a contended host).
+    warmups = [
+        "pricing_summary",      # lineitem
+        "top_orders",           # orders/customer
+        "regional_revenue",     # dims
+        "json_props_rollup",    # events
+        "doc_token_counts",     # documents
+        "ann_topk_cosine",      # embeddings
+    ]
+    for _name in warmups:
         try:
-            fn(spark, sf_dir).count()
+            e.queries()[_name](spark, sf_dir).count()
         except Exception as exc:  # keep bench robust to a single bad query
             print(f"# warmup {_name} failed: {exc}", file=sys.stderr)
 

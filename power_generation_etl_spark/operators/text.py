@@ -35,22 +35,20 @@ def token_count(text: Column, pattern: str = TOKEN_RE) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
 
 
-def _occurrences(text: Column, word: str) -> Column:
-    """Count of ` word ` occurrences via the length-difference trick —
-    identical semantics in any SQL engine (used for oracle parity)."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-        / len(needle)
-    ).cast("bigint")
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Token-membership stopword count: tokenize once, count tokens in
+    the word list — one pass over the tokens per language, vs the
+    length/replace trick's full-text scan *per word* (60 scans per doc
+    with 12-word lists). DuckDB twin:
+    ``len(list_filter(string_split_regex(lower(text),'\\s+'), t -> t IN (...)))``."""
+    toks = F.split(F.lower(text), r"\s+")
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).cast("bigint")
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    lowered = F.lower(text)
     return {
-        lang: sum(_occurrences(lowered, w) for w in words)
-        for lang, words in LANG_STOPWORDS.items()
+        lang: stopword_hits(text, words) for lang, words in LANG_STOPWORDS.items()
     }
 
 
@@ -73,7 +71,7 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     digits = F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("bigint")
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", "")).cast("bigint")
     upper = F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("bigint")
-    en_stop = sum(_occurrences(F.lower(text), w) for w in LANG_STOPWORDS["en"])
+    en_stop = stopword_hits(text, LANG_STOPWORDS["en"])
     nc = n_chars.cast("double")
     return {
         "n_chars": n_chars,

@@ -79,12 +79,18 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PUNCT_CLASS_SQL = "[^.,;:!?''\"()\\[\\]{}-]"  # '' = escaped quote in SQL
-_STOP_SUM_SQL = " + ".join(
-    "CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {n} AS BIGINT)".format(
-        w=w, n=len(w) + 2
+
+
+def _stop_count_sql(words: list[str]) -> str:
+    """DuckDB twin of operators.text.stopword_hits (token membership)."""
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        "CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f" t -> t IN ({inlist}))) AS BIGINT)"
     )
-    for w in tx.LANG_STOPWORDS["en"]
-)
+
+
+_STOP_SUM_SQL = _stop_count_sql(tx.LANG_STOPWORDS["en"])
 
 
 @_register(
@@ -134,12 +140,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _lang_score_sql(lang: str) -> str:
-    return " + ".join(
-        "CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {n} AS BIGINT)".format(
-            w=w, n=len(w) + 2
-        )
-        for w in tx.LANG_STOPWORDS[lang]
-    )
+    return _stop_count_sql(tx.LANG_STOPWORDS[lang])
 
 
 _LANG_CASE_SQL = (
