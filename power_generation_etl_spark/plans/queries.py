@@ -924,3 +924,87 @@ def skew_salted_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 2).alias("total_value"),
         F.col("_count").alias("n_events"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles per group (Spark `percentile` ↔ DuckDB
+# `quantile_cont` — same linear-interpolation definition). Exact
+# percentiles buffer each group's values; at 100 TB swap in
+# `approx_percentile` (t-digest, mergeable partial aggs) — kept exact
+# here because the approximation isn't engine-portable.
+# ---------------------------------------------------------------------------
+@_register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.9), 4)  AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("_p"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.round(F.col("_p").getItem(0), 4).alias("p50"),
+            F.round(F.col("_p").getItem(1), 4).alias("p90"),
+            F.round(F.col("_p").getItem(2), 4).alias("p99"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9-flavor 5-way star join: lineitem fact joined to part,
+# supplier, nation, region — all four dims explicitly broadcast, the
+# p_type filter pushed into the part scan before the join. Plan shape
+# at 100 TB: one pass over the fact, zero fact-side shuffles until the
+# final (r_name, p_brand) aggregation (map-side combined).
+# ---------------------------------------------------------------------------
+@_register(
+    "supplier_region_part_revenue",
+    """
+    SELECT r_name, p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_type = 'PROMO'
+    GROUP BY r_name, p_brand
+    ORDER BY r_name, p_brand
+    """,
+)
+def supplier_region_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "p_brand")
+    )
