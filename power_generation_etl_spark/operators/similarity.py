@@ -194,14 +194,20 @@ def kmeans_train(
     (forcing bit-identical inputs for the next assignment in any engine
     that replays the trajectory in SQL), empty cells are dropped, and
     distance ties assign to the lowest cell id."""
-    v = as_double_array(F.col(vec_col))
-    seeds = df.orderBy(id_col).limit(k).select(v.alias("e")).collect()
+    # Materialize the (id, vec) projection once: every Lloyd's round is
+    # a fresh job, and without this each one re-scans and re-casts the
+    # source (at scale: persist to MEMORY_AND_DISK instead).
+    base = df.select(
+        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
+    ).localCheckpoint()
+    v = F.col("_v")
+    seeds = base.orderBy("_id").limit(k).select(v.alias("e")).collect()
     cents = [(i, [float(x) for x in r["e"]]) for i, r in enumerate(seeds)]
     dim = len(cents[0][1])
     for _ in range(iters):
         cell = assign_cell(v, cents)
         rows = (
-            df.groupBy(cell.alias("cell"))
+            base.groupBy(cell.alias("cell"))
             .agg(*[F.round(F.avg(v.getItem(i)), 6).alias(f"c{i}") for i in range(dim)])
             .collect()
         )
