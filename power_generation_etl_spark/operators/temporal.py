@@ -46,6 +46,9 @@ def asof_join(
     DuckDB's ``ASOF JOIN`` with ``>=``).
     """
     lcols = left.columns
+    clash = sorted(set(payload_cols) & set(lcols))
+    if clash:
+        raise ValueError(f"payload columns collide with left columns: {clash}")
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("_side"),

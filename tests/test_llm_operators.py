@@ -166,3 +166,33 @@ class TestMultimodal:
         stats = {r["kind"]: r for r in mm.media_stats(media).collect()}
         assert stats["image"]["n_items"] == 2
         assert stats["video"]["total_bytes"] == 500
+
+
+def test_shingle_table_matches_array_form(spark):
+    """Differential: the codegen posexplode+lead shingle_table must
+    produce exactly the distinct shingle set of the array-HOF
+    word_shingles, including whitespace edge cases (split on \\s+ keeps
+    empty tokens at string edges)."""
+    texts = [
+        (0, "a b c d e"),
+        (1, "  leading spaces a b c"),
+        (2, "trailing b c d   "),
+        (3, "tab\tand\nnewline mix a b"),
+        (4, "double  space a b c"),
+        (5, "x y"),               # shorter than n
+        (6, ""),                  # empty
+        (7, "r r r r r"),         # repeated shingles collapse (distinct)
+        (8, "UPPER Case MiXeD a b"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    tbl = {
+        (r["doc_id"], r["s"])
+        for r in mh.shingle_table(df, "doc_id", "text", 3).collect()
+    }
+    arr = {
+        (r["doc_id"], r["s"])
+        for r in df.select(
+            "doc_id", F.explode(mh.word_shingles(F.col("text"), 3)).alias("s")
+        ).collect()
+    }
+    assert tbl == arr

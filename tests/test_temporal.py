@@ -123,3 +123,13 @@ class TestPlanShapes:
         # only the three raw inputs are read; the wide orders table is pruned
         assert "o_orderkey" in scan and "o_custkey" in scan and "o_orderpriority" in scan
         assert "o_totalprice" not in scan and "o_orderdate" not in scan
+
+
+def test_asof_payload_collision_rejected(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, "u", 10, 0.0)], ["event_id", "user", "ts", "val"])
+    right = spark.createDataFrame([("u", 5, 1.0)], ["user", "rts", "val"])
+    with _pytest.raises(ValueError, match="collide"):
+        tmp.asof_join(left, right, on="user", left_ts="ts", right_ts="rts",
+                      payload_cols=["val"])
