@@ -113,6 +113,9 @@ def _dispatch(args, spark, eng: Engine) -> int:
             run_id=args.run_id,
             save_report_path=args.report,
         )
+        if res.report is None:
+            print(f"error: file not found: {args.file}", file=sys.stderr)
+            return 1
         r = res.report
         print(
             f"inserted {res.inserted} rows "

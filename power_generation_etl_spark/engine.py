@@ -132,6 +132,11 @@ class Engine:
         (src/database.py:533-537): `inserted` new rows, the rest of the
         valid batch counted as skipped-existing."""
         schema = SOURCES[source]
+        # Missing file is a graceful failure, not an exception
+        # (reference src/database_management.py:124-126 logs and
+        # returns False).
+        if not os.path.exists(path):
+            return LoadResult(False, 0, 0, None, run_id=None)
         run_id = run_id or str(uuid.uuid4())
         valid, report = load_and_validate(self.spark, source, path, run_id=run_id)
         # Lineage uses the run id carried by the data when present

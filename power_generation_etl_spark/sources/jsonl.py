@@ -160,17 +160,22 @@ def parse_string_ts_ms(raw: Column) -> Column:
 
 def peek_first_record(spark: SparkSession, path: str) -> dict:
     """Driver-side look at the first non-blank line (the reference's
-    ``data[0]`` presence checks)."""
+    ``data[0]`` presence checks).
+
+    Cheap path: CollectLimit consumes scan partitions in order and the
+    text source yields each split's lines in file order, so
+    filter+limit(1) reads only the head of the first split — no
+    ranking pass over the whole (possibly multi-GB) file."""
     row = (
-        read_jsonl_lines(spark, path)
-        .orderBy(ORDER_COL)
-        .select("line")
-        .head(1)
+        spark.read.text(path)
+        .filter(F.length(F.trim("value")) > 0)
+        .limit(1)
+        .collect()
     )
     if not row:
         return {}
     try:
-        rec = json.loads(row[0]["line"])
+        rec = json.loads(row[0]["value"])
         return rec if isinstance(rec, dict) else {}
     except (ValueError, TypeError):
         return {}

@@ -109,3 +109,10 @@ def test_compact_table_merges_small_files(tmp_path, spark, capsys):
 
 def test_compact_unknown_table_rejected(tmp_path, spark):
     assert _run(tmp_path, "compact-table", "nope; DROP TABLE") == 1
+
+
+def test_load_missing_file_graceful(tmp_path, spark, capsys):
+    """Missing input file: error + exit 1, no exception (reference
+    load_data logs and returns False)."""
+    assert _run(tmp_path, "load-data", "npp", str(tmp_path / "nope.jsonl")) == 1
+    assert "file not found" in capsys.readouterr().err
