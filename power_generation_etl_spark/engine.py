@@ -134,8 +134,15 @@ class Engine:
         schema = SOURCES[source]
         # Missing file is a graceful failure, not an exception
         # (reference src/database_management.py:124-126 logs and
-        # returns False).
-        if not os.path.exists(path):
+        # returns False). Only local paths are probed — `file:` URIs
+        # (as produced by input_file_name in the streaming path) are
+        # resolved first; remote schemes are left to Spark.
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(path)
+        if parsed.scheme in ("", "file") and not os.path.exists(
+            unquote(parsed.path) if parsed.scheme == "file" else path
+        ):
             return LoadResult(False, 0, 0, None, run_id=None)
         run_id = run_id or str(uuid.uuid4())
         valid, report = load_and_validate(self.spark, source, path, run_id=run_id)

@@ -80,3 +80,61 @@ def streaming_monthly_rollup(
             "generation_mwh",
         )
     )
+
+
+def stream_document_filter(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming training-data intake: JSONL document drops →
+    quality-filter (Gopher-style Column expressions from
+    operators/text.py — pure projections, so they compose into a
+    stream unchanged) → cross-batch exact dedup on the content
+    fingerprint with bounded state (dropDuplicatesWithinWatermark) →
+    parquet sink.
+
+    This is the streaming twin of the batch `doc_quality` +
+    `exact_dedup_docs` catalog queries: at 100 TB you filter/dedup at
+    intake instead of re-scanning the corpus.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from power_generation_etl_spark.operators import text as tx
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ingested_at", TimestampType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(landing_dir)
+    m = tx.quality_metrics(F.col("text"))
+    filtered = (
+        stream.withColumn("quality_pass", tx.quality_pass(m))
+        .filter(F.col("quality_pass"))
+        .withColumn("fingerprint", tx.exact_dup_key(F.col("text")))
+        .withWatermark("ingested_at", "1 hour")
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("doc_id", "ingested_at", "lang", "source", "text", "fingerprint")
+    )
+    writer = (
+        filtered.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

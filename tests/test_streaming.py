@@ -100,3 +100,35 @@ def test_streaming_monthly_rollup(spark, tmp_path):
     }
     assert got[(list(got)[0][0], "Solar")] == pytest.approx(3.0)
     assert got[(list(got)[0][0], "Wind")] == pytest.approx(5.0)
+
+
+def test_stream_document_filter(spark, tmp_path):
+    """Quality filter + cross-batch exact dedup at intake: low-quality
+    docs dropped, duplicate content emitted once."""
+    from datetime import datetime, timezone
+
+    from power_generation_etl_spark.streaming.ingest import stream_document_filter
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    good = ("the quick brown fox jumps over the lazy dog and keeps going " * 3).strip()
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc).isoformat()
+    rows = [
+        {"doc_id": 1, "ingested_at": ts, "lang": "en", "source": "s", "text": good},
+        {"doc_id": 2, "ingested_at": ts, "lang": "en", "source": "s", "text": "too short"},
+        {"doc_id": 3, "ingested_at": ts, "lang": "en", "source": "s", "text": good},  # dup of 1
+        {"doc_id": 4, "ingested_at": ts, "lang": "en", "source": "s", "text": good + " extra tail"},
+    ]
+    with open(landing / "drop1.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    q = stream_document_filter(
+        spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # doc 2 fails quality; exactly one of {1,3} survives the dedup
+    assert len(kept) == 2 and 4 in kept and 2 not in kept
+    assert set(kept) - {4} <= {1, 3}
