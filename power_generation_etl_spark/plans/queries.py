@@ -1008,3 +1008,99 @@ def supplier_region_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: customers active in 1995 INTERSECT/EXCEPT 1996.
+# Spark intersect/exceptAll compile to left-semi/left-anti aggregates —
+# same dedup-by-shuffle shape as the idempotent-append path.
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_set_ops",
+    """
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate < TIMESTAMP '1996-01-01'),
+    y96 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT 'both_years' AS cohort, count(*) AS n_customers
+    FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'only_1995', count(*)
+    FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'only_1996', count(*)
+    FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+    ORDER BY cohort
+    """,
+)
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year(1995), year(1996)
+    spark_df = (
+        y95.intersect(y96).agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("both_years").alias("cohort"), "n_customers")
+        .unionByName(
+            y95.exceptAll(y96).agg(F.count(F.lit(1)).alias("n_customers"))
+            .select(F.lit("only_1995").alias("cohort"), "n_customers")
+        )
+        .unionByName(
+            y96.exceptAll(y95).agg(F.count(F.lit(1)).alias("n_customers"))
+            .select(F.lit("only_1996").alias("cohort"), "n_customers")
+        )
+    )
+    return spark_df.orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchy totals (region → nation), the partial-cube
+# counterpart of cube_event_summary. GROUPING() disambiguates the
+# subtotal rows exactly as in SQL.
+# ---------------------------------------------------------------------------
+@_register(
+    "rollup_region_nation",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           count(*) AS n_customers,
+           CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region, nation
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+        .orderBy("region", "nation")
+    )
