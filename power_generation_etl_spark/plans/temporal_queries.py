@@ -82,8 +82,9 @@ def asof_clicks_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts_us,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
-                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS UNBOUNDED PRECEDING) - 1
+                  AS BIGINT) AS session_id
       FROM m
     )
     SELECT user_id, session_id,
