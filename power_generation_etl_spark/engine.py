@@ -426,20 +426,24 @@ class Engine:
                 .select(F.col(cw_key).alias("plant_id"))
                 .distinct()
             )
-            missing = [
-                r["plant_id"]
-                for r in raw.join(F.broadcast(cw), "plant_id", "left_anti")
-                .orderBy("plant_id")
-                .collect()
+            # Driver memory stays O(20) however badly drifted the source
+            # is: count + a limited sample over the same cached anti-join
+            # (never collect the full missing-id list — at scale that is
+            # millions of ids for a 20-row report).
+            anti = raw.join(F.broadcast(cw), "plant_id", "left_anti").persist()
+            n_missing = anti.count()
+            sample = [
+                r["plant_id"] for r in anti.orderBy("plant_id").limit(20).collect()
             ]
+            anti.unpersist()
             report[source_system] = {
-                "count": len(missing),
+                "count": n_missing,
                 "raw_table": table,
                 "raw_key": raw_key,
                 "crosswalk_key": cw_key,
-                "sample": missing[:20],
+                "sample": sample,
             }
-            total_missing += len(missing)
+            total_missing += n_missing
         return {"total_missing": total_missing, "by_source": report}
 
     # --- extraction summary views (schema/extraction_metadata.sql:69-95) ---------------

@@ -200,12 +200,14 @@ def exact_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # per-doc shingle counts are O(n_docs) rows — never force-broadcast
+    # them (AQE promotes at runtime when actually small)
     ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
     cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        inter.join(F.broadcast(ca), "id_a")
-        .join(F.broadcast(cb), "id_b")
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
@@ -257,13 +259,17 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Exact verification on candidates only: broadcast the (small)
-    # candidate set into id_a's posting list, equi-join id_b's postings
-    # on (id_b, s) → intersection counts; |union| = na + nb − c.
+    # Exact verification on candidates only. All three verification
+    # joins are equi-keyed, so we deliberately do NOT force broadcast:
+    # on a dup-heavy corpus (30-50% near-dup pairs is normal for
+    # web-scale pretraining data) the candidate set is anything but
+    # small, and a forced broadcast OOMs the driver. AQE promotes any
+    # of these to broadcast at runtime when the build side is actually
+    # under the threshold; otherwise they run as shuffle hash joins.
     pa = sh.select(F.col("doc_id").alias("id_a"), "s")
     pb = sh.select(F.col("doc_id").alias("id_b"), "s")
     inter = (
-        pa.join(F.broadcast(cands), "id_a")
+        pa.join(cands, "id_a")
         .join(pb, ["id_b", "s"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -273,8 +279,8 @@ def minhash_lsh_pairs(
     cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        inter.join(F.broadcast(ca), "id_a")
-        .join(F.broadcast(cb), "id_b")
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")

@@ -65,9 +65,25 @@ def all_pairs_neardup(
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup (id_a < id_b). O(n²) — the
-    correctness baseline; use `lsh_candidate_pairs` at scale."""
+    correctness baseline / verification twin of the LSH-bucketed plan;
+    use `lsh_candidate_pairs` at scale.
+
+    Guarded: refuses inputs above `max_rows` (100k rows ≈ 5e9 pairs —
+    already hours of work) so a catalog run at a large sf can't silently
+    go quadratic. Pass ``max_rows=0`` to disable the guard for an
+    explicit exact run.
+    """
+    if max_rows:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"all_pairs_neardup is O(n²) and got n={n} > max_rows="
+                f"{max_rows}; use lsh_candidate_pairs (the scale path) "
+                "or pass max_rows=0 to force an exact run"
+            )
     npar = df.sparkSession.sparkContext.defaultParallelism
     a = df.select(
         F.col(id_col).alias("id_a"), as_double_array(F.col(vec_col)).alias("va")

@@ -48,6 +48,15 @@ class TestNearDup:
         # SimHash at hamming≤8 should find most planted dups.
         assert len(sh & exact) >= 0.7 * len(exact)
 
+    def test_lsh_verification_has_no_forced_broadcast(self, docs):
+        """The candidate/count verification joins must not carry a
+        broadcast hint: on a dup-heavy corpus the candidate set is
+        O(pairs) and a forced broadcast OOMs. AQE may still promote at
+        runtime — the guard is against *forcing* it in the plan."""
+        pairs = mh.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        analyzed = pairs._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed
+
     def test_shingles_edgecases(self, spark):
         df = spark.createDataFrame(
             [(1, "one two"), (2, "a b c d"), (3, "")], ["id", "t"]
@@ -86,6 +95,18 @@ class TestSimilarity:
             ).collect()
         }
         assert lsh <= exact  # exact verification ⇒ precision 1
+
+    def test_all_pairs_guard_refuses_large_input(self, embeddings):
+        """The O(n²) exact twin refuses inputs above max_rows so a
+        catalog run at a large sf can't silently go quadratic."""
+        with pytest.raises(ValueError, match="O\\(n²\\)|max_rows"):
+            sim.all_pairs_neardup(
+                embeddings, "vec_id", "embedding", threshold=0.4, max_rows=10
+            ).collect()
+        # and max_rows=0 disables the guard
+        sim.all_pairs_neardup(
+            embeddings.limit(20), "vec_id", "embedding", threshold=0.4, max_rows=0
+        ).collect()
 
     def test_ivf_overlaps_bruteforce(self, embeddings):
         qv = [
