@@ -6,6 +6,7 @@ backfill_extraction_dates), re-expressed over a Spark parquet warehouse.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -140,10 +141,16 @@ class Engine:
         from urllib.parse import unquote, urlparse
 
         parsed = urlparse(path)
-        if parsed.scheme in ("", "file") and not os.path.exists(
-            unquote(parsed.path) if parsed.scheme == "file" else path
-        ):
-            return LoadResult(False, 0, 0, None, run_id=None)
+        if parsed.scheme in ("", "file"):
+            local = unquote(parsed.path) if parsed.scheme == "file" else path
+            # Glob patterns (data/*.jsonl) are legal reader input — probe
+            # them with glob, not exists(), so a matching wildcard isn't
+            # misreported as file-not-found.
+            if glob.has_magic(local):
+                if not glob.glob(local):
+                    return LoadResult(False, 0, 0, None, run_id=None)
+            elif not os.path.exists(local):
+                return LoadResult(False, 0, 0, None, run_id=None)
         run_id = run_id or str(uuid.uuid4())
         valid, report = load_and_validate(self.spark, source, path, run_id=run_id)
         # Lineage uses the run id carried by the data when present

@@ -82,6 +82,15 @@ def read_jsonl_lines(spark: SparkSession, path: str) -> DataFrame:
     window is negligible — and (b) a row_number within each (file,
     split), whose partitions are bounded by maxPartitionBytes rather
     than by file size.
+
+    Split order comes from the contractual ``_metadata.file_block_start``
+    hidden column (the split's byte offset within the file, Spark
+    3.5+), NOT from ``spark_partition_id`` — partition ids depend on
+    undocumented bin-packing internals (size-descending split sort, one
+    split per partition), while byte offsets ARE line order for a text
+    source. Within a split, rows are read sequentially, so
+    ``monotonically_increasing_id`` is ordered; two splits packed into
+    one task partition stay distinguishable by their block start.
     """
     from pyspark.sql.window import Window
 
@@ -89,23 +98,23 @@ def read_jsonl_lines(spark: SparkSession, path: str) -> DataFrame:
         spark.read.text(path)
         .select(
             F.input_file_name().alias("_file"),
-            F.spark_partition_id().alias("_pid"),
+            F.col("_metadata.file_block_start").alias("_bs"),
             F.monotonically_increasing_id().alias("_mid"),
             F.col("value").alias("line"),
         )
         .filter(F.length(F.trim("line")) > 0)
     )
-    counts = lines.groupBy("_file", "_pid").agg(F.count(F.lit(1)).alias("_n"))
+    counts = lines.groupBy("_file", "_bs").agg(F.count(F.lit(1)).alias("_n"))
     w_off = (
         Window.partitionBy("_file")
-        .orderBy("_pid")
+        .orderBy("_bs")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        "_file", "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+        "_file", "_bs", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
-    w_rank = Window.partitionBy("_file", "_pid").orderBy("_mid")
-    return lines.join(F.broadcast(offsets), ["_file", "_pid"]).select(
+    w_rank = Window.partitionBy("_file", "_bs").orderBy("_mid")
+    return lines.join(F.broadcast(offsets), ["_file", "_bs"]).select(
         "_file",
         (F.row_number().over(w_rank) - 1 + F.col("_off")).alias(ORDER_COL),
         "line",

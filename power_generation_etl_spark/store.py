@@ -138,9 +138,17 @@ class TableStore:
         schema_json = None
         n = 0
         if self.exists(table):
-            df = self.read(table)
-            n = df.count()
-            schema_json = df.schema.json()
+            n = self.read(table).count()
+            # Preserve the setup-time sidecar verbatim: re-deriving the
+            # schema from a parquet read would drop non-null flags
+            # (parquet reads come back all-nullable) and silently drift
+            # a truncated table from a freshly created one.
+            sidecar = self._schema_file(table)
+            if os.path.exists(sidecar):
+                with open(sidecar) as f:
+                    schema_json = f.read()
+            else:
+                schema_json = self.read(table).schema.json()
         p = self.path(table)
         if os.path.isdir(p):
             shutil.rmtree(p)

@@ -304,6 +304,33 @@ def test_in_batch_stored_key_collision(engine, spark, tmp_path):
     assert len(rows) == 1 and rows[0]["generation_mwh"] == 1.0  # first wins
 
 
+def test_glob_path_load(engine, tmp_path):
+    """Wildcard paths are legal reader input: the missing-file guard
+    must probe them with glob, not os.path.exists."""
+    _write(tmp_path, [_entsoe(JAN, "P1", 1.0)], name="a.jsonl")
+    _write(tmp_path, [_entsoe(FEB, "P2", 2.0)], name="b.jsonl")
+    r = engine.load_jsonl("entsoe", str(tmp_path / "*.jsonl"))
+    assert r.success and r.inserted == 2
+    # a glob matching nothing is still the graceful-failure case
+    r2 = engine.load_jsonl("entsoe", str(tmp_path / "nope" / "*.jsonl"))
+    assert not r2.success and r2.inserted == 0
+
+
+def test_truncate_preserves_sidecar_schema(engine, tmp_path):
+    """Truncate must keep the setup-time sidecar verbatim — re-deriving
+    from a parquet read would drop non-null flags (all-nullable reads)."""
+    engine.setup()
+    store = engine.store
+    with open(store._schema_file("entsoe_generation_data")) as f:
+        before = f.read()
+    p = _write(tmp_path, [_entsoe(JAN, "P1", 1.0)])
+    assert engine.load_jsonl("entsoe", p).inserted == 1
+    engine.clear_table("entsoe_generation_data")
+    with open(store._schema_file("entsoe_generation_data")) as f:
+        after = f.read()
+    assert after == before
+
+
 def test_truncate_keeps_table_registered(engine, spark, tmp_path):
     p = _write(tmp_path, [_entsoe(JAN, "P1", 1.0)])
     assert engine.load_jsonl("entsoe", p).inserted == 1
