@@ -6,17 +6,27 @@ partition-pruned by metadata, decoded lazily next to the GPU).
 
 The Spark-side machinery here is real and tested: schemas, Arrow-batched
 `mapInPandas` UDF signatures, batch-shape handling, partition-count
-preservation. The image codec is an *optional dependency*: when PIL is
-importable (worker-side import-try), `_decode_image` computes real
-grayscale pixel statistics; otherwise it falls back to a deterministic
-stub derived from the byte digest, so the pipeline stays fully testable
-in codec-less environments. Frame sampling remains a stub (ffmpeg).
+preservation. The image decode is a three-tier chain, best available
+wins (worker-side import-try):
+
+1. PIL, when importable — the fast path for arbitrary formats;
+2. a built-in pure-python decoder for non-interlaced 8-bit PNG
+   (stdlib zlib + the five scanline filters) and uncompressed 24/32-bit
+   BMP — real pixel statistics with zero dependencies, plenty for
+   fixture-level validation (slow per image: production clusters ship
+   PIL);
+3. the deterministic byte-digest stub, so undecodable formats keep the
+   pipeline testable in codec-less environments.
+
+Frame sampling remains a stub (ffmpeg).
 """
 
 from __future__ import annotations
 
 import hashlib
 import io
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -73,22 +83,140 @@ def _decode_image_stub(content: bytes) -> tuple[float, float]:
     return mean, std
 
 
-def _decode_image(content: bytes) -> tuple[float | None, float | None]:
-    """Grayscale mean/std of the decoded image when PIL is available;
-    undecodable bytes yield (None, None) — a 100 TB corpus always has
-    corrupt media, and nulling the features beats failing the task.
-    Falls back to the deterministic stub without a codec."""
-    if _PILImage is None:
-        return _decode_image_stub(content)
-    try:
-        import numpy as np
+# ITU-R 601-2 luma weights (what PIL's convert("L") uses) so the PIL
+# and pure-python tiers agree on grayscale up to rounding.
+_LUMA = (299, 587, 114)
 
-        arr = np.asarray(
-            _PILImage.open(io.BytesIO(content)).convert("L"), dtype="float64"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_gray_pixels(content: bytes):
+    """Decode a non-interlaced 8-bit-depth PNG (gray / gray+alpha / RGB /
+    RGBA) into a flat float64 grayscale array, or None if the bytes are
+    not such a PNG. Pure stdlib: chunk walk + zlib inflate + the five
+    scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9)."""
+    import numpy as np
+
+    if not content.startswith(_PNG_SIG):
+        return None
+    pos, width = len(_PNG_SIG), 0
+    height = bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[
+            pos + 4 : pos + 8
+        ]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if not width or not height or bit_depth != 8 or channels is None or interlace:
+        return None
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        line = np.frombuffer(raw, np.uint8, stride, row_off + 1).astype(np.int64)
+        if ftype == 1:  # Sub — sequential in x, per-channel lag
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b, c = prev[x], (prev[x - channels] if x >= channels else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out[y] = line
+        prev = line.astype(np.int64)
+    px = out.reshape(height, width, channels).astype(np.float64)
+    if channels >= 3:  # RGB(A) → luma; alpha ignored
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        gray = (r * _LUMA[0] + g * _LUMA[1] + b * _LUMA[2]) / 1000.0
+    else:  # gray or gray+alpha
+        gray = px[..., 0]
+    return gray.ravel()
+
+
+def _bmp_gray_pixels(content: bytes):
+    """Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER, BI_RGB)
+    into a flat float64 grayscale array, or None."""
+    import numpy as np
+
+    if len(content) < 54 or content[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    nrows, bottom_up = abs(height), height > 0
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+    if len(content) < data_off + nrows * stride:
+        return None
+    rows = []
+    for y in range(nrows):
+        src_y = (nrows - 1 - y) if bottom_up else y
+        line = np.frombuffer(
+            content, np.uint8, width * bytes_pp, data_off + src_y * stride
+        ).astype(np.float64)
+        px = line.reshape(width, bytes_pp)  # BGR(A) order
+        rows.append(
+            (px[:, 2] * _LUMA[0] + px[:, 1] * _LUMA[1] + px[:, 0] * _LUMA[2]) / 1000.0
         )
-        return float(arr.mean()), float(arr.std())
-    except Exception:
-        return None, None
+    return np.concatenate(rows)
+
+
+def _decode_image(content: bytes) -> tuple[float | None, float | None]:
+    """Grayscale mean/std of the decoded image. Tier 1: PIL when
+    available. Tier 2: built-in pure-python PNG/BMP decode. Tier 3: the
+    deterministic stub (unknown format, no codec). Corrupt bytes in a
+    *recognized* format yield (None, None) — a 100 TB corpus always has
+    corrupt media, and nulling the features beats failing the task."""
+    if _PILImage is not None:
+        try:
+            import numpy as np
+
+            arr = np.asarray(
+                _PILImage.open(io.BytesIO(content)).convert("L"), dtype="float64"
+            )
+            return float(arr.mean()), float(arr.std())
+        except Exception:
+            return None, None
+    if content.startswith(_PNG_SIG) or content[:2] == b"BM":
+        try:
+            gray = _png_gray_pixels(content)
+            if gray is None:
+                gray = _bmp_gray_pixels(content)
+            if gray is None:
+                return None, None
+            return float(gray.mean()), float(gray.std())
+        except Exception:
+            return None, None
+    return _decode_image_stub(content)
 
 
 def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:

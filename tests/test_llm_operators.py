@@ -189,6 +189,138 @@ class TestMultimodal:
         assert stats["video"]["total_bytes"] == 500
 
 
+def _encode_png(arr, color_type, filters):
+    """Minimal PNG writer for fixtures: 8-bit, non-interlaced, one
+    chosen scanline filter per row (exercises the decoder's unfilter)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        line = arr[y].reshape(-1).astype(np.int64)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        out = line.copy()
+        for x in range(w * c):
+            left = line[x - c] if x >= c else 0
+            up, upleft = prev[x], (prev[x - c] if x >= c else 0)
+            if f == 1:
+                out[x] = (line[x] - left) & 0xFF
+            elif f == 2:
+                out[x] = (line[x] - up) & 0xFF
+            elif f == 3:
+                out[x] = (line[x] - ((left + up) >> 1)) & 0xFF
+            elif f == 4:
+                p = left + up - upleft
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else upleft)
+                out[x] = (line[x] - pred) & 0xFF
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_bmp24(arr):
+    """Minimal bottom-up 24-bit BI_RGB BMP writer (arr is H x W x 3 RGB)."""
+    import struct
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = arr[y, x]
+            row += bytes((int(b), int(g), int(r)))  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        body += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + bytes(body)
+
+
+class TestRealImageDecode:
+    """The pure-python PNG/BMP tier must return TRUE pixel statistics
+    (vs numpy on the source array), not digest-derived stub values."""
+
+    @pytest.fixture(scope="class")
+    def pixels(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        return rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+
+    def _expected(self, arr):
+        gray = (
+            arr[..., 0] * 299.0 + arr[..., 1] * 587.0 + arr[..., 2] * 114.0
+        ) / 1000.0
+        return round(float(gray.mean()), 4), round(float(gray.std()), 4)
+
+    def test_png_all_filter_types(self, spark, pixels):
+        mean, std = self._expected(pixels)
+        png = _encode_png(pixels, color_type=2, filters=[0, 1, 2, 3, 4])
+        df = spark.createDataFrame(
+            [(1, "image", "image/png", png, 17, 13, None)], mm.MEDIA_SCHEMA
+        )
+        feat = mm.extract_image_features(df).collect()[0]
+        assert feat["feat_mean"] == pytest.approx(mean, abs=1e-4)
+        assert feat["feat_std"] == pytest.approx(std, abs=1e-4)
+
+    def test_png_grayscale_and_rgba(self, spark, pixels):
+        import numpy as np
+
+        gray = pixels[..., :1]
+        g_mean = round(float(gray.astype(np.float64).mean()), 4)
+        rgba = np.concatenate(
+            [pixels, np.full(pixels.shape[:2] + (1,), 200, np.uint8)], axis=2
+        )
+        mean, _ = self._expected(pixels)  # alpha ignored
+        df = spark.createDataFrame(
+            [
+                (1, "image", "image/png", _encode_png(gray, 0, [0, 2]), 17, 13, None),
+                (2, "image", "image/png", _encode_png(rgba, 6, [4]), 17, 13, None),
+            ],
+            mm.MEDIA_SCHEMA,
+        )
+        feats = {r["media_id"]: r for r in mm.extract_image_features(df).collect()}
+        assert feats[1]["feat_mean"] == pytest.approx(g_mean, abs=1e-4)
+        assert feats[2]["feat_mean"] == pytest.approx(mean, abs=1e-4)
+
+    def test_bmp_true_stats(self, spark, pixels):
+        mean, std = self._expected(pixels)
+        df = spark.createDataFrame(
+            [(1, "image", "image/bmp", _encode_bmp24(pixels), 17, 13, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        feat = mm.extract_image_features(df).collect()[0]
+        assert feat["feat_mean"] == pytest.approx(mean, abs=1e-4)
+        assert feat["feat_std"] == pytest.approx(std, abs=1e-4)
+
+    def test_corrupt_recognized_format_nulls_features(self, spark, pixels):
+        corrupt = _encode_png(pixels, 2, [0])[:40]  # truncated mid-IHDR/IDAT
+        df = spark.createDataFrame(
+            [(1, "image", "image/png", corrupt, None, None, None)], mm.MEDIA_SCHEMA
+        )
+        feat = mm.extract_image_features(df).collect()[0]
+        assert feat["feat_mean"] is None and feat["feat_std"] is None
+        assert feat["n_bytes"] == 40  # digest/len still computed
+
+
 def test_shingle_table_matches_array_form(spark):
     """Differential: the codegen posexplode+lead shingle_table must
     produce exactly the distinct shingle set of the array-HOF
