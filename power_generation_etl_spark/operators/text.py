@@ -12,18 +12,72 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Per-language stopword lists for the heuristic language ID (top
-# function words; whitespace-tokenized, so zh uses romanized pinyin —
-# honest limitation: unsegmented CJK needs a char-n-gram model, which
-# the expression-only design trades away). Scores stay single-scan
-# Column expressions whatever the list size.
+# Per-language stopword lists for the heuristic language ID: top
+# function words, whitespace-tokenized. Counting stays a single-scan
+# Column expression whatever the list size (tokenize once per language,
+# membership-filter the token array).
 LANG_STOPWORDS: dict[str, list[str]] = {
-    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was", "with", "are"],
-    "de": ["der", "die", "und", "ist", "das", "nicht", "ein", "ich", "sie", "mit", "den", "auf"],
-    "fr": ["le", "la", "et", "est", "les", "des", "une", "dans", "que", "pour", "pas", "sur"],
-    "es": ["el", "los", "y", "es", "las", "una", "que", "por", "con", "para", "del", "se"],
+    "en": [
+        "the", "and", "of", "to", "is", "in", "that", "it", "for", "was",
+        "with", "are", "be", "as", "on", "at", "by", "this", "have", "from",
+        "or", "had", "not", "but", "what", "all", "were", "when", "there", "can",
+    ],
+    "de": [
+        "der", "die", "und", "ist", "das", "nicht", "ein", "ich", "sie",
+        "mit", "den", "auf", "für", "von", "dem", "sich", "des", "auch",
+        "eine", "als", "wie", "im", "zu", "werden", "aber", "noch", "nach",
+        "bei", "einem", "einer",
+    ],
+    "fr": [
+        "le", "la", "et", "est", "les", "des", "une", "dans", "que", "pour",
+        "pas", "sur", "avec", "ne", "se", "ce", "il", "vous", "je", "nous",
+        "au", "du", "par", "plus", "mais", "ou", "si", "leur", "être", "cette",
+    ],
+    "es": [
+        "el", "los", "y", "es", "las", "una", "que", "por", "con", "para",
+        "del", "se", "no", "un", "lo", "su", "como", "más", "pero", "sus",
+        "ya", "o", "este", "sí", "porque", "esta", "entre", "cuando", "muy", "sin",
+    ],
+    "it": [
+        "il", "la", "e", "è", "che", "di", "a", "in", "un", "per", "non",
+        "sono", "una", "con", "si", "da", "come", "le", "dei", "più", "nel",
+        "alla", "questo", "anche", "ma", "io", "ha", "gli", "della", "questa",
+    ],
+    "pt": [
+        "o", "a", "e", "é", "que", "de", "do", "da", "em", "um", "para",
+        "não", "com", "os", "no", "se", "na", "por", "uma", "dos", "mais",
+        "as", "mas", "como", "foi", "ele", "isso", "ou", "já", "são",
+    ],
+    "nl": [
+        "de", "het", "een", "en", "van", "is", "dat", "die", "in", "te",
+        "niet", "op", "voor", "met", "zijn", "er", "maar", "om", "hij",
+        "ook", "aan", "bij", "dan", "nog", "naar", "dit", "ze", "wel",
+        "geen", "heeft",
+    ],
+    "ru": [
+        "и", "в", "не", "на", "я", "что", "он", "с", "как", "это", "все",
+        "она", "так", "его", "но", "да", "ты", "к", "у", "же", "вы", "за",
+        "бы", "по", "только", "мне", "было", "меня", "еще", "нет",
+    ],
+    # zh keeps romanized-pinyin stopwords for segmented/romanized text;
+    # unsegmented han text is caught by the character-class scorer below.
     "zh": ["de", "shi", "le", "zai", "he", "wo", "you", "bu", "ta", "men", "zhe", "ge"],
+    "ja": [],  # whitespace tokens don't exist in Japanese — chars only
 }
+
+# Character-class evidence for unsegmented scripts: (chars, weight).
+# Counted codegen-side as length(text) - length(regexp_replace(text,
+# '[chars]', '')) — one single-pass replace per language, no UDF, and
+# the identical expression exists in the DuckDB oracle. Kana outweighs
+# han because Japanese text mixes kanji (shared with Chinese) with kana
+# (unique to Japanese): any kana-bearing text should win as 'ja'.
+LANG_CHAR_CLASSES: dict[str, tuple[str, int]] = {
+    "zh": ("的一是不了人我在有他这中大来上国个到说们为你和地出道也子时年", 1),
+    "ja": ("のにはをたがでてとしれさあるいうますこからなっへやも", 3),
+}
+
+# Fixed language order = deterministic argmax tie-break order.
+LANG_ORDER: list[str] = list(LANG_STOPWORDS)
 
 TOKEN_RE = r"\S+"
 # BPE-ish word/number/punct splitter (GPT-2-style contractions + blocks).
@@ -46,19 +100,38 @@ def stopword_hits(text: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).cast("bigint")
 
 
+def char_class_hits(text: Column, chars: str, weight: int = 1) -> Column:
+    """Weighted count of characters belonging to a literal class —
+    single-pass codegen (`length - length(regexp_replace)`), the
+    unsegmented-script (CJK) half of the language-ID evidence."""
+    n = F.length(text) - F.length(F.regexp_replace(text, f"[{chars}]", ""))
+    return (n * F.lit(weight)).cast("bigint")
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
-    return {
-        lang: stopword_hits(text, words) for lang, words in LANG_STOPWORDS.items()
-    }
+    """Per-language evidence: whitespace-token stopword membership plus
+    weighted character-class hits for unsegmented scripts."""
+    scores = {}
+    for lang in LANG_ORDER:
+        s = None
+        words = LANG_STOPWORDS.get(lang)
+        if words:
+            s = stopword_hits(text, words)
+        if lang in LANG_CHAR_CLASSES:
+            chars, weight = LANG_CHAR_CLASSES[lang]
+            ch = char_class_hits(text, chars, weight)
+            s = ch if s is None else (s + ch).cast("bigint")
+        scores[lang] = s
+    return scores
 
 
 def predicted_lang(text: Column) -> Column:
-    """Deterministic argmax over stopword-hit counts (ties → fixed
-    language order), 'und' (undetermined) when no stopword hits."""
+    """Deterministic argmax over per-language evidence (ties → fixed
+    LANG_ORDER), 'und' (undetermined) when no evidence at all."""
     scores = lang_scores(text)
     best = F.greatest(*scores.values())
     expr = F.when(best <= 0, F.lit("und"))
-    for lang in LANG_STOPWORDS:  # fixed iteration order = tie-break order
+    for lang in LANG_ORDER:  # fixed iteration order = tie-break order
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return expr
 

@@ -139,15 +139,32 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against the labeled lang column.
 # ---------------------------------------------------------------------------
 
+def _char_hits_sql(chars: str, weight: int) -> str:
+    """DuckDB twin of operators.text.char_class_hits."""
+    return (
+        f"CAST((length(text) - length(regexp_replace(text, '[{chars}]', '', 'g')))"
+        f" * {weight} AS BIGINT)"
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
-    return _stop_count_sql(tx.LANG_STOPWORDS[lang])
+    """DuckDB twin of operators.text.lang_scores[lang]: stopword-token
+    membership plus weighted char-class hits for unsegmented scripts."""
+    parts = []
+    words = tx.LANG_STOPWORDS.get(lang)
+    if words:
+        parts.append(_stop_count_sql(words))
+    if lang in tx.LANG_CHAR_CLASSES:
+        chars, weight = tx.LANG_CHAR_CLASSES[lang]
+        parts.append(_char_hits_sql(chars, weight))
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 
 _LANG_CASE_SQL = (
-    "CASE WHEN " + " <= 0 AND ".join(f"s_{lg}" for lg in tx.LANG_STOPWORDS) + " <= 0 THEN 'und' "
+    "CASE WHEN " + " <= 0 AND ".join(f"s_{lg}" for lg in tx.LANG_ORDER) + " <= 0 THEN 'und' "
     + " ".join(
-        f"WHEN s_{lg} = greatest({', '.join('s_' + x for x in tx.LANG_STOPWORDS)}) THEN '{lg}'"
-        for lg in tx.LANG_STOPWORDS
+        f"WHEN s_{lg} = greatest({', '.join('s_' + x for x in tx.LANG_ORDER)}) THEN '{lg}'"
+        for lg in tx.LANG_ORDER
     )
     + " END"
 )
@@ -159,7 +176,7 @@ _LANG_CASE_SQL = (
     SELECT lang, {_LANG_CASE_SQL} AS predicted_lang, count(*) AS n_docs
     FROM (
       SELECT lang,
-             {', '.join(f'{_lang_score_sql(lg)} AS s_{lg}' for lg in tx.LANG_STOPWORDS)}
+             {', '.join(f'{_lang_score_sql(lg)} AS s_{lg}' for lg in tx.LANG_ORDER)}
       FROM documents
     )
     GROUP BY 1, 2

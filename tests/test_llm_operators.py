@@ -321,6 +321,56 @@ class TestRealImageDecode:
         assert feat["n_bytes"] == 40  # digest/len still computed
 
 
+class TestLanguageID:
+    """Mixed-language fixture the round-2 6-stopword scorer could not
+    handle: ten languages incl. unsegmented Chinese/Japanese (caught by
+    the char-class evidence) and Cyrillic Russian."""
+
+    FIXTURE = [
+        ("en", "the cat sat on the mat and it was happy that the sun was out"),
+        ("de", "der hund ist nicht mit der katze auf dem sofa und sie sind müde"),
+        ("fr", "le chien est dans la maison avec le chat pour la nuit et il dort"),
+        ("es", "el perro es muy grande pero el gato no es pequeño para su casa"),
+        ("it", "il cane è nel giardino con il gatto e non sono mai stanchi"),
+        ("pt", "o cachorro é grande e o gato não é pequeno mas ele já dorme"),
+        ("nl", "de hond is niet met de kat op de bank maar hij is wel moe"),
+        ("ru", "я не знаю что он сказал но это было все так странно и смешно"),
+        ("zh", "我们在这里有一个很大的中国地图他说这是不可以的"),
+        ("ja", "これはとてもおもしろい本ですから私はまた読みたいです"),
+    ]
+
+    def test_all_ten_languages_classified(self, spark):
+        from power_generation_etl_spark.operators import text as tx
+
+        df = spark.createDataFrame(self.FIXTURE, ["lang", "text"])
+        got = {
+            r["lang"]: r["pred"]
+            for r in df.select(
+                "lang", tx.predicted_lang(F.col("text")).alias("pred")
+            ).collect()
+        }
+        assert got == {lang: lang for lang, _ in self.FIXTURE}
+
+    def test_kana_outweighs_shared_kanji(self, spark):
+        from power_generation_etl_spark.operators import text as tx
+
+        # kanji-heavy Japanese: han chars vote zh, kana weight must win
+        df = spark.createDataFrame(
+            [("日本の文化は中国から来ましたが独自です",)], ["text"]
+        )
+        assert (
+            df.select(tx.predicted_lang(F.col("text")).alias("p")).head()["p"] == "ja"
+        )
+
+    def test_no_evidence_is_und(self, spark):
+        from power_generation_etl_spark.operators import text as tx
+
+        df = spark.createDataFrame([("12345 67890 !!!",)], ["text"])
+        assert (
+            df.select(tx.predicted_lang(F.col("text")).alias("p")).head()["p"] == "und"
+        )
+
+
 def test_shingle_table_matches_array_form(spark):
     """Differential: the codegen posexplode+lead shingle_table must
     produce exactly the distinct shingle set of the array-HOF
