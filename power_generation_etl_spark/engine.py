@@ -28,7 +28,7 @@ from power_generation_etl_spark.schemas import (
 )
 from power_generation_etl_spark.sources.jsonl import load_and_validate
 from power_generation_etl_spark.store import TableStore
-from power_generation_etl_spark.validation import ORDER_COL, ValidationReport, strict_gate
+from power_generation_etl_spark.validation import FILE_COL, ORDER_COL, ValidationReport, strict_gate
 
 # Drift-check configuration: (source_system, raw_table, raw_key, crosswalk_key)
 # (reference src/check_crosswalk_drift.py:28-38).
@@ -122,7 +122,7 @@ class Engine:
     def load_jsonl(
         self,
         source: str,
-        path: str,
+        path: str | list[str],
         strict: bool = False,
         run_id: str | None = None,
         save_report_path: str | None = None,
@@ -131,7 +131,11 @@ class Engine:
         """Read → fixup → validate → first-wins dedup → idempotent append →
         lineage upsert. The insert-count contract matches the reference
         (src/database.py:533-537): `inserted` new rows, the rest of the
-        valid batch counted as skipped-existing."""
+        valid batch counted as skipped-existing.
+
+        `path` may be a list of files: one pass loads the whole batch
+        (the streaming intake's multi-file burst), with first-wins
+        semantics across files in lexicographic path order."""
         schema = SOURCES[source]
         # Missing file is a graceful failure, not an exception
         # (reference src/database_management.py:124-126 logs and
@@ -140,17 +144,20 @@ class Engine:
         # resolved first; remote schemes are left to Spark.
         from urllib.parse import unquote, urlparse
 
-        parsed = urlparse(path)
-        if parsed.scheme in ("", "file"):
-            local = unquote(parsed.path) if parsed.scheme == "file" else path
-            # Glob patterns (data/*.jsonl) are legal reader input — probe
-            # them with glob, not exists(), so a matching wildcard isn't
-            # misreported as file-not-found.
-            if glob.has_magic(local):
-                if not glob.glob(local):
+        if isinstance(path, (list, tuple)):
+            path = sorted(path)
+        for p in path if isinstance(path, list) else [path]:
+            parsed = urlparse(p)
+            if parsed.scheme in ("", "file"):
+                local = unquote(parsed.path) if parsed.scheme == "file" else p
+                # Glob patterns (data/*.jsonl) are legal reader input —
+                # probe them with glob, not exists(), so a matching
+                # wildcard isn't misreported as file-not-found.
+                if glob.has_magic(local):
+                    if not glob.glob(local):
+                        return LoadResult(False, 0, 0, None, run_id=None)
+                elif not os.path.exists(local):
                     return LoadResult(False, 0, 0, None, run_id=None)
-            elif not os.path.exists(local):
-                return LoadResult(False, 0, 0, None, run_id=None)
         run_id = run_id or str(uuid.uuid4())
         valid, report = load_and_validate(self.spark, source, path, run_id=run_id)
         # Lineage uses the run id carried by the data when present
@@ -168,7 +175,12 @@ class Engine:
         # still collide on the COALESCE('') stored natural key; the later
         # row is dropped and counted as skipped_existing, matching the
         # reference's single-statement ON CONFLICT DO NOTHING.
-        batch = dedupe_batch_stored_key(valid, schema, ORDER_COL).drop(ORDER_COL)
+        batch_order = (
+            [FILE_COL, ORDER_COL] if FILE_COL in valid.columns else [ORDER_COL]
+        )
+        batch = dedupe_batch_stored_key(valid, schema, batch_order).drop(
+            FILE_COL, ORDER_COL
+        )
         if self.store.exists(schema.table):
             # Partition-pruned target read: only the batch's months are
             # even listed, so the anti-join scans O(batch months).

@@ -55,7 +55,7 @@ def anti_join_new_rows(
 
 
 def dedupe_batch_stored_key(
-    batch: DataFrame, schema: SourceSchema, order_col: str
+    batch: DataFrame, schema: SourceSchema, order_col: str | list[str]
 ) -> DataFrame:
     """Within one load batch, keep only the first row per *stored*
     natural key (COALESCE('') on nullable parts), ordered by input order.
@@ -71,13 +71,16 @@ def dedupe_batch_stored_key(
     return window_dedup(keyed, key_names, order_col).drop(*key_names)
 
 
-def window_dedup(df: DataFrame, key: list[str], order_col: str) -> DataFrame:
+def window_dedup(
+    df: DataFrame, key: list[str], order_col: str | list[str]
+) -> DataFrame:
     """D3 retro-dedup: keep the first row per key by `order_col`
     (reference schema/migrations/001b_dedup_and_constrain_ons.sql:20-47,
     ROW_NUMBER() OVER (PARTITION BY key ORDER BY id)). One window
     implementation covers both the DELETE USING (small-table) and the
     window-delete (12.9M-row) strategies of the reference migrations."""
-    w = Window.partitionBy(*[F.col(k) for k in key]).orderBy(order_col)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(*[F.col(k) for k in key]).orderBy(*order_cols)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

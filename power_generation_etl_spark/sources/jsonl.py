@@ -69,7 +69,7 @@ _FUEL_SUFFIXES = sorted(PSR_TO_FUEL_TYPE.values(), key=len, reverse=True)
 _DATA_TYPE_SUFFIXES = ["Actual Aggregated", "Actual Consumption"]
 
 
-def read_jsonl_lines(spark: SparkSession, path: str) -> DataFrame:
+def read_jsonl_lines(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """S1-S3: blank-line-tolerant JSONL scan with exact line order.
 
     Returns columns (_file, _order, line). ``_order`` is the 0-based
@@ -167,14 +167,18 @@ def parse_string_ts_ms(raw: Column) -> Column:
     )
 
 
-def peek_first_record(spark: SparkSession, path: str) -> dict:
+def peek_first_record(spark: SparkSession, path: str | list[str]) -> dict:
     """Driver-side look at the first non-blank line (the reference's
-    ``data[0]`` presence checks).
+    ``data[0]`` presence checks). A list of paths peeks the
+    lexicographically-first file — the first file a sequential loader
+    would process.
 
     Cheap path: CollectLimit consumes scan partitions in order and the
     text source yields each split's lines in file order, so
     filter+limit(1) reads only the head of the first split — no
     ranking pass over the whole (possibly multi-GB) file."""
+    if isinstance(path, (list, tuple)):
+        path = min(path) if path else ""
     row = (
         spark.read.text(path)
         .filter(F.length(F.trim("value")) > 0)
@@ -381,12 +385,14 @@ _FIXUPS = {
 def load_and_validate(
     spark: SparkSession,
     source: str,
-    path: str,
+    path: str | list[str],
     run_id: str | None = None,
     now_ms: int | None = None,
 ) -> tuple[DataFrame, ValidationReport]:
     """Full pre-insert pipeline: scan → fixups → validate → first-wins
-    dedup. Returns (valid typed DataFrame incl. _order, report)."""
+    dedup. Returns (valid typed DataFrame incl. _file/_order, report).
+    A list of paths loads the whole batch in ONE pass; first-wins dedup
+    across files follows lexicographic path order."""
     schema: SourceSchema = SOURCES[source]
     ctx = LoadContext(
         run_id=run_id or str(uuid.uuid4()),
@@ -396,4 +402,5 @@ def load_and_validate(
     raw = read_jsonl_lines(spark, path)
     parsed = parse_fields(raw, schema)
     fixed = _FIXUPS[source](parsed, ctx)
-    return validate(fixed, schema, source_file=path, now_ms=ctx.created_at_ms)
+    source_file = ", ".join(path) if isinstance(path, (list, tuple)) else path
+    return validate(fixed, schema, source_file=source_file, now_ms=ctx.created_at_ms)

@@ -32,13 +32,21 @@ def stream_load(
     landing_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    batch_files: bool = True,
 ) -> StreamingQuery:
     """Continuously load JSONL files dropped into `landing_dir`.
 
     Uses wholetext file streaming so the per-file fixup/validation
     pipeline (first-record-gated injection, first-wins dedup) keeps its
-    file-scoped semantics; foreachBatch routes each discovered file
-    through Engine.load_jsonl."""
+    file-scoped semantics; foreachBatch routes discovered files through
+    Engine.load_jsonl.
+
+    `batch_files=True` (default) loads an N-file burst in ONE
+    load_jsonl pass — one Spark job pipeline per micro-batch instead of
+    N sequential driver-side loads; first-wins dedup across the burst
+    follows lexicographic path order and the batch shares one lineage
+    row. Set False when per-file metadata rows / per-file
+    first-record-gated injection are required."""
     spark = engine.spark
     stream = (
         spark.readStream.format("text")
@@ -49,8 +57,14 @@ def stream_load(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        for row in batch_df.select("path").distinct().collect():
-            engine.load_jsonl(source, row["path"])
+        paths = sorted(r["path"] for r in batch_df.select("path").distinct().collect())
+        if not paths:
+            return
+        if batch_files:
+            engine.load_jsonl(source, paths)
+        else:
+            for p in paths:
+                engine.load_jsonl(source, p)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

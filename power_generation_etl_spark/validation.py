@@ -29,6 +29,7 @@ from power_generation_etl_spark.schemas import US_STATE_CODES, UUID_RE, Field, S
 MAX_FUTURE_BUFFER_MS = 24 * 60 * 60 * 1000
 
 ORDER_COL = "_order"
+FILE_COL = "_file"
 VARIANT_COL = "_v"
 SKIP_COL = "_skip_reason"
 
@@ -294,9 +295,15 @@ def validate(
         _dup_key_element(schema.fields_by_name(k), df) for k in schema.duplicate_key
     ]
     eligible = (F.size("_errors") == 0) & F.col(SKIP_COL).isNull()
+    # Multi-file batches: `_order` is per-file, so first-wins across
+    # files orders by (file, line) — lexicographic file order, matching
+    # the sorted order a sequential loader would process a directory in.
+    order_cols = (
+        [FILE_COL, ORDER_COL] if FILE_COL in df.columns else [ORDER_COL]
+    )
     w = (
         Window.partitionBy(*key)
-        .orderBy(ORDER_COL)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     df = df.withColumn(
@@ -379,7 +386,9 @@ def validate(
     errored.unpersist()
 
     valid = df.filter(F.col("_status") == "valid").select(
-        ORDER_COL, *[f.name for f in schema.fields]
+        *([FILE_COL] if FILE_COL in df.columns else []),
+        ORDER_COL,
+        *[f.name for f in schema.fields],
     )
     return valid, report
 

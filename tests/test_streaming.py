@@ -55,6 +55,46 @@ def test_stream_load_exactly_once_per_file(spark, tmp_path):
     assert rows == {"P1": 1.0, "P2": 2.0, "P3": 3.0}
 
 
+def test_stream_load_multifile_burst_single_pass(spark, tmp_path):
+    """A 3-file burst is loaded by ONE load_jsonl call (one Spark job
+    pipeline per micro-batch), with cross-file first-wins dedup in
+    lexicographic path order."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    engine = Engine(spark, str(tmp_path / "wh"))
+
+    calls = []
+    orig = engine.load_jsonl
+
+    def counting_load(source, path, **kw):
+        calls.append(path)
+        return orig(source, path, **kw)
+
+    engine.load_jsonl = counting_load
+
+    # c.jsonl carries a duplicate of a.jsonl's P1 key — a.jsonl wins.
+    with open(landing / "a.jsonl", "w") as f:
+        f.write(json.dumps(_rec(JAN, "P1", 1.0)) + "\n")
+    with open(landing / "b.jsonl", "w") as f:
+        f.write(json.dumps(_rec(JAN, "P2", 2.0)) + "\n")
+    with open(landing / "c.jsonl", "w") as f:
+        f.write(json.dumps(_rec(JAN, "P1", 999.0)) + "\n")
+        f.write(json.dumps(_rec(JAN, "P3", 3.0)) + "\n")
+
+    q = stream_load(engine, "npp", str(landing), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert len(calls) == 1 and isinstance(calls[0], list) and len(calls[0]) == 3
+    assert [p.split("/")[-1] for p in sorted(calls[0])] == [
+        "a.jsonl", "b.jsonl", "c.jsonl",
+    ]
+    rows = {
+        r["plant"]: r["generation_mwh"]
+        for r in engine.table("npp_generation").collect()
+    }
+    assert rows == {"P1": 1.0, "P2": 2.0, "P3": 3.0}  # a.jsonl won the P1 key
+
+
 def test_streaming_monthly_rollup(spark, tmp_path):
     src = tmp_path / "events"
     src.mkdir()
