@@ -17,6 +17,9 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,17 +45,62 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_to_const_fast(vec: Column, query_vec: list[float]) -> Column:
+    """Arrow-vectorized cosine against a constant query vector.
+
+    The portable `cosine()` expression evaluates zip_with/aggregate
+    lambdas interpreted (outside whole-stage codegen, 3-10×/element
+    tax); this kernel moves each Arrow batch into numpy and runs one
+    BLAS matvec per batch. NOT oracle-portable (numpy pairwise
+    summation ≠ sequential fold at the last ulp) — the fast path for
+    production scans; keep `cosine()` for oracle-checked runs."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf("double")
+    def _cos(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        if m.size == 0:
+            return pd.Series(np.zeros(0))
+        return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
+
+    return _cos(vec)
+
+
+def cosine_pairwise_fast(a: Column, b: Column) -> Column:
+    """Arrow-vectorized row-wise cosine of two vector columns (the
+    candidate-verification hot loop). Same portability caveat as
+    `cosine_to_const_fast`."""
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.array(va.tolist(), dtype=np.float64)
+        mb = np.array(vb.tolist(), dtype=np.float64)
+        if ma.size == 0:
+            return pd.Series(np.zeros(0))
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    return _cos(a, b)
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     query_vec: list[float],
     k: int = 10,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Exact top-k by cosine for one query vector. TakeOrderedAndProject:
-    per-partition heap + driver merge — no global sort."""
+    per-partition heap + driver merge — no global sort.
+
+    kernel='expr' (default) uses the portable sequential-fold
+    expression (oracle-identical); kernel='arrow' uses the vectorized
+    numpy kernel (same ranking, last-ulp value differences)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine(as_double_array(F.col(vec_col)), q)
+    v = as_double_array(F.col(vec_col))
+    sim = cosine_to_const_fast(v, query_vec) if kernel == "arrow" else cosine(v, q)
     return (
         df.select(F.col(id_col), F.round(sim, 4).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
@@ -128,11 +176,13 @@ def lsh_bucketed_neardup(
     n_planes: int = 12,
     n_bands: int = 3,
     seed: int = 42,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Approximate near-dup: candidates must share at least one band of
     the hyperplane signature; exact cosine verifies the candidates.
     Recall < 1 by construction (that's the trade); precision = 1 since
-    every emitted pair is exactly verified."""
+    every emitted pair is exactly verified. kernel='arrow' runs the
+    verification cosine through the vectorized numpy kernel."""
     dim = len(df.select(vec_col).head()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     per_band = n_planes // n_bands
@@ -161,7 +211,11 @@ def lsh_bucketed_neardup(
         .select(F.col("id").alias("id_a"), F.col("id2").alias("id_b"), "vec", "vec2")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = cosine(F.col("vec"), F.col("vec2"))
+    sim = (
+        cosine_pairwise_fast(F.col("vec"), F.col("vec2"))
+        if kernel == "arrow"
+        else cosine(F.col("vec"), F.col("vec2"))
+    )
     return (
         cands.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
@@ -283,5 +337,68 @@ def ivf_topk(
     return (
         probed.select(F.col(id_col), F.round(sim, 4).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_cells: int = 8,
+    train_iters: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF layout: train coarse cells, then write the
+    vector table hive-partitioned by cell id. Returns the centroids
+    (driver-side metadata, k×dim floats) — at serve time cell ranking
+    needs NO scan, and probing reads only the probed partition
+    directories (PartitionFilters on the parquet scan).
+
+    This is the `ivf_topk` docstring's 100 TB claim made concrete: the
+    cell id IS a partition column."""
+    cents = kmeans_train(df, id_col, vec_col, k=n_cells, iters=train_iters)
+    v = as_double_array(F.col(vec_col))
+    out = df.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("embedding"),
+        assign_cell(v, cents).alias("cell"),
+    )
+    out.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return cents
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe_fraction: float = 0.25,
+    kernel: str = "expr",
+) -> DataFrame:
+    """Probe a `write_ivf_index` layout: rank cells against the query
+    driver-side (centroids are constants — zero jobs), then scan ONLY
+    the probed cell partitions. The `cell IN (...)` predicate prunes at
+    the partition-directory level — check PartitionFilters in
+    .explain() — so probe cost is O(probed cells), not O(table)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    sims = sorted(
+        (
+            (float(np.dot(np.asarray(c), q) / (np.linalg.norm(np.asarray(c)) * qn)), cid)
+            for cid, c in cents
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    n_probe = max(1, int(math.ceil(len(sims) * n_probe_fraction)))
+    probe_cells = [cid for _, cid in sims[:n_probe]]
+    df = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    v = F.col("embedding")
+    qa = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_to_const_fast(v, query_vec) if kernel == "arrow" else cosine(v, qa)
+    return (
+        df.select(F.col("vec_id"), F.round(sim, 4).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(k)
     )

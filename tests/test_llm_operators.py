@@ -96,6 +96,63 @@ class TestSimilarity:
         }
         assert lsh <= exact  # exact verification ⇒ precision 1
 
+    def test_arrow_kernel_matches_expr_kernel(self, embeddings):
+        """The vectorized numpy kernel must produce the same ranking and
+        (to rounding) the same similarities as the portable fold."""
+        qv = [
+            float(x)
+            for x in embeddings.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        expr_rows = sim.brute_force_topk(
+            embeddings, "vec_id", "embedding", qv, k=15, kernel="expr"
+        ).collect()
+        arrow_rows = sim.brute_force_topk(
+            embeddings, "vec_id", "embedding", qv, k=15, kernel="arrow"
+        ).collect()
+        assert [r["vec_id"] for r in expr_rows] == [r["vec_id"] for r in arrow_rows]
+        for e, a in zip(expr_rows, arrow_rows):
+            assert a["cosine_sim"] == pytest.approx(e["cosine_sim"], abs=2e-4)
+
+        pairs_expr = {
+            (r["id_a"], r["id_b"])
+            for r in sim.lsh_bucketed_neardup(
+                embeddings, "vec_id", "embedding", threshold=0.4
+            ).collect()
+        }
+        pairs_arrow = {
+            (r["id_a"], r["id_b"])
+            for r in sim.lsh_bucketed_neardup(
+                embeddings, "vec_id", "embedding", threshold=0.4, kernel="arrow"
+            ).collect()
+        }
+        assert pairs_expr == pairs_arrow
+
+    def test_ivf_index_partition_pruning(self, spark, embeddings, tmp_path):
+        """write_ivf_index + ivf_probe_index: the probe's parquet scan
+        must prune at the partition level (PartitionFilters on cell),
+        mirroring the store's month-pruning guarantee."""
+        path = str(tmp_path / "ivf_index")
+        cents = sim.write_ivf_index(
+            embeddings, "vec_id", "embedding", path, n_cells=8
+        )
+        assert len(cents) >= 2
+        qv = [
+            float(x)
+            for x in embeddings.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        probed = sim.ivf_probe_index(
+            spark, path, cents, qv, k=10, n_probe_fraction=0.25
+        )
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "PartitionFilters: [cell" in scan  # pruned, not post-filtered
+        # full probe over the index == brute force over the source table
+        full = sim.ivf_probe_index(spark, path, cents, qv, k=10, n_probe_fraction=1.0)
+        bf = sim.brute_force_topk(embeddings, "vec_id", "embedding", qv, k=10)
+        assert [r["vec_id"] for r in full.collect()] == [
+            r["vec_id"] for r in bf.collect()
+        ]
+
     def test_all_pairs_guard_refuses_large_input(self, embeddings):
         """The O(n²) exact twin refuses inputs above max_rows so a
         catalog run at a large sf can't silently go quadratic."""
