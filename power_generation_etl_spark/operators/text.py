@@ -127,13 +127,68 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def predicted_lang(text: Column) -> Column:
     """Deterministic argmax over per-language evidence (ties → fixed
-    LANG_ORDER), 'und' (undetermined) when no evidence at all."""
+    LANG_ORDER), 'und' (undetermined) when no evidence at all.
+
+    Per-row projection form (composes into streams/filters unchanged).
+    For a whole-table scoring pass prefer `score_langs` — this form
+    re-tokenizes once per language and its membership filters run as
+    interpreted HOFs, which is 5-10× slower per doc."""
     scores = lang_scores(text)
+    return _argmax_lang(scores)
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
     best = F.greatest(*scores.values())
     expr = F.when(best <= 0, F.lit("und"))
     for lang in LANG_ORDER:  # fixed iteration order = tie-break order
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return expr
+
+
+def score_langs(
+    df, id_col: str, text_col: str, carry_cols: list[str] | None = None
+):
+    """Whole-table language scoring: tokenize ONCE, explode, and count
+    per-language stopword membership with codegen `IN`-set aggregates —
+    versus the projection form's one tokenize + one interpreted HOF
+    filter *per language* (10 passes). Char-class evidence is a
+    single-pass projection per CJK language, carried through the
+    aggregation.
+
+    Output: one row per document with `predicted_lang` plus any
+    `carry_cols`. Shuffle carries one partially-aggregated row per doc
+    (map-side combine after the explode), so this scales as one
+    groupBy over the corpus.
+    """
+    carry_cols = carry_cols or []
+    text = F.col(text_col)
+    pre_cols = [F.col(id_col), *[F.col(c) for c in carry_cols]]
+    for lang, (chars, weight) in LANG_CHAR_CLASSES.items():
+        pre_cols.append(char_class_hits(text, chars, weight).alias(f"_ch_{lang}"))
+    pre = df.select(
+        *pre_cols, F.explode_outer(F.split(F.lower(text), r"\s+")).alias("_tok")
+    )
+    aggs = []
+    for lang in LANG_ORDER:
+        words = LANG_STOPWORDS.get(lang)
+        parts = []
+        if words:
+            parts.append(
+                F.sum(F.when(F.col("_tok").isin(words), 1).otherwise(0))
+            )
+        if lang in LANG_CHAR_CLASSES:
+            parts.append(F.first(F.col(f"_ch_{lang}")))
+        s = parts[0]
+        for p in parts[1:]:
+            s = s + p
+        aggs.append(s.cast("bigint").alias(f"_s_{lang}"))
+    scored = pre.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in carry_cols], *aggs
+    )
+    scores = {lang: F.col(f"_s_{lang}") for lang in LANG_ORDER}
+    return scored.select(
+        id_col, *carry_cols, _argmax_lang(scores).alias("predicted_lang")
+    )
 
 
 def quality_metrics(text: Column) -> dict[str, Column]:

@@ -185,8 +185,9 @@ _LANG_CASE_SQL = (
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
+    scored = tx.score_langs(d, "doc_id", "text", carry_cols=["lang"])
     return (
-        d.groupBy("lang", tx.predicted_lang(F.col("text")).alias("predicted_lang"))
+        scored.groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "predicted_lang")
     )

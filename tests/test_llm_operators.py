@@ -419,6 +419,27 @@ class TestLanguageID:
             df.select(tx.predicted_lang(F.col("text")).alias("p")).head()["p"] == "ja"
         )
 
+    def test_score_langs_matches_projection_form(self, spark, docs):
+        """Differential: the exploded codegen-IN aggregation form must
+        agree with the per-row projection form on every document."""
+        from power_generation_etl_spark.operators import text as tx
+
+        fixture = spark.createDataFrame(
+            [(i, t) for i, (_, t) in enumerate(self.FIXTURE)], ["doc_id", "text"]
+        )
+        for frame in (fixture, docs.select("doc_id", "text")):
+            proj = {
+                r["doc_id"]: r["p"]
+                for r in frame.select(
+                    "doc_id", tx.predicted_lang(F.col("text")).alias("p")
+                ).collect()
+            }
+            agg = {
+                r["doc_id"]: r["predicted_lang"]
+                for r in tx.score_langs(frame, "doc_id", "text").collect()
+            }
+            assert agg == proj
+
     def test_no_evidence_is_und(self, spark):
         from power_generation_etl_spark.operators import text as tx
 
