@@ -26,8 +26,16 @@ def T_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     double's exact range only at ns precision)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    if dt == "timestamp_ntz":
+        # Naive wall-clock (µs parquet). DuckDB's epoch_us treats the wall
+        # value as UTC; reproduce that independent of the session timezone:
+        # interpret in session tz (cast) then shift the offset back out
+        # (same naive-as-UTC pattern as sources/jsonl.py::parse_string_ts_ms).
+        inst = F.from_utc_timestamp(F.col("ts").cast("timestamp"), F.current_timezone())
+        return df.withColumn("ts_us", F.unix_micros(inst)).drop("ts")
     return df.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
 
 
