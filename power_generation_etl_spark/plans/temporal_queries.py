@@ -3,10 +3,13 @@ gap sessionization, bucketed range join (operators/temporal.py), each
 with a DuckDB oracle (DuckDB has native ASOF JOIN; the others are
 window / range-join SQL).
 
-Timestamps: all three queries work in exact epoch-microsecond bigints
-derived from the raw int64 nanos by integer division (`ts div 1000` ↔
-DuckDB `epoch_us(ts)`), so results are session-timezone-independent
-and compare exactly — no NTZ round-trips.
+Timestamps: all three queries work in exact epoch-microsecond bigints.
+When `events.ts` is raw int64 nanos the derivation is pure integer
+division (`ts div 1000` ↔ DuckDB `epoch_us(ts)`). When the driver wrote
+µs TIMESTAMP_NTZ instead, the naive wall-clock is converted as-UTC with
+the session timezone pinned to UTC first (`T_events_us`), so the value
+matches DuckDB `epoch_us` exactly — including inside DST transition
+windows, where an unpinned session timezone would shift the instant.
 """
 
 from __future__ import annotations
@@ -31,10 +34,12 @@ def T_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
     if dt == "timestamp_ntz":
         # Naive wall-clock (µs parquet). DuckDB's epoch_us treats the wall
-        # value as UTC; reproduce that independent of the session timezone:
-        # interpret in session tz (cast) then shift the offset back out
-        # (same naive-as-UTC pattern as sources/jsonl.py::parse_string_ts_ms).
-        inst = F.from_utc_timestamp(F.col("ts").cast("timestamp"), F.current_timezone())
+        # value as UTC. Pin the session timezone to UTC so the NTZ→instant
+        # cast interprets the wall value as-UTC with no DST hazard: an
+        # unpinned cast resolves the UTC offset at the wall time itself,
+        # which shifts values falling inside a DST transition window.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        inst = F.col("ts").cast("timestamp")
         return df.withColumn("ts_us", F.unix_micros(inst)).drop("ts")
     return df.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
 
