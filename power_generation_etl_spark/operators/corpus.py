@@ -1,0 +1,172 @@
+"""Corpus-level statistics and training-batch assembly operators.
+
+Training-data pipelines need more than per-document scoring: corpus
+term weighting (TF-IDF), within-document repetition signals (the
+Gopher repetition filters), token-budget sequence packing, and
+stratified sampling. Everything here is pure DataFrame ops — explode +
+codegen aggregates and windows, no Python UDFs — and each has an exact
+DuckDB oracle twin in plans/llm_queries.py.
+
+Scale notes (100 TB): TF-IDF shuffles (doc_id, term) then (term) —
+both standard hash aggregations with map-side combine; repetition is
+one per-doc window plus two doc-keyed aggregations; packing windows
+inside a partition column (never a global ordering); stratified
+sampling is two windows over the stratum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def term_freq_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, tf) — lowercase whitespace terms, empties dropped.
+
+    The explode output shuffles once on (doc_id, term) with map-side
+    combine, so shuffle volume is bounded by distinct terms per doc."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 40, min_df: int = 1
+) -> DataFrame:
+    """Corpus top terms by summed TF-IDF (natural-log IDF, ln(N/df)).
+
+    Two hash aggregations; the corpus size N is a 1-row broadcast, not
+    a driver collect, so the whole thing is one job. TakeOrdered gives
+    the top-n without a global sort."""
+    tf = term_freq_table(df, id_col, text_col)
+    st = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    if min_df > 1:
+        st = st.filter(F.col("df_docs") >= min_df)
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    out = st.crossJoin(F.broadcast(n)).select(
+        "term",
+        "df_docs",
+        "total_tf",
+        F.round(
+            F.col("total_tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df_docs")),
+            4,
+        ).alias("tfidf"),
+    )
+    return out.orderBy(F.col("tfidf").desc(), "term").limit(top_n)
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition over word bigrams:
+    duplicate-bigram fraction and most-common-bigram fraction. A
+    document whose content loops (boilerplate, listings, scraped nav
+    bars) scores high and gets filtered before training.
+
+    Bigrams are built with posexplode + window lead (all codegen, one
+    window shuffle on doc_id); documents with fewer than two tokens
+    produce no bigrams and are omitted."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("t", 1).over(w)
+    bg = (
+        ex.select("doc_id", F.concat_ws(" ", F.col("t"), nxt).alias("bg"),
+                  nxt.alias("_l"))
+        .filter(F.col("_l").isNotNull())
+        .drop("_l")
+    )
+    per = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    rep = per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_count"),
+    )
+    return rep.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        "top_count",
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_bigrams"), 4).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(F.col("top_count") / F.col("n_bigrams"), 4).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    part_col: str,
+    id_col: str,
+    tok_col: str,
+    budget: int = 2048,
+) -> DataFrame:
+    """Token-budget sequence packing: assign documents (ordered by id
+    within a partition column) to training sequences of ~`budget`
+    tokens, by integer-dividing the exclusive prefix token sum. A
+    document straddling a boundary starts the next-numbered sequence's
+    overflow — deterministic, closed-form, and identical in any engine,
+    unlike greedy first-fit which needs a sequential scan.
+
+    The running sum windows WITHIN `part_col` (source shard), never
+    globally — at 100 TB a global ordering would serialize into one
+    task; per-shard packing is also what distributed tokenizers do."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = df.select(
+        F.col(part_col),
+        F.col(id_col),
+        F.col(tok_col),
+        F.sum(tok_col).over(w).cast("bigint").alias("_cum"),
+    )
+    seq = F.expr(f"(_cum - {tok_col}) div {int(budget)}")
+    return (
+        c.groupBy(F.col(part_col), seq.alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok_col).cast("bigint").alias("seq_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+        .orderBy(part_col, "seq_id")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    hash_col,
+    fraction: float = 0.2,
+) -> DataFrame:
+    """Deterministic stratified sample: within each stratum take the
+    ceil(fraction * stratum_size) rows with the lowest portable hash.
+    Unlike a global hash-mod filter, every stratum — however small —
+    contributes its exact proportional share, which is what balanced
+    training mixtures need. Two windows over the stratum key, no joins.
+
+    `hash_col` must be a deterministic, engine-portable Column (e.g.
+    minhash.portable_hash32 of the id) so two pipelines agree
+    row-for-row."""
+    wr = Window.partitionBy(stratum_col).orderBy(hash_col, F.col(id_col))
+    wc = Window.partitionBy(stratum_col)
+    r = df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.row_number().over(wr).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_n"),
+    )
+    keep = F.ceil(F.col("_n") * F.lit(float(fraction))).cast("bigint")
+    return r.filter(F.col("_rn") <= keep).select(id_col, stratum_col)

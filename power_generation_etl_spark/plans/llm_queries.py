@@ -725,3 +725,180 @@ def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     bucket = F.pmod(mh.portable_hash32(F.col("doc_id").cast("string")), F.lit(100))
     return d.filter(bucket < 10).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics & training-batch assembly (operators/corpus.py):
+# TF-IDF term weighting, Gopher-style repetition signals, token-budget
+# sequence packing, stratified sampling, embedding norm profiles.
+# ---------------------------------------------------------------------------
+
+from power_generation_etl_spark.operators import corpus as cp  # noqa: E402
+
+
+@_register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT term, count(*) AS df_docs, CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term, df_docs, total_tf,
+           round(total_tf * ln(n_docs * 1.0 / df_docs), 4) AS tfidf
+    FROM st, n
+    ORDER BY tfidf DESC, term
+    LIMIT 40
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-40 terms by summed TF-IDF (ln IDF). Two shuffles —
+    (doc_id, term) then (term) — both map-side combined; N is a 1-row
+    broadcast, not a driver collect."""
+    d = T(spark, sf_dir, "documents")
+    return cp.tfidf_top_terms(d, "doc_id", "text", top_n=40)
+
+
+@_register(
+    "doc_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, array_to_string(t[i.i:i.i+1], ' ') AS bg
+      FROM toks, unnest(range(1, len(t))) AS i(i)
+    ),
+    per AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_bigrams,
+             count(*) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_count
+      FROM per GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, n_distinct, top_count,
+           round(1.0 - n_distinct * 1.0 / n_bigrams, 4) AS dup_bigram_frac,
+           round(top_count * 1.0 / n_bigrams, 4) AS top_bigram_frac
+    FROM rep
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (word-bigram duplicate fraction +
+    most-common-bigram fraction) — the Gopher repetition filter family
+    as a single window + two doc-keyed aggregations."""
+    d = T(spark, sf_dir, "documents")
+    return cp.repetition_metrics(d, "doc_id", "text").orderBy("doc_id")
+
+
+@_register(
+    "pack_sequences",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM tok
+    )
+    SELECT source, (cum - n_tok) // 2048 AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c
+    GROUP BY 1, 2
+    ORDER BY source, seq_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget (2048) sequence packing per source shard: exclusive
+    prefix-sum integer division assigns docs to training sequences —
+    closed-form, per-shard windows (no global ordering)."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tok")
+    )
+    return cp.pack_sequences(toks, "source", "doc_id", "n_tok", budget=2048)
+
+
+@_register(
+    "stratified_doc_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS hk
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM h
+    )
+    SELECT doc_id, lang
+    FROM r
+    WHERE rn <= CAST(ceil(n * 0.2) AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 20% sample per language: lowest
+    portable-hash rows per stratum, exact proportional share for every
+    stratum (vs the global hash-mod sample's per-stratum variance)."""
+    d = T(spark, sf_dir, "documents")
+    hk = mh.portable_hash32(F.col("doc_id").cast("string"))
+    return cp.stratified_sample(d, "lang", "doc_id", hk, fraction=0.2).orderBy(
+        "doc_id"
+    )
+
+
+@_register(
+    "embedding_norm_stats",
+    """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (
+      SELECT label,
+             sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+      FROM v
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+    FROM n
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm profile (count/avg/min/max) — the
+    sanity scan a vector pipeline runs before indexing (un-normalized
+    or degenerate vectors break cosine ANN). Sequential-fold norm,
+    single aggregation."""
+    e = T(spark, sf_dir, "embeddings")
+    nrm = sim.norm(sim.as_double_array(F.col("embedding")))
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
