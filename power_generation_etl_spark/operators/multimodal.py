@@ -18,7 +18,9 @@ wins (worker-side import-try):
 3. the deterministic byte-digest stub, so undecodable formats keep the
    pipeline testable in codec-less environments.
 
-Frame sampling remains a stub (ffmpeg).
+Audio decodes for real too: RIFF/WAV PCM via the stdlib `wave` codec
+(rate / channels / duration / RMS / peak); compressed audio containers
+yield null features. Frame sampling remains a stub (ffmpeg).
 """
 
 from __future__ import annotations
@@ -67,6 +69,20 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("frame_index", T.IntegerType(), False),
         T.StructField("frame_bytes", T.BinaryType(), False),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
     ]
 )
 
@@ -247,6 +263,66 @@ def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
 
     narrow = df.filter(F.col("kind") == "image").select("media_id", "content")
     return narrow.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def _decode_wav(content: bytes):
+    """Decode RIFF/WAV PCM audio with the stdlib `wave` module (a real
+    codec, present in every Python) into (sample_rate, n_channels,
+    n_samples, duration_ms, rms, peak). rms/peak are computed on
+    samples normalized to [-1, 1]. Returns None for non-WAV or
+    unsupported encodings (compressed WAV, 24-bit)."""
+    import wave
+
+    import numpy as np
+
+    if not (content.startswith(b"RIFF") and content[8:12] == b"WAVE"):
+        return None
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            rate, nch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            n = w.getnframes()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError):
+        return None
+    if sw == 1:  # unsigned 8-bit
+        x = np.frombuffer(raw, np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif sw == 2:  # signed 16-bit LE
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif sw == 4:  # signed 32-bit LE
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        return None
+    n_samples = len(x) // max(nch, 1)
+    duration_ms = int(n_samples * 1000 / rate) if rate else None
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    peak = float(np.abs(x).max()) if x.size else 0.0
+    return rate, nch, n_samples, duration_ms, round(rms, 6), round(peak, 6)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over binary audio columns
+    (same mapInPandas shape as the image path). WAV decodes for real via
+    the stdlib codec; other containers (mp3/ogg/flac need external
+    codecs) yield null features, keeping a 100 TB corpus's inevitable
+    odd formats from failing the job."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                meta = _decode_wav(blob)
+                rows.append(
+                    (media_id, hashlib.sha256(blob).hexdigest(), len(blob))
+                    + (meta if meta else (None, None, None, None, None, None))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    narrow = df.filter(F.col("kind") == "audio").select("media_id", "content")
+    return narrow.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:

@@ -477,3 +477,75 @@ def test_shingle_table_matches_array_form(spark):
         ).collect()
     }
     assert tbl == arr
+
+
+def _encode_wav(samples_i16, rate=8000, channels=1):
+    """In-memory 16-bit PCM WAV via the stdlib writer."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples_i16, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+class TestRealAudioDecode:
+    """The stdlib WAV tier must return TRUE signal statistics."""
+
+    def test_square_wave_exact_rms(self, spark):
+        import numpy as np
+
+        # +/-16384 square wave: normalized amplitude exactly 0.5
+        samples = np.tile([16384, -16384], 4000)  # 8000 samples @ 8 kHz = 1 s
+        df = spark.createDataFrame(
+            [(1, "audio", "audio/wav", _encode_wav(samples), None, None, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        feat = mm.extract_audio_features(df).collect()[0]
+        assert feat["sample_rate"] == 8000
+        assert feat["n_channels"] == 1
+        assert feat["n_samples"] == 8000
+        assert feat["duration_ms"] == 1000
+        assert feat["rms"] == 0.5
+        assert feat["peak"] == 0.5
+
+    def test_stereo_and_8bit(self, spark):
+        import io
+        import wave
+
+        import numpy as np
+
+        stereo = _encode_wav(np.tile([8192, -8192], 1000), rate=4000, channels=2)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(1000)
+            w.writeframes(bytes([128 + 64, 128 - 64] * 500))  # 8-bit +/-0.5
+        df = spark.createDataFrame(
+            [
+                (1, "audio", "audio/wav", stereo, None, None, None),
+                (2, "audio", "audio/wav", buf.getvalue(), None, None, None),
+            ],
+            mm.MEDIA_SCHEMA,
+        )
+        feats = {r["media_id"]: r for r in mm.extract_audio_features(df).collect()}
+        assert feats[1]["n_channels"] == 2
+        assert feats[1]["n_samples"] == 1000  # frames, not interleaved samples
+        assert feats[1]["duration_ms"] == 250
+        assert feats[2]["rms"] == 0.5 and feats[2]["sample_rate"] == 1000
+
+    def test_non_wav_audio_nulls_features(self, spark):
+        df = spark.createDataFrame(
+            [(1, "audio", "audio/mpeg", b"ID3\x03\x00fakempeg", None, None, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        feat = mm.extract_audio_features(df).collect()[0]
+        assert feat["rms"] is None and feat["sample_rate"] is None
+        assert feat["n_bytes"] == len(b"ID3\x03\x00fakempeg")
