@@ -10,6 +10,7 @@ Usage:
       | refresh-views [--source s] | latest-date SOURCE
       | backfill-dates | check-drift CROSSWALK_PARQUET
       | update-schema [table_type] | create-database | test-connection
+      | sql "SELECT ..." [--limit n]
 """
 
 from __future__ import annotations
@@ -74,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     drift = sub.add_parser("check-drift")
     drift.add_argument("crosswalk", help="parquet path with plant_crosswalk columns")
     drift.add_argument("--output", default="drift_report.json")
+
+    q = sub.add_parser(
+        "sql", help="ad-hoc Spark SQL over warehouse tables and views"
+    )
+    q.add_argument("query")
+    q.add_argument("--limit", type=int, default=100, help="max rows printed")
     return p
 
 
@@ -148,6 +155,14 @@ def _dispatch(args, spark, eng: Engine) -> int:
         print(eng.get_latest_date(args.source))
     elif args.cmd == "backfill-dates":
         print(f"backfilled {eng.backfill_extraction_dates()} runs")
+    elif args.cmd == "sql":
+        rows = eng.sql(args.query).limit(args.limit).collect()
+        if rows:
+            cols = rows[0].__fields__
+            print("\t".join(cols))
+            for r in rows:
+                print("\t".join("" if v is None else str(v) for v in r))
+        print(f"({len(rows)} rows)", file=sys.stderr)
     elif args.cmd == "check-drift":
         cw = spark.read.parquet(args.crosswalk)
         rep = eng.check_crosswalk_drift(cw)

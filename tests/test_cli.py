@@ -116,3 +116,39 @@ def test_load_missing_file_graceful(tmp_path, spark, capsys):
     load_data logs and returns False)."""
     assert _run(tmp_path, "load-data", "npp", str(tmp_path / "nope.jsonl")) == 1
     assert "file not found" in capsys.readouterr().err
+
+
+def test_sql_verb_over_loaded_table(tmp_path, spark, capsys):
+    p = tmp_path / "npp.jsonl"
+    recs = [
+        {
+            "extraction_run_id": "12345678-1234-1234-1234-123456789abc",
+            "created_at_ms": NOW,
+            "timestamp_ms": NOW - 1000 * (i + 1),
+            "plant": "P",
+            "plant_and_unit": f"P U{i}",
+            "generation_mwh": float(i),
+        }
+        for i in range(3)
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    assert _run(tmp_path, "load-data", "npp", str(p)) == 0
+    capsys.readouterr()
+    assert (
+        _run(
+            tmp_path,
+            "sql",
+            "SELECT count(*) AS n, sum(generation_mwh) AS s FROM npp_generation",
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "n\ts" in out and "3\t3.0" in out
+
+
+def test_sql_verb_limit(tmp_path, spark, capsys):
+    _run(tmp_path, "setup", "npp")
+    capsys.readouterr()
+    assert _run(tmp_path, "sql", "SELECT * FROM range(10)", "--limit", "4") == 0
+    out = capsys.readouterr().out
+    assert len([l for l in out.strip().splitlines() if l and not l.startswith("id")]) == 4
