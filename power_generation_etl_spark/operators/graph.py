@@ -20,10 +20,11 @@ Scale design:
   doesn't grow with iterations (iterative DataFrame algorithms
   otherwise recompute the whole history every round);
 - convergence is detected with a count of changed labels (a cheap
-  aggregate on |V| rows); at 100 TB scale, swap the propagation for
-  the large-star/small-star algorithm (Kiveris et al., "Connected
-  Components in MapReduce and Beyond") — same join primitive, fewer
-  rounds on high-diameter graphs.
+  aggregate on |V| rows); for high-diameter graphs,
+  `connected_components_star` implements large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+  which converges in O(log²) rounds instead of O(diameter) — same
+  join/groupBy primitives, so the same scale properties per round.
 """
 
 from __future__ import annotations
@@ -78,3 +79,86 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, component) via alternating large-star / small-star rounds
+    (Kiveris et al. 2014) — the high-diameter scale path: O(log²)
+    rounds regardless of component diameter, vs the propagation
+    version's O(diameter). Same output contract as
+    `connected_components` (component = min reachable id).
+
+    Each round is one groupBy-min plus one join per star operation,
+    both shuffled on the center node; localCheckpoint cuts lineage per
+    round exactly as in the propagation version.
+
+    - large-star: every node connects its strictly-larger neighbors to
+      the minimum of its closed neighborhood — splits tall chains in
+      half without growing the edge count;
+    - small-star: every node re-points its smaller-or-equal neighbors
+      (and itself) at that minimum — flattens local stars.
+
+    Convergence: the canonical (min, max) edge set is unchanged by a
+    full round; the check is one exceptAll count, bounded by |E|."""
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical undirected edges, self-loops dropped
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least(F.col("a"), F.col("b")).alias("a"),
+                F.greatest(F.col("a"), F.col("b")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        # --- large-star: center u over symmetric adjacency ---
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = sym.groupBy("a").agg(F.min("b").alias("_nb")).select(
+            "a", F.least(F.col("_nb"), F.col("a")).alias("m")
+        )
+        ls = _canon(
+            sym.filter(F.col("b") > F.col("a"))
+            .join(m, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        # --- small-star: center u = larger endpoint ---
+        d = ls.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        mv = d.groupBy("u").agg(F.min("v").alias("m"))
+        ss = _canon(
+            d.join(mv, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(mv.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        ).localCheckpoint()
+        changed = ss.exceptAll(e).limit(1).count() + e.exceptAll(ss).limit(1).count()
+        e = ss
+        if changed == 0:
+            break
+    # converged edge set is a star forest: every edge is (component, node);
+    # the min-agg guards the not-fully-converged (max_iters hit) case
+    comp = e.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("component"))
+    return (
+        nodes.join(comp, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )

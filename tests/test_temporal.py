@@ -98,6 +98,61 @@ class TestConnectedComponents:
         assert got == {i: 0 for i in range(n)}
 
 
+class TestStarConnectedComponents:
+    """large-star/small-star (the high-diameter scale path) must produce
+    the identical labeling as min-label propagation."""
+
+    def test_chain_and_isolated_pair(self, spark):
+        from power_generation_etl_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)], ["src", "dst"]
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_star(edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_long_path_few_rounds(self, spark):
+        from power_generation_etl_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        # diameter-40 path: propagation needs ~40 rounds; star converges
+        # within the default 20 (O(log^2 n))
+        n = 41
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_star(edges, max_iters=10).collect()
+        }
+        assert got == {i: 0 for i in range(n)}
+
+    def test_matches_propagation_on_random_graph(self, spark):
+        import random
+
+        from power_generation_etl_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        rng = random.Random(13)
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+        ]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        a = {r["id"]: r["component"] for r in connected_components(df).collect()}
+        b = {
+            r["id"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        assert a == b
+
+
 class TestPlanShapes:
     """Plan-shape guardrails: these operators are only scale-safe if
     Catalyst picks the intended physical strategy."""
