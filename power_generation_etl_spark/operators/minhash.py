@@ -214,23 +214,12 @@ def exact_jaccard_pairs(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-    k: int = 64,
-    n_bands: int = 16,
-    seed: int = 42,
-) -> DataFrame:
-    """MinHash+LSH near-dup pairs: band-bucket candidate generation,
-    exact Jaccard verification on candidates only. With k=64, b=16
-    (r=4), P(candidate | j=0.5) ≈ 1-(1-0.5⁴)¹⁶ ≈ 0.66 per band-set —
-    tune b/r for the target threshold."""
+def band_key_table(sig: DataFrame, k: int = 64, n_bands: int = 16) -> DataFrame:
+    """(doc_id, bk={band, key}) LSH band keys from a wide signature
+    table — the bucketing layout shared by the batch pair-finder and
+    the streaming intake's persisted signature store (where `band` is
+    the store's partition column at scale)."""
     per_band = k // n_bands
-    sh = shingle_table(df, id_col, text_col, n)
-    sig = minhash_signature_table(sh, k, seed)
     bands = F.array(
         *[
             F.struct(
@@ -248,8 +237,38 @@ def minhash_lsh_pairs(
             for i in range(n_bands)
         ]
     )
+    return sig.select("doc_id", F.explode(bands).alias("bk"))
+
+
+def signature_agreement(k: int, left_prefix: str, right_prefix: str):
+    """MinHash Jaccard estimator: fraction of agreeing signature
+    components — sum of k equality indicators, whole-stage codegen."""
+    s = F.lit(0)
+    for i in range(k):
+        s = s + F.when(
+            F.col(f"{left_prefix}{i}") == F.col(f"{right_prefix}{i}"), 1
+        ).otherwise(0)
+    return s.cast("double") / F.lit(float(k))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band-bucket candidate generation,
+    exact Jaccard verification on candidates only. With k=64, b=16
+    (r=4), P(candidate | j=0.5) ≈ 1-(1-0.5⁴)¹⁶ ≈ 0.66 per band-set —
+    tune b/r for the target threshold."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sig = minhash_signature_table(sh, k, seed)
     npar = _par(df)
-    tagged = sig.select("doc_id", F.explode(bands).alias("bk"))
+    tagged = band_key_table(sig, k, n_bands)
     a = tagged.select(F.col("doc_id").alias("id_a"), "bk").repartition(npar, "bk")
     b = tagged.select(
         F.col("doc_id").alias("id_b"), F.col("bk").alias("bk2")

@@ -96,6 +96,139 @@ def streaming_monthly_rollup(
     )
 
 
+DOC_STREAM_SCHEMA = (
+    "doc_id long, ingested_at timestamp, lang string, source string, text string"
+)
+
+
+def stream_neardup_intake(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MinHash near-dup dedup at intake — the streaming twin
+    of the batch `minhash_lsh_pairs` + `neardup_dedup_docs` pair: at
+    100 TB you drop near-duplicates as documents ARRIVE instead of
+    re-running pair-finding over the whole corpus.
+
+    Per micro-batch (foreachBatch, so plain batch DataFrame ops):
+      1. shingle + MinHash-sign the new documents (one codegen agg);
+      2. candidates WITHIN the batch and AGAINST the persisted
+         signature store meet only through shared LSH band keys — the
+         same O(Σ bucket²) bound as the batch path; at scale the store
+         is partitioned by `band` so the probe join prunes partitions;
+      3. candidates are verified with the k-component signature-
+         agreement estimator (no stored document bodies needed — the
+         store carries only k longs + band keys per doc);
+      4. survivors append to `out_dir`; their signatures and band keys
+         append to the store.
+
+    Dedup policy matches `neardup_dedup_docs`: within a batch the
+    lowest doc_id of a verified pair wins; any new doc matching a
+    stored doc is dropped. foreachBatch side effects are at-least-once:
+    a retried batch may re-append signatures, so store reads dedup on
+    doc_id — the store stays correct, merely non-minimal, and the
+    output parquet is keyed by the file source's checkpointed progress.
+    """
+    import os
+
+    from power_generation_etl_spark.operators import minhash as mh
+
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).json(landing_dir)
+    sig_path = os.path.join(store_dir, "sig")
+    band_path = os.path.join(store_dir, "bands")
+    sig_cols = [f"m{i}" for i in range(k)]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.persist()
+        try:
+            if new.isEmpty():
+                return
+            sh = mh.shingle_table(new, "doc_id", "text", n)
+            sig = mh.minhash_signature_table(sh, k, seed).localCheckpoint()
+            bands = mh.band_key_table(sig, k, n_bands).select(
+                "doc_id", "bk.band", "bk.key"
+            )
+            sig_l = sig.select(
+                F.col("doc_id").alias("id_a"),
+                *[F.col(c).alias(f"a{i}") for i, c in enumerate(sig_cols)],
+            )
+            sig_r = sig.select(
+                F.col("doc_id").alias("id_b"),
+                *[F.col(c).alias(f"b{i}") for i, c in enumerate(sig_cols)],
+            )
+            # within-batch: lowest id of a verified candidate pair wins
+            ba = bands.select(F.col("doc_id").alias("id_a"), "band", "key")
+            bb = bands.select(F.col("doc_id").alias("id_b"), "band", "key")
+            in_cand = (
+                ba.join(bb, ["band", "key"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"])
+            )
+            est_in = mh.signature_agreement(k, "a", "b")
+            drop = (
+                in_cand.join(sig_l, "id_a")
+                .join(sig_r, "id_b")
+                .filter(est_in >= threshold)
+                .select(F.col("id_b").alias("doc_id"))
+            )
+            # against the store: any verified match drops the new doc
+            if os.path.isdir(sig_path):
+                ssig = (
+                    spark.read.parquet(sig_path)
+                    .dropDuplicates(["doc_id"])
+                    .select(
+                        F.col("doc_id").alias("id_b"),
+                        *[F.col(c).alias(f"b{i}") for i, c in enumerate(sig_cols)],
+                    )
+                )
+                sbands = (
+                    spark.read.parquet(band_path)
+                    .dropDuplicates(["doc_id", "band"])
+                    .select(F.col("doc_id").alias("id_b"), "band", "key")
+                )
+                st_cand = (
+                    ba.join(sbands, ["band", "key"])
+                    .select("id_a", "id_b")
+                    .dropDuplicates(["id_a", "id_b"])
+                )
+                drop_st = (
+                    st_cand.join(sig_l, "id_a")
+                    .join(ssig, "id_b")
+                    .filter(est_in >= threshold)
+                    .select(F.col("id_a").alias("doc_id"))
+                )
+                drop = drop.unionByName(drop_st)
+            survivors = new.join(
+                drop.distinct(), "doc_id", "left_anti"
+            ).persist()
+            survivors.write.mode("append").parquet(out_dir)
+            keep_sig = sig.join(survivors.select("doc_id"), "doc_id")
+            keep_sig.write.mode("append").parquet(sig_path)
+            bands.join(survivors.select("doc_id"), "doc_id").write.mode(
+                "append"
+            ).parquet(band_path)
+            survivors.unpersist()
+        finally:
+            new.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_document_filter(
     spark: SparkSession,
     landing_dir: str,

@@ -172,3 +172,49 @@ def test_stream_document_filter(spark, tmp_path):
     # doc 2 fails quality; exactly one of {1,3} survives the dedup
     assert len(kept) == 2 and 4 in kept and 2 not in kept
     assert set(kept) - {4} <= {1, 3}
+
+
+def test_stream_neardup_intake(spark, tmp_path):
+    """MinHash near-dup dedup at intake: within-batch near-dups keep the
+    lowest id; docs near-duplicating the persisted store are dropped in
+    later batches; distinct docs always survive."""
+    from power_generation_etl_spark.streaming.ingest import stream_neardup_intake
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango")
+    other = ("one two three four five six seven eight nine ten eleven twelve "
+             "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty")
+    ts = "2024-01-01T00:00:00Z"
+
+    def doc(i, text):
+        return {"doc_id": i, "ingested_at": ts, "lang": "en", "source": "s",
+                "text": text}
+
+    # batch 1: doc 1 and its near-dup doc 2 (one word changed), doc 3 distinct
+    with open(landing / "drop1.jsonl", "w") as f:
+        for r in [doc(1, base), doc(2, base.replace("tango", "zulu")),
+                  doc(3, other)]:
+            f.write(json.dumps(r) + "\n")
+
+    args = (str(landing), str(tmp_path / "out"), str(tmp_path / "ck"),
+            str(tmp_path / "store"))
+    q = stream_neardup_intake(spark, *args)
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in
+                  spark.read.parquet(str(tmp_path / "out")).collect())
+    assert kept == [1, 3]  # 2 is a within-batch near-dup of 1
+
+    # batch 2: doc 4 near-dups the STORED doc 1; doc 5 is new
+    with open(landing / "drop2.jsonl", "w") as f:
+        for r in [doc(4, base.replace("alpha", "omega")),
+                  doc(5, "completely different words about spark shuffles and "
+                         "partitions and codegen and catalyst and tungsten rows")]:
+            f.write(json.dumps(r) + "\n")
+
+    q2 = stream_neardup_intake(spark, *args)
+    q2.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in
+                  spark.read.parquet(str(tmp_path / "out")).collect())
+    assert kept == [1, 3, 5]  # 4 dropped against the signature store
