@@ -245,12 +245,40 @@ def assign_cell(v: Column, cents: list[tuple[int, list[float]]]) -> Column:
     return F.element_at(cell_ids, idx)
 
 
+def assign_cell_fast(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Arrow-vectorized nearest-centroid assignment: one numpy distance
+    matrix per Arrow batch instead of k interpreted fold passes per row.
+    Same tie-break (lowest cell id wins — argmin returns the first
+    minimum and cents are sorted ascending). Same portability caveat as
+    the other fast kernels: numpy's summation order differs from the
+    sequential fold in the last ulp, so assignments can differ from
+    `assign_cell` only on exact distance ties — use for production
+    scans, keep `assign_cell` for oracle-checked runs."""
+    import numpy as np
+
+    C = np.asarray([c for _, c in cents], dtype=np.float64)  # k x dim
+    ids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        if m.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
+        d = -2.0 * (m @ C.T) + c_sq
+        return pd.Series(ids[np.argmin(d, axis=1)].astype(np.int32))
+
+    return _assign(vec)
+
+
 def kmeans_train(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     iters: int = 3,
+    kernel: str = "expr",
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means over DataFrame ops, for IVF cell training.
 
@@ -263,7 +291,12 @@ def kmeans_train(
     vectors, centroids are rounded to 6 decimals after every update
     (forcing bit-identical inputs for the next assignment in any engine
     that replays the trajectory in SQL), empty cells are dropped, and
-    distance ties assign to the lowest cell id."""
+    distance ties assign to the lowest cell id.
+
+    kernel='expr' (default) keeps the oracle-reproducible sequential-fold
+    distance; kernel='arrow' assigns cells through the vectorized numpy
+    kernel (`assign_cell_fast`) — the production path for big corpora,
+    identical assignments except on exact distance ties."""
     # Materialize the (id, vec) projection once: every Lloyd's round is
     # a fresh job, and without this each one re-scans and re-casts the
     # source (at scale: persist to MEMORY_AND_DISK instead).
@@ -274,8 +307,9 @@ def kmeans_train(
     seeds = base.orderBy("_id").limit(k).select(v.alias("e")).collect()
     cents = [(i, [float(x) for x in r["e"]]) for i, r in enumerate(seeds)]
     dim = len(cents[0][1])
+    assigner = assign_cell_fast if kernel == "arrow" else assign_cell
     for _ in range(iters):
-        cell = assign_cell(v, cents)
+        cell = assigner(v, cents)
         rows = (
             base.groupBy(cell.alias("cell"))
             .agg(*[F.round(F.avg(v.getItem(i)), 6).alias(f"c{i}") for i in range(dim)])
@@ -297,6 +331,7 @@ def ivf_topk(
     label_col: str | None = None,
     n_cells: int = 8,
     train_iters: int = 3,
+    kernel: str = "expr",
 ) -> DataFrame:
     """IVF-style ANN: partition vectors into coarse cells (a provided
     label column, or k-means cells trained by `kmeans_train`), rank
@@ -320,8 +355,12 @@ def ivf_topk(
             "cell", cosine(F.col("centroid"), q).alias("cell_sim")
         ).orderBy(F.col("cell_sim").desc(), F.col("cell"))
     else:
-        cents = kmeans_train(df, id_col, vec_col, k=n_cells, iters=train_iters)
-        cell = assign_cell(v, cents)
+        cents = kmeans_train(
+            df, id_col, vec_col, k=n_cells, iters=train_iters, kernel=kernel
+        )
+        cell = (
+            assign_cell_fast(v, cents) if kernel == "arrow" else assign_cell(v, cents)
+        )
         spark = df.sparkSession
         ranked = spark.createDataFrame(
             [(cid, c) for cid, c in cents], "cell int, centroid array<double>"
@@ -333,7 +372,7 @@ def ivf_topk(
     n_probe = max(1, int(math.ceil(len(ranked_rows) * n_probe_fraction)))
     probe_cells = [r["cell"] for r in ranked_rows[:n_probe]]
     probed = df.filter(cell.isin(probe_cells))
-    sim = cosine(v, q)
+    sim = cosine_to_const_fast(v, query_vec) if kernel == "arrow" else cosine(v, q)
     return (
         probed.select(F.col(id_col), F.round(sim, 4).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))

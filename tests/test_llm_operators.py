@@ -549,3 +549,27 @@ class TestRealAudioDecode:
         feat = mm.extract_audio_features(df).collect()[0]
         assert feat["rms"] is None and feat["sample_rate"] is None
         assert feat["n_bytes"] == len(b"ID3\x03\x00fakempeg")
+
+
+class TestArrowKmeansKernel:
+    """kernel='arrow' (production path) must reproduce the expr kernel's
+    trajectory and ranking on non-degenerate data (differences are
+    possible only on exact distance ties)."""
+
+    def test_same_centroids_and_topk(self, spark, sf_dir):
+        from power_generation_etl_spark.operators import similarity as sim
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        c_expr = sim.kmeans_train(e, "vec_id", "embedding", k=4, iters=2)
+        c_arrow = sim.kmeans_train(
+            e, "vec_id", "embedding", k=4, iters=2, kernel="arrow"
+        )
+        assert c_expr == c_arrow
+        q = [0.05] * 64
+        a = [r["vec_id"] for r in
+             sim.ivf_topk(e, "vec_id", "embedding", q, k=5,
+                          n_cells=4, train_iters=2).collect()]
+        b = [r["vec_id"] for r in
+             sim.ivf_topk(e, "vec_id", "embedding", q, k=5, n_cells=4,
+                          train_iters=2, kernel="arrow").collect()]
+        assert a == b
