@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
     cmp.add_argument("table")
     cmp.add_argument("--target-file-mb", type=int, default=128)
 
+    clu = sub.add_parser(
+        "cluster-table", help="sorted compaction for row-group skipping"
+    )
+    clu.add_argument("table")
+    clu.add_argument("--by", required=True, help="comma-separated sort columns")
+    clu.add_argument("--target-file-mb", type=int, default=128)
+
     exp = sub.add_parser("aggregate-export")
     exp.add_argument("output_dir")
     exp.add_argument(
@@ -144,6 +151,13 @@ def _dispatch(args, spark, eng: Engine) -> int:
     elif args.cmd == "compact-table":
         before, after = eng.compact_table(args.table, args.target_file_mb)
         print(f"compacted {args.table}: {before} -> {after} files")
+    elif args.cmd == "cluster-table":
+        cols = [c.strip() for c in args.by.split(",") if c.strip()]
+        before, after = eng.cluster_table(args.table, cols, args.target_file_mb)
+        print(
+            f"clustered {args.table} by ({', '.join(cols)}): "
+            f"{before} -> {after} files"
+        )
     elif args.cmd == "aggregate-export":
         ok, n = eng.aggregate_export(args.output_dir, args.granularity)
         print(f"exported {n} rows to {args.output_dir}")

@@ -199,3 +199,74 @@ class TableStore:
             df = df.repartition(int(n_files))
         self.overwrite(table, df)
         return before, self.file_count(table)
+
+    def cluster(
+        self, table: str, sort_cols: list[str], target_file_mb: int = 128
+    ) -> tuple[int, int]:
+        """Compact + physically sort each partition's files by
+        `sort_cols` — the parquet equivalent of the reference's covering
+        composite B-tree indexes (e.g. `(plant, timestamp)`,
+        schema/entsoe_generation.sql:49-75): after clustering, a filter
+        on a sort-column prefix skips non-overlapping row groups via
+        parquet min/max stats, so selective scans touch a fraction of
+        the files instead of the whole table. The month partition column
+        stays the coarse pruning level above it.
+
+        Like `compact`, rewrites through the atomic overwrite swap and
+        returns (files_before, files_after). Periodic re-clustering is
+        the OPTIMIZE ... ZORDER analog for append-heavy tables (appends
+        land unsorted until the next run)."""
+        before = self.file_count(table)
+        if before == 0:
+            return 0, 0
+        missing = [
+            c for c in sort_cols if c not in self.read(table).columns
+        ]
+        if missing:
+            raise ValueError(f"unknown sort column(s): {', '.join(missing)}")
+        total_bytes = 0
+        for _dir, _sub, files in os.walk(self.path(table)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total_bytes += os.path.getsize(os.path.join(_dir, f))
+        n_files = max(1, -(-total_bytes // (target_file_mb << 20)))
+        df = self.spark.read.option("basePath", self.path(table)).parquet(
+            self.path(table)
+        )
+        # The sort must be the LAST operator before the write: routing
+        # through overwrite() would recompute _month and let the dynamic-
+        # partition writer insert its own (non-stable) sort on the
+        # partition column, destroying the secondary order. With
+        # sortWithinPartitions(MONTH_COL, ...) the child ordering already
+        # satisfies the writer's required partition-column ordering, so
+        # no extra sort is inserted and files come out sorted.
+        tmp = self.path(table) + "__tmp__"
+        if MONTH_COL in df.columns:
+            (
+                df.repartition(int(n_files), MONTH_COL)
+                .sortWithinPartitions(MONTH_COL, *sort_cols)
+                .write.mode("overwrite")
+                .partitionBy(MONTH_COL)
+                .parquet(tmp)
+            )
+        else:
+            (
+                df.repartition(int(n_files))
+                .sortWithinPartitions(*sort_cols)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+        schema_json = None
+        sidecar = self._schema_file(table)
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                schema_json = f.read()
+        final = self.path(table)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        if schema_json is not None:
+            with open(self._schema_file(table), "w") as f:
+                f.write(schema_json)
+        self.spark.catalog.clearCache()
+        return before, self.file_count(table)

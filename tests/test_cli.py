@@ -152,3 +152,57 @@ def test_sql_verb_limit(tmp_path, spark, capsys):
     assert _run(tmp_path, "sql", "SELECT * FROM range(10)", "--limit", "4") == 0
     out = capsys.readouterr().out
     assert len([l for l in out.strip().splitlines() if l and not l.startswith("id")]) == 4
+
+
+def test_cluster_table_sorts_within_files(tmp_path, spark, capsys):
+    """cluster-table must leave every parquet file physically sorted by
+    the requested columns (what makes parquet min/max stats selective),
+    preserve all rows, and keep the table readable."""
+    import glob
+
+    p = tmp_path / "npp.jsonl"
+    # two months, shuffled timestamps within each
+    jan = 1704067200000
+    feb = 1706745600000
+    recs = []
+    for i, ts in enumerate([jan + 5000, jan + 1000, jan + 3000,
+                            feb + 4000, feb + 2000, feb + 6000]):
+        recs.append({
+            "extraction_run_id": "12345678-1234-1234-1234-123456789abc",
+            "created_at_ms": NOW,
+            "timestamp_ms": ts,
+            "plant": f"P{i}",
+            "plant_and_unit": f"P{i} U1",
+            "generation_mwh": 1.0,
+        })
+    p.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    assert _run(tmp_path, "load-data", "npp", str(p)) == 0
+    capsys.readouterr()
+
+    assert _run(tmp_path, "cluster-table", "npp_generation",
+                "--by", "timestamp_ms") == 0
+    assert "clustered npp_generation" in capsys.readouterr().out
+
+    files = glob.glob(str(tmp_path / "wh" / "npp_generation" / "**" / "*.parquet"),
+                      recursive=True)
+    assert files
+    total = 0
+    for f in files:
+        rows = [r["timestamp_ms"] for r in spark.read.parquet(f).collect()]
+        assert rows == sorted(rows), f"file not sorted: {f}"
+        total += len(rows)
+    assert total == 6
+
+
+def test_cluster_table_rejects_unknown_column(tmp_path, spark, capsys):
+    p = tmp_path / "npp.jsonl"
+    p.write_text(json.dumps({
+        "extraction_run_id": "12345678-1234-1234-1234-123456789abc",
+        "created_at_ms": NOW, "timestamp_ms": NOW - 1000,
+        "plant": "P", "plant_and_unit": "P U1", "generation_mwh": 1.0,
+    }) + "\n")
+    assert _run(tmp_path, "load-data", "npp", str(p)) == 0
+    capsys.readouterr()
+    assert _run(tmp_path, "cluster-table", "npp_generation",
+                "--by", "nope") == 1
+    assert "unknown sort column" in capsys.readouterr().err
