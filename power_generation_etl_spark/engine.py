@@ -396,7 +396,47 @@ class Engine:
             self.extraction_summary().createOrReplaceTempView("extraction_summary")
             self.recent_extractions().createOrReplaceTempView("recent_extractions")
             registered += ["extraction_summary", "recent_extractions"]
+        uni = self.unified_monthly()
+        if uni is not None:
+            uni.createOrReplaceTempView("unified_monthly")
+            registered.append("unified_monthly")
         return registered
+
+    def unified_monthly(self) -> DataFrame | None:
+        """Cross-source harmonized monthly rollup — the unification the
+        reference leaves to its external dashboard (its README's
+        cross-country views join the per-source MVs client-side). Unions
+        every refreshed fuel-level monthly MV with a `source` tag; NPP
+        (no fuel dimension in its MV) carries a null fuel_type. Returns
+        None when no monthly MV has been refreshed yet.
+
+        Scale note: this reads the ~90-row summary tables, never the
+        fact tables — the whole union is dashboard-cheap by design."""
+        parts = []
+        for source, views in SOURCE_VIEWS.items():
+            mv = next(
+                (v for v in views if v.endswith("_monthly") and "plant" not in v),
+                None,
+            )
+            if mv is None or not self.store.exists(mv):
+                continue
+            df = self.store.read(mv)
+            if "fuel_type" not in df.columns:
+                df = df.withColumn("fuel_type", F.lit(None).cast("string"))
+            parts.append(
+                df.select(
+                    F.lit(source).alias("source"),
+                    "month",
+                    "fuel_type",
+                    "generation_mwh",
+                )
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("source", "month", "fuel_type")
 
     def sql(self, query: str) -> DataFrame:
         self.register_views()

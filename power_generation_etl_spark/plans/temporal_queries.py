@@ -164,3 +164,43 @@ def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_followups"))
         .orderBy("event_id")
     )
+
+
+HOP_US = 10 * 60 * 1_000_000  # 10-min hop
+WIN_US = 30 * 60 * 1_000_000  # 30-min window (3 hops)
+
+
+@_register(
+    "sliding_window_counts",
+    f"""
+    WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type FROM events),
+    w AS (
+      SELECT ((ts_us // {HOP_US}) - i.i) * {HOP_US} AS win_start_us, event_type
+      FROM e, unnest([0, 1, 2]) AS i(i)
+    )
+    SELECT win_start_us, event_type, count(*) AS n_events
+    FROM w GROUP BY 1, 2
+    ORDER BY win_start_us, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows — 30-min windows every
+    10 min via Spark's native `F.window`, which epoch-aligns window
+    starts and fans each event into window/hop = 3 rows before one hash
+    aggregation (the batch twin of the streaming windowed rollup). The
+    oracle unrolls the same 3 hop offsets with integer arithmetic on
+    epoch-µs, so values compare exactly."""
+    ev = T_events_us(spark, sf_dir).select("ts_us", "event_type")
+    win = F.window(
+        F.timestamp_micros(F.col("ts_us")), "30 minutes", "10 minutes"
+    )
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            F.col("n_events"),
+        )
+        .orderBy("win_start_us", "event_type")
+    )

@@ -346,3 +346,40 @@ def test_truncate_keeps_table_registered(engine, spark, tmp_path):
 def test_aggregate_export_missing_table_is_error(engine, tmp_path):
     ok, n = engine.aggregate_export(str(tmp_path / "out"))
     assert (ok, n) == (False, 0)
+
+
+def test_unified_monthly_cross_source(engine, spark, tmp_path):
+    """The cross-source harmonized rollup unions the fuel-level monthly
+    MVs with a source tag (NPP carries null fuel_type) and registers as
+    the unified_monthly SQL view."""
+    assert engine.unified_monthly() is None  # nothing refreshed yet
+
+    epath = _write(tmp_path, [_entsoe(JAN, "P1", 60.0, res=60)], "e.jsonl")
+    engine.load_jsonl("entsoe", epath)
+    npath = _write(
+        tmp_path,
+        [{
+            "extraction_run_id": RUN_ID,
+            "created_at_ms": NOW,
+            "timestamp_ms": JAN,
+            "plant": "NP",
+            "plant_and_unit": "NP U1",
+            "generation_mwh": 7.0,
+        }],
+        "n.jsonl",
+    )
+    engine.load_jsonl("npp", npath)
+    engine.refresh_views("entsoe")
+    engine.refresh_views("npp")
+
+    rows = engine.unified_monthly().collect()
+    by_src = {(r["source"], r["fuel_type"]): r["generation_mwh"] for r in rows}
+    assert by_src[("entsoe", "Solar")] == pytest.approx(60.0)
+    assert by_src[("npp", None)] == pytest.approx(7.0)
+
+    sql_rows = engine.sql(
+        "SELECT source, sum(generation_mwh) AS s FROM unified_monthly GROUP BY 1"
+    ).collect()
+    assert {r["source"]: r["s"] for r in sql_rows} == {
+        "entsoe": pytest.approx(60.0), "npp": pytest.approx(7.0)
+    }
