@@ -103,6 +103,28 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def assign_sequences(
+    df: DataFrame,
+    part_col: str,
+    id_col: str,
+    tok_col: str,
+    budget: int = 2048,
+) -> DataFrame:
+    """Per-document training-sequence assignment: adds `seq_id` by
+    integer-dividing the exclusive prefix token sum within `part_col`
+    (see `pack_sequences` for semantics). Returns the input columns
+    plus `seq_id` — the row-level form shard writers consume."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = df.withColumn("_cum", F.sum(tok_col).over(w).cast("bigint"))
+    return c.withColumn(
+        "seq_id", F.expr(f"(_cum - {tok_col}) div {int(budget)}")
+    ).drop("_cum")
+
+
 def pack_sequences(
     df: DataFrame,
     part_col: str,
@@ -120,20 +142,9 @@ def pack_sequences(
     The running sum windows WITHIN `part_col` (source shard), never
     globally — at 100 TB a global ordering would serialize into one
     task; per-shard packing is also what distributed tokenizers do."""
-    w = (
-        Window.partitionBy(part_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = df.select(
-        F.col(part_col),
-        F.col(id_col),
-        F.col(tok_col),
-        F.sum(tok_col).over(w).cast("bigint").alias("_cum"),
-    )
-    seq = F.expr(f"(_cum - {tok_col}) div {int(budget)}")
+    c = assign_sequences(df, part_col, id_col, tok_col, budget)
     return (
-        c.groupBy(F.col(part_col), seq.alias("seq_id"))
+        c.groupBy(F.col(part_col), F.col("seq_id"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(tok_col).cast("bigint").alias("seq_tokens"),

@@ -1,0 +1,111 @@
+"""End-to-end pretraining-data preparation pipeline.
+
+Composes the operator families into the pipeline a training-data team
+actually runs: quality filter → exact dedup → MinHash near-dup dedup →
+language tagging → token counting → per-shard sequence packing →
+JSONL shard files. Every stage is the same oracle-checked operator the
+catalog exposes individually; this module only wires them together.
+
+Scale shape: one quality/projection scan, one digest groupBy (exact
+dedup), the banded LSH candidate join (near-dup), one explode+groupBy
+(language), one window (packing), one partitioned write. Nothing
+collects document bodies to the driver; the returned summary holds six
+counters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from power_generation_etl_spark.operators import corpus as cp
+from power_generation_etl_spark.operators import minhash as mh
+from power_generation_etl_spark.operators import text as tx
+
+
+@dataclass
+class PrepSummary:
+    n_input: int
+    n_after_quality: int
+    n_after_exact_dedup: int
+    n_after_neardup: int
+    n_sequences: int
+    total_tokens: int
+
+
+def prepare_pretraining_shards(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+    budget: int = 2048,
+    neardup_threshold: float = 0.5,
+) -> PrepSummary:
+    """Run the full prep pipeline and write training shards.
+
+    Output layout: JSONL hive-partitioned by `shard_col`, one row per
+    document with (doc_id, seq_id, predicted_lang, n_tok, text) — the
+    hand-off format for a downstream tokenizer, which consumes whole
+    sequences by reading each shard in (seq_id, doc_id) order.
+
+    Dedup policy matches the catalog: exact dedup keeps the lowest
+    doc_id per content digest; near-dup drops the higher doc_id of
+    every verified pair (`neardup_dedup_docs` semantics).
+    """
+    n_input = docs.count()
+
+    # 1. quality filter — one projection scan
+    m = tx.quality_metrics(F.col(text_col))
+    q = docs.filter(tx.quality_pass(m))
+    n_quality = q.count()
+
+    # 2. exact dedup — keep lowest id per digest (digest-only shuffle)
+    wd = Window.partitionBy(tx.exact_dup_key(F.col(text_col))).orderBy(id_col)
+    exact = (
+        q.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()  # feeds the near-dup pair join twice
+    )
+    n_exact = exact.count()
+
+    # 3. near-dup dedup — banded LSH candidates, exact-Jaccard verify
+    pairs = mh.minhash_lsh_pairs(
+        exact, id_col, text_col, threshold=neardup_threshold
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = exact.join(drop, id_col, "left_anti")
+    n_neardup = kept.count()
+
+    # 4. language tag + token counts (explode once, codegen aggregates)
+    langs = tx.score_langs(kept, id_col, text_col)
+    enriched = (
+        kept.join(langs, id_col)
+        .withColumn("n_tok", tx.token_count(F.col(text_col)))
+    )
+
+    # 5. per-shard sequence assignment (windowed inside the shard)
+    packed = cp.assign_sequences(enriched, shard_col, id_col, "n_tok", budget)
+
+    # 6. shard write — partitioned JSONL, no driver collection
+    out = packed.select(
+        shard_col, id_col, "seq_id", "predicted_lang", "n_tok", text_col
+    )
+    out.write.mode("overwrite").partitionBy(shard_col).json(out_dir)
+
+    stats = packed.agg(
+        F.countDistinct(shard_col, "seq_id").alias("n_seq"),
+        F.sum("n_tok").cast("bigint").alias("tot"),
+    ).head()
+    return PrepSummary(
+        n_input=n_input,
+        n_after_quality=n_quality,
+        n_after_exact_dedup=n_exact,
+        n_after_neardup=n_neardup,
+        n_sequences=int(stats["n_seq"]),
+        total_tokens=int(stats["tot"] or 0),
+    )

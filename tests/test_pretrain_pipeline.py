@@ -1,0 +1,56 @@
+"""End-to-end pretraining-data prep pipeline: quality -> exact dedup ->
+near-dup dedup -> language tag -> packing -> JSONL shards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.pipelines.pretrain import prepare_pretraining_shards
+
+
+def test_prepare_pretraining_shards(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "shards")
+    s = prepare_pretraining_shards(docs, out, neardup_threshold=0.5)
+
+    # monotone funnel, nothing fully emptied
+    assert s.n_input >= s.n_after_quality >= s.n_after_exact_dedup >= s.n_after_neardup
+    assert s.n_after_neardup > 0 and s.n_sequences > 0
+
+    shards = spark.read.json(out)
+    assert shards.count() == s.n_after_neardup
+    # hive partitioning by source survived
+    assert "source" in shards.columns
+    assert shards.select("source").distinct().count() > 1
+    # token conservation: shard rows sum to the reported total
+    assert shards.agg(F.sum("n_tok")).head()[0] == s.total_tokens
+    # every doc got a language tag
+    assert shards.filter(F.col("predicted_lang").isNull()).count() == 0
+
+    # no exact duplicates survive
+    assert (
+        shards.groupBy(F.md5(F.col("text").cast("binary"))).count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+
+    # no verified near-dup pairs survive at the pipeline threshold
+    from power_generation_etl_spark.operators import minhash as mh
+
+    left = mh.minhash_lsh_pairs(shards, "doc_id", "text", threshold=0.5)
+    assert left.count() == 0
+
+
+def test_pipeline_deterministic(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = prepare_pretraining_shards(docs, str(tmp_path / "a"))
+    b = prepare_pretraining_shards(docs, str(tmp_path / "b"))
+    assert a == b
+    ra = sorted(
+        (r["doc_id"], r["seq_id"])
+        for r in spark.read.json(str(tmp_path / "a")).collect()
+    )
+    rb = sorted(
+        (r["doc_id"], r["seq_id"])
+        for r in spark.read.json(str(tmp_path / "b")).collect()
+    )
+    assert ra == rb
