@@ -42,3 +42,24 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_catalog_plan_hygiene(name, spark, sf_dir):
+    """Whole-catalog plan guardrail: no catalog query may compile to a
+    row-at-a-time Python eval (BatchEvalPython), an Arrow Python eval
+    (the catalog defaults to the portable expression kernels), or a
+    shuffle cartesian product. BroadcastNestedLoopJoin is allowed only
+    where it is the documented plan: the O(n²) exact all-pairs twin
+    (inequality join) and TF-IDF's single-row corpus-count cross."""
+    plan = (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan, f"{name} runs row-wise Python"
+    assert "ArrowEvalPython" not in plan, f"{name} runs a pandas UDF"
+    assert "CartesianProduct" not in plan, f"{name} has a shuffle cartesian"
+    if name not in {"cosine_allpairs_neardup", "tfidf_top_terms"}:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"
