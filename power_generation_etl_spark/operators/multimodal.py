@@ -20,7 +20,10 @@ wins (worker-side import-try):
 
 Audio decodes for real too: RIFF/WAV PCM via the stdlib `wave` codec
 (rate / channels / duration / RMS / peak); compressed audio containers
-yield null features. Frame sampling remains a stub (ffmpeg).
+yield null features. Video frame sampling demuxes RIFF/AVI containers
+for real (pure-python chunk walk over the `movi` frame chunks — what a
+sampler hands to a downstream decoder); mp4/mkv fall back to the
+byte-slicing stub (those need ffmpeg).
 """
 
 from __future__ import annotations
@@ -325,20 +328,59 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return narrow.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
 
 
+def _avi_frames(content: bytes) -> list[bytes] | None:
+    """Demux video frame payloads from a RIFF/AVI container (pure
+    stdlib chunk walk): frames are the `##dc`/`##db` chunks inside the
+    `LIST movi` section. This is container demultiplexing, not codec
+    decode — the extracted payloads are whatever the AVI carries
+    (typically JPEG for MJPEG files), which is exactly what a frame
+    sampler hands to a downstream decoder. Returns None if the bytes
+    are not an AVI."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        return None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            ck_id = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data_start = pos + 8
+            data_end = min(data_start + size, end)
+            if ck_id == b"LIST" and size >= 4:
+                subtype = buf[data_start : data_start + 4]
+                if subtype in (b"movi", b"rec "):
+                    walk(buf, data_start + 4, data_end)
+            elif ck_id[2:4] in (b"dc", b"db") and ck_id[:2].isdigit():
+                frames.append(buf[data_start:data_end])
+            pos = data_start + size + (size & 1)  # chunks pad to even
+
+    walk(content, 12, len(content))
+    return frames
+
+
 def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame sampling STUB: real impl seeks keyframes via ffmpeg; the
-    fake splits the byte stream into `n_frames` equal chunks. The
-    explode shape (1 row in → n rows out, wide binary payload) is the
-    real thing being exercised."""
+    """Frame sampling over binary video columns. AVI containers demux
+    for real (pure-python RIFF walk — evenly spaced `##dc`/`##db` frame
+    payloads); other containers (mp4/mkv need ffmpeg) fall back to the
+    byte-slicing stub so the explode shape (1 row in → n rows out, wide
+    binary payload) stays exercised everywhere."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                step = max(1, len(blob) // n_frames)
-                for i in range(n_frames):
-                    rows.append((media_id, i, blob[i * step : (i + 1) * step]))
+                frames = _avi_frames(blob)
+                if frames:
+                    k = min(n_frames, len(frames))
+                    # evenly spaced, always including the first frame
+                    idxs = [i * len(frames) // k for i in range(k)]
+                    for out_i, src_i in enumerate(idxs):
+                        rows.append((media_id, out_i, frames[src_i]))
+                else:
+                    step = max(1, len(blob) // n_frames)
+                    for i in range(n_frames):
+                        rows.append((media_id, i, blob[i * step : (i + 1) * step]))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields]
             )

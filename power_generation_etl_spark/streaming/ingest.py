@@ -133,10 +133,11 @@ def stream_neardup_intake(
 
     Dedup policy matches `neardup_dedup_docs`: within a batch the
     lowest doc_id of a verified pair wins; any new doc matching a
-    stored doc is dropped. foreachBatch side effects are at-least-once:
-    a retried batch may re-append signatures, so store reads dedup on
-    doc_id — the store stays correct, merely non-minimal, and the
-    output parquet is keyed by the file source's checkpointed progress.
+    stored doc is dropped. foreachBatch side effects are at-least-once,
+    so every write lands in a DETERMINISTIC `batch=<id>` directory with
+    overwrite mode — a retried batch replaces its own output instead of
+    duplicating it (the standard idempotent-foreachBatch pattern).
+    Store reads still dedup on doc_id as a second belt.
     """
     import os
 
@@ -211,12 +212,17 @@ def stream_neardup_intake(
             survivors = new.join(
                 drop.distinct(), "doc_id", "left_anti"
             ).persist()
-            survivors.write.mode("append").parquet(out_dir)
+            # deterministic per-batch dirs + overwrite = idempotent retry
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
             keep_sig = sig.join(survivors.select("doc_id"), "doc_id")
-            keep_sig.write.mode("append").parquet(sig_path)
+            keep_sig.write.mode("overwrite").parquet(
+                os.path.join(sig_path, f"batch={batch_id}")
+            )
             bands.join(survivors.select("doc_id"), "doc_id").write.mode(
-                "append"
-            ).parquet(band_path)
+                "overwrite"
+            ).parquet(os.path.join(band_path, f"batch={batch_id}"))
             survivors.unpersist()
         finally:
             new.unpersist()

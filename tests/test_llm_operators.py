@@ -573,3 +573,54 @@ class TestArrowKmeansKernel:
              sim.ivf_topk(e, "vec_id", "embedding", q, k=5, n_cells=4,
                           train_iters=2, kernel="arrow").collect()]
         assert a == b
+
+
+def _encode_avi(frame_payloads):
+    """Minimal RIFF/AVI: LIST movi with one 00dc chunk per frame."""
+    import struct
+
+    def chunk(ck_id, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return ck_id + struct.pack("<I", len(data)) + data + pad
+
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frame_payloads)
+    body = b"AVI " + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class TestRealAviDemux:
+    """AVI frame sampling must return the container's true frame
+    payloads, evenly spaced, not byte slices."""
+
+    def test_demux_exact_payloads(self, spark):
+        frames = [b"JPEGDATA%d" % i for i in range(8)]
+        avi = _encode_avi(frames)
+        df = spark.createDataFrame(
+            [(1, "video", "video/avi", avi, 640, 480, 1000)], mm.MEDIA_SCHEMA
+        )
+        out = sorted(
+            mm.sample_video_frames(df, n_frames=4).collect(),
+            key=lambda r: r["frame_index"],
+        )
+        assert len(out) == 4
+        # evenly spaced: indices 0, 2, 4, 6 of the 8 frames
+        assert [bytes(r["frame_bytes"]) for r in out] == [
+            frames[0], frames[2], frames[4], frames[6]
+        ]
+
+    def test_fewer_frames_than_requested(self, spark):
+        avi = _encode_avi([b"only", b"two"])
+        df = spark.createDataFrame(
+            [(1, "video", "video/avi", avi, None, None, None)], mm.MEDIA_SCHEMA
+        )
+        out = mm.sample_video_frames(df, n_frames=4).collect()
+        assert len(out) == 2
+        assert {bytes(r["frame_bytes"]) for r in out} == {b"only", b"two"}
+
+    def test_non_avi_falls_back_to_stub(self, spark):
+        df = spark.createDataFrame(
+            [(1, "video", "video/mp4", b"\x00mp4 " * 100, None, None, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        out = mm.sample_video_frames(df, n_frames=4).collect()
+        assert len(out) == 4  # stub shape preserved
