@@ -88,6 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     q.add_argument("query")
     q.add_argument("--limit", type=int, default=100, help="max rows printed")
+
+    ps = sub.add_parser(
+        "prep-shards",
+        help="pretraining data prep: quality/dedup/near-dup/pack -> JSONL shards",
+    )
+    ps.add_argument("docs_parquet", help="documents parquet (doc_id, text, source)")
+    ps.add_argument("out_dir")
+    ps.add_argument("--budget", type=int, default=2048, help="tokens per sequence")
+    ps.add_argument("--neardup-threshold", type=float, default=0.5)
     return p
 
 
@@ -177,6 +186,23 @@ def _dispatch(args, spark, eng: Engine) -> int:
             for r in rows:
                 print("\t".join("" if v is None else str(v) for v in r))
         print(f"({len(rows)} rows)", file=sys.stderr)
+    elif args.cmd == "prep-shards":
+        from power_generation_etl_spark.pipelines.pretrain import (
+            prepare_pretraining_shards,
+        )
+
+        docs = spark.read.parquet(args.docs_parquet)
+        s = prepare_pretraining_shards(
+            docs,
+            args.out_dir,
+            budget=args.budget,
+            neardup_threshold=args.neardup_threshold,
+        )
+        print(
+            f"input={s.n_input} quality={s.n_after_quality} "
+            f"exact_dedup={s.n_after_exact_dedup} neardup={s.n_after_neardup} "
+            f"sequences={s.n_sequences} tokens={s.total_tokens}"
+        )
     elif args.cmd == "check-drift":
         cw = spark.read.parquet(args.crosswalk)
         rep = eng.check_crosswalk_drift(cw)

@@ -206,3 +206,13 @@ def test_cluster_table_rejects_unknown_column(tmp_path, spark, capsys):
     assert _run(tmp_path, "cluster-table", "npp_generation",
                 "--by", "nope") == 1
     assert "unknown sort column" in capsys.readouterr().err
+
+
+def test_prep_shards_verb(tmp_path, spark, capsys):
+    assert _run(
+        tmp_path, "prep-shards", "/root/testdata/sf0.001/documents.parquet",
+        str(tmp_path / "shards"),
+    ) == 0
+    out = capsys.readouterr().out
+    assert "sequences=" in out and "tokens=" in out
+    assert spark.read.json(str(tmp_path / "shards")).count() > 0
