@@ -122,9 +122,20 @@ class TableStore:
             writer = writer.partitionBy(MONTH_COL)
         writer.parquet(tmp)
         final = self.path(table)
+        # Carry the schema sidecar across the swap: losing it would make
+        # a later truncate re-derive the schema from a parquet read
+        # (all-nullable) and silently drift from the setup-time DDL.
+        schema_json = None
+        sidecar = self._schema_file(table)
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                schema_json = f.read()
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
+        if schema_json is not None:
+            with open(self._schema_file(table), "w") as f:
+                f.write(schema_json)
         self.spark.catalog.clearCache()
 
     def truncate(self, table: str) -> int:

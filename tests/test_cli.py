@@ -216,3 +216,31 @@ def test_prep_shards_verb(tmp_path, spark, capsys):
     out = capsys.readouterr().out
     assert "sequences=" in out and "tokens=" in out
     assert spark.read.json(str(tmp_path / "shards")).count() > 0
+
+
+def test_compact_preserves_schema_sidecar(tmp_path, spark):
+    """overwrite-based maintenance (compact/refresh) must carry the
+    _schema.json sidecar across the swap: without it a later truncate
+    re-derives an all-nullable schema from parquet and drifts from the
+    setup-time DDL."""
+    import os
+
+    from power_generation_etl_spark.engine import Engine
+
+    eng = Engine(spark, _wh(tmp_path))
+    p = tmp_path / "npp.jsonl"
+    p.write_text(json.dumps({
+        "extraction_run_id": "12345678-1234-1234-1234-123456789abc",
+        "created_at_ms": NOW, "timestamp_ms": NOW - 1000,
+        "plant": "P", "plant_and_unit": "P U1", "generation_mwh": 1.0,
+    }) + "\n")
+    eng.load_jsonl("npp", str(p))
+    sidecar = os.path.join(_wh(tmp_path), "npp_generation", "_schema.json")
+    assert os.path.exists(sidecar)
+    before = open(sidecar).read()
+    eng.compact_table("npp_generation")
+    assert os.path.exists(sidecar), "compact dropped the schema sidecar"
+    assert open(sidecar).read() == before
+    # truncate after compact keeps the original (non-nullable) schema
+    eng.clear_table("npp_generation")
+    assert open(sidecar).read() == before
