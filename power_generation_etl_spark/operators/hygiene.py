@@ -1,0 +1,107 @@
+"""Corpus-hygiene operators: benchmark decontamination and PII
+scanning/redaction.
+
+A pretraining pipeline must (a) remove documents that leak evaluation
+benchmarks into the training set (n-gram overlap decontamination, as
+popularized by the GPT-3/PaLM appendices) and (b) find and redact
+personally identifiable information before the corpus ships. Both are
+pure DataFrame ops — regexp/codegen expressions and one broadcast
+semi-join — with exact DuckDB oracle twins in plans/hygiene_queries.py.
+
+Scale notes (100 TB): benchmark suites are small (≤ millions of
+n-grams) while the corpus is huge, so decontamination broadcasts the
+benchmark shingle set and the corpus side never shuffles for the probe
+— a map-side hash semi-join per partition; only the per-doc hit
+aggregation shuffles, carrying (doc_id, hits) pairs. Shingles travel
+as 32-bit portable hashes (8-byte longs), not strings, so the
+broadcast is ~3× smaller than raw text. PII scanning is a single
+regexp pass inside whole-stage codegen — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.operators import minhash as mh
+
+# RE2-and-Java-compatible patterns (no backrefs / lookaround), so the
+# Spark plan and the DuckDB oracle compile the identical regex.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+PII_PATTERNS: dict[str, str] = {
+    "email": EMAIL_RE,
+    "ipv4": IPV4_RE,
+    "phone": PHONE_RE,
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII occurrence counts — one codegen'd regexp pass per
+    pattern, no UDFs, no shuffle."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)).cast("bigint")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace each PII match with a typed placeholder token.
+
+    Order matters: emails first (an email contains digit runs a phone
+    pattern could claim), then IPs, then phones."""
+    out = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, IPV4_RE, "[IP]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_email, n_ipv4, n_phone, has_pii) per document."""
+    counts = pii_counts(F.col(text_col))
+    cols = [F.col(id_col)]
+    total = None
+    for kind, c in counts.items():
+        cols.append(c.alias(f"n_{kind}"))
+        total = c if total is None else total + c
+    cols.append((total > 0).alias("has_pii"))
+    return df.select(*cols)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Documents sharing at least one word ``n``-gram with a benchmark
+    set: (doc_id, n_hit_ngrams, n_bench_docs).
+
+    The benchmark shingle table is hashed (portable 32-bit) and
+    broadcast; the corpus probe is a map-side hash join, so the corpus
+    never shuffles its text. A row appearing here should be dropped (or
+    flagged) before training; callers anti-join on doc_id.
+
+    At true 100 TB scale, when the benchmark set outgrows the broadcast
+    threshold, the identical plan degrades gracefully to a shuffle hash
+    join on the 8-byte shingle hash — still never moving document
+    bodies.
+    """
+    c_sh = mh.shingle_table(corpus, id_col, text_col, n=n).select(
+        "doc_id", mh.portable_hash32(F.col("s")).alias("h")
+    )
+    b_sh = (
+        mh.shingle_table(benchmark, id_col, text_col, n=n)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            mh.portable_hash32(F.col("s")).alias("h"),
+        )
+        .distinct()
+    )
+    hits = c_sh.join(F.broadcast(b_sh), "h")
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("h").alias("n_hit_ngrams"),
+        F.count_distinct("bench_id").alias("n_bench_docs"),
+    )

@@ -1,0 +1,297 @@
+"""Corpus-hygiene and data-profiling catalog queries — benchmark
+decontamination, PII scanning, quantile-threshold filtering, fixed
+histograms, per-group top-k, exact-arithmetic anomaly flags, and int8
+embedding quantization. All oracle-checked against DuckDB.
+
+Exactness notes mirror the operator modules: row-selecting predicates
+use integer arithmetic or identical closed-form quantiles; reported
+float statistics are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.operators import hygiene as hg
+from power_generation_etl_spark.operators import profile as pr
+from power_generation_etl_spark.operators import similarity as sim
+from power_generation_etl_spark.operators import text as tx
+from power_generation_etl_spark.plans.queries import T, _register
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: drop training docs that leak the eval set.
+# Benchmark stand-in = the 'src0' shard; corpus = everything else.
+# Word 5-grams, portable-hashed, benchmark side broadcast.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "decontam_ngram_hits",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             CAST(('0x' || substr(md5(array_to_string(t[i.i:i.i+4], ' ')), 1, 8))
+                  AS BIGINT) AS h
+      FROM toks, unnest(range(1, len(t) - 3)) AS i(i)
+    ),
+    c AS (SELECT doc_id, h FROM sh WHERE source <> 'src0'),
+    b AS (SELECT DISTINCT doc_id AS bench_id, h FROM sh WHERE source = 'src0')
+    SELECT c.doc_id,
+           count(DISTINCT c.h) AS n_hit_ngrams,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM c JOIN b ON c.h = b.h
+    GROUP BY 1
+    ORDER BY doc_id
+    """,
+)
+def decontam_ngram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing any word 5-gram with the benchmark shard
+    (source='src0'). Benchmark shingle hashes broadcast; the corpus
+    side never shuffles its text — the GPT-3-style decontamination
+    sweep as one broadcast semi-join + one doc-keyed aggregation."""
+    d = T(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    return hg.decontaminate(corpus, bench, "doc_id", "text", n=5).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scan: one codegen regexp pass per pattern; zero shuffles.
+# ---------------------------------------------------------------------------
+
+_PII_SQL = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone": "\\+?\\d[\\d -]{7,}\\d",
+}
+
+
+@_register(
+    "pii_scan_docs",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_SQL["email"]}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_SQL["ipv4"]}')) AS BIGINT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_SQL["phone"]}')) AS BIGINT)
+             AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII_SQL["email"]}'))
+              + len(regexp_extract_all(text, '{_PII_SQL["ipv4"]}'))
+              + len(regexp_extract_all(text, '{_PII_SQL["phone"]}')) > 0
+             AS BOOLEAN) AS has_pii
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII occurrence counts (email / IPv4 / phone) with
+    RE2-and-Java-compatible patterns so both engines compile the same
+    regex. The synthetic corpus is PII-free (all-zero counts verify the
+    negative path); redaction behavior is pytest-checked on a seeded
+    fixture."""
+    d = T(spark, sf_dir, "documents")
+    return hg.pii_scan(d, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact-quantile threshold filter: keep docs above the corpus P80 of
+# whitespace token count. Threshold is a broadcast 1-row aggregate.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_token_threshold_filter",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens
+      FROM documents
+    ),
+    thr AS (SELECT quantile_cont(ws_tokens, 0.8) AS t FROM tok)
+    SELECT doc_id, ws_tokens, round(t, 4) AS threshold
+    FROM tok, thr
+    WHERE ws_tokens > t
+    ORDER BY doc_id
+    """,
+)
+def doc_token_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs strictly above the exact continuous 80th percentile of
+    token count. Spark `percentile` and DuckDB `quantile_cont` share
+    the same interpolation closed form, so the double threshold —
+    and therefore row membership — is identical across engines."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tx.token_count(F.col("text")).alias("ws_tokens")
+    )
+    return pr.quantile_threshold_filter(toks, "ws_tokens", 0.8).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width per-language length histogram — pure integer bucketing.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_length_histogram",
+    """
+    SELECT lang,
+           least(n_chars // 50, 19) AS bucket,
+           CAST(least(n_chars // 50, 19) * 50 AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length histogram (50-char buckets, last
+    bucket open-ended). One map-side-combined hash aggregation; the
+    shuffle carries at most languages × 20 rows regardless of corpus
+    size."""
+    d = T(spark, sf_dir, "documents")
+    h = pr.fixed_width_histogram(
+        d, "n_chars", width=50, n_buckets=20, group_cols=["lang"]
+    )
+    return h.select(
+        "lang",
+        "bucket",
+        "bucket_lo",
+        F.col("n_rows").alias("n_docs"),
+        F.col("min_value").alias("min_chars"),
+        F.col("max_value").alias("max_chars"),
+    ).orderBy("lang", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Per-user anomaly flags over events — exact integer arithmetic
+# (x·n > 3·Σx over cent-scaled values), so membership can't float-drift.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "user_value_anomalies",
+    """
+    WITH x AS (
+      SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS xv FROM events
+    ),
+    w AS (
+      SELECT user_id, xv,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             sum(xv) OVER (PARTITION BY user_id) AS s
+      FROM x
+    )
+    SELECT user_id,
+           count(*) AS n_rows,
+           CAST(count(*) FILTER (WHERE xv * n > 3 * s) AS BIGINT) AS n_anomalies,
+           CAST((sum(xv) * 100) // count(*) AS BIGINT) / 10000.0 AS mean_value
+    FROM w
+    GROUP BY 1
+    ORDER BY user_id
+    """,
+)
+def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count of events exceeding 3× the user's mean value.
+    The flag is exact integer arithmetic over cent-scaled values —
+    one window shuffle + one hash aggregation, no re-join."""
+    e = T(spark, sf_dir, "events").select("user_id", "value")
+    return pr.mean_factor_anomalies(
+        e, "user_id", "value", factor=3, scale=100
+    ).select(
+        "user_id",
+        "n_rows",
+        "n_anomalies",
+        "mean_value",
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k (longest docs per source) — WindowGroupLimit shape.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "topk_docs_per_source",
+    """
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, rn
+    FROM r WHERE rn <= 3
+    ORDER BY source, rn
+    """,
+)
+def topk_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per source shard. Spark rewrites the
+    rank-filter into WindowGroupLimit, keeping k rows per group
+    per partition before the window sort — per-group top-k without a
+    global sort."""
+    d = T(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return (
+        pr.topk_per_group(d, "source", "n_chars", "doc_id", 3)
+        .select("source", "doc_id", "n_chars", "rn")
+        .orderBy("source", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Symmetric int8 embedding quantization quality report.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "embedding_int8_quant",
+    """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (
+      SELECT max(list_aggregate(list_transform(e, x -> abs(x)), 'max')) AS am
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, label, e, am,
+             list_transform(e, x ->
+               greatest(-127.0, least(127.0, round(x * 127.0 / am, 0)))) AS qv
+      FROM v, s
+    ),
+    d AS (
+      SELECT vec_id, label, e,
+             list_transform(qv, x -> x * am / 127.0) AS dq
+      FROM q
+    )
+    SELECT vec_id, label,
+           round(list_aggregate(
+             list_transform(range(1, len(e) + 1), i -> abs(e[i] - dq[i])),
+             'max'), 6) AS max_abs_err,
+           round(
+             list_aggregate(
+               list_transform(range(1, len(e) + 1), i -> e[i] * dq[i]), 'sum')
+             / (sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(dq, x -> x * x), 'sum'))),
+             6) AS cos_orig_quant
+    FROM d
+    ORDER BY vec_id
+    """,
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization report: worst-element
+    reconstruction error and original-vs-dequantized cosine per vector
+    (the recall proxy an ANN index cares about). The global scale is a
+    broadcast 1-row aggregate; every per-element op is a deterministic
+    scalar double expression, so the oracle matches bit-for-bit before
+    rounding."""
+    e = T(spark, sf_dir, "embeddings")
+    return sim.int8_quantize_report(e, "vec_id", "embedding", "label").select(
+        "vec_id", "label", "max_abs_err", "cos_orig_quant"
+    ).orderBy("vec_id")

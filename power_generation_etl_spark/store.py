@@ -75,6 +75,20 @@ class TableStore:
         )
         return df.drop(MONTH_COL) if MONTH_COL in df.columns else df
 
+    def read_months(self, table: str, months: list[str]) -> DataFrame:
+        """Read only the given 'yyyy-MM' partition directories — the
+        `_month` IN-list prunes at the directory level (PartitionFilters
+        in .explain), so the scan is O(len(months)) regardless of table
+        size. The backbone of incremental MV refresh."""
+        if not self._has_data(table):
+            return self.read(table)
+        df = self.spark.read.option("basePath", self.path(table)).parquet(
+            self.path(table)
+        )
+        if MONTH_COL in df.columns:
+            df = df.filter(F.col(MONTH_COL).isin(months)).drop(MONTH_COL)
+        return df
+
     def read_range(self, table: str, lo_ms: int, hi_ms: int) -> DataFrame:
         """Time-bounded read with *partition* pruning: the `_month`
         predicate eliminates whole partition directories before any file

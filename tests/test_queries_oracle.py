@@ -51,7 +51,8 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
     (the catalog defaults to the portable expression kernels), or a
     shuffle cartesian product. BroadcastNestedLoopJoin is allowed only
     where it is the documented plan: the O(n²) exact all-pairs twin
-    (inequality join) and TF-IDF's single-row corpus-count cross."""
+    (inequality join) and the single-row broadcast crosses (TF-IDF's
+    corpus count, the quantile threshold, the quantization scale)."""
     plan = (
         QUERIES[name](spark, sf_dir)
         ._jdf.queryExecution()
@@ -61,5 +62,10 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
     assert "BatchEvalPython" not in plan, f"{name} runs row-wise Python"
     assert "ArrowEvalPython" not in plan, f"{name} runs a pandas UDF"
     assert "CartesianProduct" not in plan, f"{name} has a shuffle cartesian"
-    if name not in {"cosine_allpairs_neardup", "tfidf_top_terms"}:
+    if name not in {
+        "cosine_allpairs_neardup",
+        "tfidf_top_terms",
+        "doc_token_threshold_filter",
+        "embedding_int8_quant",
+    }:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"
