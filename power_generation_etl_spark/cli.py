@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     rv = sub.add_parser("refresh-views")
     rv.add_argument("--source", choices=sorted(SOURCES), default=None)
+    rv.add_argument(
+        "--months",
+        default=None,
+        help="comma-separated yyyy-MM list: incremental refresh of only "
+        "these months (partition-pruned input scan) instead of a full "
+        "recompute",
+    )
 
     ld = sub.add_parser("latest-date")
     ld.add_argument("source", choices=sorted(SOURCES))
@@ -172,8 +179,13 @@ def _dispatch(args, spark, eng: Engine) -> int:
         print(f"exported {n} rows to {args.output_dir}")
         return 0 if ok else 1
     elif args.cmd == "refresh-views":
-        for v in eng.refresh_views(args.source):
-            print(f"refreshed {v}")
+        if args.months:
+            months = [m.strip() for m in args.months.split(",") if m.strip()]
+            for v in eng.refresh_views_incremental(months, args.source):
+                print(f"refreshed {v} ({','.join(months)})")
+        else:
+            for v in eng.refresh_views(args.source):
+                print(f"refreshed {v}")
     elif args.cmd == "latest-date":
         print(eng.get_latest_date(args.source))
     elif args.cmd == "backfill-dates":

@@ -309,6 +309,45 @@ class Engine:
             refreshed.append(v)
         return refreshed
 
+    def refresh_views_incremental(
+        self, months: list[str], source: str | None = None
+    ) -> list[str]:
+        """M3 at 100 TB: recompute ONLY the given 'yyyy-MM' months of
+        each summary table.
+
+        The full `refresh_views` re-scans the whole fact table per view
+        — O(table) input, which the reference can afford on Postgres at
+        60M rows but a 100 TB warehouse cannot. Here the input scan is
+        partition-pruned to the touched months (`read_months` →
+        PartitionFilters, O(months) files opened); untouched MV rows
+        are carried over and the swap stays atomic. Sound because every
+        view is a month-grain aggregate: an input row only ever affects
+        its own month's output rows. The MV itself is small (months ×
+        dimensions), so rewriting it is driver-cheap; it's the fact
+        scan that must be pruned.
+
+        A typical monthly feed therefore refreshes 17 views at the cost
+        of one month of input each, independent of warehouse size.
+        """
+        month_firsts = [m + "-01" for m in months]
+        views = SOURCE_VIEWS.get(source, ALL_VIEWS) if source else ALL_VIEWS
+        refreshed = []
+        for v in views:
+            src_table, builder = VIEW_BUILDERS[v]
+            if not self.store.exists(src_table):
+                continue
+            new_part = builder(self.store.read_months(src_table, months))
+            if self.store.exists(v) and self.store.count(v) > 0:
+                keep = self.store.read(v).filter(
+                    ~F.col("month").isin(month_firsts)
+                )
+                merged = keep.unionByName(new_part).orderBy("month")
+            else:
+                merged = new_part
+            self.store.overwrite(v, merged)
+            refreshed.append(v)
+        return refreshed
+
     # --- A6/S7: aggregate export ------------------------------------------------
     def aggregate_export(
         self, output_dir: str, granularity: str = "plant"

@@ -383,3 +383,72 @@ def test_unified_monthly_cross_source(engine, spark, tmp_path):
     assert {r["source"]: r["s"] for r in sql_rows} == {
         "entsoe": pytest.approx(60.0), "npp": pytest.approx(7.0)
     }
+
+
+MAR = 1709251200000  # 2024-03-01T00:00:00Z
+
+
+def test_incremental_view_refresh_matches_full(engine, spark, tmp_path):
+    """refresh_views_incremental([touched months]) must produce the
+    same MV contents as a full recompute, while its input scan prunes
+    to the touched _month partitions."""
+    engine.load_jsonl(
+        "entsoe",
+        _write(tmp_path, [
+            _entsoe(JAN, "P1", 100.0),
+            _entsoe(FEB, "P2", 20.0),
+        ], "m1.jsonl"),
+    )
+    engine.refresh_views("entsoe")
+
+    # A March feed arrives, plus a late-January correction row.
+    engine.load_jsonl(
+        "entsoe",
+        _write(tmp_path, [
+            _entsoe(MAR, "P3", 7.0),
+            _entsoe(JAN + 7_200_000, "P1", 30.0),
+        ], "m2.jsonl"),
+    )
+    engine.refresh_views_incremental(["2024-01", "2024-03"], "entsoe")
+    incr = sorted(
+        tuple(r) for r in engine.sql(
+            "SELECT month, fuel_type, round(generation_mwh, 4) AS mwh "
+            "FROM mv_entsoe_monthly").collect()
+    )
+
+    engine.refresh_views("entsoe")  # full recompute ground truth
+    full = sorted(
+        tuple(r) for r in engine.sql(
+            "SELECT month, fuel_type, round(generation_mwh, 4) AS mwh "
+            "FROM mv_entsoe_monthly").collect()
+    )
+    assert incr == full
+    assert len(full) == 3  # Jan, Feb, Mar rows
+
+
+def test_read_months_partition_pruning(engine, spark, tmp_path):
+    """The incremental refresh's input scan must prune _month
+    partition directories, not post-filter a full read."""
+    p = _write(tmp_path, [_entsoe(JAN, "P1", 1.0), _entsoe(FEB, "P2", 2.0),
+                          _entsoe(MAR, "P3", 3.0)])
+    engine.load_jsonl("entsoe", p)
+    pruned = engine.store.read_months("entsoe_generation_data", ["2024-02"])
+    assert pruned.count() == 1
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_month" in plan
+
+
+def test_incremental_refresh_bootstraps_missing_view(engine, spark, tmp_path):
+    """Incremental refresh on a warehouse whose MV was never built
+    falls back to building it from the given months."""
+    engine.load_jsonl(
+        "entsoe", _write(tmp_path, [_entsoe(JAN, "P1", 100.0)]))
+    out = engine.refresh_views_incremental(["2024-01"], "entsoe")
+    assert "mv_entsoe_monthly" in out
+    assert engine.sql("SELECT * FROM mv_entsoe_monthly").count() == 1
