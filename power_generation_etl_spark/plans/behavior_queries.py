@@ -1,0 +1,139 @@
+"""Behavioral-analytics catalog queries over `events` — ordered funnel
+conversion, daily cohort retention, event-transition matrix
+(operators/behavior.py), each with a bit-exact DuckDB oracle.
+
+All time arithmetic is integer epoch-µs / integer day indexes (via
+`T_events_us`), so nothing here depends on the session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from power_generation_etl_spark.operators import behavior as bh
+from power_generation_etl_spark.plans.queries import _register
+from power_generation_etl_spark.plans.temporal_queries import T_events_us
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+@_register(
+    "funnel_conversion",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+    w0 AS (
+      SELECT user_id, ts_us, event_type,
+             min(CASE WHEN event_type = 'signup' THEN ts_us END)
+               OVER (PARTITION BY user_id) AS t0
+      FROM e
+    ),
+    w1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' AND ts_us > t0
+                         THEN ts_us END) OVER (PARTITION BY user_id) AS t1
+      FROM w0
+    ),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t1
+                         THEN ts_us END) OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > t2
+                         THEN ts_us END) OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ),
+    u AS (
+      SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM w3 GROUP BY 1
+    ),
+    c AS (
+      SELECT CAST(count(t0) AS BIGINT) AS n0, CAST(count(t1) AS BIGINT) AS n1,
+             CAST(count(t2) AS BIGINT) AS n2, CAST(count(t3) AS BIGINT) AS n3
+      FROM u
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step, n0 AS n_users,
+             CASE WHEN n0 = 0 THEN NULL ELSE round(n0 * 1.0 / n0, 4) END
+               AS conversion FROM c
+      UNION ALL
+      SELECT 2, 'view', n1,
+             CASE WHEN n0 = 0 THEN NULL ELSE round(n1 * 1.0 / n0, 4) END FROM c
+      UNION ALL
+      SELECT 3, 'click', n2,
+             CASE WHEN n1 = 0 THEN NULL ELSE round(n2 * 1.0 / n1, 4) END FROM c
+      UNION ALL
+      SELECT 4, 'purchase', n3,
+             CASE WHEN n2 = 0 THEN NULL ELSE round(n3 * 1.0 / n2, 4) END FROM c
+    )
+    ORDER BY step_idx
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→view→click→purchase funnel: users completing
+    each prefix in strict time order, with step-over-step conversion.
+    Chained same-partitioning window minimums — one shuffle total."""
+    e = T_events_us(spark, sf_dir)
+    return bh.funnel_steps(
+        e, "user_id", "ts_us", "event_type", FUNNEL_STEPS
+    ).orderBy("step_idx")
+
+
+@_register(
+    "daily_cohort_retention",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events
+    ),
+    ud AS (SELECT DISTINCT user_id, day_idx FROM e),
+    c AS (
+      SELECT user_id, day_idx,
+             min(day_idx) OVER (PARTITION BY user_id) AS cohort_day
+      FROM ud
+    )
+    SELECT cohort_day,
+           day_idx - cohort_day AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           strftime(DATE '1970-01-01' + CAST(cohort_day AS INT), '%Y-%m-%d')
+             AS cohort_date
+    FROM c
+    GROUP BY 1, 2
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def daily_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users bucketed by first-active day, counted
+    at each later active-day offset. Integer day indexes (epoch-µs div
+    µs/day) keep the cohort assignment timezone-independent."""
+    e = T_events_us(spark, sf_dir)
+    return bh.cohort_retention(e, "user_id", "ts_us").orderBy(
+        "cohort_day", "day_offset"
+    )
+
+
+@_register(
+    "event_transition_matrix",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ),
+    p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS to_type
+      FROM e
+    )
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM p
+    WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    of each user (time-ordered, event_id tiebreak). One window shuffle
+    + a |types|² aggregation."""
+    e = T_events_us(spark, sf_dir)
+    return bh.transition_matrix(
+        e, "user_id", "ts_us", "event_type", "event_id"
+    ).orderBy("from_type", "to_type")
