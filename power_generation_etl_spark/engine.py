@@ -515,6 +515,34 @@ class Engine:
             raise ValueError(f"unknown table: {table}")
         return self.store.cluster(table, sort_cols, target_file_mb)
 
+    def sanity_gate(
+        self, df: DataFrame, checks: list[tuple[str, str, int]]
+    ) -> dict:
+        """Pre-load sanity gate: abort BEFORE mutating the warehouse
+        when an input looks implausible (reference
+        .github/workflows/monthly-extraction.yml:612-628 — abort if the
+        rebuilt crosswalk has < 200 NPP coal plants).
+
+        ``checks`` is (label, filter SQL expr, min_count) triples. All
+        counts run in ONE aggregation pass (`count_if` per check, map-
+        side combined) — not a job per check. Raises ValueError naming
+        every failing check; returns the counts when all pass."""
+        row = df.agg(
+            *[
+                F.count_if(F.expr(expr)).alias(f"_c{i}")
+                for i, (_label, expr, _n) in enumerate(checks)
+            ]
+        ).head()
+        counts = {label: row[f"_c{i}"] for i, (label, _e, _n) in enumerate(checks)}
+        failures = [
+            f"{label}: {counts[label]} < {min_n}"
+            for label, _expr, min_n in checks
+            if counts[label] < min_n
+        ]
+        if failures:
+            raise ValueError("sanity gate failed — " + "; ".join(failures))
+        return counts
+
     # --- J1/A14: crosswalk drift -----------------------------------------------------
     def check_crosswalk_drift(self, crosswalk: DataFrame) -> dict:
         """Anti-join every source's plant key against plant_crosswalk

@@ -452,3 +452,19 @@ def test_incremental_refresh_bootstraps_missing_view(engine, spark, tmp_path):
     out = engine.refresh_views_incremental(["2024-01"], "entsoe")
     assert "mv_entsoe_monthly" in out
     assert engine.sql("SELECT * FROM mv_entsoe_monthly").count() == 1
+
+
+def test_sanity_gate_passes_and_fails(engine, spark):
+    cw = spark.createDataFrame(
+        [("npp", "coal")] * 5 + [("npp", "gas")] * 2 + [("eia", "coal")],
+        "source_system string, fuel string",
+    )
+    counts = engine.sanity_gate(cw, [
+        ("npp coal plants", "source_system = 'npp' AND fuel = 'coal'", 3),
+        ("any eia rows", "source_system = 'eia'", 1),
+    ])
+    assert counts == {"npp coal plants": 5, "any eia rows": 1}
+    with pytest.raises(ValueError, match="npp coal plants: 5 < 200"):
+        engine.sanity_gate(cw, [
+            ("npp coal plants", "source_system = 'npp' AND fuel = 'coal'", 200),
+        ])
