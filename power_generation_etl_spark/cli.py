@@ -104,6 +104,18 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("out_dir")
     ps.add_argument("--budget", type=int, default=2048, help="tokens per sequence")
     ps.add_argument("--neardup-threshold", type=float, default=0.5)
+    ps.add_argument(
+        "--benchmark-parquet",
+        default=None,
+        help="benchmark doc set (doc_id, text): drop training docs "
+        "sharing any word n-gram with it",
+    )
+    ps.add_argument("--decontam-ngram", type=int, default=5)
+    ps.add_argument(
+        "--no-redact-pii",
+        action="store_true",
+        help="skip email/IP/phone placeholder redaction in written shards",
+    )
     return p
 
 
@@ -204,15 +216,24 @@ def _dispatch(args, spark, eng: Engine) -> int:
         )
 
         docs = spark.read.parquet(args.docs_parquet)
+        bench = (
+            spark.read.parquet(args.benchmark_parquet)
+            if args.benchmark_parquet
+            else None
+        )
         s = prepare_pretraining_shards(
             docs,
             args.out_dir,
             budget=args.budget,
             neardup_threshold=args.neardup_threshold,
+            benchmark=bench,
+            decontam_n=args.decontam_ngram,
+            redact_pii=not args.no_redact_pii,
         )
         print(
             f"input={s.n_input} quality={s.n_after_quality} "
             f"exact_dedup={s.n_after_exact_dedup} neardup={s.n_after_neardup} "
+            f"decontam={s.n_after_decontam} "
             f"sequences={s.n_sequences} tokens={s.total_tokens}"
         )
     elif args.cmd == "check-drift":

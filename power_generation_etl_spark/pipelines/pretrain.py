@@ -2,15 +2,17 @@
 
 Composes the operator families into the pipeline a training-data team
 actually runs: quality filter → exact dedup → MinHash near-dup dedup →
-language tagging → token counting → per-shard sequence packing →
-JSONL shard files. Every stage is the same oracle-checked operator the
-catalog exposes individually; this module only wires them together.
+benchmark decontamination → PII redaction → language tagging → token
+counting → per-shard sequence packing → JSONL shard files. Every stage
+is the same oracle-checked operator the catalog exposes individually;
+this module only wires them together.
 
 Scale shape: one quality/projection scan, one digest groupBy (exact
-dedup), the banded LSH candidate join (near-dup), one explode+groupBy
-(language), one window (packing), one partitioned write. Nothing
-collects document bodies to the driver; the returned summary holds six
-counters.
+dedup), the banded LSH candidate join (near-dup), one broadcast
+semi-join against the benchmark shingle set (decontamination), a
+codegen regexp rewrite (redaction), one explode+groupBy (language),
+one window (packing), one partitioned write. Nothing collects document
+bodies to the driver; the returned summary holds seven counters.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from power_generation_etl_spark.operators import corpus as cp
+from power_generation_etl_spark.operators import hygiene as hg
 from power_generation_etl_spark.operators import minhash as mh
 from power_generation_etl_spark.operators import text as tx
 
@@ -32,6 +35,7 @@ class PrepSummary:
     n_after_quality: int
     n_after_exact_dedup: int
     n_after_neardup: int
+    n_after_decontam: int
     n_sequences: int
     total_tokens: int
 
@@ -44,6 +48,9 @@ def prepare_pretraining_shards(
     shard_col: str = "source",
     budget: int = 2048,
     neardup_threshold: float = 0.5,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 5,
+    redact_pii: bool = True,
 ) -> PrepSummary:
     """Run the full prep pipeline and write training shards.
 
@@ -55,6 +62,11 @@ def prepare_pretraining_shards(
     Dedup policy matches the catalog: exact dedup keeps the lowest
     doc_id per content digest; near-dup drops the higher doc_id of
     every verified pair (`neardup_dedup_docs` semantics).
+
+    When ``benchmark`` is given, documents sharing any word
+    ``decontam_n``-gram with it are dropped (eval-set leak removal);
+    when ``redact_pii`` is set, emails/IPs/phone numbers are replaced
+    with typed placeholders in the written shards.
     """
     n_input = docs.count()
 
@@ -81,6 +93,19 @@ def prepare_pretraining_shards(
     kept = exact.join(drop, id_col, "left_anti")
     n_neardup = kept.count()
 
+    # 3b. benchmark decontamination — broadcast semi-join on hashed
+    # n-grams; the corpus side never shuffles its text
+    if benchmark is not None:
+        contaminated = hg.decontaminate(
+            kept, benchmark, id_col, text_col, n=decontam_n
+        ).select(F.col("doc_id").alias(id_col))
+        kept = kept.join(contaminated, id_col, "left_anti")
+    n_decontam = kept.count() if benchmark is not None else n_neardup
+
+    # 3c. PII redaction — codegen regexp rewrite in the same projection
+    if redact_pii:
+        kept = kept.withColumn(text_col, hg.redact_pii(F.col(text_col)))
+
     # 4. language tag + token counts (explode once, codegen aggregates)
     langs = tx.score_langs(kept, id_col, text_col)
     enriched = (
@@ -106,6 +131,7 @@ def prepare_pretraining_shards(
         n_after_quality=n_quality,
         n_after_exact_dedup=n_exact,
         n_after_neardup=n_neardup,
+        n_after_decontam=n_decontam,
         n_sequences=int(stats["n_seq"]),
         total_tokens=int(stats["tot"] or 0),
     )

@@ -54,3 +54,42 @@ def test_pipeline_deterministic(spark, sf_dir, tmp_path):
         for r in spark.read.json(str(tmp_path / "b")).collect()
     )
     assert ra == rb
+
+
+def test_pipeline_decontam_and_redaction(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today " * 3, "s1"),
+            (2, "an entirely different document about data engineering "
+                "pipelines with plenty of ordinary words to pass quality "
+                "reach me at alice@example.com for details and questions", "s1"),
+            (3, "another clean document describing spark catalyst plans "
+                "joins aggregates windows shuffles partitions and scans "
+                "nothing sensitive appears anywhere in this text at all", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we know the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    s = prepare_pretraining_shards(
+        docs, str(tmp_path / "shards"), benchmark=bench, decontam_n=5
+    )
+    assert s.n_after_neardup == 3
+    assert s.n_after_decontam == 2  # doc 1 leaks benchmark 5-grams
+    shards = spark.read.json(str(tmp_path / "shards"))
+    ids = {r["doc_id"] for r in shards.collect()}
+    assert ids == {2, 3}
+    # the email was redacted in the written shard
+    texts = {r["doc_id"]: r["text"] for r in shards.collect()}
+    assert "[EMAIL]" in texts[2] and "alice@example.com" not in texts[2]
+
+    # redaction off and no benchmark: funnel unchanged, text untouched
+    s2 = prepare_pretraining_shards(
+        docs, str(tmp_path / "shards2"), redact_pii=False
+    )
+    assert s2.n_after_decontam == s2.n_after_neardup == 3
+    t2 = {r["doc_id"]: r["text"]
+          for r in spark.read.json(str(tmp_path / "shards2")).collect()}
+    assert "alice@example.com" in t2[2]
