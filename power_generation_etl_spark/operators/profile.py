@@ -53,9 +53,9 @@ def fixed_width_histogram(
 
 
 def quantile_threshold_filter(
-    df: DataFrame, value_col: str, q: float
+    df: DataFrame, value_col: str, q: float, *, approx: bool = False
 ) -> DataFrame:
-    """Rows strictly above the exact continuous ``q``-quantile of
+    """Rows strictly above the continuous ``q``-quantile of
     ``value_col``.
 
     The threshold is a 1-row aggregate broadcast back onto the scan
@@ -63,8 +63,21 @@ def quantile_threshold_filter(
     ``percentile`` and DuckDB ``quantile_cont`` share the closed form
     ``v[lo] + frac·(v[hi]−v[lo])`` at index (n−1)·q over the sorted
     values, so the float threshold is identical in both engines; the
-    integer-vs-double comparison that selects rows is then exact."""
-    thr = df.agg(F.percentile(F.col(value_col), F.lit(q)).alias("_thr"))
+    integer-vs-double comparison that selects rows is then exact.
+
+    ``approx=True`` is the 100 TB path: ``approx_percentile`` keeps a
+    bounded mergeable sketch per partition instead of buffering every
+    value in the exact percentile's aggregation state — use it when a
+    small threshold tolerance is acceptable (NOT oracle-portable; the
+    catalog entry uses the exact form)."""
+    if approx:
+        thr = df.agg(
+            F.approx_percentile(
+                F.col(value_col), F.lit(q), F.lit(10_000)
+            ).alias("_thr")
+        )
+    else:
+        thr = df.agg(F.percentile(F.col(value_col), F.lit(q)).alias("_thr"))
     return (
         df.crossJoin(F.broadcast(thr))
         .filter(F.col(value_col) > F.col("_thr"))

@@ -189,3 +189,14 @@ class TestRetry:
         with pytest.raises(ValueError):
             inc.retry(broken, attempts=3)
         assert len(calls) == 1
+
+
+class TestApproxThreshold:
+    def test_approx_path_close_to_exact(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(1, 1001)], "v long")
+        exact = pr.quantile_threshold_filter(df, "v", 0.9)
+        approx = pr.quantile_threshold_filter(df, "v", 0.9, approx=True)
+        ne, na = exact.count(), approx.count()
+        # sketch accuracy 10k: within 1% of the exact selection on 1k rows
+        assert abs(ne - na) <= 10
+        assert "approx_percentile" in approx._jdf.queryExecution().toString()
