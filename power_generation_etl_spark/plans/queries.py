@@ -1104,3 +1104,125 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: long → wide with a FIXED pivot-value list. Passing the values
+# explicitly matters twice over — it skips the extra distinct-scan job
+# Spark otherwise runs to discover them, and it keeps the output schema
+# static (a schema that depends on data contents can't be planned,
+# cached, or oracle-compared). The oracle is the portable spelling:
+# one count FILTER per column.
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "event_type_pivot_daily",
+    """
+    SELECT epoch_us(ts) // 86400000000 AS day_idx,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+    FROM events
+    GROUP BY 1
+    ORDER BY day_idx
+    """,
+)
+def event_type_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix via pivot. Compiles to ONE hash
+    aggregation with 5 conditional counts (same plan as the FILTER
+    spelling) — not 5 scans."""
+    from power_generation_etl_spark.plans.temporal_queries import T_events_us
+
+    e = T_events_us(spark, sf_dir)
+    day = F.expr("ts_us div 86400000000").alias("day_idx")
+    wide = (
+        e.select(day, "event_type")
+        .groupBy("day_idx")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day_idx",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    ).orderBy("day_idx")
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide → long, the inverse reshape. Built-in
+# df.unpivot is a single generate pass — the oracle is the portable
+# UNION ALL spelling.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_metrics_unpivot",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             n_chars,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens
+      FROM documents
+    )
+    SELECT doc_id, metric, value FROM (
+      SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM m
+      UNION ALL
+      SELECT doc_id, 'ws_tokens', ws_tokens FROM m
+    )
+    ORDER BY doc_id, metric
+    """,
+)
+def doc_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from power_generation_etl_spark.operators import text as tx
+
+    d = T(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.col("n_chars"),
+        tx.token_count(F.col("text")).alias("ws_tokens"),
+    )
+    return m.unpivot(
+        ["doc_id"], ["n_chars", "ws_tokens"], "metric", "value"
+    ).orderBy("doc_id", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery → decorrelation: each customer's single
+# most expensive order. Catalyst rewrites the per-row subquery into an
+# aggregate + join (check .explain: no repeated subquery execution).
+# The correlated value is a MAX over stored doubles — an element, not
+# arithmetic — so the equality is exact in both engines.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "customer_max_order",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_cmo")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM _orders_cmo o
+        WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                              FROM _orders_cmo o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
