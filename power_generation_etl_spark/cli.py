@@ -116,6 +116,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="skip email/IP/phone placeholder redaction in written shards",
     )
+
+    sp = sub.add_parser(
+        "scan-pii",
+        help="PII audit over a documents parquet -> JSON report",
+    )
+    sp.add_argument("docs_parquet", help="documents parquet (doc_id, text)")
+    sp.add_argument("output", help="JSON report path")
     return p
 
 
@@ -236,6 +243,35 @@ def _dispatch(args, spark, eng: Engine) -> int:
             f"decontam={s.n_after_decontam} "
             f"sequences={s.n_sequences} tokens={s.total_tokens}"
         )
+    elif args.cmd == "scan-pii":
+        from pyspark.sql import functions as F
+
+        from power_generation_etl_spark.operators import hygiene as hg
+
+        docs = spark.read.parquet(args.docs_parquet)
+        scan = hg.pii_scan(docs, "doc_id", "text").persist()
+        totals = scan.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("has_pii")).alias("n_docs_with_pii"),
+            *[
+                F.sum(f"n_{k}").cast("bigint").alias(f"total_{k}")
+                for k in hg.PII_PATTERNS
+            ],
+        ).head()
+        # driver memory stays O(20) regardless of corpus size
+        sample = [
+            r["doc_id"]
+            for r in scan.filter("has_pii").orderBy("doc_id").limit(20).collect()
+        ]
+        scan.unpersist()
+        report = {**totals.asDict(), "sample_doc_ids": sample}
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=2)
+        print(
+            f"{report['n_docs_with_pii']}/{report['n_docs']} docs with PII "
+            f"→ {args.output}"
+        )
+        return 1 if report["n_docs_with_pii"] > 0 else 0
     elif args.cmd == "check-drift":
         cw = spark.read.parquet(args.crosswalk)
         rep = eng.check_crosswalk_drift(cw)

@@ -241,17 +241,20 @@ def stream_document_filter(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    redact_pii: bool = True,
 ) -> StreamingQuery:
     """Streaming training-data intake: JSONL document drops →
     quality-filter (Gopher-style Column expressions from
     operators/text.py — pure projections, so they compose into a
     stream unchanged) → cross-batch exact dedup on the content
     fingerprint with bounded state (dropDuplicatesWithinWatermark) →
-    parquet sink.
+    PII redaction (codegen regexp rewrite, stateless) → parquet sink.
 
     This is the streaming twin of the batch `doc_quality` +
-    `exact_dedup_docs` catalog queries: at 100 TB you filter/dedup at
-    intake instead of re-scanning the corpus.
+    `exact_dedup_docs` (+ `pii_scan_docs` redaction) catalog queries:
+    at 100 TB you filter/dedup/redact at intake instead of re-scanning
+    the corpus. The dedup fingerprint is computed BEFORE redaction so
+    an original and its redacted twin can never both pass.
     """
     from pyspark.sql.types import (
         LongType,
@@ -282,6 +285,10 @@ def stream_document_filter(
         .dropDuplicatesWithinWatermark(["fingerprint"])
         .select("doc_id", "ingested_at", "lang", "source", "text", "fingerprint")
     )
+    if redact_pii:
+        from power_generation_etl_spark.operators import hygiene as hg
+
+        filtered = filtered.withColumn("text", hg.redact_pii(F.col("text")))
     writer = (
         filtered.writeStream.format("parquet")
         .option("path", out_dir)

@@ -244,3 +244,30 @@ def test_compact_preserves_schema_sidecar(tmp_path, spark):
     # truncate after compact keeps the original (non-nullable) schema
     eng.clear_table("npp_generation")
     assert open(sidecar).read() == before
+
+
+def test_scan_pii_report(tmp_path, spark, capsys):
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at alice@example.com please"),
+            (2, "clean text with nothing sensitive"),
+            (3, "server 10.0.0.1 and backup 10.0.0.2"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "pii.json")
+    rc = _run(tmp_path, "scan-pii", src, out)
+    assert rc == 1  # nonzero exit signals PII found (CI gate style)
+    import json as _json
+
+    rep = _json.load(open(out))
+    assert rep["n_docs"] == 3 and rep["n_docs_with_pii"] == 2
+    assert rep["total_email"] == 1 and rep["total_ipv4"] == 2
+    assert rep["sample_doc_ids"] == [1, 3]
+
+    clean = spark.createDataFrame([(9, "all clear here")], "doc_id long, text string")
+    src2 = str(tmp_path / "clean.parquet")
+    clean.write.parquet(src2)
+    assert _run(tmp_path, "scan-pii", src2, str(tmp_path / "c.json")) == 0

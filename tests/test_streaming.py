@@ -218,3 +218,31 @@ def test_stream_neardup_intake(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in
                   spark.read.parquet(str(tmp_path / "out")).collect())
     assert kept == [1, 3, 5]  # 4 dropped against the signature store
+
+def test_stream_document_filter_redacts_pii(spark, tmp_path):
+    """PII redaction at intake: the written shard carries placeholders,
+    and the dedup fingerprint is computed on the ORIGINAL text."""
+    from datetime import datetime, timezone
+
+    from power_generation_etl_spark.streaming.ingest import stream_document_filter
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    base = "write to alice@example.com about the quick brown fox story " * 3
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc).isoformat()
+    rows = [
+        {"doc_id": 1, "ingested_at": ts, "lang": "en", "source": "s", "text": base},
+        {"doc_id": 2, "ingested_at": ts, "lang": "en", "source": "s", "text": base},
+    ]
+    with open(landing / "drop1.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    q = stream_document_filter(
+        spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(out) == 1  # exact dup dropped despite redaction
+    assert "[EMAIL]" in out[0]["text"]
+    assert "alice@example.com" not in out[0]["text"]
