@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     clu.add_argument("table")
     clu.add_argument("--by", required=True, help="comma-separated sort columns")
     clu.add_argument("--target-file-mb", type=int, default=128)
+    clu.add_argument(
+        "--zorder",
+        action="store_true",
+        help="Morton-interleave the sort columns (multi-column skipping)",
+    )
 
     exp = sub.add_parser("aggregate-export")
     exp.add_argument("output_dir")
@@ -188,9 +193,12 @@ def _dispatch(args, spark, eng: Engine) -> int:
         print(f"compacted {args.table}: {before} -> {after} files")
     elif args.cmd == "cluster-table":
         cols = [c.strip() for c in args.by.split(",") if c.strip()]
-        before, after = eng.cluster_table(args.table, cols, args.target_file_mb)
+        before, after = eng.cluster_table(
+            args.table, cols, args.target_file_mb, zorder=args.zorder
+        )
+        mode = "z-ordered" if args.zorder else "clustered"
         print(
-            f"clustered {args.table} by ({', '.join(cols)}): "
+            f"{mode} {args.table} by ({', '.join(cols)}): "
             f"{before} -> {after} files"
         )
     elif args.cmd == "aggregate-export":

@@ -503,17 +503,22 @@ class Engine:
         return self.store.compact(table, target_file_mb)
 
     def cluster_table(
-        self, table: str, sort_cols: list[str], target_file_mb: int = 128
+        self,
+        table: str,
+        sort_cols: list[str],
+        target_file_mb: int = 128,
+        zorder: bool = False,
     ) -> tuple[int, int]:
         """Sorted compaction — the warehouse equivalent of the
         reference's covering composite B-tree indexes (e.g.
         `(plant, timestamp)`, schema/entsoe_generation.sql:49-75):
         physically clusters each month partition's files by `sort_cols`
-        so parquet min/max row-group stats make prefix filters
+        (lexicographic, or Morton/Z-order with ``zorder=True`` for
+        multi-column skipping) so parquet min/max stats make filters
         selective. Same identifier guard as clear_table."""
         if table not in set(KNOWN_TABLES.values()) | {"extraction_metadata"} | set(ALL_VIEWS):
             raise ValueError(f"unknown table: {table}")
-        return self.store.cluster(table, sort_cols, target_file_mb)
+        return self.store.cluster(table, sort_cols, target_file_mb, zorder=zorder)
 
     def sanity_gate(
         self, df: DataFrame, checks: list[tuple[str, str, int]]

@@ -226,21 +226,37 @@ class TableStore:
         return before, self.file_count(table)
 
     def cluster(
-        self, table: str, sort_cols: list[str], target_file_mb: int = 128
+        self,
+        table: str,
+        sort_cols: list[str],
+        target_file_mb: int = 128,
+        zorder: bool = False,
+        n_files: int | None = None,
     ) -> tuple[int, int]:
-        """Compact + physically sort each partition's files by
-        `sort_cols` — the parquet equivalent of the reference's covering
-        composite B-tree indexes (e.g. `(plant, timestamp)`,
-        schema/entsoe_generation.sql:49-75): after clustering, a filter
-        on a sort-column prefix skips non-overlapping row groups via
-        parquet min/max stats, so selective scans touch a fraction of
-        the files instead of the whole table. The month partition column
-        stays the coarse pruning level above it.
+        """Compact + physically reorganize the table for data skipping
+        — the parquet equivalent of the reference's covering composite
+        B-tree indexes (e.g. `(plant, timestamp)`,
+        schema/entsoe_generation.sql:49-75).
+
+        Lexicographic mode (default): range-repartition + sort by
+        `sort_cols`, so each output file owns a DISJOINT range of the
+        leading column(s) and a filter on a sort-column prefix skips
+        whole files via parquet min/max stats. (A round-robin
+        repartition would sort within files but give every file the
+        full value range — zero file-level skipping.)
+
+        ``zorder=True``: sort by a Morton interleave key over ALL the
+        given (numeric) columns instead of lexicographically — each
+        file owns a compact hyper-rectangle, so selective filters on
+        ANY of the columns skip files, at the cost of slightly weaker
+        skipping on the leading column (the OPTIMIZE ... ZORDER
+        trade-off). Keys are min/max-normalized to 16 bits per column
+        from one stats pass; ≤3 columns (48 key bits).
 
         Like `compact`, rewrites through the atomic overwrite swap and
         returns (files_before, files_after). Periodic re-clustering is
-        the OPTIMIZE ... ZORDER analog for append-heavy tables (appends
-        land unsorted until the next run)."""
+        the OPTIMIZE analog for append-heavy tables (appends land
+        unsorted until the next run)."""
         before = self.file_count(table)
         if before == 0:
             return 0, 0
@@ -249,12 +265,15 @@ class TableStore:
         ]
         if missing:
             raise ValueError(f"unknown sort column(s): {', '.join(missing)}")
-        total_bytes = 0
-        for _dir, _sub, files in os.walk(self.path(table)):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total_bytes += os.path.getsize(os.path.join(_dir, f))
-        n_files = max(1, -(-total_bytes // (target_file_mb << 20)))
+        if zorder and not 2 <= len(sort_cols) <= 3:
+            raise ValueError("zorder needs 2-3 numeric columns")
+        if n_files is None:
+            total_bytes = 0
+            for _dir, _sub, files in os.walk(self.path(table)):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total_bytes += os.path.getsize(os.path.join(_dir, f))
+            n_files = max(1, -(-total_bytes // (target_file_mb << 20)))
         df = self.spark.read.option("basePath", self.path(table)).parquet(
             self.path(table)
         )
@@ -266,18 +285,30 @@ class TableStore:
         # satisfies the writer's required partition-column ordering, so
         # no extra sort is inserted and files come out sorted.
         tmp = self.path(table) + "__tmp__"
-        if MONTH_COL in df.columns:
+        out_cols = df.columns
+        if zorder:
+            df = df.withColumn("_zkey", morton_key(df, sort_cols))
+            order_cols = ["_zkey"]
+        else:
+            order_cols = list(sort_cols)
+        # repartitionByRange gives files DISJOINT key ranges (sampled
+        # range boundaries); sortWithinPartitions orders inside each.
+        # The final select drops helper columns — a projection preserves
+        # the sort order, so the writer inserts no extra sort.
+        if MONTH_COL in out_cols:
             (
-                df.repartition(int(n_files), MONTH_COL)
-                .sortWithinPartitions(MONTH_COL, *sort_cols)
+                df.repartitionByRange(int(n_files), MONTH_COL, *order_cols)
+                .sortWithinPartitions(MONTH_COL, *order_cols)
+                .select(*out_cols)
                 .write.mode("overwrite")
                 .partitionBy(MONTH_COL)
                 .parquet(tmp)
             )
         else:
             (
-                df.repartition(int(n_files))
-                .sortWithinPartitions(*sort_cols)
+                df.repartitionByRange(int(n_files), *order_cols)
+                .sortWithinPartitions(*order_cols)
+                .select(*out_cols)
                 .write.mode("overwrite")
                 .parquet(tmp)
             )
@@ -295,3 +326,40 @@ class TableStore:
                 f.write(schema_json)
         self.spark.catalog.clearCache()
         return before, self.file_count(table)
+
+
+def morton_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Morton (Z-order) interleave key over 2-3 numeric columns.
+
+    Each column is min/max-normalized to ``bits`` bits (one stats job;
+    the 6 scalars become expression literals), then bit-interleaved so
+    rows close in EVERY dimension get close keys. Range-partitioning +
+    sorting by this key packs each output file into a compact
+    hyper-rectangle of the value space — the layout behind
+    OPTIMIZE ... ZORDER in lakehouse table formats.
+
+    Normalization is equi-width, not equi-depth: heavily skewed columns
+    concentrate into few buckets and skip less — rank/percentile
+    bucketing is the upgrade if that bites. All expressions are integer
+    shift/mask ops inside codegen."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).head()
+    n = len(cols)
+    key = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        mn, mx = stats[f"mn_{j}"], stats[f"mx_{j}"]
+        if mn is None or mx is None or mx <= mn:
+            norm = F.lit(0).cast("bigint")
+        else:
+            scaled = (F.col(c).cast("double") - F.lit(float(mn))) * (
+                (1 << bits) / (mx - mn)
+            )
+            norm = F.least(
+                F.floor(scaled).cast("bigint"), F.lit((1 << bits) - 1)
+            )
+        for i in range(bits):
+            bit = F.shiftright(norm, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return key

@@ -1,0 +1,99 @@
+"""Z-order clustering: Morton key correctness and the file-skipping
+property it exists for — after z-ordering, a selective filter on the
+NON-leading column overlaps far fewer files than the lexicographic
+layout, where every file spans the full secondary range."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.store import TableStore, morton_key
+
+
+def _py_morton(vals: list[int], bits: int) -> int:
+    key = 0
+    n = len(vals)
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            key |= ((v >> i) & 1) << (i * n + j)
+    return key
+
+
+def _file_ranges(table_dir: str, col: str) -> list[tuple[int, int]]:
+    out = []
+    for f in sorted(glob.glob(f"{table_dir}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(i).column(idx).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max
+                 for i in range(md.num_row_groups))
+        out.append((lo, hi))
+    return out
+
+
+def _overlapping(ranges: list[tuple[int, int]], lo: int, hi: int) -> int:
+    return sum(1 for mn, mx in ranges if mx >= lo and mn <= hi)
+
+
+class TestMortonKey:
+    def test_interleave_matches_reference(self, spark):
+        # values span [0, 4]; with bits=2 normalization maps
+        # v -> min(floor(v * 4/4), 3) = min(v, 3)
+        rows = [(x, y) for x in range(5) for y in range(5)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = df.select("x", "y", morton_key(df, ["x", "y"], bits=2)
+                        .alias("k")).collect()
+        for r in got:
+            nx, ny = min(r["x"], 3), min(r["y"], 3)
+            assert r["k"] == _py_morton([nx, ny], 2), (r["x"], r["y"])
+
+    def test_constant_column_contributes_zero(self, spark):
+        df = spark.createDataFrame([(1, 7), (2, 7)], "x long, y long")
+        ks = {r["x"]: r["k"] for r in df.select(
+            "x", morton_key(df, ["x", "y"], bits=4).alias("k")).collect()}
+        # y is constant -> its bits are all zero; key orders by x alone
+        assert ks[1] < ks[2]
+
+
+class TestZorderLayout:
+    @pytest.fixture(scope="class")
+    def layouts(self, spark, tmp_path_factory):
+        root = tmp_path_factory.mktemp("wh")
+        grid = [(x, y) for x in range(64) for y in range(64)]
+
+        dirs = {}
+        for mode, zo in [("lex", False), ("z", True)]:
+            store = TableStore(spark, str(root / mode))
+            df = spark.createDataFrame(grid, "x long, y long")
+            store.append("grid", df)
+            store.cluster("grid", ["x", "y"], zorder=zo, n_files=16)
+            dirs[mode] = store.path("grid")
+        return dirs
+
+    def test_zorder_skips_on_secondary_column(self, layouts):
+        lex_y = _file_ranges(layouts["lex"], "y")
+        z_y = _file_ranges(layouts["z"], "y")
+        # narrow band on y (the non-leading column)
+        lex_hit = _overlapping(lex_y, 8, 11)
+        z_hit = _overlapping(z_y, 8, 11)
+        # lexicographic files each span ~all of y; z-order files are
+        # compact rectangles — at least 2x fewer files touched
+        assert lex_hit >= 12, (lex_hit, lex_y)
+        assert z_hit * 2 <= lex_hit, (z_hit, lex_hit)
+
+    def test_both_layouts_skip_on_leading_column(self, layouts):
+        lex_x = _file_ranges(layouts["lex"], "x")
+        z_x = _file_ranges(layouts["z"], "x")
+        assert _overlapping(lex_x, 8, 11) <= 4
+        # z-order trades a little leading-column selectivity, but must
+        # still skip most files
+        assert _overlapping(z_x, 8, 11) <= 8
+
+    def test_no_rows_lost(self, spark, layouts):
+        for d in layouts.values():
+            assert spark.read.parquet(d).count() == 64 * 64
