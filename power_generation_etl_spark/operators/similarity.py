@@ -183,7 +183,13 @@ def lsh_bucketed_neardup(
     Recall < 1 by construction (that's the trade); precision = 1 since
     every emitted pair is exactly verified. kernel='arrow' runs the
     verification cosine through the vectorized numpy kernel."""
-    dim = len(df.select(vec_col).head()[0])
+    probe = df.select(vec_col).head()
+    if probe is None:  # empty corpus -> empty pairs, stable schema
+        idt = dict(df.dtypes).get(id_col, "bigint")
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {idt}, id_b {idt}, cosine_sim double"
+        )
+    dim = len(probe[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     per_band = n_planes // n_bands
     v = as_double_array(F.col(vec_col))
@@ -345,7 +351,13 @@ def ivf_topk(
     if label_col is not None:
         cell = F.col(label_col)
         # Centroids: per-cell mean vector — one narrow aggregation.
-        dim = len(df.select(vec_col).head()[0])
+        probe = df.select(vec_col).head()
+        if probe is None:  # empty corpus -> empty top-k, stable schema
+            idt = dict(df.dtypes).get(id_col, "bigint")
+            return df.sparkSession.createDataFrame(
+                [], f"{id_col} {idt}, cosine_sim double"
+            )
+        dim = len(probe[0])
         centroids = df.groupBy(cell.alias("cell")).agg(
             F.array(
                 *[F.avg(v.getItem(i)).alias(f"c{i}") for i in range(dim)]

@@ -380,11 +380,18 @@ _COS_SQL = (
 )
 
 
-def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float] | None:
+    """The shared ANN query vector (vec_id 0), or None on an empty /
+    filtered-out table — callers emit an empty stable-schema result
+    instead of crashing (the driver contract allows >= 0 rows)."""
     row = (
         T(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
     )
-    return [float(x) for x in row["embedding"]]
+    return None if row is None else [float(x) for x in row["embedding"]]
+
+
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "vec_id bigint, cosine_sim double")
 
 
 @_register(
@@ -400,7 +407,10 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 )
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    return sim.brute_force_topk(e, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10)
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        return _empty_topk(spark)
+    return sim.brute_force_topk(e, "vec_id", "embedding", qv, k=10)
 
 
 _EMBED_DIM = 64  # dim of the synthetic embeddings table (all SFs)
@@ -519,9 +529,10 @@ def cosine_allpairs_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
-    return sim.ivf_topk(
-        e, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, label_col="label"
-    )
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        return _empty_topk(spark)
+    return sim.ivf_topk(e, "vec_id", "embedding", qv, k=10, label_col="label")
 
 
 def _kmeans_ivf_oracle(k: int = 8, iters: int = 3, probe_fraction: float = 0.25,
@@ -595,9 +606,10 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means (operators.similarity.kmeans_train) assigns the coarse
     cells, then probing works exactly as the labeled variant."""
     e = T(spark, sf_dir, "embeddings")
-    return sim.ivf_topk(
-        e, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, label_col=None
-    )
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        return _empty_topk(spark)
+    return sim.ivf_topk(e, "vec_id", "embedding", qv, k=10, label_col=None)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,43 @@
+"""Whole-catalog empty-input guardrail: every registered query must
+run (and return a stable-schema, zero-or-more-row result) when every
+table is empty — the scale-boundary case of a filter that eliminates
+everything, a fresh deployment, or an empty partition. Data-derived
+driver constants (ANN query vectors, dimensionalities) must degrade to
+empty results, never crash."""
+
+from __future__ import annotations
+
+import pytest
+
+from power_generation_etl_spark.plans import QUERIES
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, sf_dir, tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("empty_sf")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in TABLES:
+        src = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        spark.createDataFrame([], src.schema).write.parquet(
+            str(out / f"{t}.parquet")
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_empty_tables(name, spark, empty_sf):
+    rows = QUERIES[name](spark, empty_sf).collect()
+    assert rows == [] or len(rows) >= 0  # no crash; schema resolvable
