@@ -914,3 +914,50 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@_register(
+    "filtered_ann_topk",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, d.lang, d.source
+      FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id
+      WHERE e.vec_id <> 0 AND d.lang = 'en'
+    )
+    SELECT vec_id, lang, source, round({_COS_SQL}, 4) AS cosine_sim
+    FROM s, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered ANN: top-k cosine restricted by a METADATA
+    predicate (English documents only) — the filtered-vector-search
+    pattern real systems need (post-filtering a plain top-k under-
+    fills k when the predicate is selective). The metadata join runs
+    BEFORE scoring, so the kernel touches only qualifying vectors, and
+    the predicate/join-key scan prunes columns (no document bodies
+    move)."""
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, lang string, source string, cosine_sim double"
+        )
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    d = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"), "lang", "source")
+    )
+    joined = e.join(d, "vec_id")
+    qa = F.array(*[F.lit(float(x)) for x in qv])
+    score = sim.cosine(sim.as_double_array(F.col("embedding")), qa)
+    return (
+        joined.select(
+            "vec_id", "lang", "source", F.round(score, 4).alias("cosine_sim")
+        )
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
