@@ -153,3 +153,36 @@ def mean_factor_anomalies(
         "n_anomalies",
         (F.expr("_s4 div n_rows") / F.lit(10_000.0)).alias("mean_value"),
     )
+
+
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column profile in long form: (column, n_rows, n_nulls,
+    n_distinct, min_value, max_value) — the ANALYZE-style scan that
+    feeds schema drift checks and null-rate monitors.
+
+    ONE aggregation pass computes every statistic (Spark plans the
+    multi-distinct via Expand — still a single shuffle round), then the
+    1-row result explodes into one row per column. min/max are emitted
+    as strings for a uniform schema; profile integer/string columns —
+    float formatting differs across engines."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(c).alias(f"_nn{i}"),
+            F.count_distinct(F.col(c)).alias(f"_nd{i}"),
+            F.min(c).cast("string").alias(f"_mn{i}"),
+            F.max(c).cast("string").alias(f"_mx{i}"),
+        ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn{i}")).alias("n_nulls"),
+            F.col(f"_nd{i}").alias("n_distinct"),
+            F.col(f"_mn{i}").alias("min_value"),
+            F.col(f"_mx{i}").alias("max_value"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("r")).select("r.*")

@@ -295,3 +295,45 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.int8_quantize_report(e, "vec_id", "embedding", "label").select(
         "vec_id", "label", "max_abs_err", "cos_orig_quant"
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style per-column table profile.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def _profile_cte(c: str) -> str:
+    return (
+        f"SELECT '{c}' AS \"column\", n AS n_rows,"
+        f" CAST(n - nn_{c} AS BIGINT) AS n_nulls,"
+        f" CAST(nd_{c} AS BIGINT) AS n_distinct,"
+        f" mn_{c} AS min_value, mx_{c} AS max_value FROM a"
+    )
+
+
+@_register(
+    "documents_profile",
+    f"""
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {', '.join(
+                 f'count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c},'
+                 f' CAST(min({c}) AS VARCHAR) AS mn_{c},'
+                 f' CAST(max({c}) AS VARCHAR) AS mx_{c}'
+                 for c in _PROFILE_COLS
+             )}
+      FROM documents
+    )
+    SELECT * FROM ({' UNION ALL '.join(_profile_cte(c) for c in _PROFILE_COLS)})
+    ORDER BY "column"
+    """,
+)
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style profile of the documents table: null counts,
+    distinct counts, min/max per column — one multi-distinct
+    aggregation pass, 1-row result exploded to long form. Strings/
+    integers only (float min/max formatting is not engine-portable)."""
+    d = T(spark, sf_dir, "documents")
+    return pr.table_profile(d, _PROFILE_COLS).orderBy("column")

@@ -200,3 +200,22 @@ class TestApproxThreshold:
         # sketch accuracy 10k: within 1% of the exact selection on 1k rows
         assert abs(ne - na) <= 10
         assert "approx_percentile" in approx._jdf.queryExecution().toString()
+
+
+class TestTableProfile:
+    def test_nulls_distincts_minmax(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, tag string")
+        out = {r["column"]: r for r in pr.table_profile(df, ["id", "tag"]).collect()}
+        assert out["id"]["n_rows"] == 4 and out["id"]["n_nulls"] == 0
+        assert out["id"]["n_distinct"] == 4
+        assert out["id"]["min_value"] == "1" and out["id"]["max_value"] == "4"
+        assert out["tag"]["n_nulls"] == 1
+        assert out["tag"]["n_distinct"] == 2  # nulls don't count
+        assert out["tag"]["min_value"] == "a" and out["tag"]["max_value"] == "b"
+
+    def test_single_aggregation_pass(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id long, tag string")
+        plan = pr.table_profile(df, ["id", "tag"])._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert plan.count("Scan ExistingRDD") <= 1
