@@ -94,7 +94,15 @@ def _session_fn(
         state.update((min(start_us, lo), max(end_us, hi), n + n_new, total + total_new))
     else:
         state.update((lo, hi, n_new, total_new))
-    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
+    # Gap semantics: the session closes when the WATERMARK passes
+    # last-event + gap. Anchoring on the watermark alone breaks in the
+    # first micro-batch (watermark still 0 → timeout in 1970, session
+    # closes prematurely); the max() also guards the must-be-after-
+    # watermark contract of setTimeoutTimestamp.
+    end_ms = int(state.get[1]) // 1000
+    state.setTimeoutTimestamp(
+        max(state.getCurrentWatermarkMs() + 1, end_ms + gap_ms)
+    )
     yield pd.DataFrame(
         columns=["user_id", "session_start", "session_end", "n_events", "total_value"]
     ).astype(
@@ -115,6 +123,97 @@ def sessionize(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
             _session_fn,
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch event-transition counting — the streaming twin of the
+# batch `event_transition_matrix` catalog query.
+# ---------------------------------------------------------------------------
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+        StructField("n_transitions", LongType()),
+    ]
+)
+
+_TRANSITION_STATE = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _transition_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user transition counter. State is ONE (ts, type) pair — the
+    user's latest event — so the boundary transition between micro-
+    batches is counted exactly once; state expires via event-time
+    timeout for idle users (bounded state)."""
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "from_type": pd.Series([], dtype="object"),
+             "to_type": pd.Series([], dtype="object"),
+             "n_transitions": pd.Series([], dtype="int64")}
+        )
+        return
+
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["ts", "event_id"])
+    types = list(rows["event_type"])
+    ts_us = list(rows["ts"].astype("int64") // 1000)
+    if state.exists:
+        last_ts, last_type = state.get
+        types = [last_type] + types
+    counts: dict[tuple[str, str], int] = {}
+    for a, b in zip(types, types[1:]):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    state.update((int(ts_us[-1]), types[-1]))
+    # Anchor the idle-timeout to event time as well as the watermark:
+    # in the FIRST micro-batch the watermark is still 0 (epoch), and a
+    # watermark-only timeout would land in 1970 — expiring the state
+    # before the next batch and silently dropping every cross-batch
+    # boundary transition.
+    last_ms = int(ts_us[-1]) // 1000
+    state.setTimeoutTimestamp(
+        max(state.getCurrentWatermarkMs(), last_ms) + 60 * 60 * 1000
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(counts),
+            "from_type": [a for a, _ in counts],
+            "to_type": [b for _, b in counts],
+            "n_transitions": list(counts.values()),
+        }
+    )
+
+
+def stream_transition_counts(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming first-order transition counts per user over a
+    (event_id, ts, user_id, event_type) stream. Emits per-batch partial
+    counts (sum downstream for totals); the cross-batch boundary
+    transition is captured through the single-row keyed state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transition_fn,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=_TRANSITION_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -113,3 +113,58 @@ def test_sessionize_emits_on_timeout(spark, tmp_path):
     s = by_user[1]
     assert s["n_events"] == 3 and s["total_value"] == pytest.approx(6.0)
     assert str(s["session_start"]).startswith("2024-01-01 00:00")
+
+
+def test_stream_transition_counts_across_batches(spark, tmp_path):
+    """The boundary transition between micro-batches must be counted
+    exactly once via the per-user single-row state."""
+    from power_generation_etl_spark.streaming.stateful import stream_transition_counts
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+
+    def run_pass():
+        q = (
+            stream_transition_counts(
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, event_type string"
+                ).json(str(src))
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "signup"},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 1, "event_type": "view"},
+    ]
+    with open(src / "1.jsonl", "w") as f:
+        for r in rows1:
+            f.write(json.dumps(r) + "\n")
+    run_pass()
+
+    # batch 2: the first event continues user 1's sequence (view->click)
+    rows2 = [
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 1, "event_type": "click"},
+        {"event_id": 4, "ts": "2024-01-01T00:03:00", "user_id": 1, "event_type": "purchase"},
+    ]
+    with open(src / "2.jsonl", "w") as f:
+        for r in rows2:
+            f.write(json.dumps(r) + "\n")
+    run_pass()
+
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        k = (r["from_type"], r["to_type"])
+        got[k] = got.get(k, 0) + r["n_transitions"]
+    assert got == {
+        ("signup", "view"): 1,
+        ("view", "click"): 1,      # the cross-batch boundary transition
+        ("click", "purchase"): 1,
+    }
