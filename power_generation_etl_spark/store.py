@@ -232,6 +232,7 @@ class TableStore:
         target_file_mb: int = 128,
         zorder: bool = False,
         n_files: int | None = None,
+        zorder_equidepth: bool = False,
     ) -> tuple[int, int]:
         """Compact + physically reorganize the table for data skipping
         — the parquet equivalent of the reference's covering composite
@@ -287,7 +288,9 @@ class TableStore:
         tmp = self.path(table) + "__tmp__"
         out_cols = df.columns
         if zorder:
-            df = df.withColumn("_zkey", morton_key(df, sort_cols))
+            df = df.withColumn(
+                "_zkey", morton_key(df, sort_cols, equidepth=zorder_equidepth)
+            )
             order_cols = ["_zkey"]
         else:
             order_cols = list(sort_cols)
@@ -328,25 +331,58 @@ class TableStore:
         return before, self.file_count(table)
 
 
-def morton_key(df: DataFrame, cols: list[str], bits: int = 16):
+def morton_key(
+    df: DataFrame, cols: list[str], bits: int = 16, equidepth: bool = False
+):
     """Morton (Z-order) interleave key over 2-3 numeric columns.
 
-    Each column is min/max-normalized to ``bits`` bits (one stats job;
-    the 6 scalars become expression literals), then bit-interleaved so
-    rows close in EVERY dimension get close keys. Range-partitioning +
+    Each column is normalized to ``bits`` bits (one stats job; the
+    scalars become expression literals), then bit-interleaved so rows
+    close in EVERY dimension get close keys. Range-partitioning +
     sorting by this key packs each output file into a compact
     hyper-rectangle of the value space — the layout behind
     OPTIMIZE ... ZORDER in lakehouse table formats.
 
-    Normalization is equi-width, not equi-depth: heavily skewed columns
-    concentrate into few buckets and skip less — rank/percentile
-    bucketing is the upgrade if that bites. All expressions are integer
-    shift/mask ops inside codegen."""
+    Default normalization is equi-width min/max — pure shift/mask
+    codegen, right for roughly uniform columns. ``equidepth=True``
+    rank-buckets instead: 2^min(bits,8) approx_percentile boundaries
+    per column (t-digest sketch, same single stats job), so a heavily
+    skewed column still spreads across all buckets and keeps its
+    skipping power; bucket lookup is a sorted-boundary count (array
+    HOF — fine for a maintenance rewrite, not a hot path)."""
+    n = len(cols)
+    if equidepth:
+        b = min(bits, 8)  # 256 boundaries/col keeps the sketch + expr sane
+        nb = 1 << b
+        qs = [i / nb for i in range(1, nb)]
+        stats = df.agg(
+            *[
+                F.approx_percentile(
+                    F.col(c).cast("double"),
+                    F.array(*[F.lit(q) for q in qs]),
+                    F.lit(10_000),
+                ).alias(f"q_{i}")
+                for i, c in enumerate(cols)
+            ]
+        ).head()
+        key = F.lit(0).cast("bigint")
+        for j, c in enumerate(cols):
+            bounds = stats[f"q_{j}"]
+            if not bounds:
+                norm = F.lit(0).cast("bigint")
+            else:
+                arr = F.array(*[F.lit(float(x)) for x in bounds])
+                norm = F.size(
+                    F.filter(arr, lambda x: x <= F.col(c).cast("double"))
+                ).cast("bigint")
+            for i in range(b):
+                bit = F.shiftright(norm, i).bitwiseAND(F.lit(1))
+                key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
+        return key
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
     ).head()
-    n = len(cols)
     key = F.lit(0).cast("bigint")
     for j, c in enumerate(cols):
         mn, mx = stats[f"mn_{j}"], stats[f"mx_{j}"]

@@ -97,3 +97,31 @@ class TestZorderLayout:
     def test_no_rows_lost(self, spark, layouts):
         for d in layouts.values():
             assert spark.read.parquet(d).count() == 64 * 64
+
+
+class TestEquidepth:
+    def test_skewed_column_spreads_across_buckets(self, spark):
+        # 90% of x mass at tiny values, a long tail to 1e6: equi-width
+        # normalization crams the mass into bucket 0; equi-depth spreads it.
+        rows = [(i % 100, i) for i in range(900)] + [
+            (1_000_000 - i, i + 900) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "x long, y long")
+
+        def n_distinct_buckets(equidepth: bool) -> int:
+            k = morton_key(df, ["x", "y"], bits=8, equidepth=equidepth)
+            # unweave x's bits (even positions) back out of the key
+            xs = set()
+            for r in df.select(k.alias("k")).collect():
+                xb = 0
+                for i in range(8):
+                    xb |= ((r["k"] >> (2 * i)) & 1) << i
+                xs.add(xb)
+            return len(xs)
+
+        width = n_distinct_buckets(False)
+        depth = n_distinct_buckets(True)
+        # equi-width: dense head collapses into very few x-buckets
+        assert width <= 4, width
+        # equi-depth: the same head spreads over many rank buckets
+        assert depth >= 32, depth
