@@ -961,3 +961,28 @@ def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@_register(
+    "weighted_doc_sample",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 2000 < n_chars // 2
+    ORDER BY doc_id
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LENGTH-WEIGHTED sampling: each doc kept with
+    probability proportional to n_chars (~1% per 40 chars) — the
+    pattern for oversampling long/high-value documents in a training
+    mix. Membership is exact integer arithmetic over a portable hash
+    (hash mod M < weight), so the sample is reproducible across
+    engines, runs, and partitionings — no RNG, no float boundary."""
+    d = T(spark, sf_dir, "documents")
+    bucket = F.pmod(mh.portable_hash32(F.col("doc_id").cast("string")), F.lit(2000))
+    weight = F.expr("n_chars div 2")
+    return (
+        d.filter(bucket < weight).select("doc_id", "n_chars").orderBy("doc_id")
+    )
