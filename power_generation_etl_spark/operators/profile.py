@@ -128,6 +128,8 @@ def mean_factor_anomalies(
     Two passes over the group (one agg for (n, Σ), one re-join) would
     shuffle twice; instead a single window computes (n, Σ) alongside
     each row, then one hash agg rolls up — one shuffle total."""
+    if not 1 <= scale <= 10_000:
+        raise ValueError("scale must be in [1, 10000] (mean is reported at 4dp)")
     x = scaled_int(F.col(value_col), scale)
     w = Window.partitionBy(group_col)
     n = F.count(F.lit(1)).over(w)
