@@ -1226,3 +1226,73 @@ def customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, o_orderkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join (EXISTS): the positive twin of the drift anti-join —
+# customers with at least one urgent order, emitted once regardless of
+# how many orders match. LeftSemi carries only join keys through the
+# shuffle; no row multiplication, no dedup pass.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "customers_with_urgent_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(o, "c_custkey", "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE quartiles: rank-based integer bucketing (exact across engines,
+# unlike value-based percentile cuts on floats).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "customer_spend_quartiles",
+    """
+    WITH s AS (
+      SELECT o_custkey, CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS spend
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, spend,
+           CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT)
+             AS quartile
+    FROM s
+    ORDER BY o_custkey
+    """,
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment by total spend — ntile is rank-based integer
+    arithmetic over a deterministic total order (spend, custkey
+    tiebreak), so bucket membership is exact in both engines. The
+    global-order window is the documented scale limit: a single-
+    partition sort, fine for per-customer aggregates (cardinality ≪
+    input), wrong for raw events."""
+    o = T(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    return s.select(
+        "o_custkey", "spend", F.ntile(4).over(w).cast("bigint").alias("quartile")
+    ).orderBy("o_custkey")
