@@ -33,9 +33,12 @@ def funnel_steps(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    within_us: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: for each step k, how many users
-    performed steps 1..k *in order* (each strictly after the previous).
+    performed steps 1..k *in order* (each strictly after the previous;
+    with ``within_us``, also within that many µs of the previous step —
+    the "converted within an hour" product question).
 
     Per user, t₁ = min ts of step 1, t₂ = min ts of step 2 after t₁,
     … — chained window minimums over the same user partitioning, which
@@ -43,6 +46,12 @@ def funnel_steps(
     child's hash partitioning; verify: a single Exchange in .explain).
     Returns (step_idx, step, n_users, conversion) where conversion is
     n_users / step-1 users, rounded 4dp.
+
+    Note the greedy-minimum caveat shared by every windowed-funnel
+    engine: each step binds to its EARLIEST admissible occurrence, so
+    with a window a user can fail even though some later-starting
+    attempt would satisfy it. Integer-µs comparisons keep membership
+    exact across engines.
     """
     w = Window.partitionBy("_u")
     df = events.select(
@@ -55,6 +64,8 @@ def funnel_steps(
         cond = F.col("_ty") == step
         if prev is not None:
             cond = cond & (F.col("_ts") > prev)
+            if within_us is not None:
+                cond = cond & (F.col("_ts") <= prev + within_us)
         df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col("_ts"))).over(w))
         prev = F.col(f"_t{i}")
     reached = df.groupBy("_u").agg(

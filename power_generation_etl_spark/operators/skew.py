@@ -38,3 +38,38 @@ def salted_sum_count(
         *[F.sum(f"_p_{name}").alias(name) for name in measures],
         F.sum("_p_count").alias("_count"),
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: replicate-and-salt.
+
+    A hot join key lands every matching fact row on ONE reducer; AQE's
+    skew split handles this adaptively, but when the skew is known (a
+    dominant plant, a bot user) the deterministic fix is: salt the
+    FACT side (spreading the hot key over ``n_salts`` reducers) and
+    replicate every DIM row once per salt so each (key, salt) shard
+    still finds its match. Dim-side cost is ``n_salts ×`` rows —
+    appropriate when the dim is far smaller than the fact table but
+    too big (or too mid-sized) to broadcast outright.
+
+    The salt is derived from the fact partition/offset — deterministic
+    within a run, uniform across reducers, and never part of the
+    output. Result equality with the plain join is pytest-asserted.
+    """
+    salted = facts.withColumn(
+        "_salt",
+        F.pmod(
+            F.spark_partition_id() + F.monotonically_increasing_id(),
+            F.lit(n_salts),
+        ),
+    )
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted.join(replicated, [key, "_salt"], how).drop("_salt")

@@ -104,3 +104,30 @@ class TestTransitions:
         assert out[("view", "purchase")] == 1
         assert out[("purchase", "click")] == 1
         assert sum(out.values()) == 7  # n_events - n_users
+
+
+class TestWindowedFunnel:
+    def test_step_outside_window_not_counted(self, spark):
+        rows = [
+            (1, 1, 0, "signup"),
+            (2, 1, 100, "view"),
+            (3, 1, 10_000_000, "click"),     # 9.9999s after view
+            (4, 2, 0, "signup"),
+            (5, 2, 100, "view"),
+            (6, 2, 60_000_000, "click"),     # ~60s after view: outside 10s
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_us long, event_type string")
+        out = {r["step"]: r["n_users"] for r in bh.funnel_steps(
+            df, "user_id", "ts_us", "event_type",
+            ["signup", "view", "click"], within_us=10_000_000).collect()}
+        assert out["signup"] == 2 and out["view"] == 2
+        assert out["click"] == 1  # user 2's click arrived too late
+
+    def test_no_window_keeps_old_semantics(self, spark):
+        rows = [(1, 1, 0, "signup"), (2, 1, 10**12, "view")]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_us long, event_type string")
+        out = {r["step"]: r["n_users"] for r in bh.funnel_steps(
+            df, "user_id", "ts_us", "event_type", ["signup", "view"]).collect()}
+        assert out["view"] == 1

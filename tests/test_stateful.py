@@ -168,3 +168,26 @@ def test_stream_transition_counts_across_batches(spark, tmp_path):
         ("view", "click"): 1,      # the cross-batch boundary transition
         ("click", "purchase"): 1,
     }
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from power_generation_etl_spark.operators.skew import salted_join
+    from power_generation_etl_spark.plans.queries import T
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        T(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_name")
+        .filter(F.col("user_id") <= 200)
+    )
+    plain = sorted(
+        (r["event_id"], r["c_name"])
+        for r in ev.join(dim, "user_id").select("event_id", "c_name").collect()
+    )
+    salted = sorted(
+        (r["event_id"], r["c_name"])
+        for r in salted_join(ev, dim, "user_id", n_salts=8)
+        .select("event_id", "c_name")
+        .collect()
+    )
+    assert salted == plain and len(plain) > 0
