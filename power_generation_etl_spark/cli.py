@@ -128,6 +128,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("docs_parquet", help="documents parquet (doc_id, text)")
     sp.add_argument("output", help="JSON report path")
+
+    cr = sub.add_parser(
+        "corpus-report",
+        help="one-stop corpus audit (counts, langs, dup rate, quality, "
+        "lengths) -> JSON",
+    )
+    cr.add_argument("docs_parquet", help="documents parquet (doc_id, text)")
+    cr.add_argument("output", help="JSON report path")
     return p
 
 
@@ -280,6 +288,54 @@ def _dispatch(args, spark, eng: Engine) -> int:
             f"→ {args.output}"
         )
         return 1 if report["n_docs_with_pii"] > 0 else 0
+    elif args.cmd == "corpus-report":
+        from pyspark.sql import functions as F
+
+        from power_generation_etl_spark.operators import text as tx
+
+        docs = spark.read.parquet(args.docs_parquet)
+        m = tx.quality_metrics(F.col("text"))
+        enriched = docs.select(
+            "doc_id",
+            tx.exact_dup_key(F.col("text")).alias("_fp"),
+            tx.quality_pass(m).alias("_qp"),
+            m["n_tokens"].alias("_ntok"),
+            F.length("text").alias("_len"),
+        ).persist()
+        tot = enriched.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("_fp").alias("n_unique"),
+            F.count_if(F.col("_qp")).alias("n_quality_pass"),
+            F.sum("_ntok").cast("bigint").alias("total_tokens"),
+            F.min("_len").alias("min_chars"),
+            F.expr("percentile(_len, 0.5)").alias("median_chars"),
+            F.max("_len").alias("max_chars"),
+        ).head()
+        langs = {
+            r["predicted_lang"]: r["n"]
+            for r in tx.score_langs(docs, "doc_id", "text")
+            .groupBy("predicted_lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        enriched.unpersist()
+        n = tot["n_docs"]
+        report = {
+            "n_docs": n,
+            "n_unique": tot["n_unique"],
+            "exact_dup_rate": round(1 - tot["n_unique"] / n, 4) if n else None,
+            "quality_pass_rate": round(tot["n_quality_pass"] / n, 4) if n else None,
+            "total_tokens": tot["total_tokens"],
+            "chars": {
+                "min": tot["min_chars"],
+                "median": tot["median_chars"],
+                "max": tot["max_chars"],
+            },
+            "predicted_langs": langs,
+        }
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"{n} docs, dup_rate={report['exact_dup_rate']} → {args.output}")
     elif args.cmd == "check-drift":
         cw = spark.read.parquet(args.crosswalk)
         rep = eng.check_crosswalk_drift(cw)

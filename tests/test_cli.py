@@ -271,3 +271,24 @@ def test_scan_pii_report(tmp_path, spark, capsys):
     src2 = str(tmp_path / "clean.parquet")
     clean.write.parquet(src2)
     assert _run(tmp_path, "scan-pii", src2, str(tmp_path / "c.json")) == 0
+
+
+def test_corpus_report(tmp_path, spark, capsys):
+    good = "the quick brown fox jumps over the lazy dog and runs on " * 4
+    docs = spark.createDataFrame(
+        [(1, good), (2, good), (3, "x"), (4, good + " unique tail here")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "report.json")
+    assert _run(tmp_path, "corpus-report", src, out) == 0
+    import json as _json
+
+    rep = _json.load(open(out))
+    assert rep["n_docs"] == 4
+    assert rep["n_unique"] == 3  # docs 1 and 2 identical
+    assert rep["exact_dup_rate"] == 0.25
+    assert rep["quality_pass_rate"] == 0.75  # doc 3 too short
+    assert rep["predicted_langs"].get("en", 0) >= 3
+    assert rep["chars"]["min"] == 1
