@@ -100,7 +100,12 @@ def decontaminate(
         )
         .distinct()
     )
-    hits = c_sh.join(F.broadcast(b_sh), "h")
+    # No forced broadcast hint: benchmark suites are usually far under
+    # the auto-broadcast threshold, so AQE broadcasts them anyway — but
+    # a hard F.broadcast() on an unexpectedly large benchmark would
+    # force-collect it to the driver and OOM at exactly the scale the
+    # graceful-degradation story promises a shuffle-join fallback for.
+    hits = c_sh.join(b_sh, "h")
     return hits.groupBy("doc_id").agg(
         F.count_distinct("h").alias("n_hit_ngrams"),
         F.count_distinct("bench_id").alias("n_bench_docs"),

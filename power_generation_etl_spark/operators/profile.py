@@ -36,8 +36,11 @@ def fixed_width_histogram(
     Pure integer math (``least(value div width, n_buckets-1)``) — one
     hash aggregation, map-side combined; at 100 TB the shuffle carries
     at most groups × n_buckets rows."""
+    # integer `div`, not floor(double /): above 2^53 the double quotient
+    # rounds before floor and can land a row in the wrong bucket vs the
+    # oracle's exact integer division.
     b = F.least(
-        F.floor(F.col(value_col) / width), F.lit(n_buckets - 1)
+        F.expr(f"`{value_col}` div {int(width)}"), F.lit(n_buckets - 1)
     ).cast("bigint")
     keys = [F.col(c) for c in (group_cols or [])]
     return (
@@ -128,8 +131,11 @@ def mean_factor_anomalies(
     Two passes over the group (one agg for (n, Σ), one re-join) would
     shuffle twice; instead a single window computes (n, Σ) alongside
     each row, then one hash agg rolls up — one shuffle total."""
-    if not 1 <= scale <= 10_000:
-        raise ValueError("scale must be in [1, 10000] (mean is reported at 4dp)")
+    if not 1 <= scale <= 10_000 or 10_000 % scale != 0:
+        raise ValueError(
+            "scale must divide 10000 (mean is reported at 4dp via the "
+            "exact integer multiplier 10000/scale)"
+        )
     x = scaled_int(F.col(value_col), scale)
     w = Window.partitionBy(group_col)
     n = F.count(F.lit(1)).over(w)

@@ -312,6 +312,8 @@ def kmeans_train(
     v = F.col("_v")
     seeds = base.orderBy("_id").limit(k).select(v.alias("e")).collect()
     cents = [(i, [float(x) for x in r["e"]]) for i, r in enumerate(seeds)]
+    if not cents:  # empty corpus -> no cells (callers emit empty results)
+        return []
     dim = len(cents[0][1])
     assigner = assign_cell_fast if kernel == "arrow" else assign_cell
     for _ in range(iters):
@@ -370,6 +372,11 @@ def ivf_topk(
         cents = kmeans_train(
             df, id_col, vec_col, k=n_cells, iters=train_iters, kernel=kernel
         )
+        if not cents:  # empty corpus -> empty top-k, stable schema
+            idt = dict(df.dtypes).get(id_col, "bigint")
+            return df.sparkSession.createDataFrame(
+                [], f"{id_col} {idt}, cosine_sim double"
+            )
         cell = (
             assign_cell_fast(v, cents) if kernel == "arrow" else assign_cell(v, cents)
         )

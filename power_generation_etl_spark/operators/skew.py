@@ -61,7 +61,17 @@ def salted_join(
     The salt is derived from the fact partition/offset — deterministic
     within a run, uniform across reducers, and never part of the
     output. Result equality with the plain join is pytest-asserted.
+
+    Only fact-side-preserving join types are allowed: under right/full
+    outer joins an unmatched dim row would surface once PER REPLICA
+    (n_salts copies), silently breaking the plain-join equivalence.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
+            "replicated dim rows would multiply unmatched-dim output"
+        )
     salted = facts.withColumn(
         "_salt",
         F.pmod(

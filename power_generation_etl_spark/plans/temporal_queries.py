@@ -6,10 +6,11 @@ window / range-join SQL).
 Timestamps: all three queries work in exact epoch-microsecond bigints.
 When `events.ts` is raw int64 nanos the derivation is pure integer
 division (`ts div 1000` ↔ DuckDB `epoch_us(ts)`). When the driver wrote
-µs TIMESTAMP_NTZ instead, the naive wall-clock is converted as-UTC with
-the session timezone pinned to UTC first (`T_events_us`), so the value
-matches DuckDB `epoch_us` exactly — including inside DST transition
-windows, where an unpinned session timezone would shift the instant.
+µs TIMESTAMP_NTZ instead, `T_events_us` derives the as-UTC epoch with
+timezone-free FIELD arithmetic on the naive value (unix_date + h/m/s +
+µs fraction), so the result matches DuckDB `epoch_us` exactly in any
+session timezone — no instant cast, no DST hazard, and no session-conf
+mutation as a query-building side effect.
 """
 
 from __future__ import annotations
@@ -33,14 +34,22 @@ def T_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dt == "bigint":
         return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
     if dt == "timestamp_ntz":
-        # Naive wall-clock (µs parquet). DuckDB's epoch_us treats the wall
-        # value as UTC. Pin the session timezone to UTC so the NTZ→instant
-        # cast interprets the wall value as-UTC with no DST hazard: an
-        # unpinned cast resolves the UTC offset at the wall time itself,
-        # which shifts values falling inside a DST transition window.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        inst = F.col("ts").cast("timestamp")
-        return df.withColumn("ts_us", F.unix_micros(inst)).drop("ts")
+        # Naive wall-clock (µs parquet). DuckDB's epoch_us treats the
+        # wall value as UTC. Derive the same epoch with PURE field
+        # arithmetic on the NTZ value — unix_date/hour/minute/extract
+        # are all timezone-free on NTZ — instead of casting through an
+        # instant, which would (a) resolve against the session timezone
+        # and (b) tempt a global `spark.sql.session.timeZone` mutation
+        # as a side effect of building a query. extract(SECOND) carries
+        # the µs fraction as DECIMAL(8,6), so `* 1000000` is exact.
+        ts = F.col("ts")
+        us = (
+            F.unix_date(ts.cast("date")).cast("bigint") * 86_400_000_000
+            + F.hour(ts).cast("bigint") * 3_600_000_000
+            + F.minute(ts).cast("bigint") * 60_000_000
+            + (F.expr("extract(SECOND FROM ts)") * 1_000_000).cast("bigint")
+        )
+        return df.withColumn("ts_us", us).drop("ts")
     return df.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
 
 

@@ -125,6 +125,28 @@ class TableStore:
             writer = writer.partitionBy(MONTH_COL)
         writer.parquet(self.path(table))
 
+    def _swap_in(self, table: str, tmp: str) -> None:
+        """Complete a tmp-dir rewrite: carry the schema sidecar across
+        the swap (losing it would make a later truncate re-derive the
+        schema from a parquet read — all-nullable — and silently drift
+        from the setup-time DDL), atomically replace the table dir, and
+        drop cached plans. The single swap protocol shared by every
+        overwrite-based maintenance path (overwrite / compact /
+        cluster), so crash-safety fixes land once."""
+        schema_json = None
+        sidecar = self._schema_file(table)
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                schema_json = f.read()
+        final = self.path(table)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        if schema_json is not None:
+            with open(self._schema_file(table), "w") as f:
+                f.write(schema_json)
+        self.spark.catalog.clearCache()
+
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Replace table contents atomically-enough for local use: write
         to a temp location, then swap. (On a real deployment this is a
@@ -135,22 +157,7 @@ class TableStore:
         if MONTH_COL in df.columns:
             writer = writer.partitionBy(MONTH_COL)
         writer.parquet(tmp)
-        final = self.path(table)
-        # Carry the schema sidecar across the swap: losing it would make
-        # a later truncate re-derive the schema from a parquet read
-        # (all-nullable) and silently drift from the setup-time DDL.
-        schema_json = None
-        sidecar = self._schema_file(table)
-        if os.path.exists(sidecar):
-            with open(sidecar) as f:
-                schema_json = f.read()
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
-        if schema_json is not None:
-            with open(self._schema_file(table), "w") as f:
-                f.write(schema_json)
-        self.spark.catalog.clearCache()
+        self._swap_in(table, tmp)
 
     def truncate(self, table: str) -> int:
         """S11: destructive clear with pre-count
@@ -315,19 +322,7 @@ class TableStore:
                 .write.mode("overwrite")
                 .parquet(tmp)
             )
-        schema_json = None
-        sidecar = self._schema_file(table)
-        if os.path.exists(sidecar):
-            with open(sidecar) as f:
-                schema_json = f.read()
-        final = self.path(table)
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
-        if schema_json is not None:
-            with open(self._schema_file(table), "w") as f:
-                f.write(schema_json)
-        self.spark.catalog.clearCache()
+        self._swap_in(table, tmp)
         return before, self.file_count(table)
 
 

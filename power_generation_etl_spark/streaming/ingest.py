@@ -139,93 +139,13 @@ def stream_neardup_intake(
     duplicating it (the standard idempotent-foreachBatch pattern).
     Store reads still dedup on doc_id as a second belt.
     """
-    import os
-
-    from power_generation_etl_spark.operators import minhash as mh
-
     stream = spark.readStream.schema(DOC_STREAM_SCHEMA).json(landing_dir)
-    sig_path = os.path.join(store_dir, "sig")
-    band_path = os.path.join(store_dir, "bands")
-    sig_cols = [f"m{i}" for i in range(k)]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        new = batch_df.persist()
-        try:
-            if new.isEmpty():
-                return
-            sh = mh.shingle_table(new, "doc_id", "text", n)
-            sig = mh.minhash_signature_table(sh, k, seed).localCheckpoint()
-            bands = mh.band_key_table(sig, k, n_bands).select(
-                "doc_id", "bk.band", "bk.key"
-            )
-            sig_l = sig.select(
-                F.col("doc_id").alias("id_a"),
-                *[F.col(c).alias(f"a{i}") for i, c in enumerate(sig_cols)],
-            )
-            sig_r = sig.select(
-                F.col("doc_id").alias("id_b"),
-                *[F.col(c).alias(f"b{i}") for i, c in enumerate(sig_cols)],
-            )
-            # within-batch: lowest id of a verified candidate pair wins
-            ba = bands.select(F.col("doc_id").alias("id_a"), "band", "key")
-            bb = bands.select(F.col("doc_id").alias("id_b"), "band", "key")
-            in_cand = (
-                ba.join(bb, ["band", "key"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
-                .dropDuplicates(["id_a", "id_b"])
-            )
-            est_in = mh.signature_agreement(k, "a", "b")
-            drop = (
-                in_cand.join(sig_l, "id_a")
-                .join(sig_r, "id_b")
-                .filter(est_in >= threshold)
-                .select(F.col("id_b").alias("doc_id"))
-            )
-            # against the store: any verified match drops the new doc
-            if os.path.isdir(sig_path):
-                ssig = (
-                    spark.read.parquet(sig_path)
-                    .dropDuplicates(["doc_id"])
-                    .select(
-                        F.col("doc_id").alias("id_b"),
-                        *[F.col(c).alias(f"b{i}") for i, c in enumerate(sig_cols)],
-                    )
-                )
-                sbands = (
-                    spark.read.parquet(band_path)
-                    .dropDuplicates(["doc_id", "band"])
-                    .select(F.col("doc_id").alias("id_b"), "band", "key")
-                )
-                st_cand = (
-                    ba.join(sbands, ["band", "key"])
-                    .select("id_a", "id_b")
-                    .dropDuplicates(["id_a", "id_b"])
-                )
-                drop_st = (
-                    st_cand.join(sig_l, "id_a")
-                    .join(ssig, "id_b")
-                    .filter(est_in >= threshold)
-                    .select(F.col("id_a").alias("doc_id"))
-                )
-                drop = drop.unionByName(drop_st)
-            survivors = new.join(
-                drop.distinct(), "doc_id", "left_anti"
-            ).persist()
-            # deterministic per-batch dirs + overwrite = idempotent retry
-            survivors.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"batch={batch_id}")
-            )
-            keep_sig = sig.join(survivors.select("doc_id"), "doc_id")
-            keep_sig.write.mode("overwrite").parquet(
-                os.path.join(sig_path, f"batch={batch_id}")
-            )
-            bands.join(survivors.select("doc_id"), "doc_id").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(band_path, f"batch={batch_id}"))
-            survivors.unpersist()
-        finally:
-            new.unpersist()
+        neardup_intake_batch(
+            spark, batch_df, batch_id, out_dir, store_dir,
+            threshold=threshold, n=n, k=k, n_bands=n_bands, seed=seed,
+        )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -233,6 +153,118 @@ def stream_neardup_intake(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def neardup_intake_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    store_dir: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """One micro-batch of the near-dup intake (exposed for direct
+    testing of the retry contract). Retry safety: the store probe
+    EXCLUDES the current batch's own partition — a retried batch wrote
+    its signatures before the failed checkpoint commit, and matching a
+    document against its own stored signature (agreement 1.0) would
+    silently drop the entire batch on retry."""
+    import os
+
+    from power_generation_etl_spark.operators import minhash as mh
+
+    sig_path = os.path.join(store_dir, "sig")
+    band_path = os.path.join(store_dir, "bands")
+    sig_cols = [f"m{i}" for i in range(k)]
+
+    new = batch_df.persist()
+    try:
+        if new.isEmpty():
+            return
+        sh = mh.shingle_table(new, "doc_id", "text", n)
+        sig = mh.minhash_signature_table(sh, k, seed).localCheckpoint()
+        bands = mh.band_key_table(sig, k, n_bands).select(
+            "doc_id", "bk.band", "bk.key"
+        )
+        sig_l = sig.select(
+            F.col("doc_id").alias("id_a"),
+            *[F.col(c).alias(f"a{i}") for i, c in enumerate(sig_cols)],
+        )
+        sig_r = sig.select(
+            F.col("doc_id").alias("id_b"),
+            *[F.col(c).alias(f"b{i}") for i, c in enumerate(sig_cols)],
+        )
+        # within-batch: lowest id of a verified candidate pair wins
+        ba = bands.select(F.col("doc_id").alias("id_a"), "band", "key")
+        bb = bands.select(F.col("doc_id").alias("id_b"), "band", "key")
+        in_cand = (
+            ba.join(bb, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        est_in = mh.signature_agreement(k, "a", "b")
+        drop = (
+            in_cand.join(sig_l, "id_a")
+            .join(sig_r, "id_b")
+            .filter(est_in >= threshold)
+            .select(F.col("id_b").alias("doc_id"))
+        )
+        # against the store: any verified match drops the new doc
+        if os.path.isdir(sig_path):
+            # batch=<id> dirs surface as a partition column; drop the
+            # current batch's own rows so a RETRY never matches its
+            # documents against the failed attempt's signatures.
+            ssig_raw = spark.read.parquet(sig_path)
+            sband_raw = spark.read.parquet(band_path)
+            if "batch" in ssig_raw.columns:
+                ssig_raw = ssig_raw.filter(F.col("batch") != batch_id)
+            if "batch" in sband_raw.columns:
+                sband_raw = sband_raw.filter(F.col("batch") != batch_id)
+            ssig = (
+                ssig_raw.dropDuplicates(["doc_id"])
+                .select(
+                    F.col("doc_id").alias("id_b"),
+                    *[F.col(c).alias(f"b{i}") for i, c in enumerate(sig_cols)],
+                )
+            )
+            sbands = (
+                sband_raw.dropDuplicates(["doc_id", "band"])
+                .select(F.col("doc_id").alias("id_b"), "band", "key")
+            )
+            st_cand = (
+                ba.join(sbands, ["band", "key"])
+                .select("id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"])
+            )
+            drop_st = (
+                st_cand.join(sig_l, "id_a")
+                .join(ssig, "id_b")
+                .filter(est_in >= threshold)
+                .select(F.col("id_a").alias("doc_id"))
+            )
+            drop = drop.unionByName(drop_st)
+        survivors = new.join(
+            drop.distinct(), "doc_id", "left_anti"
+        ).persist()
+        # deterministic per-batch dirs + overwrite = idempotent retry
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        keep_sig = sig.join(survivors.select("doc_id"), "doc_id")
+        keep_sig.write.mode("overwrite").parquet(
+            os.path.join(sig_path, f"batch={batch_id}")
+        )
+        bands.join(survivors.select("doc_id"), "doc_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(band_path, f"batch={batch_id}"))
+        survivors.unpersist()
+    finally:
+        new.unpersist()
 
 
 def stream_document_filter(

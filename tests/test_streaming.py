@@ -246,3 +246,33 @@ def test_stream_document_filter_redacts_pii(spark, tmp_path):
     assert len(out) == 1  # exact dup dropped despite redaction
     assert "[EMAIL]" in out[0]["text"]
     assert "alice@example.com" not in out[0]["text"]
+
+def test_neardup_intake_retry_is_idempotent(spark, tmp_path):
+    """A retried micro-batch (same batch_id, store already holds the
+    failed attempt's signatures) must reproduce its survivors — not
+    match documents against their own stored signatures and drop the
+    whole batch."""
+    from power_generation_etl_spark.streaming.ingest import neardup_intake_batch
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "something completely different here "
+                                             "with many other words inside")],
+        "doc_id long, text string",
+    )
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+
+    neardup_intake_batch(spark, docs, 0, out, store, threshold=0.5)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert len(first) >= 1  # near-dups within the batch deduped
+
+    # simulate the retry: checkpoint never committed, foreachBatch
+    # re-runs with the SAME batch_id against the already-written store
+    neardup_intake_batch(spark, docs, 0, out, store, threshold=0.5)
+    second = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert second == first  # identical survivors, nothing lost
+
+    # a LATER batch replaying the same doc ids IS deduped by the store
+    neardup_intake_batch(spark, docs, 1, out, store, threshold=0.5)
+    third = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert third == first  # replayed docs dropped, no duplicates added
