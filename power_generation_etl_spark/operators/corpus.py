@@ -181,3 +181,63 @@ def stratified_sample(
     )
     keep = F.ceil(F.col("_n") * F.lit(float(fraction))).cast("bigint")
     return r.filter(F.col("_rn") <= keep).select(id_col, stratum_col)
+
+
+def chunk_hashes(
+    df: DataFrame, id_col: str, text_col: str, *, chunk: int = 20
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk_hash) — the document split into
+    fixed-size word windows of `chunk` tokens (last window ragged),
+    each hashed with portable md5.
+
+    This is the Spark-shaped stand-in for suffix-array substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): exact long-substring matches are detected at chunk
+    granularity, which distributes as a plain hash shuffle instead of a
+    global suffix sort. The chunk slicing runs as one higher-order
+    `transform` per document over n_chunks elements — O(doc_len) work
+    per doc, and only the 32-char hashes travel to the shuffle, never
+    chunk text.
+    """
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(_toks) - 1) div {chunk}),"
+                f" i -> md5(array_join(slice(_toks, i * {chunk} + 1, {chunk}), ' ')))"
+            )
+        ).alias("chunk_id", "chunk_hash"),
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, *, chunk: int = 20
+) -> DataFrame:
+    """Per-document survival stats under corpus-wide first-wins chunk
+    dedup: (doc_id, n_chunks, n_kept, n_dup). A chunk survives iff no
+    earlier (doc_id, chunk_id) produced the same hash — the keep/drop
+    decision a substring-dedup pass would apply before re-assembly.
+
+    One shuffle on chunk_hash (window ranks duplicates), one hash agg
+    back to doc_id. Deterministic: ties break on (doc_id, chunk_id).
+    """
+    c = chunk_hashes(df, id_col, text_col, chunk=chunk)
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
+    ranked = c.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .withColumn("n_dup", (F.col("n_chunks") - F.col("n_kept")).cast("bigint"))
+        .orderBy("doc_id")
+    )

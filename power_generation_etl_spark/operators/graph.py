@@ -162,3 +162,113 @@ def connected_components_star(
         nodes.join(comp, "id", "left")
         .select("id", F.coalesce("component", "id").alias("component"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    *,
+    iters: int = 3,
+    scale: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank in EXACT integer arithmetic — ranks are
+    bigints scaled by `scale`, so the iteration trajectory is
+    bit-for-bit reproducible across engines (an unrolled-CTE DuckDB
+    twin matches exactly; float PageRank would diverge in summation
+    order).
+
+    Update rule (integers, truncating division):
+        contrib(v) = Σ_{(u,v,w)} (w · r_u) div out_u
+        r'(v)      = (100 - d)·(scale div N) div 100 + d·contrib(v) div 100
+
+    Dangling-node mass is dropped (the simple "leaked mass" variant) —
+    deterministic, and a fine ranking signal for dedup-cluster or
+    citation-graph triage.
+
+    Scale design: each iteration is ONE equi-join of edges against the
+    rank table (shuffled on the src id) + ONE map-side-combinable sum
+    on dst; ranks are one bigint per node. `localCheckpoint` cuts
+    lineage per round. Overflow headroom: w · r < w_max · scale must
+    stay under 2^63 — with scale=1e12 that allows per-edge weights to
+    ~9e6; normalize weights first beyond that.
+    """
+    w_col = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w")
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("bigint"))
+    outd = e.groupBy("u").agg(F.sum("w").alias("out_w"))
+    ew = e.join(outd, "u").localCheckpoint()  # (u, v, w, out_w)
+    base = ((100 - damping_pct) * (scale // n)) // 100
+    ranks = nodes.withColumn("rank_scaled", F.lit(scale // n).cast("bigint"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(
+                ranks.select(F.col("id").alias("u"), F.col("rank_scaled").alias("r")),
+                "u",
+            )
+            .select("v", F.expr("(w * r) div out_w").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.v, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(contrib, 0)) div 100"
+                    )
+                ).cast("bigint").alias("rank_scaled"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    *,
+    iters: int = 3,
+    scale: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB twin of `pagerank`: unrolled iterations, same integer
+    truncating division (`//`), every sum() cast back to BIGINT
+    (DuckDB widens to HUGEINT). `edges_cte` must produce (u, v, w)."""
+    d = damping_pct
+    parts = [
+        f"WITH edges AS ({edges_cte}),",
+        "nodes AS (SELECT DISTINCT u AS id FROM edges"
+        " UNION SELECT DISTINCT v FROM edges),",
+        "outd AS (SELECT u, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY u),",
+        "ew AS (SELECT e.u, e.v, e.w, o.out_w FROM edges e JOIN outd o ON e.u = o.u),",
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),",
+        f"r0 AS (SELECT id, {scale} // c AS r FROM nodes, n),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT ew.v, CAST(sum((ew.w * r{i-1}.r) // ew.out_w) AS BIGINT)"
+            f" AS contrib FROM ew JOIN r{i-1} ON ew.u = r{i-1}.id GROUP BY ew.v),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.id,"
+            f" (100 - {d}) * ({scale} // n.c) // 100"
+            f" + {d} * COALESCE(c{i}.contrib, 0) // 100 AS r"
+            f" FROM nodes CROSS JOIN n LEFT JOIN c{i} ON nodes.id = c{i}.v),"
+        )
+    last = parts.pop()
+    parts.append(last.rstrip(","))
+    return "\n".join(parts)

@@ -1,0 +1,116 @@
+"""Portable distinct-count sketches.
+
+KMV (k-minimum-values) estimates the number of distinct values from the
+k smallest hashes of the value set: if the k-th smallest of n uniform
+hashes in [0, M) is h_k, then n ≈ (k-1) · M / h_k. Unlike HyperLogLog
+the whole computation is expressible in plain SQL with deterministic
+integer arithmetic, so the Spark plan and the DuckDB oracle agree
+bit-for-bit — a sketch you can ship across engines.
+
+Scale design: the shuffle carries (group, hash) pairs deduplicated by a
+map-side-combinable distinct, then ONE window pass ranks hashes within
+each group. State per group is O(distinct hashes) at the shuffle and
+O(1) in the output; for very high-cardinality groups swap the
+row_number for an `approx` two-stage min-k (sort_array(slice)) — same
+estimate, bounded memory.
+
+The reference has no sketches; this extends the profiling family
+(beyond-reference, alongside `operators/profile.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 48-bit hash domain: 12 hex chars of md5. Small enough that
+# (k-1) << 48 stays far below int64 for any practical k, large enough
+# that collisions are negligible below ~2^24 distinct values per group.
+_HASH_BITS = 48
+_HASH_HEX = 12
+
+
+def hash48(col) -> F.Column:
+    """Portable 48-bit non-negative hash: Spark `conv(substr(md5(x),1,12),16,10)`
+    ↔ DuckDB `CAST('0x' || substr(md5(x),1,12) AS BIGINT)`."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, _HASH_HEX), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate with exact integer
+    arithmetic: ``estimate = ((k-1) << 48) div h_k`` where ``h_k`` is
+    the k-th smallest distinct 48-bit hash. Groups with fewer than k
+    distinct hashes report the exact distinct hash count (the standard
+    KMV small-set fallback).
+
+    Output: (group, n_rows, n_hashes, kmv_estimate), ordered by group.
+    """
+    if not 2 <= k <= 4096:
+        raise ValueError("k must be in [2, 4096]")
+    hashed = df.select(
+        F.col(group_col).alias("grp"), hash48(F.col(value_col)).alias("h")
+    )
+    per_grp = hashed.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("h")).alias("n_hashes"),
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    kth = (
+        hashed.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == k)
+        .select("grp", F.col("h").alias("h_k"))
+    )
+    scale = (k - 1) << _HASH_BITS
+    return (
+        per_grp.join(kth, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "n_hashes",
+            F.when(F.col("h_k").isNull(), F.col("n_hashes"))
+            .otherwise(F.expr(f"{scale} div h_k"))
+            .cast("bigint")
+            .alias("kmv_estimate"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def kmv_oracle_sql(
+    table: str, group_col: str, value_expr: str, *, k: int = 32
+) -> str:
+    """DuckDB twin of `kmv_distinct` — identical hash, rank, and
+    integer-division estimate."""
+    scale = (k - 1) << _HASH_BITS
+    return f"""
+    WITH hashed AS (
+        SELECT {group_col} AS grp,
+               CAST('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, {_HASH_HEX}) AS BIGINT) AS h
+        FROM {table}
+    ),
+    per_grp AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_hashes
+        FROM hashed GROUP BY grp
+    ),
+    ranked AS (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM (SELECT DISTINCT grp, h FROM hashed)
+    ),
+    kth AS (SELECT grp, h AS h_k FROM ranked WHERE rn = {k})
+    SELECT per_grp.grp AS {group_col}, n_rows, n_hashes,
+           CAST(CASE WHEN h_k IS NULL THEN n_hashes
+                     ELSE {scale} // h_k END AS BIGINT) AS kmv_estimate
+    FROM per_grp LEFT JOIN kth ON per_grp.grp = kth.grp
+    ORDER BY {group_col}
+    """

@@ -1,0 +1,264 @@
+"""Scale-engineering catalog queries — sketches, chunk-level substring
+dedup, model scoring, time spines, rolling range windows, and integer
+PageRank. Beyond-reference extensions; every entry has an exact DuckDB
+oracle (all arithmetic is integer or integer-scaled, so there is no
+float summation-order hazard anywhere in this module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from power_generation_etl_spark.operators import corpus as cp
+from power_generation_etl_spark.operators import graph as gr
+from power_generation_etl_spark.operators import scoring as sc
+from power_generation_etl_spark.operators import sketch as sk
+from power_generation_etl_spark.plans.queries import T, _register
+from power_generation_etl_spark.plans.temporal_queries import T_events_us
+
+_DAY_US = 86_400_000_000
+
+# ---------------------------------------------------------------------------
+# Chunk-level substring dedup (suffix-array-dedup stand-in; Lee et al.).
+# One shuffle on the chunk hash; hashes travel, chunk text does not.
+# ---------------------------------------------------------------------------
+
+_CHUNK = 20
+
+
+@_register(
+    "chunk_dedup_stats",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // {_CHUNK}))
+               AS chunk_id
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id, chunk_id,
+               md5(array_to_string(
+                   t[chunk_id * {_CHUNK} + 1 : chunk_id * {_CHUNK} + {_CHUNK}], ' '
+               )) AS chunk_hash
+        FROM idx
+    ),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY chunk_hash
+                                  ORDER BY doc_id, chunk_id) AS rn
+        FROM hashed
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.chunk_dedup_stats(
+        T(spark, sf_dir, "documents"), "doc_id", "text", chunk=_CHUNK
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch — the engine-portable alternative to HLL.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 16
+
+
+@_register(
+    "kmv_distinct_sources",
+    sk.kmv_oracle_sql("documents", "source", "text", k=_KMV_K),
+)
+def kmv_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sk.kmv_distinct(
+        T(spark, sf_dir, "documents"), "source", "text", k=_KMV_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (fasttext-shape): literal integer weight
+# table broadcast against one corpus tokenization.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "quality_classifier_scores",
+    sc.score_oracle_sql("documents", "doc_id", "text"),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sc.score_documents(spark, T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Date-spine gap-fill: dense (day × event_type) grid with zero-filled
+# counts. Day indexes are pure integer division on epoch-µs, and the
+# printed date is derived from the index with timezone-free date
+# arithmetic, so both engines agree in any session timezone.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "daily_spine_gapfill",
+    f"""
+    WITH ev AS (
+        SELECT epoch_us(ts) // {_DAY_US} AS d, event_type FROM events
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    counts AS (
+        SELECT d, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY d, event_type
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(s.d AS INTEGER), '%Y-%m-%d') AS day,
+           t.event_type AS event_type,
+           COALESCE(c.n, 0) AS n_events
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.d = s.d AND c.event_type = t.event_type
+    ORDER BY 1, 2
+    """,
+)
+def daily_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T_events_us(spark, sf_dir).select(
+        F.expr(f"ts_us div {_DAY_US}").cast("int").alias("d"), "event_type"
+    )
+    counts = ev.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    types = ev.select("event_type").distinct()
+    # spine × types is a deliberate tiny cross join (days × event kinds);
+    # both sides broadcast-size by construction.
+    grid = spine.crossJoin(F.broadcast(types))
+    return (
+        grid.join(counts, ["d", "event_type"], "left")
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("d")), "yyyy-MM-dd"
+            ).alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day per-user aggregate — a RANGE window over integer day
+# indexes (value in integer cents, so the rolling sum is exact and
+# engine-portable; float sliding sums differ in summation order).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rolling_7d_user_value",
+    f"""
+    WITH ev AS (
+        SELECT user_id,
+               epoch_us(ts) // {_DAY_US} AS d,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    daily AS (
+        SELECT user_id, d, CAST(sum(cents) AS BIGINT) AS day_cents
+        FROM ev GROUP BY user_id, d
+    )
+    SELECT user_id,
+           strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS day,
+           day_cents,
+           CAST(sum(day_cents) OVER (
+               PARTITION BY user_id ORDER BY d
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cents_7d
+    FROM daily
+    ORDER BY user_id, day
+    """,
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T_events_us(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"ts_us div {_DAY_US}").alias("d"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    daily = ev.groupBy("user_id", "d").agg(F.sum("cents").alias("day_cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "day_cents",
+        F.sum("day_cents").over(w).cast("bigint").alias("cents_7d"),
+    ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank over the customer-nation → supplier-nation trade
+# graph (edges derived relationally from lineitem⋈orders⋈customer⋈
+# supplier; dims broadcast). Unrolled-CTE oracle reproduces the exact
+# integer trajectory.
+# ---------------------------------------------------------------------------
+
+_PR_EDGES_SQL = """
+    SELECT c.c_nationkey AS u, s.s_nationkey AS v, CAST(count(*) AS BIGINT) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY c.c_nationkey, s.s_nationkey
+"""
+
+_PR_ITERS = 3
+
+
+@_register(
+    "pagerank_trade_nations",
+    gr.pagerank_oracle_sql(_PR_EDGES_SQL, iters=_PR_ITERS)
+    + f"""
+    SELECT n.n_name AS nation, r{_PR_ITERS}.r AS rank_scaled
+    FROM r{_PR_ITERS}
+    JOIN nation n ON r{_PR_ITERS}.id = n.n_nationkey
+    ORDER BY rank_scaled DESC, nation
+    """,
+)
+def pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = gr.pagerank(edges, "u", "v", "w", iters=_PR_ITERS)
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ranks.join(F.broadcast(nation), ranks.id == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("rank_scaled"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "nation")
+    )

@@ -51,8 +51,10 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
     (the catalog defaults to the portable expression kernels), or a
     shuffle cartesian product. BroadcastNestedLoopJoin is allowed only
     where it is the documented plan: the O(n²) exact all-pairs twin
-    (inequality join) and the single-row broadcast crosses (TF-IDF's
-    corpus count, the quantile threshold, the quantization scale)."""
+    (inequality join), the single-row broadcast crosses (TF-IDF's
+    corpus count, the quantile threshold, the quantization scale), and
+    the date-spine grid (days × event kinds, both broadcast-size by
+    construction)."""
     plan = (
         QUERIES[name](spark, sf_dir)
         ._jdf.queryExecution()
@@ -67,5 +69,6 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
         "tfidf_top_terms",
         "doc_token_threshold_filter",
         "embedding_int8_quant",
+        "daily_spine_gapfill",
     }:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"

@@ -1,0 +1,174 @@
+"""Tests for the scale-engineering operators: chunk-level dedup, KMV
+sketch, linear classifier scoring, integer PageRank, spine gap-fill,
+and rolling range windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.operators import corpus as cp
+from power_generation_etl_spark.operators import graph as gr
+from power_generation_etl_spark.operators import scoring as sc
+from power_generation_etl_spark.operators import sketch as sk
+from power_generation_etl_spark.plans import QUERIES
+
+
+class TestChunkDedup:
+    def test_repeated_chunk_across_docs_drops_later_copy(self, spark):
+        seg = " ".join(f"w{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [
+                (1, seg + " tail one"),
+                (2, seg + " different suffix"),
+                (3, "completely fresh words only here"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in cp.chunk_dedup_stats(docs, "doc_id", "text").collect()
+        }
+        # doc 1 owns the shared 20-word chunk; doc 2's first chunk is a dup
+        assert rows[1]["n_chunks"] == 2 and rows[1]["n_dup"] == 0
+        assert rows[2]["n_chunks"] == 2 and rows[2]["n_dup"] == 1
+        assert rows[3]["n_dup"] == 0
+
+    def test_within_doc_repeats_also_dedup(self, spark):
+        seg = " ".join(f"x{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [(7, seg + " " + seg)], "doc_id long, text string"
+        )
+        r = cp.chunk_dedup_stats(docs, "doc_id", "text").collect()[0]
+        assert r["n_chunks"] == 2 and r["n_kept"] == 1 and r["n_dup"] == 1
+
+    def test_ragged_tail_chunk_counts(self, spark):
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(25)))], "doc_id long, text string"
+        )
+        r = cp.chunk_dedup_stats(docs, "doc_id", "text").collect()[0]
+        assert r["n_chunks"] == 2  # 20 + ragged 5
+
+
+class TestKMV:
+    def test_small_group_reports_exact(self, spark):
+        df = spark.createDataFrame(
+            [("a", f"v{i}") for i in range(5)], "grp string, val string"
+        )
+        r = sk.kmv_distinct(df, "grp", "val", k=16).collect()[0]
+        assert r["n_hashes"] == 5 and r["kmv_estimate"] == 5
+
+    def test_estimate_within_bound(self, spark):
+        # 500 distinct values, k=64 → relative error ~ 1/sqrt(k-1) ≈ 13%;
+        # assert a generous 3-sigma bound (deterministic given md5).
+        df = spark.createDataFrame(
+            [("g", f"value-{i}") for i in range(500)], "grp string, val string"
+        )
+        r = sk.kmv_distinct(df, "grp", "val", k=64).collect()[0]
+        assert 500 * 0.6 <= r["kmv_estimate"] <= 500 * 1.5
+
+    def test_duplicates_do_not_inflate(self, spark):
+        df = spark.createDataFrame(
+            [("g", f"v{i % 10}") for i in range(200)], "grp string, val string"
+        )
+        r = sk.kmv_distinct(df, "grp", "val", k=16).collect()[0]
+        assert r["n_rows"] == 200 and r["kmv_estimate"] == 10
+
+
+class TestClassifier:
+    def test_hand_computed_logit(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "spark query slow"), (2, "nothing matches here at all")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in sc.score_documents(spark, docs, "doc_id", "text").collect()
+        }
+        # 900 + 600 - 700 - 1500 = -700 → drop
+        assert rows[1]["logit"] == -700 and rows[1]["label"] == "drop"
+        assert rows[2]["logit"] == sc.DEMO_BIAS and rows[2]["label"] == "drop"
+
+    def test_keep_label_above_threshold(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "spark spark query query join")], "doc_id long, text string"
+        )
+        r = sc.score_documents(spark, docs, "doc_id", "text").collect()[0]
+        assert r["logit"] == 2 * 900 + 2 * 600 + 500 - 1500 == 2000
+        assert r["label"] == "keep"
+
+
+class TestPageRank:
+    def test_star_graph_center_ranks_highest(self, spark):
+        edges = spark.createDataFrame(
+            [(i, 0, 1) for i in range(1, 5)], "src long, dst long, w long"
+        )
+        ranks = {
+            r["id"]: r["rank_scaled"]
+            for r in gr.pagerank(edges, "src", "dst", "w").collect()
+        }
+        assert ranks[0] > ranks[1] == ranks[2] == ranks[3] == ranks[4]
+
+    def test_exact_integer_trajectory_two_nodes(self, spark):
+        # 0→1 only. N=2, scale=1e12, base=(15*(scale//2))//100.
+        edges = spark.createDataFrame([(0, 1, 1)], "src long, dst long, w long")
+        scale = 1_000_000_000_000
+        base = (15 * (scale // 2)) // 100
+        r = scale // 2
+        r0_exp, r1_exp = r, r
+        for _ in range(3):
+            contrib1 = (1 * r0_exp) // 1
+            r1_exp = base + (85 * contrib1) // 100
+            r0_exp = base
+        got = {
+            row["id"]: row["rank_scaled"]
+            for row in gr.pagerank(edges, "src", "dst", "w", iters=3).collect()
+        }
+        assert got == {0: r0_exp, 1: r1_exp}
+
+    def test_empty_edges(self, spark):
+        edges = spark.createDataFrame([], "src long, dst long, w long")
+        assert gr.pagerank(edges, "src", "dst", "w").count() == 0
+
+
+class TestSpineAndRolling:
+    def test_gapfill_zero_rows_present(self, spark, sf_dir):
+        df = QUERIES["daily_spine_gapfill"](spark, sf_dir)
+        days = df.select("day").distinct().count()
+        types = df.select("event_type").distinct().count()
+        assert df.count() == days * types  # dense grid
+        assert df.where(F.col("n_events") == 0).count() >= 0
+
+    def test_rolling_window_hand_case(self, spark):
+        import datetime as dt
+
+        rows = [
+            # user 1: days 0, 3, 8 (day 8 outside day-3's 7-day window...
+            # window is [d-6, d]: day 8 covers {3, 8}? 8-6=2 → includes 3)
+            (1, dt.datetime(1970, 1, 1, 1, 0, 0), 1.00),
+            (1, dt.datetime(1970, 1, 4, 1, 0, 0), 2.00),
+            (1, dt.datetime(1970, 1, 9, 1, 0, 0), 4.00),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp_ntz, value double"
+        )
+        from power_generation_etl_spark.plans import scale_queries as sq
+
+        # inline the rolling computation over a local frame
+        ev = df.select(
+            "user_id",
+            (F.unix_date(F.col("ts").cast("date"))).cast("bigint").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        daily = ev.groupBy("user_id", "d").agg(F.sum("cents").alias("day_cents"))
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("d").rangeBetween(-6, 0)
+        out = {
+            r["d"]: r["c7"]
+            for r in daily.select(
+                "d", F.sum("day_cents").over(w).alias("c7")
+            ).collect()
+        }
+        assert out[0] == 100
+        assert out[3] == 300  # day 0 within [−3..3]
+        assert out[8] == 600  # day 3 within [2..8], day 0 not
