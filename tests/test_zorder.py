@@ -125,3 +125,44 @@ class TestEquidepth:
         assert width <= 4, width
         # equi-depth: the same head spreads over many rank buckets
         assert depth >= 32, depth
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        from power_generation_etl_spark.store import TableStore
+
+        store = TableStore(spark, str(tmp_path / "wh"))
+        left = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS a")
+        right = spark.range(0, 2000).selectExpr("id AS k", "id * 3 AS b")
+        store.write_bucketed("t_bleft", left, ["k"], n_buckets=8)
+        store.write_bucketed("t_bright", right, ["k"], n_buckets=8)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = store.read_bucketed("t_bleft").join(
+                store.read_bucketed("t_bright"), "k"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 2000
+            # un-bucketed twin of the same join DOES shuffle
+            shuffled = left.join(right, "k")
+            plan2 = shuffled._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in plan2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_bleft")
+            spark.sql("DROP TABLE IF EXISTS t_bright")
+
+    def test_bucketed_rows_roundtrip(self, spark, tmp_path):
+        from power_generation_etl_spark.store import TableStore
+
+        store = TableStore(spark, str(tmp_path / "wh"))
+        df = spark.range(0, 100).selectExpr("id AS k", "id % 7 AS v")
+        store.write_bucketed("t_bround", df, ["k"], n_buckets=4)
+        try:
+            got = store.read_bucketed("t_bround")
+            assert got.count() == 100
+            assert got.agg({"v": "sum"}).collect()[0][0] == sum(i % 7 for i in range(100))
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_bround")
