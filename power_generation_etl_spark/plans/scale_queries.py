@@ -262,3 +262,94 @@ def pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rank_scaled").desc(), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage: blocked Levenshtein matching over part names.
+# The block key (brand) bounds the candidate set — the 100 TB shape is
+# equi-join on the block + codegen edit-distance filter, never an
+# all-pairs cross. Deterministic top-100 by (distance, keys).
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_LEV = 2
+_FUZZY_LIMIT = 100
+
+
+@_register(
+    "fuzzy_part_name_pairs",
+    f"""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_LEV}
+    ORDER BY lev, key_a, key_b
+    LIMIT {_FUZZY_LIMIT}
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, "brand")
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn(
+            "lev", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .where(F.col("lev") <= _FUZZY_MAX_LEV)
+        .select("key_a", "key_b", "name_a", "name_b", "lev")
+        .orderBy("lev", "key_a", "key_b")
+        .limit(_FUZZY_LIMIT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-state snapshot: collapse an append-only change log to one
+# current row per key (keep-last). One window shuffle on the key — the
+# read-side MERGE equivalent for a warehouse without a transaction log.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "latest_order_snapshot",
+    """
+    WITH r AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+               strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                   AS rn
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_orderstatus, latest_orderdate
+    FROM r WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def latest_order_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_custkey")
+    )

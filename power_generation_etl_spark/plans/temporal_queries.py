@@ -213,3 +213,154 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start_us", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resampling: 5-minute open/high/low/close bars per event type —
+# the classic time-series downsampling operator. Open/close are
+# deterministic (ties broken on event_id); values pass through with no
+# float arithmetic, so both engines agree exactly. One shuffle on
+# (event_type, bucket); the two row_number orders share it. The bucket
+# label is rebuilt from pure integer arithmetic on the bucket index —
+# timezone-free in any session.
+# ---------------------------------------------------------------------------
+
+_BAR_US = 5 * 60 * 1_000_000
+_DAY_US_T = 86_400_000_000
+
+
+@_register(
+    "ohlc_5min_bars",
+    f"""
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) AS ts_us, event_id, value FROM events
+    ),
+    b AS (
+        SELECT event_type, ts_us // {_BAR_US} AS bucket, ts_us, event_id, value
+        FROM ev
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts_us, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        FROM b
+    )
+    SELECT event_type,
+           strftime(DATE '1970-01-01'
+                    + CAST((bucket * {_BAR_US}) // {_DAY_US_T} AS INTEGER),
+                    '%Y-%m-%d')
+           || ' '
+           || lpad(CAST(((bucket * {_BAR_US}) % {_DAY_US_T}) // 3600000000
+                        AS VARCHAR), 2, '0')
+           || ':'
+           || lpad(CAST((((bucket * {_BAR_US}) % {_DAY_US_T}) % 3600000000)
+                        // 60000000 AS VARCHAR), 2, '0') AS bucket_start,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def ohlc_5min_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = T_events_us(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"ts_us div {_BAR_US}").alias("bucket"),
+        "ts_us",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    r = ev.select(
+        "*",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    day = F.expr(f"(bucket * {_BAR_US}) div {_DAY_US_T}").cast("int")
+    hh = F.expr(f"((bucket * {_BAR_US}) % {_DAY_US_T}) div 3600000000")
+    mm = F.expr(
+        f"(((bucket * {_BAR_US}) % {_DAY_US_T}) % 3600000000) div 60000000"
+    )
+    label = F.concat(
+        F.date_format(F.date_add(F.lit("1970-01-01").cast("date"), day), "yyyy-MM-dd"),
+        F.lit(" "),
+        F.lpad(hh.cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(mm.cast("string"), 2, "0"),
+    )
+    return (
+        r.groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            label.alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+        .orderBy("event_type", "bucket_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event-gap magnitude histogram: think-time distribution per
+# user, bucketed by decimal order of magnitude (digit count of the µs
+# gap — an integer-only stand-in for a log histogram, so the bucket
+# boundaries are bit-identical across engines). One lag window + one
+# hash agg.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "event_gap_magnitude_hist",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    gaps AS (
+        SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) AS gap_us
+        FROM ev
+    )
+    SELECT CAST(length(CAST(gap_us AS VARCHAR)) AS INTEGER) AS gap_digits,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY gap_digits
+    ORDER BY gap_digits
+    """,
+)
+def event_gap_magnitude_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = T_events_us(spark, sf_dir).select("user_id", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        gaps.select(
+            F.length(F.col("gap_us").cast("string")).cast("int").alias("gap_digits")
+        )
+        .groupBy("gap_digits")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .orderBy("gap_digits")
+    )

@@ -172,3 +172,33 @@ class TestSpineAndRolling:
         assert out[0] == 100
         assert out[3] == 300  # day 0 within [−3..3]
         assert out[8] == 600  # day 3 within [2..8], day 0 not
+
+
+class TestAnalyticsBreadth:
+    def test_ohlc_invariants(self, spark, sf_dir):
+        df = QUERIES["ohlc_5min_bars"](spark, sf_dir)
+        rows = df.collect()
+        assert rows, "no bars"
+        for r in rows:
+            assert r["low"] <= r["open"] <= r["high"]
+            assert r["low"] <= r["close"] <= r["high"]
+            assert r["n_events"] >= 1
+
+    def test_gap_hist_total_matches(self, spark, sf_dir):
+        df = QUERIES["event_gap_magnitude_hist"](spark, sf_dir)
+        total_gaps = sum(r["n_gaps"] for r in df.collect())
+        from power_generation_etl_spark.plans.temporal_queries import T_events_us
+
+        ev = T_events_us(spark, sf_dir)
+        n_events = ev.count()
+        n_users = ev.select("user_id").distinct().count()
+        assert total_gaps == n_events - n_users  # one lag-null per user
+
+    def test_fuzzy_pairs_within_brand_and_bounded(self, spark, sf_dir):
+        rows = QUERIES["fuzzy_part_name_pairs"](spark, sf_dir).collect()
+        for r in rows:
+            assert r["lev"] <= 2 and r["key_a"] < r["key_b"]
+
+    def test_latest_snapshot_one_row_per_customer(self, spark, sf_dir):
+        df = QUERIES["latest_order_snapshot"](spark, sf_dir)
+        assert df.count() == df.select("o_custkey").distinct().count()
