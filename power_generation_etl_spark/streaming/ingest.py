@@ -330,3 +330,45 @@ def stream_document_filter(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_interval_join(
+    clicks: DataFrame,
+    errors: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    window: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: every click paired with the errors
+    the same user raised within `window` AFTER the click — the
+    streaming twin of the batch `range_join_error_clicks` operator.
+
+    Both sides carry a watermark and the join condition bounds
+    error_ts to [click_ts, click_ts + window], so Spark can expire
+    buffered rows once the watermark passes the window edge — state
+    stays O(in-flight window), never unbounded. Inner-join matches
+    emit as soon as both sides arrive (no watermark wait).
+
+    `clicks` and `errors` are streaming DataFrames with
+    (user_id, ts timestamp, ...); output keeps click/error timestamps
+    and the user id.
+    """
+    c = (
+        clicks.select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        ).withWatermark("click_ts", watermark)
+    )
+    e = (
+        errors.select(
+            F.col("user_id").alias("err_user_id"),
+            F.col("ts").alias("error_ts"),
+        ).withWatermark("error_ts", watermark)
+    )
+    return c.join(
+        e,
+        F.expr(
+            f"user_id = err_user_id AND error_ts >= click_ts "
+            f"AND error_ts <= click_ts + interval {window}"
+        ),
+    ).select("user_id", "click_ts", "error_ts")

@@ -276,3 +276,40 @@ def test_neardup_intake_retry_is_idempotent(spark, tmp_path):
     neardup_intake_batch(spark, docs, 1, out, store, threshold=0.5)
     third = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert third == first  # replayed docs dropped, no duplicates added
+
+
+def test_stream_interval_join(spark, tmp_path):
+    from power_generation_etl_spark.streaming.ingest import stream_interval_join
+
+    clicks_dir = tmp_path / "clicks"
+    errors_dir = tmp_path / "errs"
+    clicks_dir.mkdir()
+    errors_dir.mkdir()
+    t0 = "2024-01-01T10:00:00"
+    with open(clicks_dir / "c.jsonl", "w") as f:
+        f.write(json.dumps({"user_id": 1, "ts": t0}) + "\n")
+        f.write(json.dumps({"user_id": 2, "ts": t0}) + "\n")
+    with open(errors_dir / "e.jsonl", "w") as f:
+        # user 1: one error inside the 30-min window, one far outside
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01T10:10:00"}) + "\n")
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01T14:00:00"}) + "\n")
+        # user 3: error with no click
+        f.write(json.dumps({"user_id": 3, "ts": "2024-01-01T10:05:00"}) + "\n")
+
+    schema = "user_id long, ts timestamp"
+    clicks = spark.readStream.schema(schema).json(str(clicks_dir))
+    errors = spark.readStream.schema(schema).json(str(errors_dir))
+    joined = stream_interval_join(clicks, errors)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sj"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sj_test").collect()
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == 1
+    assert str(rows[0]["error_ts"]).startswith("2024-01-01 10:10")
