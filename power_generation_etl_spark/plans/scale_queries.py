@@ -353,3 +353,130 @@ def latest_order_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: portable 32-bit hash of the doc
+# id mod 100 → 80/10/10. The split is a pure projection (no shuffle
+# beyond the report agg), reproducible across engines and runs — the
+# property a training pipeline needs so re-runs never leak val docs
+# into train.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "train_val_test_split",
+    """
+    WITH b AS (
+        SELECT source,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 AS bucket,
+               n_chars
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM b
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture planning (DoReMi / Pile-style): given literal target
+# weights per source and a global token budget, derive each source's
+# token allocation and the deterministic sampling rate (basis points)
+# that achieves it. All integer arithmetic — the plan a sampler
+# (deterministic hash-mod) can execute exactly.
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000
+# literal target mixture: first five sources are up-weighted
+_MIX_PCT = {f"src{i}": (8 if i < 5 else 4) for i in range(20)}
+
+
+@_register(
+    "mixture_plan",
+    f"""
+    WITH target(source, pct) AS (VALUES {", ".join(f"('src{i}', {8 if i < 5 else 4})" for i in range(20))}),
+    per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+        GROUP BY source
+    )
+    SELECT p.source AS source, n_docs, n_tokens,
+           COALESCE(t.pct, 0) AS target_pct,
+           ({_MIX_BUDGET} * COALESCE(t.pct, 0)) // 100 AS tokens_budgeted,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE least(10000,
+                           (({_MIX_BUDGET} * COALESCE(t.pct, 0)) // 100 * 10000)
+                               // n_tokens)
+           END AS sample_rate_bp
+    FROM per_source p LEFT JOIN target t ON p.source = t.source
+    ORDER BY source
+    """,
+)
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from power_generation_etl_spark.operators import text as tx
+
+    d = T(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    target = spark.createDataFrame(
+        sorted(_MIX_PCT.items()), schema="source string, pct long"
+    )
+    budgeted = F.expr(f"({_MIX_BUDGET} * coalesce(pct, 0)) div 100")
+    return (
+        per_source.join(F.broadcast(target), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("pct"), F.lit(0)).cast("bigint").alias("target_pct"),
+            budgeted.cast("bigint").alias("tokens_budgeted"),
+            F.when(F.col("n_tokens") == 0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(10000),
+                    F.expr(
+                        f"(({_MIX_BUDGET} * coalesce(pct, 0)) div 100 * 10000)"
+                        " div n_tokens"
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("sample_rate_bp"),
+        )
+        .orderBy("source")
+    )

@@ -202,3 +202,33 @@ class TestAnalyticsBreadth:
     def test_latest_snapshot_one_row_per_customer(self, spark, sf_dir):
         df = QUERIES["latest_order_snapshot"](spark, sf_dir)
         assert df.count() == df.select("o_custkey").distinct().count()
+
+
+class TestSplitAndMixture:
+    def test_split_partitions_are_exhaustive_and_disjoint(self, spark, sf_dir):
+        df = QUERIES["train_val_test_split"](spark, sf_dir)
+        total = df.agg(F.sum("n_docs")).collect()[0][0]
+        from power_generation_etl_spark.plans.queries import T
+
+        assert total == T(spark, sf_dir, "documents").count()
+        splits = {r["split"] for r in df.collect()}
+        assert splits <= {"train", "val", "test"}
+
+    def test_split_roughly_80_10_10(self, spark, sf_dir):
+        df = QUERIES["train_val_test_split"](spark, sf_dir)
+        by_split = {
+            r["split"]: r["n"]
+            for r in df.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()
+        }
+        total = sum(by_split.values())
+        assert by_split.get("train", 0) / total > 0.6
+
+    def test_mixture_rates_capped_and_budget_respected(self, spark, sf_dir):
+        rows = QUERIES["mixture_plan"](spark, sf_dir).collect()
+        for r in rows:
+            assert 0 <= r["sample_rate_bp"] <= 10000
+            # rate * n_tokens / 10000 never exceeds the allocation
+            assert (r["sample_rate_bp"] * r["n_tokens"]) // 10000 <= max(
+                r["tokens_budgeted"], r["n_tokens"]
+            )
+        assert sum(r["target_pct"] for r in rows) == 100
