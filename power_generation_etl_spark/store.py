@@ -29,9 +29,14 @@ MONTH_COL = "_month"
 
 
 class TableStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, versioned: bool = False):
         self.spark = spark
         self.root = root
+        # Opt-in time travel: every overwrite-based rewrite (overwrite /
+        # compact / cluster / truncate-with-restore) archives the
+        # previous table directory as an immutable version instead of
+        # deleting it — the poor-man's Delta/Iceberg snapshot log.
+        self.versioned = versioned
         os.makedirs(root, exist_ok=True)
 
     def path(self, table: str) -> str:
@@ -140,7 +145,13 @@ class TableStore:
                 schema_json = f.read()
         final = self.path(table)
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            if self.versioned:
+                vdir = self._versions_dir(table)
+                os.makedirs(vdir, exist_ok=True)
+                nxt = max(self.versions(table), default=0) + 1
+                os.replace(final, os.path.join(vdir, f"v{nxt}"))
+            else:
+                shutil.rmtree(final)
         os.replace(tmp, final)
         if schema_json is not None:
             with open(self._schema_file(table), "w") as f:
@@ -324,6 +335,95 @@ class TableStore:
             )
         self._swap_in(table, tmp)
         return before, self.file_count(table)
+
+    # -- time travel (opt-in versioned snapshots) ------------------------
+
+    def _versions_dir(self, table: str) -> str:
+        return os.path.join(self.root, ".versions", table)
+
+    def versions(self, table: str) -> list[int]:
+        """Archived version numbers for `table`, oldest first (empty
+        when versioning is off or no rewrite has happened yet)."""
+        vdir = self._versions_dir(table)
+        if not os.path.isdir(vdir):
+            return []
+        out = []
+        for name in os.listdir(vdir):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time-travel read of an archived snapshot (the state the
+        table had BEFORE the (version)th rewrite replaced it)."""
+        p = os.path.join(self._versions_dir(table), f"v{version}")
+        if not os.path.isdir(p):
+            raise ValueError(f"no version {version} for table {table}")
+        df = self.spark.read.option("basePath", p).parquet(p)
+        return df.drop(MONTH_COL) if MONTH_COL in df.columns else df
+
+    def restore(self, table: str, version: int) -> None:
+        """Roll `table` back to an archived snapshot. The current state
+        is itself archived first (restore is an ordinary versioned
+        rewrite, so nothing is ever destroyed until `vacuum`)."""
+        src = os.path.join(self._versions_dir(table), f"v{version}")
+        if not os.path.isdir(src):
+            raise ValueError(f"no version {version} for table {table}")
+        tmp = self.path(table) + "__tmp__"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        shutil.copytree(src, tmp)
+        self._swap_in(table, tmp)
+
+    def vacuum(self, table: str, keep: int = 1) -> int:
+        """Delete all but the newest `keep` archived versions; returns
+        how many were removed. The retention knob that bounds the
+        storage cost of time travel."""
+        if keep < 0:
+            raise ValueError("keep must be >= 0")
+        vs = self.versions(table)
+        drop = vs[: max(0, len(vs) - keep)]
+        for v in drop:
+            shutil.rmtree(os.path.join(self._versions_dir(table), f"v{v}"))
+        return len(drop)
+
+    # -- MERGE-style keyed upsert ----------------------------------------
+
+    def merge_upsert(
+        self,
+        table: str,
+        changes: DataFrame,
+        keys: list[str],
+        order_col: str,
+    ) -> None:
+        """MERGE equivalent for a log-less parquet warehouse: union the
+        change set with the current table and keep, per key, the row
+        with the greatest `order_col` — change rows win ties, so
+        re-applying the same batch is idempotent. One window shuffle on
+        the keys + one atomic overwrite (archived when versioning is
+        on). At a 100 TB table the production form partition-prunes the
+        rewrite to touched partitions (see refresh_views_incremental
+        for the month-pruned pattern)."""
+        if not keys:
+            raise ValueError("keys must be non-empty")
+        current = self.read(table).withColumn("_src", F.lit(0))
+        incoming = changes.withColumn("_src", F.lit(1))
+        combined = current.unionByName(incoming)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), F.col("_src").desc()
+        )
+        merged = (
+            combined.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        # Materialize before the overwrite: the plan reads the table
+        # being replaced, and a lazy write-while-reading would race the
+        # directory swap.
+        merged = merged.localCheckpoint()
+        self.overwrite(table, merged)
 
     # -- bucketed (co-located) tables ------------------------------------
 

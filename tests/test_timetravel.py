@@ -1,0 +1,87 @@
+"""Time travel (versioned snapshots + vacuum) and MERGE-style upsert
+on the parquet TableStore."""
+
+from __future__ import annotations
+
+import pytest
+
+from power_generation_etl_spark.store import TableStore
+
+
+@pytest.fixture()
+def vstore(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "wh"), versioned=True)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, ord long")
+
+
+class TestTimeTravel:
+    def test_overwrite_archives_previous_version(self, spark, vstore):
+        vstore.overwrite("t", _df(spark, [(1, "a", 1)]))
+        vstore.overwrite("t", _df(spark, [(1, "b", 2)]))
+        assert vstore.versions("t") == [1]
+        old = vstore.read_version("t", 1).collect()
+        assert [(r["k"], r["v"]) for r in old] == [(1, "a")]
+        assert vstore.read("t").collect()[0]["v"] == "b"
+
+    def test_restore_rolls_back_and_archives_current(self, spark, vstore):
+        vstore.overwrite("t", _df(spark, [(1, "a", 1)]))
+        vstore.overwrite("t", _df(spark, [(1, "b", 2)]))
+        vstore.restore("t", 1)
+        assert vstore.read("t").collect()[0]["v"] == "a"
+        # restore archived the pre-restore state as v2
+        assert vstore.versions("t") == [1, 2]
+        assert vstore.read_version("t", 2).collect()[0]["v"] == "b"
+
+    def test_vacuum_keeps_newest(self, spark, vstore):
+        vstore.overwrite("t", _df(spark, [(1, "a", 1)]))
+        for i in range(3):
+            vstore.overwrite("t", _df(spark, [(1, f"x{i}", i + 2)]))
+        assert vstore.versions("t") == [1, 2, 3]
+        removed = vstore.vacuum("t", keep=1)
+        assert removed == 2 and vstore.versions("t") == [3]
+
+    def test_unversioned_store_keeps_no_history(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "wh2"))
+        store.overwrite("t", _df(spark, [(1, "a", 1)]))
+        store.overwrite("t", _df(spark, [(1, "b", 2)]))
+        assert store.versions("t") == []
+
+    def test_read_missing_version_raises(self, spark, vstore):
+        vstore.overwrite("t", _df(spark, [(1, "a", 1)]))
+        with pytest.raises(ValueError):
+            vstore.read_version("t", 5)
+
+
+class TestMergeUpsert:
+    def test_insert_update_and_untouched(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "wh"))
+        store.overwrite("t", _df(spark, [(1, "a", 1), (2, "b", 1)]))
+        store.merge_upsert(
+            "t", _df(spark, [(2, "b2", 2), (3, "c", 2)]), ["k"], "ord"
+        )
+        got = {r["k"]: r["v"] for r in store.read("t").collect()}
+        assert got == {1: "a", 2: "b2", 3: "c"}
+
+    def test_reapply_same_batch_is_idempotent(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "wh"))
+        store.overwrite("t", _df(spark, [(1, "a", 1)]))
+        batch = _df(spark, [(1, "a2", 2)])
+        store.merge_upsert("t", batch, ["k"], "ord")
+        store.merge_upsert("t", batch, ["k"], "ord")
+        rows = store.read("t").collect()
+        assert len(rows) == 1 and rows[0]["v"] == "a2"
+
+    def test_stale_change_does_not_regress(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "wh"))
+        store.overwrite("t", _df(spark, [(1, "new", 5)]))
+        store.merge_upsert("t", _df(spark, [(1, "old", 2)]), ["k"], "ord")
+        assert store.read("t").collect()[0]["v"] == "new"
+
+    def test_change_wins_order_tie(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "wh"))
+        store.overwrite("t", _df(spark, [(1, "cur", 3)]))
+        store.merge_upsert("t", _df(spark, [(1, "chg", 3)]), ["k"], "ord")
+        assert store.read("t").collect()[0]["v"] == "chg"
