@@ -11,6 +11,8 @@ Usage:
       | backfill-dates | check-drift CROSSWALK_PARQUET
       | update-schema [table_type] | create-database | test-connection
       | sql "SELECT ..." [--limit n]
+      | list-versions T | restore-table T V | vacuum-table T [--keep n]
+      | diff-versions T V   (with --versioned: rewrites archive snapshots)
 """
 
 from __future__ import annotations
@@ -18,6 +20,8 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+
+from pyspark.sql import functions as F
 
 from power_generation_etl_spark.engine import Engine
 from power_generation_etl_spark.schemas import SOURCES
@@ -27,6 +31,13 @@ from power_generation_etl_spark.session import get_spark
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="power-generation-etl-spark")
     p.add_argument("--warehouse", required=True, help="warehouse directory")
+    p.add_argument(
+        "--versioned",
+        action="store_true",
+        help="archive the previous table state on every rewrite "
+        "(enables time travel: list-versions / restore-table / "
+        "vacuum-table / diff-versions)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     setup = sub.add_parser("setup")
@@ -136,13 +147,28 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cr.add_argument("docs_parquet", help="documents parquet (doc_id, text)")
     cr.add_argument("output", help="JSON report path")
+
+    lv = sub.add_parser("list-versions", help="archived snapshots of a table")
+    lv.add_argument("table")
+    rs = sub.add_parser("restore-table", help="roll a table back to a snapshot")
+    rs.add_argument("table")
+    rs.add_argument("version", type=int)
+    vc = sub.add_parser("vacuum-table", help="drop old snapshots beyond --keep")
+    vc.add_argument("table")
+    vc.add_argument("--keep", type=int, default=1)
+    dv = sub.add_parser(
+        "diff-versions", help="change feed: current table vs a snapshot"
+    )
+    dv.add_argument("table")
+    dv.add_argument("version", type=int)
+    dv.add_argument("--limit", type=int, default=20, help="sample rows printed")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark("pg-etl-cli")
-    eng = Engine(spark, args.warehouse)
+    eng = Engine(spark, args.warehouse, versioned=getattr(args, "versioned", False))
     try:
         return _dispatch(args, spark, eng)
     except ValueError as e:
@@ -260,7 +286,6 @@ def _dispatch(args, spark, eng: Engine) -> int:
             f"sequences={s.n_sequences} tokens={s.total_tokens}"
         )
     elif args.cmd == "scan-pii":
-        from pyspark.sql import functions as F
 
         from power_generation_etl_spark.operators import hygiene as hg
 
@@ -289,7 +314,6 @@ def _dispatch(args, spark, eng: Engine) -> int:
         )
         return 1 if report["n_docs_with_pii"] > 0 else 0
     elif args.cmd == "corpus-report":
-        from pyspark.sql import functions as F
 
         from power_generation_etl_spark.operators import text as tx
 
@@ -343,6 +367,28 @@ def _dispatch(args, spark, eng: Engine) -> int:
             json.dump(rep, f, indent=2)
         print(f"total_missing={rep['total_missing']} → {args.output}")
         return 1 if rep["total_missing"] > 0 else 0
+    elif args.cmd == "list-versions":
+        vs = eng.store.versions(args.table)
+        for v in vs:
+            print(f"v{v}  {eng.store.read_version(args.table, v).count():>12,} rows")
+        print(f"({len(vs)} archived versions)")
+    elif args.cmd == "restore-table":
+        eng.store.restore(args.table, args.version)
+        print(f"restored {args.table} to v{args.version}")
+    elif args.cmd == "vacuum-table":
+        removed = eng.store.vacuum(args.table, keep=args.keep)
+        print(f"vacuumed {removed} snapshots (kept newest {args.keep})")
+    elif args.cmd == "diff-versions":
+        diff = eng.store.diff_versions(args.table, args.version)
+        counts = {
+            r["_change"]: r["n"]
+            for r in diff.groupBy("_change").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        print(
+            f"inserts={counts.get('insert', 0)} deletes={counts.get('delete', 0)}"
+        )
+        for r in diff.limit(args.limit).collect():
+            print("\t".join("" if v is None else str(v) for v in r))
     return 0
 
 

@@ -55,9 +55,9 @@ class LoadResult:
 class Engine:
     """Load / query / maintain the power-generation warehouse."""
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str, versioned: bool = False):
         self.spark = spark
-        self.store = TableStore(spark, warehouse)
+        self.store = TableStore(spark, warehouse, versioned=versioned)
 
     # --- S9/S10: setup -------------------------------------------------------
     def setup(self, table_type: str = "all") -> list[str]:

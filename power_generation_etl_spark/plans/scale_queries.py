@@ -480,3 +480,95 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative unique users: the running-distinct curve, computed the
+# distributed way — distinct-per-day is wrong to accumulate directly,
+# so reduce each user to their FIRST day (one agg), then a cumulative
+# window over the tiny per-day series.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cumulative_unique_users",
+    f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
+    ),
+    first_seen AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id),
+    per_day AS (
+        SELECT d0, CAST(count(*) AS BIGINT) AS n_new
+        FROM first_seen GROUP BY d0
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(d0 AS INTEGER), '%Y-%m-%d') AS day,
+           n_new,
+           CAST(sum(n_new) OVER (ORDER BY d0
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM per_day
+    ORDER BY day
+    """,
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T_events_us(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us div {_DAY_US}").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    per_day = first_seen.groupBy("d0").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d0").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality preflight: the EXACT output size of a key join from
+# per-key counts — sum over shared keys of count_left × count_right.
+# Two small aggs + one join over distinct keys instead of materializing
+# the join; the sanity check to run before an expensive fact⋈fact join
+# (a skewed hot key shows up here as a dominating product term).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "join_size_preflight",
+    """
+    WITH a AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+               FROM orders GROUP BY o_orderkey),
+    b AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS left_rows,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS right_rows,
+           CAST(count(*) AS BIGINT) AS shared_keys,
+           CAST(sum(a.c * b.c) AS BIGINT) AS join_rows,
+           CAST(max(a.c * b.c) AS BIGINT) AS max_key_contrib
+    FROM a JOIN b ON a.k = b.k
+    """,
+)
+def join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    a = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    left_rows = o.count()
+    right_rows = li.count()
+    return (
+        a.join(b, "k")
+        .agg(
+            F.lit(left_rows).cast("bigint").alias("left_rows"),
+            F.lit(right_rows).cast("bigint").alias("right_rows"),
+            F.count(F.lit(1)).alias("shared_keys"),
+            F.sum(F.expr("ca * cb")).cast("bigint").alias("join_rows"),
+            F.max(F.expr("ca * cb")).cast("bigint").alias("max_key_contrib"),
+        )
+    )

@@ -387,6 +387,21 @@ class TableStore:
             shutil.rmtree(os.path.join(self._versions_dir(table), f"v{v}"))
         return len(drop)
 
+    def diff_versions(self, table: str, version: int) -> DataFrame:
+        """Change-data-feed between an archived snapshot and the
+        current table: rows only in the current state tagged
+        ``_change='insert'``, rows only in the snapshot tagged
+        ``_change='delete'`` (an updated row appears as one of each).
+        Multiset semantics via exceptAll, so duplicate rows diff by
+        count, not presence."""
+        cur = self.read(table)
+        old = self.read_version(table, version).select(*cur.columns)
+        return cur.exceptAll(old).withColumn(
+            "_change", F.lit("insert")
+        ).unionByName(
+            old.exceptAll(cur).withColumn("_change", F.lit("delete"))
+        )
+
     # -- MERGE-style keyed upsert ----------------------------------------
 
     def merge_upsert(

@@ -232,3 +232,23 @@ class TestSplitAndMixture:
                 r["tokens_budgeted"], r["n_tokens"]
             )
         assert sum(r["target_pct"] for r in rows) == 100
+
+
+class TestCumulativeAndPreflight:
+    def test_cumulative_monotone_and_total(self, spark, sf_dir):
+        rows = QUERIES["cumulative_unique_users"](spark, sf_dir).collect()
+        cums = [r["cum_users"] for r in rows]
+        assert cums == sorted(cums)
+        from power_generation_etl_spark.plans.temporal_queries import T_events_us
+
+        n_users = T_events_us(spark, sf_dir).select("user_id").distinct().count()
+        assert cums[-1] == n_users and sum(r["n_new"] for r in rows) == n_users
+
+    def test_preflight_matches_actual_join(self, spark, sf_dir):
+        from power_generation_etl_spark.plans.queries import T
+
+        r = QUERIES["join_size_preflight"](spark, sf_dir).collect()[0]
+        o = T(spark, sf_dir, "orders")
+        li = T(spark, sf_dir, "lineitem")
+        actual = o.join(li, o.o_orderkey == li.l_orderkey).count()
+        assert r["join_rows"] == actual

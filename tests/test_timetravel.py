@@ -85,3 +85,46 @@ class TestMergeUpsert:
         store.overwrite("t", _df(spark, [(1, "cur", 3)]))
         store.merge_upsert("t", _df(spark, [(1, "chg", 3)]), ["k"], "ord")
         assert store.read("t").collect()[0]["v"] == "chg"
+
+
+class TestDiffVersions:
+    def test_diff_tags_inserts_and_deletes(self, spark, vstore):
+        vstore.overwrite("t", _df(spark, [(1, "a", 1), (2, "b", 1)]))
+        vstore.overwrite("t", _df(spark, [(1, "a", 1), (2, "b2", 2), (3, "c", 1)]))
+        diff = vstore.diff_versions("t", 1)
+        got = {(r["k"], r["v"], r["_change"]) for r in diff.collect()}
+        assert got == {
+            (2, "b2", "insert"),
+            (3, "c", "insert"),
+            (2, "b", "delete"),
+        }
+
+    def test_diff_empty_when_identical(self, spark, vstore):
+        vstore.overwrite("t", _df(spark, [(1, "a", 1)]))
+        vstore.overwrite("t", _df(spark, [(1, "a", 1)]))
+        assert vstore.diff_versions("t", 1).count() == 0
+
+
+class TestTimeTravelCLI:
+    def test_cli_version_verbs(self, spark, tmp_path, capsys):
+        from power_generation_etl_spark.cli import main
+
+        wh = str(tmp_path / "wh")
+        store = TableStore(spark, wh, versioned=True)
+        store.overwrite("npp_generation_data", _df(spark, [(1, "a", 1)]))
+        store.overwrite("npp_generation_data", _df(spark, [(1, "b", 2)]))
+        assert main(["--warehouse", wh, "--versioned", "list-versions",
+                     "npp_generation_data"]) == 0
+        out = capsys.readouterr().out
+        assert "v1" in out and "1 archived" in out
+        assert main(["--warehouse", wh, "--versioned", "diff-versions",
+                     "npp_generation_data", "1"]) == 0
+        out = capsys.readouterr().out
+        assert "inserts=1 deletes=1" in out
+        assert main(["--warehouse", wh, "--versioned", "restore-table",
+                     "npp_generation_data", "1"]) == 0
+        capsys.readouterr()
+        assert store.read("npp_generation_data").collect()[0]["v"] == "a"
+        assert main(["--warehouse", wh, "--versioned", "vacuum-table",
+                     "npp_generation_data", "--keep", "0"]) == 0
+        assert store.versions("npp_generation_data") == []
