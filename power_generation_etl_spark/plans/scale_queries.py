@@ -572,3 +572,113 @@ def join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.expr("ca * cb")).cast("bigint").alias("max_key_contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-and-island: per-user activity streaks. The island key is
+# d - row_number() over days — constant within a run of consecutive active days —
+# so streaks fall out of two window passes + one agg, no self-joins.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "user_activity_streaks",
+    f"""
+    WITH days AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        T_events_us(spark, sf_dir)
+        .select("user_id", F.expr(f"ts_us div {_DAY_US}").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("island")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+            F.sum("len").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): documents not dominated on
+# (maximize whitespace token count, minimize n_chars) — dominated means
+# some STRICTLY shorter doc has at least as many tokens. The scale
+# shape: reduce to one (n_chars → max toks) row per distinct length
+# (hash agg over the corpus), run the cumulative max over that tiny
+# series, and join back — the only single-partition window touches
+# O(distinct lengths) rows, never the corpus.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pareto_docs_frontier",
+    """
+    WITH m AS (
+        SELECT doc_id, n_chars,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    per_len AS (
+        SELECT n_chars, max(toks) AS mx FROM m GROUP BY n_chars
+    ),
+    run AS (
+        SELECT n_chars,
+               max(mx) OVER (ORDER BY n_chars
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_below
+        FROM per_len
+    )
+    SELECT m.doc_id, m.n_chars, m.toks
+    FROM m JOIN run ON m.n_chars = run.n_chars
+    WHERE run.best_below IS NULL OR m.toks > run.best_below
+    ORDER BY m.n_chars, m.doc_id
+    """,
+)
+def pareto_docs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from power_generation_etl_spark.operators import text as tx
+
+    d = T(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id", "n_chars", tx.token_count(F.col("text")).alias("toks")
+    )
+    per_len = m.groupBy("n_chars").agg(F.max("toks").alias("mx"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    run = per_len.select(
+        "n_chars", F.max("mx").over(w).alias("best_below")
+    )
+    return (
+        m.join(F.broadcast(run), "n_chars")
+        .where(
+            F.col("best_below").isNull() | (F.col("toks") > F.col("best_below"))
+        )
+        .select("doc_id", "n_chars", "toks")
+        .orderBy("n_chars", "doc_id")
+    )

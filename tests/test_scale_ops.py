@@ -252,3 +252,41 @@ class TestCumulativeAndPreflight:
         li = T(spark, sf_dir, "lineitem")
         actual = o.join(li, o.o_orderkey == li.l_orderkey).count()
         assert r["join_rows"] == actual
+
+
+class TestStreaksAndPareto:
+    def test_streaks_hand_case(self, spark):
+        import datetime as dt
+
+        mk = lambda day: dt.datetime(1970, 1, day, 12, 0, 0)
+        rows = [(1, mk(1)), (1, mk(2)), (1, mk(3)), (1, mk(7)), (2, mk(5))]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+        days = df.select(
+            "user_id", F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("d")
+        ).distinct()
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("d")
+        isl = days.select(
+            "user_id", (F.col("d") - F.row_number().over(w)).alias("island")
+        )
+        streaks = isl.groupBy("user_id", "island").count()
+        s = {
+            (r["user_id"], r["count"])
+            for r in streaks.collect()
+        }
+        assert s == {(1, 3), (1, 1), (2, 1)}
+
+    def test_pareto_no_dominated_rows(self, spark, sf_dir):
+        rows = QUERIES["pareto_docs_frontier"](spark, sf_dir).collect()
+        assert rows
+        for a in rows:
+            for b in rows:
+                if b["n_chars"] < a["n_chars"]:
+                    assert b["toks"] < a["toks"], (a, b)
+
+    def test_streak_totals_bounded_by_days(self, spark, sf_dir):
+        rows = QUERIES["user_activity_streaks"](spark, sf_dir).collect()
+        for r in rows:
+            assert r["longest_streak"] <= r["active_days"]
+            assert r["n_streaks"] >= 1
