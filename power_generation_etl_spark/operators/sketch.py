@@ -45,6 +45,7 @@ def kmv_distinct(
     value_col: str,
     *,
     k: int = 32,
+    two_stage: bool = False,
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate with exact integer
     arithmetic: ``estimate = ((k-1) << 48) div h_k`` where ``h_k`` is
@@ -53,6 +54,14 @@ def kmv_distinct(
     KMV small-set fallback).
 
     Output: (group, n_rows, n_hashes, kmv_estimate), ordered by group.
+
+    ``two_stage=True`` selects the high-cardinality path: each input
+    partition pre-filters to its local k smallest distinct hashes (a
+    window over (group, partition_id)) before the global rank, so the
+    group-key shuffle carries at most k rows per (group, partition)
+    instead of every distinct hash. The k-th smallest of the merged
+    local min-k sets IS the global k-th smallest, so the estimate is
+    identical — only the shuffle volume changes.
     """
     if not 2 <= k <= 4096:
         raise ValueError("k must be in [2, 4096]")
@@ -63,9 +72,20 @@ def kmv_distinct(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.col("h")).alias("n_hashes"),
     )
+    ranked_in = hashed.distinct()
+    if two_stage:
+        lw = Window.partitionBy("grp", "_pid").orderBy("h")
+        ranked_in = (
+            # distinct() above already shuffled on (grp, h); the local
+            # min-k runs on whatever partitioning follows it.
+            ranked_in.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_lrn", F.row_number().over(lw))
+            .where(F.col("_lrn") <= k)
+            .select("grp", "h")
+        )
     w = Window.partitionBy("grp").orderBy("h")
     kth = (
-        hashed.distinct()
+        ranked_in
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == k)
         .select("grp", F.col("h").alias("h_k"))

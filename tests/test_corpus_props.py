@@ -89,3 +89,41 @@ class TestEmptyInputs:
         ).count() == 0
         hk = mh.portable_hash32(F.col("doc_id").cast("string"))
         assert cp.stratified_sample(empty, "lang", "doc_id", hk).count() == 0
+
+
+class TestChunkDedupProperties:
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                min_size=1,
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        chunk=st.integers(min_value=1, max_value=5),
+    )
+    @settings(**_SETTINGS)
+    def test_counts_conserve_and_bound(self, spark, docs, chunk):
+        rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in cp.chunk_dedup_stats(
+            df, "doc_id", "text", chunk=chunk
+        ).collect()}
+        assert set(out) == set(range(len(docs)))
+        for i, words in enumerate(docs):
+            r = out[i]
+            expected_chunks = -(-len(words) // chunk)  # ceil
+            assert r["n_chunks"] == expected_chunks
+            assert r["n_kept"] + r["n_dup"] == r["n_chunks"]
+            assert r["n_kept"] >= 0 and r["n_dup"] >= 0
+        # corpus-wide: kept chunks == distinct chunk hashes
+        total_kept = sum(r["n_kept"] for r in out.values())
+        distinct = (
+            cp.chunk_hashes(df, "doc_id", "text", chunk=chunk)
+            .select("chunk_hash")
+            .distinct()
+            .count()
+        )
+        assert total_kept == distinct

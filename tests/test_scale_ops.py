@@ -290,3 +290,12 @@ class TestStreaksAndPareto:
         for r in rows:
             assert r["longest_streak"] <= r["active_days"]
             assert r["n_streaks"] >= 1
+
+
+class TestKMVTwoStage:
+    def test_two_stage_equals_single_stage(self, spark):
+        rows = [(f"g{i % 3}", f"val-{i % 700}") for i in range(5000)]
+        df = spark.createDataFrame(rows, "grp string, val string").repartition(16)
+        a = sk.kmv_distinct(df, "grp", "val", k=32).collect()
+        b = sk.kmv_distinct(df, "grp", "val", k=32, two_stage=True).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
