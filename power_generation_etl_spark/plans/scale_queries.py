@@ -682,3 +682,56 @@ def pareto_docs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "toks")
         .orderBy("n_chars", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day DISTINCT users — neither engine supports DISTINCT
+# aggregates in window frames, so the distributed form explodes each
+# active (user, day) into the 7 trailing report days it contributes to
+# and hash-counts distinct users per report day. Data grows by exactly
+# the window length (the standard sliding-distinct trade), and
+# everything stays in codegen hash aggregates.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rolling_7d_unique_users",
+    f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
+    ),
+    bounds AS (SELECT max(d) AS hi FROM ud),
+    contrib AS (
+        SELECT user_id, unnest(generate_series(d, d + 6)) AS rd FROM ud
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(rd AS INTEGER), '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users_7d
+    FROM contrib, bounds
+    WHERE rd <= bounds.hi
+    GROUP BY rd
+    ORDER BY day
+    """,
+)
+def rolling_7d_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        T_events_us(spark, sf_dir)
+        .select("user_id", F.expr(f"ts_us div {_DAY_US}").alias("d"))
+        .distinct()
+    )
+    hi = ud.agg(F.max("d").alias("hi"))
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence("d", F.col("d") + 6)).alias("rd")
+    )
+    return (
+        contrib.join(F.broadcast(hi), F.col("rd") <= F.col("hi"))
+        .groupBy("rd")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("rd").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "users_7d",
+        )
+        .orderBy("day")
+    )

@@ -70,5 +70,6 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
         "doc_token_threshold_filter",
         "embedding_int8_quant",
         "daily_spine_gapfill",
+        "rolling_7d_unique_users",
     }:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"

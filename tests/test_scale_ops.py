@@ -299,3 +299,29 @@ class TestKMVTwoStage:
         a = sk.kmv_distinct(df, "grp", "val", k=32).collect()
         b = sk.kmv_distinct(df, "grp", "val", k=32, two_stage=True).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestRollingDistinct:
+    def test_matches_brute_force(self, spark, sf_dir):
+        from power_generation_etl_spark.plans.temporal_queries import T_events_us
+
+        got = {
+            r["day"]: r["users_7d"]
+            for r in QUERIES["rolling_7d_unique_users"](spark, sf_dir).collect()
+        }
+        ud = [
+            (r["user_id"], r["d"])
+            for r in T_events_us(spark, sf_dir)
+            .select("user_id", (F.expr("ts_us div 86400000000")).alias("d"))
+            .distinct()
+            .collect()
+        ]
+        import datetime as dt
+
+        days = sorted({d for _, d in ud})
+        for d in days[:5] + days[-3:]:
+            expect = len({u for u, dd in ud if d - 6 <= dd <= d})
+            day_str = (
+                dt.date(1970, 1, 1) + dt.timedelta(days=d)
+            ).isoformat()
+            assert got[day_str] == expect
