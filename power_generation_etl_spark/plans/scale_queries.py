@@ -735,3 +735,64 @@ def rolling_7d_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 state history: collapse a per-key event stream into validity
+# intervals of CONSECUTIVE identical states (type-2 slowly-changing
+# dimension build). Island key = row_number over all orders minus
+# row_number within (key, state) — constant per consecutive run — so
+# the collapse is two windows + one agg, no self-joins.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "order_status_history",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderstatus,
+               strftime(o_orderdate, '%Y-%m-%d') AS od,
+               o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY od, o_orderkey)
+             - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                                  ORDER BY od, o_orderkey) AS island
+        FROM o
+    )
+    SELECT o_custkey, o_orderstatus,
+           min(od) AS valid_from,
+           max(od) AS valid_to,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM r
+    GROUP BY o_custkey, o_orderstatus, island
+    ORDER BY o_custkey, valid_from, o_orderstatus
+    """,
+)
+def order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        "o_orderkey",
+    )
+    w_all = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    w_st = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "od", "o_orderkey"
+    )
+    r = o.withColumn(
+        "island", F.row_number().over(w_all) - F.row_number().over(w_st)
+    )
+    return (
+        r.groupBy("o_custkey", "o_orderstatus", "island")
+        .agg(
+            F.min("od").alias("valid_from"),
+            F.max("od").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .drop("island")
+        .orderBy("o_custkey", "valid_from", "o_orderstatus")
+    )

@@ -325,3 +325,45 @@ class TestRollingDistinct:
                 dt.date(1970, 1, 1) + dt.timedelta(days=d)
             ).isoformat()
             assert got[day_str] == expect
+
+
+class TestStatusHistory:
+    def test_intervals_cover_all_orders_without_overlap_per_run(self, spark, sf_dir):
+        from power_generation_etl_spark.plans.queries import T
+
+        df = QUERIES["order_status_history"](spark, sf_dir)
+        n_orders = T(spark, sf_dir, "orders").count()
+        assert df.agg(F.sum("n_orders")).collect()[0][0] == n_orders
+        for r in df.collect():
+            assert r["valid_from"] <= r["valid_to"]
+
+    def test_consecutive_identical_states_collapse(self, spark):
+        rows = [
+            (1, "A", "2024-01-01", 1),
+            (1, "A", "2024-01-02", 2),
+            (1, "B", "2024-01-03", 3),
+            (1, "A", "2024-01-04", 4),
+        ]
+        df = spark.createDataFrame(
+            rows, "o_custkey long, o_orderstatus string, od string, o_orderkey long"
+        )
+        from pyspark.sql.window import Window
+
+        w_all = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+        w_st = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+            "od", "o_orderkey"
+        )
+        r = df.withColumn(
+            "island", F.row_number().over(w_all) - F.row_number().over(w_st)
+        )
+        out = (
+            r.groupBy("o_custkey", "o_orderstatus", "island")
+            .agg(F.min("od").alias("f"), F.max("od").alias("t"))
+            .collect()
+        )
+        spans = sorted((x["o_orderstatus"], x["f"], x["t"]) for x in out)
+        assert spans == [
+            ("A", "2024-01-01", "2024-01-02"),
+            ("A", "2024-01-04", "2024-01-04"),
+            ("B", "2024-01-03", "2024-01-03"),
+        ]
