@@ -116,3 +116,29 @@ def score_oracle_sql(
     FROM scored
     ORDER BY {id_col}
     """
+
+
+def logit_expr(
+    text_col,
+    *,
+    weights: dict[str, int] | None = None,
+    bias: int | None = None,
+):
+    """Per-row logit as a single Column expression — no explode, no
+    aggregation — so it composes into STREAMING filters and projections
+    where a grouped aggregation would force watermark semantics.
+
+    One `filter` higher-order function per model term over one shared
+    tokenization; per-document cost is O(tokens × terms), interpreted.
+    For whole-corpus batch scoring prefer `score_documents` (one
+    codegen broadcast join); for a row-at-a-time gate this form is
+    exact-equal (pytest-asserted) and streaming-safe."""
+    weights = DEMO_WEIGHTS if weights is None else weights
+    bias = DEMO_BIAS if bias is None else bias
+    toks = F.split(F.lower(text_col), r"\s+")
+    total = F.lit(bias)
+    for term, w in sorted(weights.items()):
+        total = total + F.lit(w) * F.size(
+            F.filter(toks, lambda t: t == F.lit(term))
+        )
+    return total.cast("bigint")

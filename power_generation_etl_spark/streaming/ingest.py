@@ -274,13 +274,17 @@ def stream_document_filter(
     checkpoint_dir: str,
     available_now: bool = True,
     redact_pii: bool = True,
+    min_logit: int | None = None,
 ) -> StreamingQuery:
     """Streaming training-data intake: JSONL document drops →
     quality-filter (Gopher-style Column expressions from
     operators/text.py — pure projections, so they compose into a
-    stream unchanged) → cross-batch exact dedup on the content
-    fingerprint with bounded state (dropDuplicatesWithinWatermark) →
-    PII redaction (codegen regexp rewrite, stateless) → parquet sink.
+    stream unchanged) → optional model gate (`min_logit`: the linear
+    classifier's expression form, a stateless per-row projection — the
+    aggregation-shaped batch scorer would force watermark semantics) →
+    cross-batch exact dedup on the content fingerprint with bounded
+    state (dropDuplicatesWithinWatermark) → PII redaction (codegen
+    regexp rewrite, stateless) → parquet sink.
 
     This is the streaming twin of the batch `doc_quality` +
     `exact_dedup_docs` (+ `pii_scan_docs` redaction) catalog queries:
@@ -309,9 +313,15 @@ def stream_document_filter(
     )
     stream = spark.readStream.schema(schema).json(landing_dir)
     m = tx.quality_metrics(F.col("text"))
+    gated = stream.withColumn("quality_pass", tx.quality_pass(m)).filter(
+        F.col("quality_pass")
+    )
+    if min_logit is not None:
+        from power_generation_etl_spark.operators import scoring as sc
+
+        gated = gated.filter(sc.logit_expr(F.col("text")) > F.lit(min_logit))
     filtered = (
-        stream.withColumn("quality_pass", tx.quality_pass(m))
-        .filter(F.col("quality_pass"))
+        gated
         .withColumn("fingerprint", tx.exact_dup_key(F.col("text")))
         .withWatermark("ingested_at", "1 hour")
         .dropDuplicatesWithinWatermark(["fingerprint"])

@@ -367,3 +367,21 @@ class TestStatusHistory:
             ("A", "2024-01-04", "2024-01-04"),
             ("B", "2024-01-03", "2024-01-03"),
         ]
+
+
+class TestLogitExpr:
+    def test_expression_form_equals_join_form(self, spark, sf_dir):
+        from power_generation_etl_spark.plans.queries import T
+
+        d = T(spark, sf_dir, "documents").limit(200)
+        join_form = {
+            r["doc_id"]: r["logit"]
+            for r in sc.score_documents(spark, d, "doc_id", "text").collect()
+        }
+        expr_form = {
+            r["doc_id"]: r["logit"]
+            for r in d.select(
+                "doc_id", sc.logit_expr(F.col("text")).alias("logit")
+            ).collect()
+        }
+        assert join_form == expr_form

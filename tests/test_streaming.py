@@ -313,3 +313,30 @@ def test_stream_interval_join(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["user_id"] == 1
     assert str(rows[0]["error_ts"]).startswith("2024-01-01 10:10")
+
+
+def test_stream_document_filter_model_gate(spark, tmp_path):
+    from power_generation_etl_spark.streaming.ingest import stream_document_filter
+
+    landing = tmp_path / "landing_gate"
+    landing.mkdir()
+    good = "spark " * 40 + "query join window agg table"
+    bad = "fail " * 30 + "error slow retry null skew and filler words here"
+    rows = [
+        {"doc_id": 1, "ingested_at": "2024-01-01T00:00:00", "lang": "en",
+         "source": "s", "text": good},
+        {"doc_id": 2, "ingested_at": "2024-01-01T00:00:01", "lang": "en",
+         "source": "s", "text": bad},
+    ]
+    with open(landing / "d.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = tmp_path / "out_gate"
+    q = stream_document_filter(
+        spark, str(landing), str(out), str(tmp_path / "ckpt_gate"),
+        min_logit=0,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids == {1}
