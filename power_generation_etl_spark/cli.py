@@ -148,6 +148,15 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("docs_parquet", help="documents parquet (doc_id, text)")
     cr.add_argument("output", help="JSON report path")
 
+    sd = sub.add_parser(
+        "score-docs",
+        help="linear-classifier scoring of a documents parquet -> parquet "
+        "(doc_id, logit, label) + stderr summary",
+    )
+    sd.add_argument("docs_parquet", help="documents parquet (doc_id, text)")
+    sd.add_argument("output", help="output parquet path")
+    sd.add_argument("--threshold", type=int, default=0, help="keep when logit > t")
+
     lv = sub.add_parser("list-versions", help="archived snapshots of a table")
     lv.add_argument("table")
     rs = sub.add_parser("restore-table", help="roll a table back to a snapshot")
@@ -367,6 +376,18 @@ def _dispatch(args, spark, eng: Engine) -> int:
             json.dump(rep, f, indent=2)
         print(f"total_missing={rep['total_missing']} → {args.output}")
         return 1 if rep["total_missing"] > 0 else 0
+    elif args.cmd == "score-docs":
+        from power_generation_etl_spark.operators import scoring as sc
+
+        docs = spark.read.parquet(args.docs_parquet)
+        scored = sc.score_documents(
+            spark, docs, "doc_id", "text", threshold=args.threshold
+        )
+        scored.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        kept = out.where(F.col("label") == "keep").count()
+        total = out.count()
+        print(f"scored {total} docs: keep={kept} drop={total - kept} → {args.output}")
     elif args.cmd == "list-versions":
         vs = eng.store.versions(args.table)
         for v in vs:

@@ -292,3 +292,20 @@ def test_corpus_report(tmp_path, spark, capsys):
     assert rep["quality_pass_rate"] == 0.75  # doc 3 too short
     assert rep["predicted_langs"].get("en", 0) >= 3
     assert rep["chars"]["min"] == 1
+
+
+def test_score_docs_verb(spark, tmp_path, capsys):
+    from power_generation_etl_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark query query join"), (2, "fail error slow")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "scored.parquet")
+    assert main(["--warehouse", str(tmp_path / "wh"), "score-docs", src, out]) == 0
+    printed = capsys.readouterr().out
+    assert "scored 2 docs: keep=1 drop=1" in printed
+    got = {r["doc_id"]: r["label"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "keep", 2: "drop"}

@@ -71,5 +71,6 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
         "embedding_int8_quant",
         "daily_spine_gapfill",
         "rolling_7d_unique_users",
+        "fuzzy_part_name_pairs",  # |distinct names|² domain cross, broadcast
     }:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"
