@@ -857,3 +857,62 @@ def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "e1", "e2", "e3")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: each nation's share of its region's revenue — the
+# percent-of-total window pattern. Sums are exact integer cents; the
+# share divides two bigints with one fixed operation order, which is
+# engine-portable (same doubles in, same double out).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "nation_revenue_share",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation, r.r_name AS region,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+    )
+    SELECT region, nation, cents,
+           round(cents * 1.0 / CAST(sum(cents) OVER (PARTITION BY region)
+                                    AS BIGINT), 6) AS region_share
+    FROM rev
+    ORDER BY region, nation
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint").alias("cents"),
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = T(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.round(
+            F.col("cents") * F.lit(1.0) / F.sum("cents").over(w).cast("bigint"), 6
+        ).alias("region_share"),
+    ).orderBy("region", "nation")

@@ -340,3 +340,35 @@ def test_stream_document_filter_model_gate(spark, tmp_path):
     got = spark.read.parquet(str(out))
     ids = {r["doc_id"] for r in got.collect()}
     assert ids == {1}
+
+
+def test_stream_cdc_apply(spark, tmp_path):
+    from power_generation_etl_spark.store import TableStore
+    from power_generation_etl_spark.streaming.ingest import stream_cdc_apply
+
+    landing = tmp_path / "cdc"
+    landing.mkdir()
+    store = TableStore(spark, str(tmp_path / "wh"), versioned=True)
+    with open(landing / "b1.jsonl", "w") as f:
+        f.write(json.dumps({"k": 1, "v": "a", "ord": 1}) + "\n")
+        f.write(json.dumps({"k": 2, "v": "b", "ord": 1}) + "\n")
+    q = stream_cdc_apply(
+        spark, str(landing), store, "cdc_t", ["k"], "ord",
+        "k long, v string, ord long", str(tmp_path / "ckpt_cdc"),
+    )
+    q.awaitTermination(120)
+    # second drop: update k=2, insert k=3
+    with open(landing / "b2.jsonl", "w") as f:
+        f.write(json.dumps({"k": 2, "v": "b2", "ord": 2}) + "\n")
+        f.write(json.dumps({"k": 3, "v": "c", "ord": 2}) + "\n")
+    q = stream_cdc_apply(
+        spark, str(landing), store, "cdc_t", ["k"], "ord",
+        "k long, v string, ord long", str(tmp_path / "ckpt_cdc"),
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in store.read("cdc_t").collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    # versioned store archived the pre-merge states -> point-in-time read
+    assert store.versions("cdc_t")
+    v1 = store.read_version("cdc_t", max(store.versions("cdc_t")))
+    assert {r["k"]: r["v"] for r in v1.collect()} == {1: "a", 2: "b"}
