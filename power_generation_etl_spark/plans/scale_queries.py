@@ -916,3 +916,156 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents") * F.lit(1.0) / F.sum("cents").over(w).cast("bigint"), 6
         ).alias("region_share"),
     ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts across every FK edge in
+# one pass of anti-join aggregates — the warehouse data-quality gate
+# (generalizes the reference's crosswalk drift check to the whole
+# schema). Each count is a LeftAnti join shuffling only key columns.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "referential_integrity_audit",
+    """
+    SELECT
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+          AS lineitem_orphans,
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+          AS order_orphans,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+          AS customer_orphans,
+      CAST((SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT)
+          AS supplier_orphans
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphans(child, key, parent, pkey):
+        return child.join(
+            parent, child[key] == parent[pkey], "left_anti"
+        ).count()
+
+    rows = [
+        (
+            orphans(li, "l_orderkey", o, "o_orderkey"),
+            orphans(o, "o_custkey", c, "c_custkey"),
+            orphans(c, "c_nationkey", n, "n_nationkey"),
+            orphans(s, "s_nationkey", n, "n_nationkey"),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lineitem_orphans long, order_orphans long, "
+        "customer_orphans long, supplier_orphans long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit distribution — the classic bookkeeping-fraud
+# screen. First digit via string head of the integer part; counts are
+# exact, the expected-share comparison lives with the analyst.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "benford_first_digit",
+    """
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                AS INTEGER) AS digit,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice >= 1
+    GROUP BY digit
+    ORDER BY digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    digit = (
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+    ).cast("int")
+    return (
+        o.where(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: top-3 priciest items per order as one
+# CSV cell (string_agg ORDER BY ↔ array_sort(collect_list(struct)) —
+# the collect_list is unordered by contract, so the sort key rides
+# inside the struct and the order is imposed AFTER collection).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "order_top3_items_csv",
+    """
+    WITH ranked AS (
+        SELECT l_orderkey, l_partkey,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_extendedprice DESC, l_partkey)
+                   AS rn
+        FROM lineitem
+    )
+    SELECT l_orderkey,
+           string_agg(CAST(l_partkey AS VARCHAR), ','
+                      ORDER BY cents DESC, l_partkey) AS top_parts
+    FROM ranked
+    WHERE rn <= 3
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    LIMIT 1000
+    """,
+)
+def order_top3_items_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_extendedprice",
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_partkey"
+    )
+    ranked = li.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    # order key rides inside the struct: (-cents, partkey) sorts price
+    # DESC then key ASC under array_sort's natural struct ordering.
+    agg = ranked.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cents")).alias("neg"),
+                            F.col("l_partkey").alias("pk"),
+                        )
+                    )
+                ),
+                lambda s: s.pk.cast("string"),
+            ),
+            ",",
+        ).alias("top_parts")
+    )
+    return agg.orderBy("l_orderkey").limit(1000)
