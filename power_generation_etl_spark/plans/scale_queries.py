@@ -1069,3 +1069,121 @@ def order_top3_items_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_parts")
     )
     return agg.orderBy("l_orderkey").limit(1000)
+
+
+# ---------------------------------------------------------------------------
+# Debounce / throttle: drop events repeating the same (user, type)
+# within a cooldown window — keep an event iff the previous same-key
+# event is at least GAP older (or absent). One lag window; the
+# time-based sibling of key-based dedup.
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_US = 30 * 60 * 1_000_000
+
+
+@_register(
+    "debounced_event_counts",
+    f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    lagged AS (
+        SELECT event_type, ts_us,
+               lag(ts_us) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts_us, event_id) AS prev_us
+        FROM ev
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN prev_us IS NULL
+                          OR ts_us - prev_us >= {_DEBOUNCE_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+    FROM lagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def debounced_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T_events_us(spark, sf_dir).select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "ts_us",
+        F.lag("ts_us").over(w).alias("prev_us"),
+    )
+    keep = F.col("prev_us").isNull() | (
+        F.col("ts_us") - F.col("prev_us") >= _DEBOUNCE_US
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_debounced"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between two corpus slices with EXACT integer
+# arithmetic: scaled L1 distance Σ|c_A·t_B − c_B·t_A| over the `lang`
+# categorical — cross-multiplying replaces the usual float shares, so
+# the drift score is engine-exact (PSI's ln() would not be). Two hash
+# aggs + one full-outer join on the category.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "lang_distribution_drift",
+    """
+    WITH a AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents WHERE source IN ('src0','src1','src2','src3','src4')
+        GROUP BY lang
+    ),
+    b AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents WHERE source NOT IN ('src0','src1','src2','src3','src4')
+        GROUP BY lang
+    ),
+    t AS (SELECT (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) FROM a) AS ta,
+                 (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) FROM b) AS tb)
+    SELECT COALESCE(a.lang, b.lang) AS lang,
+           COALESCE(a.c, 0) AS n_a,
+           COALESCE(b.c, 0) AS n_b,
+           abs(COALESCE(a.c, 0) * t.tb - COALESCE(b.c, 0) * t.ta) AS drift_x
+    FROM a FULL OUTER JOIN b ON a.lang = b.lang
+    CROSS JOIN t
+    ORDER BY lang
+    """,
+)
+def lang_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    head = ["src0", "src1", "src2", "src3", "src4"]
+    a = (
+        d.where(F.col("source").isin(head))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        d.where(~F.col("source").isin(head))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ta = a.agg(F.coalesce(F.sum("ca"), F.lit(0)).alias("ta"))
+    tb = b.agg(F.coalesce(F.sum("cb"), F.lit(0)).alias("tb"))
+    joined = (
+        a.join(b, "lang", "full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    na = F.coalesce(F.col("ca"), F.lit(0)).cast("bigint")
+    nb = F.coalesce(F.col("cb"), F.lit(0)).cast("bigint")
+    return joined.select(
+        "lang",
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.abs(na * F.col("tb") - nb * F.col("ta")).cast("bigint").alias("drift_x"),
+    ).orderBy("lang")

@@ -72,5 +72,6 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
         "daily_spine_gapfill",
         "rolling_7d_unique_users",
         "fuzzy_part_name_pairs",  # |distinct names|² domain cross, broadcast
+        "lang_distribution_drift",  # two single-row total crosses
     }:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"
