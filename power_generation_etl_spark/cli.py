@@ -148,6 +148,18 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("docs_parquet", help="documents parquet (doc_id, text)")
     cr.add_argument("output", help="JSON report path")
 
+    sub.add_parser("list-queries", help="names of all registered catalog queries")
+    rq = sub.add_parser(
+        "run-query", help="run one catalog query against a testdata sf dir"
+    )
+    rq.add_argument("name")
+    rq.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="directory with the synthetic parquet tables",
+    )
+    rq.add_argument("--limit", type=int, default=50, help="max rows printed")
+
     sd = sub.add_parser(
         "score-docs",
         help="linear-classifier scoring of a documents parquet -> parquet "
@@ -376,6 +388,24 @@ def _dispatch(args, spark, eng: Engine) -> int:
             json.dump(rep, f, indent=2)
         print(f"total_missing={rep['total_missing']} → {args.output}")
         return 1 if rep["total_missing"] > 0 else 0
+    elif args.cmd == "list-queries":
+        from power_generation_etl_spark.plans import ORACLES, QUERIES
+
+        for name in sorted(QUERIES):
+            tag = "oracle" if name in ORACLES else "rows-only"
+            print(f"{name:36s} {tag}")
+        print(f"({len(QUERIES)} queries)", file=sys.stderr)
+    elif args.cmd == "run-query":
+        from power_generation_etl_spark.plans import QUERIES
+
+        if args.name not in QUERIES:
+            raise ValueError(f"unknown query: {args.name} (see list-queries)")
+        rows = QUERIES[args.name](spark, args.sf_dir).limit(args.limit).collect()
+        if rows:
+            print("\t".join(rows[0].__fields__))
+            for r in rows:
+                print("\t".join("" if v is None else str(v) for v in r))
+        print(f"({len(rows)} rows)", file=sys.stderr)
     elif args.cmd == "score-docs":
         from power_generation_etl_spark.operators import scoring as sc
 

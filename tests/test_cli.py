@@ -309,3 +309,19 @@ def test_score_docs_verb(spark, tmp_path, capsys):
     assert "scored 2 docs: keep=1 drop=1" in printed
     got = {r["doc_id"]: r["label"] for r in spark.read.parquet(out).collect()}
     assert got == {1: "keep", 2: "drop"}
+
+
+def test_list_and_run_query_verbs(spark, tmp_path, capsys):
+    from power_generation_etl_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    assert main(["--warehouse", wh, "list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary" in out and "oracle" in out
+    assert main([
+        "--warehouse", wh, "run-query", "distinct_years",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "year" in out.splitlines()[0]
+    assert main(["--warehouse", wh, "run-query", "nope"]) == 1
