@@ -430,7 +430,9 @@ def _dispatch(args, spark, eng: Engine) -> int:
         removed = eng.store.vacuum(args.table, keep=args.keep)
         print(f"vacuumed {removed} snapshots (kept newest {args.keep})")
     elif args.cmd == "diff-versions":
-        diff = eng.store.diff_versions(args.table, args.version)
+        # one execution of the two exceptAll passes serves both the
+        # count aggregation and the printed sample
+        diff = eng.store.diff_versions(args.table, args.version).localCheckpoint()
         counts = {
             r["_change"]: r["n"]
             for r in diff.groupBy("_change").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -201,7 +201,11 @@ def chunk_hashes(
     """
     if chunk < 1:
         raise ValueError("chunk must be >= 1")
-    toks = df.select(
+    # NULL text yields zero chunks (matching the SQL twin, where
+    # generate_series(0, NULL) unnests to no rows) — without the filter
+    # size(NULL) = -1 would fabricate one NULL-hash chunk per null doc
+    # and cross-count every null doc as a duplicate of the first.
+    toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks"),
     )

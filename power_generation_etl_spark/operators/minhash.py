@@ -179,14 +179,10 @@ def exact_jaccard_pairs(
     doc_freq_cap: int | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard ≥ threshold, via an inverted
-    shingle index (join on shingle, never a cross join).
-
-    The shingle table feeds three consumers (postings ×2, per-doc
-    counts); localCheckpoint materializes it once instead of
-    re-tokenizing the corpus per consumer (~25% off end-to-end at
-    sf0.1; at scale it trades O(corpus tokens) executor disk for two
-    saved corpus scans — the same call the components operator makes)."""
-    sh = shingle_table(df, id_col, text_col, n).localCheckpoint()
+    shingle index (join on shingle, never a cross join). The shingle
+    table arrives already localCheckpoint'ed (shingle_table
+    materializes once for its 2-3 consumers)."""
+    sh = shingle_table(df, id_col, text_col, n)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     posting = sh
     if doc_freq_cap is not None:
@@ -270,13 +266,10 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup pairs: band-bucket candidate generation,
     exact Jaccard verification on candidates only. With k=64, b=16
     (r=4), P(candidate | j=0.5) ≈ 1-(1-0.5⁴)¹⁶ ≈ 0.66 per band-set —
-    tune b/r for the target threshold.
-
-    The shingle table feeds the signature agg AND both verification
-    posting sides AND the per-doc counts; localCheckpoint materializes
-    it once (measured ~0.7s off the warm sf0.1 run — three corpus
-    re-tokenizations saved)."""
-    sh = shingle_table(df, id_col, text_col, n).localCheckpoint()
+    tune b/r for the target threshold. The shingle table arrives
+    already localCheckpoint'ed (shingle_table materializes once for
+    its consumers: signature agg, posting sides, counts)."""
+    sh = shingle_table(df, id_col, text_col, n)
     sig = minhash_signature_table(sh, k, seed)
     npar = _par(df)
     tagged = band_key_table(sig, k, n_bands)

@@ -141,4 +141,8 @@ def logit_expr(
         total = total + F.lit(w) * F.size(
             F.filter(toks, lambda t: t == F.lit(term))
         )
-    return total.cast("bigint")
+    # NULL text: size(NULL) = -1 would subtract every weight; match
+    # score_documents' bias-only contract instead.
+    return (
+        F.when(text_col.isNull(), F.lit(bias)).otherwise(total).cast("bigint")
+    )

@@ -72,7 +72,10 @@ def kmv_distinct(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.col("h")).alias("n_hashes"),
     )
-    ranked_in = hashed.distinct()
+    # NULL values hash to NULL, which Spark would rank FIRST (NULLS
+    # FIRST ascending) and DuckDB LAST — drop them from the rank input
+    # (count_distinct above already ignores NULLs in both engines).
+    ranked_in = hashed.where(F.col("h").isNotNull()).distinct()
     if two_stage:
         lw = Window.partitionBy("grp", "_pid").orderBy("h")
         ranked_in = (
@@ -125,7 +128,7 @@ def kmv_oracle_sql(
     ),
     ranked AS (
         SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
-        FROM (SELECT DISTINCT grp, h FROM hashed)
+        FROM (SELECT DISTINCT grp, h FROM hashed WHERE h IS NOT NULL)
     ),
     kth AS (SELECT grp, h AS h_k FROM ranked WHERE rn = {k})
     SELECT per_grp.grp AS {group_col}, n_rows, n_hashes,

@@ -400,11 +400,9 @@ def latest_order_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    from power_generation_etl_spark.operators.minhash import portable_hash32
+
+    bucket = portable_hash32(F.col("doc_id").cast("string")) % 100
     split = (
         F.when(bucket < 80, F.lit("train"))
         .when(bucket < 90, F.lit("val"))

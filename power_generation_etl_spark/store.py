@@ -130,7 +130,7 @@ class TableStore:
             writer = writer.partitionBy(MONTH_COL)
         writer.parquet(self.path(table))
 
-    def _swap_in(self, table: str, tmp: str) -> None:
+    def _swap_in(self, table: str, tmp: str, force_archive: bool = False) -> None:
         """Complete a tmp-dir rewrite: carry the schema sidecar across
         the swap (losing it would make a later truncate re-derive the
         schema from a parquet read — all-nullable — and silently drift
@@ -145,7 +145,10 @@ class TableStore:
                 schema_json = f.read()
         final = self.path(table)
         if os.path.isdir(final):
-            if self.versioned:
+            # Archive only states that hold data: a schema-sidecar-only
+            # dir (create() before any write) has nothing to time-travel
+            # back to, and read_version can't parquet-scan it anyway.
+            if (self.versioned or force_archive) and self._has_data(table):
                 vdir = self._versions_dir(table)
                 os.makedirs(vdir, exist_ok=True)
                 nxt = max(self.versions(table), default=0) + 1
@@ -364,8 +367,11 @@ class TableStore:
 
     def restore(self, table: str, version: int) -> None:
         """Roll `table` back to an archived snapshot. The current state
-        is itself archived first (restore is an ordinary versioned
-        rewrite, so nothing is ever destroyed until `vacuum`)."""
+        is itself archived first — UNCONDITIONALLY, even on a store
+        opened without `versioned=True` (snapshots on disk prove the
+        user wants history; forgetting the flag on the restore call
+        must not destroy the only copy of the current state). Nothing
+        is ever destroyed until `vacuum`."""
         src = os.path.join(self._versions_dir(table), f"v{version}")
         if not os.path.isdir(src):
             raise ValueError(f"no version {version} for table {table}")
@@ -373,7 +379,7 @@ class TableStore:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         shutil.copytree(src, tmp)
-        self._swap_in(table, tmp)
+        self._swap_in(table, tmp, force_archive=True)
 
     def vacuum(self, table: str, keep: int = 1) -> int:
         """Delete all but the newest `keep` archived versions; returns
@@ -426,8 +432,18 @@ class TableStore:
         combined = current.unionByName(incoming)
         from pyspark.sql.window import Window
 
+        # Final tiebreak: a change batch may itself carry duplicate keys
+        # with equal order_col; without a content-stable last key the
+        # row_number winner is partition-order-dependent and a crash
+        # replay could flip the stored value. Hash of the full row value
+        # makes the pick deterministic (and replay a true no-op).
+        row_hash = F.md5(
+            F.to_json(
+                F.struct(*[F.col(c) for c in changes.columns])
+            )
+        )
         w = Window.partitionBy(*keys).orderBy(
-            F.col(order_col).desc(), F.col("_src").desc()
+            F.col(order_col).desc(), F.col("_src").desc(), row_hash
         )
         merged = (
             combined.withColumn("_rn", F.row_number().over(w))

@@ -385,3 +385,32 @@ class TestLogitExpr:
             ).collect()
         }
         assert join_form == expr_form
+
+
+class TestNullInputRegressions:
+    def test_kmv_null_values_do_not_shift_rank(self, spark):
+        rows = [("g", f"v{i}") for i in range(20)] + [("g", None)] * 3
+        df = spark.createDataFrame(rows, "grp string, val string")
+        r = sk.kmv_distinct(df, "grp", "val", k=16).collect()[0]
+        r2 = sk.kmv_distinct(
+            df.where(F.col("val").isNotNull()), "grp", "val", k=16
+        ).collect()[0]
+        # NULLs count as rows but never as hashes, and never occupy a rank
+        assert r["n_rows"] == 23 and r["n_hashes"] == 20
+        assert r["kmv_estimate"] == r2["kmv_estimate"]
+
+    def test_chunk_dedup_null_text_yields_no_chunks(self, spark):
+        docs = spark.createDataFrame(
+            [(1, None), (2, None), (3, "real words here")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in cp.chunk_dedup_stats(
+            docs, "doc_id", "text"
+        ).collect()}
+        assert set(rows) == {3}  # null docs absent, like the SQL twin
+        assert rows[3]["n_dup"] == 0
+
+    def test_logit_expr_null_text_is_bias_only(self, spark):
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        got = df.select(sc.logit_expr(F.col("text")).alias("l")).collect()[0]["l"]
+        assert got == sc.DEMO_BIAS

@@ -128,3 +128,50 @@ class TestTimeTravelCLI:
         assert main(["--warehouse", wh, "--versioned", "vacuum-table",
                      "npp_generation_data", "--keep", "0"]) == 0
         assert store.versions("npp_generation_data") == []
+
+
+class TestReviewRegressions:
+    def test_restore_archives_even_unversioned(self, spark, tmp_path):
+        wh = str(tmp_path / "wh")
+        vstore = TableStore(spark, wh, versioned=True)
+        vstore.overwrite("t", _df(spark, [(1, "a", 1)]))
+        vstore.overwrite("t", _df(spark, [(1, "b", 2)]))
+        # user forgets --versioned on the restore call
+        plain = TableStore(spark, wh)
+        plain.restore("t", 1)
+        assert plain.read("t").collect()[0]["v"] == "a"
+        # the pre-restore state ("b") must still exist as a snapshot
+        vs = plain.versions("t")
+        assert vs and plain.read_version("t", max(vs)).collect()[0]["v"] == "b"
+
+    def test_schema_only_state_is_not_archived(self, spark, tmp_path):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        vstore = TableStore(spark, str(tmp_path / "wh"), versioned=True)
+        schema = StructType(
+            [StructField("k", LongType()), StructField("v", StringType())]
+        )
+        vstore.create("t", schema)
+        vstore.overwrite(
+            "t", spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+        # the parquet-less create() state must not become a version:
+        # read_version could never scan it and list-versions would crash
+        assert vstore.versions("t") == []
+        vstore.overwrite(
+            "t", spark.createDataFrame([(1, "b")], "k long, v string")
+        )
+        for v in vstore.versions("t"):
+            vstore.read_version("t", v).count()  # every version readable
+
+    def test_merge_upsert_same_key_same_ord_deterministic(self, spark, tmp_path):
+        batch_rows = [(1, "a", 2), (1, "b", 2)]
+        winners = []
+        for i in range(2):
+            store = TableStore(spark, str(tmp_path / f"wh{i}"))
+            store.overwrite("t", _df(spark, [(1, "z", 1)]))
+            store.merge_upsert("t", _df(spark, batch_rows), ["k"], "ord")
+            rows = store.read("t").collect()
+            assert len(rows) == 1
+            winners.append(rows[0]["v"])
+        assert winners[0] == winners[1]  # content-hash tiebreak, not partition order
