@@ -177,11 +177,20 @@ def exact_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     doc_freq_cap: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """All pairs with word-n-gram Jaccard ≥ threshold, via an inverted
-    shingle index (join on shingle, never a cross join). The shingle
-    table arrives already localCheckpoint'ed (shingle_table
-    materializes once for its 2-3 consumers)."""
+    """All pairs with word-n-gram similarity ≥ threshold, via an
+    inverted shingle index (join on shingle, never a cross join). The
+    shingle table arrives already localCheckpoint'ed (shingle_table
+    materializes once for its 2-3 consumers).
+
+    metric='jaccard': |A∩B| / |A∪B| (symmetric near-dup).
+    metric='containment': |A∩B| / min(|A|,|B|) — the asymmetric screen
+    that catches a short document embedded inside a long one, which
+    Jaccard structurally misses (a 50-shingle doc fully contained in a
+    1000-shingle doc has Jaccard ≈ 0.05 but containment 1.0)."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError("metric must be 'jaccard' or 'containment'")
     sh = shingle_table(df, id_col, text_col, n)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     posting = sh
@@ -206,12 +215,15 @@ def exact_jaccard_pairs(
     # them (AQE promotes at runtime when actually small)
     ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
     cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    if metric == "containment":
+        sim = F.col("c") / F.least(F.col("na"), F.col("nb"))
+    else:
+        sim = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
         inter.join(ca, "id_a")
         .join(cb, "id_b")
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round(sim, 4).alias(metric))
+        .filter(F.col(metric) >= threshold)
         .orderBy("id_a", "id_b")
     )
 

@@ -986,3 +986,38 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.filter(bucket < weight).select("doc_id", "n_chars").orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: |A∩B| / min(|A|,|B|) over the same inverted
+# shingle index — the asymmetric screen that catches a short document
+# embedded inside a long one (Jaccard structurally misses those: a
+# fully-contained 50-shingle doc in a 1000-shingle doc scores ≈0.05
+# symmetric but 1.0 containment).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ngram_containment_pairs",
+    f"""
+    WITH {_SH_CTES},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / least(ca.n, cb.n), 4) AS containment
+    FROM inter
+    JOIN cnt ca ON inter.id_a = ca.doc_id
+    JOIN cnt cb ON inter.id_b = cb.doc_id
+    WHERE c * 1.0 / least(ca.n, cb.n) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return mh.exact_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, metric="containment"
+    )

@@ -624,3 +624,19 @@ class TestRealAviDemux:
         )
         out = mm.sample_video_frames(df, n_frames=4).collect()
         assert len(out) == 4  # stub shape preserved
+
+
+def test_containment_catches_embedded_doc(spark):
+    from power_generation_etl_spark.operators import minhash as mh
+
+    short = " ".join(f"w{i}" for i in range(10))
+    long = short + " " + " ".join(f"z{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    jac = mh.exact_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    cont = mh.exact_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, metric="containment"
+    ).collect()
+    assert not jac  # symmetric metric misses the embedding
+    assert len(cont) == 1 and cont[0]["containment"] >= 0.8
