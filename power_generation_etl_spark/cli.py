@@ -159,6 +159,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="directory with the synthetic parquet tables",
     )
     rq.add_argument("--limit", type=int, default=50, help="max rows printed")
+    rq.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of executing",
+    )
 
     sd = sub.add_parser(
         "score-docs",
@@ -400,6 +405,12 @@ def _dispatch(args, spark, eng: Engine) -> int:
 
         if args.name not in QUERIES:
             raise ValueError(f"unknown query: {args.name} (see list-queries)")
+        if args.explain:
+            df = QUERIES[args.name](spark, args.sf_dir)
+            print(df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            ))
+            return 0
         rows = QUERIES[args.name](spark, args.sf_dir).limit(args.limit).collect()
         if rows:
             print("\t".join(rows[0].__fields__))

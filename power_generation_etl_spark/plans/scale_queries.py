@@ -1185,3 +1185,93 @@ def lang_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("n_b"),
         F.abs(na * F.col("tb") - nb * F.col("ta")).cast("bigint").alias("drift_x"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Mixture-plan EXECUTION: apply the integer sampling rates from
+# `mixture_plan` with the deterministic hash-mod sampler and report
+# what the sampled corpus actually contains — plan and execution share
+# the same exact arithmetic, so the achieved token counts are
+# reproducible to the row.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mixture_sampled_docs",
+    f"""
+    WITH target(source, pct) AS (VALUES {", ".join(f"('src{i}', {8 if i < 5 else 4})" for i in range(20))}),
+    per_source AS (
+        SELECT source,
+               CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    rates AS (
+        SELECT p.source,
+               CASE WHEN n_tokens = 0 THEN 0
+                    ELSE least(10000,
+                               (({_MIX_BUDGET} * COALESCE(t.pct, 0)) // 100 * 10000)
+                                   // n_tokens)
+               END AS rate_bp
+        FROM per_source p LEFT JOIN target t ON p.source = t.source
+    ),
+    sampled AS (
+        SELECT d.source, d.doc_id,
+               CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS toks
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  % 10000 < r.rate_bp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(sum(toks), 0) AS BIGINT) AS tokens_sampled
+    FROM sampled
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from power_generation_etl_spark.operators import text as tx
+    from power_generation_etl_spark.operators.minhash import portable_hash32
+
+    d = T(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(tx.token_count(F.col("text"))).alias("n_tokens")
+    )
+    target = spark.createDataFrame(
+        sorted(_MIX_PCT.items()), schema="source string, pct long"
+    )
+    rates = (
+        per_source.join(F.broadcast(target), "source", "left")
+        .select(
+            "source",
+            F.when(F.col("n_tokens") == 0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(10000),
+                    F.expr(
+                        f"(({_MIX_BUDGET} * coalesce(pct, 0)) div 100 * 10000)"
+                        " div n_tokens"
+                    ),
+                )
+            )
+            .alias("rate_bp"),
+        )
+    )
+    sampled = (
+        d.join(F.broadcast(rates), "source")
+        .where(
+            portable_hash32(F.col("doc_id").cast("string")) % 10000
+            < F.col("rate_bp")
+        )
+        .select("source", tx.token_count(F.col("text")).alias("toks"))
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.coalesce(F.sum("toks"), F.lit(0)).cast("bigint").alias("tokens_sampled"),
+        )
+        .orderBy("source")
+    )

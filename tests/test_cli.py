@@ -325,3 +325,14 @@ def test_list_and_run_query_verbs(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "year" in out.splitlines()[0]
     assert main(["--warehouse", wh, "run-query", "nope"]) == 1
+
+
+def test_run_query_explain_flag(spark, tmp_path, capsys):
+    from power_generation_etl_spark.cli import main
+
+    assert main([
+        "--warehouse", str(tmp_path / "wh"), "run-query", "pricing_summary",
+        "--sf-dir", "/root/testdata/sf0.001", "--explain",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
