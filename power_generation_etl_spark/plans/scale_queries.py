@@ -1275,3 +1275,92 @@ def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistics: Pearson correlation + OLS slope/intercept of order price
+# (whole dollars) vs item count. All moment sums are EXACT bigints
+# (map-side-combinable); the final r/slope arithmetic runs the same
+# fixed sequence of double ops in both engines on those identical
+# integers, so the floats agree bit-for-bit — no streaming-variance
+# summation-order hazard.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "price_itemcount_regression",
+    """
+    WITH it AS (
+        SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    xy AS (
+        SELECT CAST(floor(o.o_totalprice) AS BIGINT) AS x, it.y
+        FROM orders o JOIN it ON o.o_orderkey = it.k
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM xy
+    ),
+    d AS (
+        SELECT n, sx, sy,
+               CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+               CAST(sy AS DOUBLE) AS dsy, CAST(sxy AS DOUBLE) AS dsxy,
+               CAST(sxx AS DOUBLE) AS dsxx, CAST(syy AS DOUBLE) AS dsyy
+        FROM s
+    )
+    SELECT n, sx, sy,
+           round((dn * dsxy - dsx * dsy)
+                 / sqrt((dn * dsxx - dsx * dsx)
+                        * (dn * dsyy - dsy * dsy)), 6) AS pearson_r,
+           round((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx), 9) AS slope,
+           round((dsy / dn)
+                 - ((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx))
+                   * (dsx / dn), 6) AS intercept
+    FROM d
+    """,
+)
+def price_itemcount_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    it = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    xy = o.join(it, o.o_orderkey == it.k).select(
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("x"), "y"
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    # IEEE doubles from here down — NEVER bare `1.0` literals (Spark
+    # types those DECIMAL and silently switches the whole formula to
+    # precision-losing decimal arithmetic)
+    d = s.select(
+        "n", "sx", "sy",
+        *[F.col(c).cast("double").alias("d" + c)
+          for c in ("n", "sx", "sy", "sxy", "sxx", "syy")],
+    )
+    num = F.expr("dn * dsxy - dsx * dsy")
+    varx = F.expr("dn * dsxx - dsx * dsx")
+    vary = F.expr("dn * dsyy - dsy * dsy")
+    slope = num / varx
+    return d.select(
+        "n",
+        "sx",
+        "sy",
+        F.round(num / F.sqrt(varx * vary), 6).alias("pearson_r"),
+        F.round(slope, 9).alias("slope"),
+        F.round(
+            F.expr("dsy / dn") - slope * F.expr("dsx / dn"), 6
+        ).alias("intercept"),
+    )
