@@ -421,3 +421,93 @@ def stream_cdc_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_kmv_cardinality(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    schema: str,
+    k: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming distinct-cardinality tracking via a MERGEABLE KMV
+    sketch: each micro-batch hashes its values, merges them into the
+    persisted per-group min-k hash store, and re-truncates to k rows
+    per group — the store stays O(groups × k) forever while the
+    estimate covers everything ever seen (sketch mergeability is the
+    property HLL is loved for; KMV shares it and stays engine-exact).
+
+    Retry-safe: the merge is a set-union + rank-truncate, so replaying
+    a batch is a no-op. Query the current estimate with
+    `kmv_estimate_from_store`.
+    """
+    from power_generation_etl_spark.operators import sketch as sk
+
+    stream = spark.readStream.schema(schema).json(landing_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql.window import Window
+
+        if batch_df.isEmpty():
+            return
+        new = batch_df.select(
+            F.col(group_col).alias("grp"),
+            sk.hash48(F.col(value_col)).alias("h"),
+        ).where(F.col("h").isNotNull()).distinct()
+        path = os.path.join(store_dir, "kmv")
+        if os.path.isdir(path):
+            merged = spark.read.parquet(path).unionByName(new).distinct()
+        else:
+            merged = new
+        w = Window.partitionBy("grp").orderBy("h")
+        kept = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+            .localCheckpoint()  # break lineage from the store being replaced
+        )
+        kept.write.mode("overwrite").parquet(path)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def kmv_estimate_from_store(
+    spark: SparkSession, store_dir: str, k: int = 64
+) -> DataFrame:
+    """(grp, kmv_estimate) from the persisted min-k store: groups that
+    never filled k hashes report their exact count."""
+    import os
+
+    path = os.path.join(store_dir, "kmv")
+    w_scale = (k - 1) << 48
+    df = spark.read.parquet(path)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    kth = ranked.where(F.col("_rn") == k).select(
+        "grp", F.col("h").alias("h_k")
+    )
+    per_grp = df.groupBy("grp").agg(F.count(F.lit(1)).alias("n_hashes"))
+    return (
+        per_grp.join(kth, "grp", "left")
+        .select(
+            "grp",
+            F.when(F.col("h_k").isNull(), F.col("n_hashes"))
+            .otherwise(F.expr(f"{w_scale} div h_k"))
+            .cast("bigint")
+            .alias("kmv_estimate"),
+        )
+        .orderBy("grp")
+    )

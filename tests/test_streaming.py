@@ -372,3 +372,46 @@ def test_stream_cdc_apply(spark, tmp_path):
     assert store.versions("cdc_t")
     v1 = store.read_version("cdc_t", max(store.versions("cdc_t")))
     assert {r["k"]: r["v"] for r in v1.collect()} == {1: "a", 2: "b"}
+
+
+def test_stream_kmv_cardinality(spark, tmp_path):
+    from power_generation_etl_spark.operators import sketch as sk
+    from power_generation_etl_spark.streaming.ingest import (
+        kmv_estimate_from_store,
+        stream_kmv_cardinality,
+    )
+
+    landing = tmp_path / "kmv_in"
+    landing.mkdir()
+    store = tmp_path / "kmv_store"
+
+    def drop(name, vals):
+        with open(landing / name, "w") as f:
+            for v in vals:
+                f.write(json.dumps({"g": "g1", "v": v}) + "\n")
+
+    drop("b1.jsonl", [f"v{i}" for i in range(300)])
+    q = stream_kmv_cardinality(
+        spark, str(landing), str(store), str(tmp_path / "ck"),
+        "g", "v", "g string, v string", k=64,
+    )
+    q.awaitTermination(120)
+    drop("b2.jsonl", [f"v{i}" for i in range(200, 500)])  # 200 overlap
+    q = stream_kmv_cardinality(
+        spark, str(landing), str(store), str(tmp_path / "ck"),
+        "g", "v", "g string, v string", k=64,
+    )
+    q.awaitTermination(120)
+
+    est = {
+        r["grp"]: r["kmv_estimate"]
+        for r in kmv_estimate_from_store(spark, str(store), k=64).collect()
+    }
+    # the streamed/merged estimate must equal the batch KMV over the
+    # union of everything seen (mergeability), and the store is bounded
+    batch = spark.createDataFrame(
+        [("g1", f"v{i}") for i in range(500)], "g string, v string"
+    )
+    want = sk.kmv_distinct(batch, "g", "v", k=64).collect()[0]["kmv_estimate"]
+    assert est["g1"] == want
+    assert spark.read.parquet(str(store / "kmv")).count() <= 64
