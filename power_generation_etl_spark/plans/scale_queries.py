@@ -1,8 +1,12 @@
 """Scale-engineering catalog queries — sketches, chunk-level substring
-dedup, model scoring, time spines, rolling range windows, and integer
-PageRank. Beyond-reference extensions; every entry has an exact DuckDB
-oracle (all arithmetic is integer or integer-scaled, so there is no
-float summation-order hazard anywhere in this module).
+dedup, model scoring, time spines, rolling range/distinct windows,
+integer PageRank, splits + mixture planning/execution, record linkage,
+CDC snapshots, streaks, skyline, join preflight, data-quality audits
+(referential integrity, Benford, drift, debounce), and exact-moment
+statistics. Beyond-reference extensions; every entry has an exact
+DuckDB oracle (arithmetic is integer, integer-scaled, or a fixed-order
+double formula over exact integer sums, so there is no float
+summation-order hazard anywhere in this module).
 """
 
 from __future__ import annotations
