@@ -1368,3 +1368,50 @@ def price_itemcount_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dsy / dn") - slope * F.expr("dsx / dn"), 6
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature scaling: per-group min-max normalization. Group stats come
+# from a full-group aggregate joined back to a deterministic row
+# sample (hash-mod, keeps output bounded); min/max pass through with
+# no arithmetic and the normalized ratio is one fixed-order double op,
+# NULL-guarded for constant groups in both engines.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "event_value_minmax_norm",
+    """
+    WITH stats AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(CASE WHEN s.hi = s.lo THEN NULL
+                      ELSE (e.value - s.lo) / (s.hi - s.lo) END, 6)
+               AS value_norm
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE e.event_id % 100 = 0
+    ORDER BY e.event_id
+    """,
+)
+def event_value_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return (
+        ev.where(F.col("event_id") % 100 == 0)
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.when(F.col("hi") == F.col("lo"), F.lit(None)).otherwise(
+                    (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                ),
+                6,
+            ).alias("value_norm"),
+        )
+        .orderBy("event_id")
+    )
