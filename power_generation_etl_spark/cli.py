@@ -406,10 +406,7 @@ def _dispatch(args, spark, eng: Engine) -> int:
         if args.name not in QUERIES:
             raise ValueError(f"unknown query: {args.name} (see list-queries)")
         if args.explain:
-            df = QUERIES[args.name](spark, args.sf_dir)
-            print(df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            ))
+            QUERIES[args.name](spark, args.sf_dir).explain(mode="formatted")
             return 0
         rows = QUERIES[args.name](spark, args.sf_dir).limit(args.limit).collect()
         if rows:

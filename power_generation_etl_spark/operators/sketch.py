@@ -39,6 +39,18 @@ def hash48(col) -> F.Column:
     )
 
 
+def kmv_estimate_expr(k: int, n_hashes: str = "n_hashes", h_k: str = "h_k"):
+    """The KMV estimate as one expression over a (n_hashes, h_k) pair —
+    the single definition shared by the batch sketch and the streaming
+    store reader, so hash width / fallback semantics can never drift
+    between them."""
+    scale = (k - 1) << _HASH_BITS
+    return F.expr(
+        f"CAST(CASE WHEN {h_k} IS NULL THEN {n_hashes}"
+        f" ELSE {scale} div {h_k} END AS BIGINT)"
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,
@@ -93,17 +105,13 @@ def kmv_distinct(
         .where(F.col("rn") == k)
         .select("grp", F.col("h").alias("h_k"))
     )
-    scale = (k - 1) << _HASH_BITS
     return (
         per_grp.join(kth, "grp", "left")
         .select(
             F.col("grp").alias(group_col),
             "n_rows",
             "n_hashes",
-            F.when(F.col("h_k").isNull(), F.col("n_hashes"))
-            .otherwise(F.expr(f"{scale} div h_k"))
-            .cast("bigint")
-            .alias("kmv_estimate"),
+            kmv_estimate_expr(k).alias("kmv_estimate"),
         )
         .orderBy(group_col)
     )

@@ -85,8 +85,15 @@ BPE_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
 def token_count(text: Column, pattern: str = TOKEN_RE) -> Column:
-    """Whitespace (or BPE-ish) token count."""
-    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
+    """Whitespace (or BPE-ish) token count. NULL text counts as NULL —
+    matching SQL `len(regexp_extract_all(...))` semantics, where every
+    DuckDB oracle's sum() then skips the row — NOT Spark's default
+    size(NULL) = -1, which would silently subtract from aggregates."""
+    return F.when(
+        text.isNull(), F.lit(None)
+    ).otherwise(
+        F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+    ).cast("bigint")
 
 
 def stopword_hits(text: Column, words: list[str]) -> Column:

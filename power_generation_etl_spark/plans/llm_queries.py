@@ -240,7 +240,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN cnt ca ON inter.id_a = ca.doc_id
     JOIN cnt cb ON inter.id_b = cb.doc_id
-    WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+    WHERE round(c * 1.0 / (ca.n + cb.n - c), 4) >= 0.5
     ORDER BY id_a, id_b
     """,
 )
@@ -641,7 +641,7 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inter
       JOIN cnt ca ON inter.id_a = ca.doc_id
       JOIN cnt cb ON inter.id_b = cb.doc_id
-      WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+      WHERE round(c * 1.0 / (ca.n + cb.n - c), 4) >= 0.5
     )
     SELECT doc_id, lang, source
     FROM documents
@@ -684,7 +684,7 @@ def neardup_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inter
       JOIN cnt ca ON id_a = ca.doc_id
       JOIN cnt cb ON id_b = cb.doc_id
-      WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+      WHERE round(c * 1.0 / (ca.n + cb.n - c), 4) >= 0.5
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1012,7 +1012,7 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN cnt ca ON inter.id_a = ca.doc_id
     JOIN cnt cb ON inter.id_b = cb.doc_id
-    WHERE c * 1.0 / least(ca.n, cb.n) >= 0.8
+    WHERE round(c * 1.0 / least(ca.n, cb.n), 4) >= 0.8
     ORDER BY id_a, id_b
     """,
 )

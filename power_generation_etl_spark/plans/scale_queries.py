@@ -1283,11 +1283,13 @@ def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Statistics: Pearson correlation + OLS slope/intercept of order price
-# (whole dollars) vs item count. All moment sums are EXACT bigints
-# (map-side-combinable); the final r/slope arithmetic runs the same
-# fixed sequence of double ops in both engines on those identical
-# integers, so the floats agree bit-for-bit — no streaming-variance
-# summation-order hazard.
+# (TENS of dollars — x ≤ 5e4 keeps sum(x·x) under int64 to ~1e8 orders,
+# i.e. sf100; dollars would overflow Spark's silently-wrapping bigint
+# sum near sf10 while DuckDB's HUGEINT path raised) vs item count. All
+# moment sums are EXACT bigints (map-side-combinable); the final
+# r/slope arithmetic runs the same fixed sequence of double ops in both
+# engines on those identical integers, so the floats agree bit-for-bit
+# — no streaming-variance summation-order hazard.
 # ---------------------------------------------------------------------------
 
 
@@ -1299,7 +1301,7 @@ def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_orderkey
     ),
     xy AS (
-        SELECT CAST(floor(o.o_totalprice) AS BIGINT) AS x, it.y
+        SELECT CAST(floor(o.o_totalprice / 10) AS BIGINT) AS x, it.y
         FROM orders o JOIN it ON o.o_orderkey = it.k
     ),
     s AS (
@@ -1336,7 +1338,7 @@ def price_itemcount_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("y")
     )
     xy = o.join(it, o.o_orderkey == it.k).select(
-        F.floor(F.col("o_totalprice")).cast("bigint").alias("x"), "y"
+        F.floor(F.col("o_totalprice") / 10).cast("bigint").alias("x"), "y"
     )
     s = xy.agg(
         F.count(F.lit(1)).alias("n"),

@@ -423,6 +423,22 @@ def stream_cdc_apply(
     return writer.start()
 
 
+def _kmv_store_versions(store_dir: str) -> list[int]:
+    """COMPLETE (committed) sketch-store versions, ascending. A version
+    is a `kmv_v<batch_id>` directory carrying Spark's _SUCCESS marker —
+    partial writes from a crashed batch never qualify."""
+    import os
+
+    out = []
+    if os.path.isdir(store_dir):
+        for name in os.listdir(store_dir):
+            if name.startswith("kmv_v") and name[5:].isdigit() and os.path.exists(
+                os.path.join(store_dir, name, "_SUCCESS")
+            ):
+                out.append(int(name[5:]))
+    return sorted(out)
+
+
 def stream_kmv_cardinality(
     spark: SparkSession,
     landing_dir: str,
@@ -441,9 +457,15 @@ def stream_kmv_cardinality(
     estimate covers everything ever seen (sketch mergeability is the
     property HLL is loved for; KMV shares it and stays engine-exact).
 
-    Retry-safe: the merge is a set-union + rank-truncate, so replaying
-    a batch is a no-op. Query the current estimate with
-    `kmv_estimate_from_store`.
+    Crash/retry safety: each batch writes a NEW `kmv_v<batch_id>`
+    version directory (deterministic per batch → a replayed batch
+    rewrites its own version) built by merging the latest COMPLETE
+    version with id < batch_id — a replay never reads its own partial
+    output, and a crash mid-write leaves the previous version as the
+    committed state (an in-place overwrite would destroy all
+    accumulated hashes on a mid-write crash). Versions older than the
+    merge source are vacuumed opportunistically. Query the current
+    estimate with `kmv_estimate_from_store`.
     """
     from power_generation_etl_spark.operators import sketch as sk
 
@@ -451,6 +473,7 @@ def stream_kmv_cardinality(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import os
+        import shutil
 
         from pyspark.sql.window import Window
 
@@ -460,9 +483,10 @@ def stream_kmv_cardinality(
             F.col(group_col).alias("grp"),
             sk.hash48(F.col(value_col)).alias("h"),
         ).where(F.col("h").isNotNull()).distinct()
-        path = os.path.join(store_dir, "kmv")
-        if os.path.isdir(path):
-            merged = spark.read.parquet(path).unionByName(new).distinct()
+        prev = [v for v in _kmv_store_versions(store_dir) if v < batch_id]
+        if prev:
+            prev_path = os.path.join(store_dir, f"kmv_v{prev[-1]}")
+            merged = spark.read.parquet(prev_path).unionByName(new).distinct()
         else:
             merged = new
         w = Window.partitionBy("grp").orderBy("h")
@@ -470,9 +494,14 @@ def stream_kmv_cardinality(
             merged.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
             .drop("_rn")
-            .localCheckpoint()  # break lineage from the store being replaced
         )
-        kept.write.mode("overwrite").parquet(path)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"kmv_v{batch_id}")
+        )
+        for v in prev[:-1]:  # keep the merge source until the next batch
+            shutil.rmtree(
+                os.path.join(store_dir, f"kmv_v{v}"), ignore_errors=True
+            )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -485,15 +514,19 @@ def stream_kmv_cardinality(
 def kmv_estimate_from_store(
     spark: SparkSession, store_dir: str, k: int = 64
 ) -> DataFrame:
-    """(grp, kmv_estimate) from the persisted min-k store: groups that
-    never filled k hashes report their exact count."""
+    """(grp, kmv_estimate) from the latest committed min-k store
+    version; groups that never filled k hashes report their exact
+    count. Estimate expression shared with the batch sketch
+    (sketch.kmv_estimate_expr) so the two can never drift."""
     import os
 
-    path = os.path.join(store_dir, "kmv")
-    w_scale = (k - 1) << 48
-    df = spark.read.parquet(path)
+    from power_generation_etl_spark.operators import sketch as sk
     from pyspark.sql.window import Window
 
+    versions = _kmv_store_versions(store_dir)
+    if not versions:
+        raise ValueError(f"no committed kmv store under {store_dir}")
+    df = spark.read.parquet(os.path.join(store_dir, f"kmv_v{versions[-1]}"))
     w = Window.partitionBy("grp").orderBy("h")
     ranked = df.withColumn("_rn", F.row_number().over(w))
     kth = ranked.where(F.col("_rn") == k).select(
@@ -502,12 +535,6 @@ def kmv_estimate_from_store(
     per_grp = df.groupBy("grp").agg(F.count(F.lit(1)).alias("n_hashes"))
     return (
         per_grp.join(kth, "grp", "left")
-        .select(
-            "grp",
-            F.when(F.col("h_k").isNull(), F.col("n_hashes"))
-            .otherwise(F.expr(f"{w_scale} div h_k"))
-            .cast("bigint")
-            .alias("kmv_estimate"),
-        )
+        .select("grp", sk.kmv_estimate_expr(k).alias("kmv_estimate"))
         .orderBy("grp")
     )

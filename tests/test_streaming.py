@@ -414,4 +414,39 @@ def test_stream_kmv_cardinality(spark, tmp_path):
     )
     want = sk.kmv_distinct(batch, "g", "v", k=64).collect()[0]["kmv_estimate"]
     assert est["g1"] == want
-    assert spark.read.parquet(str(store / "kmv")).count() <= 64
+    # the latest committed version stays bounded at k rows per group
+    from power_generation_etl_spark.streaming.ingest import _kmv_store_versions
+
+    versions = _kmv_store_versions(str(store))
+    assert versions, "no committed store version"
+    latest = store / f"kmv_v{versions[-1]}"
+    assert spark.read.parquet(str(latest)).count() <= 64
+
+
+def test_kmv_store_ignores_partial_version(spark, tmp_path):
+    from power_generation_etl_spark.streaming.ingest import (
+        kmv_estimate_from_store,
+        stream_kmv_cardinality,
+    )
+
+    landing = tmp_path / "kmv_in2"
+    landing.mkdir()
+    store = tmp_path / "kmv_store2"
+    with open(landing / "b1.jsonl", "w") as f:
+        for i in range(50):
+            f.write(json.dumps({"g": "g1", "v": f"v{i}"}) + "\n")
+    q = stream_kmv_cardinality(
+        spark, str(landing), str(store), str(tmp_path / "ck2"),
+        "g", "v", "g string, v string", k=64,
+    )
+    q.awaitTermination(120)
+    # simulate a crash mid-write of the next batch: a partial version
+    # dir WITHOUT the _SUCCESS marker must be invisible to the reader
+    partial = store / "kmv_v99"
+    partial.mkdir()
+    (partial / "part-garbage.parquet").write_bytes(b"not parquet")
+    est = {
+        r["grp"]: r["kmv_estimate"]
+        for r in kmv_estimate_from_store(spark, str(store), k=64).collect()
+    }
+    assert est["g1"] == 50  # small-set exact fallback from the committed state
