@@ -1417,3 +1417,77 @@ def event_value_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs bought together in one
+# order. The self-join is keyed on the ORDER (a natural blocking key —
+# baskets are small), so pair volume is Σ basket², never catalog²;
+# the classic retail/recsys co-occurrence matrix.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "frequent_part_pairs",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM b a JOIN b c
+      ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    c = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(c, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity heatmap: weekday × hour event counts from pure integer
+# arithmetic on epoch-µs (1970-01-01 was a Thursday = weekday 3 with
+# Monday = 0, so weekday = (epoch_day + 3) % 7) — timezone-free in any
+# session.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "weekday_hour_heatmap",
+    f"""
+    WITH ev AS (
+        SELECT epoch_us(ts) AS us FROM events
+    )
+    SELECT CAST((us // {_DAY_US} + 3) % 7 AS INTEGER) AS weekday,
+           CAST((us % {_DAY_US}) // 3600000000 AS INTEGER) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ev
+    GROUP BY weekday, hour
+    ORDER BY weekday, hour
+    """,
+)
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T_events_us(spark, sf_dir)
+    return (
+        ev.select(
+            F.expr(f"cast((ts_us div {_DAY_US} + 3) % 7 as int)").alias("weekday"),
+            F.expr(f"cast((ts_us % {_DAY_US}) div 3600000000 as int)").alias("hour"),
+        )
+        .groupBy("weekday", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("weekday", "hour")
+    )
