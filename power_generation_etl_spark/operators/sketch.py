@@ -145,3 +145,83 @@ def kmv_oracle_sql(
     FROM per_grp LEFT JOIN kth ON per_grp.grp = kth.grp
     ORDER BY {group_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: frequency estimates in O(d*w) space.
+# ---------------------------------------------------------------------------
+
+def cms_position(col, j: int, w: int) -> F.Column:
+    """Counter column for depth row ``j``: 48-bit md5 slice of
+    ``"{j}:{key}"`` mod w — the same portable primitive as `hash48` /
+    the Bloom filter, so the DuckDB oracle reproduces it exactly."""
+    return hash48(F.concat(F.lit(f"{j}:"), col.cast("string"))) % w
+
+
+def cms_position_sql(expr: str, j: int, w: int) -> str:
+    """DuckDB twin of `cms_position`."""
+    return (
+        f"(CAST('0x' || substr(md5('{j}:' || CAST({expr} AS VARCHAR)), 1, 12)"
+        f" AS BIGINT) % {w})"
+    )
+
+
+def cms_counters(df: DataFrame, key_col: str, *, w: int, d: int) -> DataFrame:
+    """Build the d×w counter table: one projection exploding each row
+    into its d (row, counter) cells, then ONE hash aggregation. Map-side
+    partial aggregation collapses each input partition to ≤ d*w rows
+    before the shuffle, so the shuffle payload is O(d*w) per partition —
+    independent of input size. Output: (j, pos, cnt), ≤ d*w rows total.
+    """
+    if not 1 <= d <= 8:
+        raise ValueError("d must be in [1, 8]")
+    key = F.col(key_col)
+    cells = df.where(key.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), cms_position(key, j, w).alias("pos")
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(F.col("c.j").alias("j"), F.col("c.pos").alias("pos")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, keys: DataFrame, key_col: str, *, w: int, d: int
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: join each key's
+    d cells against the counter table and take the min — the classic
+    CMS upper-bound estimate (est ≥ true count always; overestimates
+    come only from hash collisions). The counter table is ≤ d*w rows →
+    broadcast; the keys side never shuffles. Output: (key_col, cms_est).
+    """
+    key = F.col(key_col)
+    cells = keys.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), cms_position(key, j, w).alias("pos")
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("c"),
+    )
+    return (
+        cells.join(
+            F.broadcast(counters),
+            (F.col("c.j") == counters.j) & (F.col("c.pos") == counters.pos),
+            "left",
+        )
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
