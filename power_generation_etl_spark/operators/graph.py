@@ -272,3 +272,45 @@ def pagerank_oracle_sql(
     last = parts.pop()
     parts.append(last.rstrip(","))
     return "\n".join(parts)
+
+
+def khop_min_hops(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    source_id: int,
+    k: int,
+) -> DataFrame:
+    """Bounded-depth BFS: minimum hop count (1..k) from ``source_id`` to
+    every node reachable within k hops (the source itself is excluded).
+
+    Each hop is one equi-join frontier→edges + one distinct — the
+    standard distributed BFS step (hash join on the src key, no
+    cross products). Depth is a Python loop of k plan stages, so the
+    oracle unrolls to k CTEs and the trajectory is exactly
+    reproducible. For unbounded reachability use
+    `connected_components`; this operator is the "within N hops"
+    neighborhood query (fraud rings, citation radius, social distance).
+    """
+    if not 1 <= k <= 8:
+        raise ValueError("k must be in [1, 8]")
+    frontier = (
+        edges.sparkSession.createDataFrame([(source_id,)], f"{dst} bigint")
+        .select(F.col(dst).cast("long").alias("id"))
+    )
+    hops: DataFrame | None = None
+    for hop in range(1, k + 1):
+        frontier = (
+            frontier.join(edges, frontier.id == F.col(src))
+            .select(F.col(dst).cast("long").alias("id"))
+            .distinct()
+        )
+        tagged = frontier.select("id", F.lit(hop).alias("hop"))
+        hops = tagged if hops is None else hops.unionByName(tagged)
+    assert hops is not None
+    return (
+        hops.where(F.col("id") != source_id)
+        .groupBy("id")
+        .agg(F.min("hop").cast("int").alias("min_hops"))
+    )

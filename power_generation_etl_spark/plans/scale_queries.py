@@ -1491,3 +1491,225 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("weekday", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers via median absolute deviation (MAD). Values are
+# doubled integer cents so every median of an even-count group is an
+# exact integer (no interpolation fraction) — medians, deviations, and
+# the 3σ-equivalent threshold (|x−med| > 3·1.4826·MAD, scaled to the
+# integer inequality ad·10000 > 44478·MAD) are all engine-portable
+# integer arithmetic. Two grouped medians + one broadcast join back.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mad_value_outliers",
+    """
+    WITH ev AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) * 2 AS c2
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, CAST(median(c2) AS BIGINT) AS med2
+        FROM ev GROUP BY event_type
+    ),
+    dev AS (
+        SELECT ev.event_type, abs(c2 - med2) AS ad
+        FROM ev JOIN med USING (event_type)
+    ),
+    madt AS (
+        SELECT event_type, CAST(median(ad) AS BIGINT) AS mad2
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           m.med2, t.mad2,
+           CAST(count(*) FILTER (ad * 10000 > 44478 * mad2) AS BIGINT)
+               AS n_outliers
+    FROM dev d
+    JOIN med m ON d.event_type = m.event_type
+    JOIN madt t ON d.event_type = t.event_type
+    GROUP BY d.event_type, m.med2, t.mad2
+    ORDER BY d.event_type
+    """,
+)
+def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.expr("CAST(floor(value * 100) AS BIGINT)") * 2).alias("c2"),
+        )
+    )
+    med = ev.groupBy("event_type").agg(
+        F.median("c2").cast("bigint").alias("med2")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("c2") - F.col("med2")).alias("ad")
+    )
+    madt = dev.groupBy("event_type").agg(
+        F.median("ad").cast("bigint").alias("mad2")
+    )
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(madt), "event_type")
+        .groupBy("event_type", "med2", "mad2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("ad") * 10000 > 44478 * F.col("mad2")).alias(
+                "n_outliers"
+            ),
+        )
+        .select("event_type", "n", "med2", "mad2", "n_outliers")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test: event_type × weekday contingency table.
+# Cell counts / marginals are exact bigints; the per-cell statistic is
+# a FIXED-ORDER double formula truncated to 6dp per cell
+# (floor((diff²/ (N·R·C)) · 1e6)) and then SUMMED AS INTEGERS — float
+# summation-order nondeterminism cannot touch the result, and DuckDB's
+# round-on-cast is bypassed with an explicit floor. Marginal products
+# stay in int64 up to ~1e9 input rows (N²·cell bound documented).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "chi_square_type_weekday",
+    f"""
+    WITH ev AS (
+        SELECT event_type, (epoch_us(ts) // {_DAY_US}) % 7 AS wd FROM events
+    ),
+    cells AS (
+        SELECT event_type, wd, CAST(count(*) AS BIGINT) AS o
+        FROM ev GROUP BY event_type, wd
+    ),
+    rows_m AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells
+        GROUP BY event_type
+    ),
+    cols_m AS (SELECT wd, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY wd),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT CAST(floor(
+                   (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+                    / CAST(n * r * c AS DOUBLE)) * 1000000.0
+               ) AS BIGINT) AS term_e6
+        FROM cells
+        JOIN rows_m ON cells.event_type = rows_m.event_type
+        JOIN cols_m ON cells.wd = cols_m.wd
+        CROSS JOIN tot
+    )
+    SELECT CAST(sum(term_e6) AS BIGINT) AS chi2_e6,
+           CAST((SELECT (count(DISTINCT event_type) - 1) FROM cells)
+                * (SELECT (count(DISTINCT wd) - 1) FROM cells) AS BIGINT) AS dof
+    FROM terms
+    """,
+)
+def chi_square_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T_events_us(spark, sf_dir).select(
+        "event_type", (F.expr(f"ts_us div {_DAY_US}") % 7).alias("wd")
+    )
+    cells = ev.groupBy("event_type", "wd").agg(F.count(F.lit(1)).alias("o"))
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_m = cells.groupBy("wd").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "wd")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(floor((CAST(o * n - r * c AS DOUBLE)"
+                " * CAST(o * n - r * c AS DOUBLE)"
+                " / CAST(n * r * c AS DOUBLE)) * 1000000.0D) AS BIGINT)"
+            ).alias("term_e6")
+        )
+    )
+    dims = cells.agg(
+        (
+            (F.count_distinct("event_type") - 1) * (F.count_distinct("wd") - 1)
+        )
+        .cast("bigint")
+        .alias("dof")
+    )
+    return terms.agg(F.sum("term_e6").cast("bigint").alias("chi2_e6")).crossJoin(
+        F.broadcast(dims)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-depth BFS: nations within 3 hops of nation 0 over the trade
+# graph sparsified to its top-30%-heaviest edges (rank-based, so the
+# cut is scale-free — an absolute weight threshold would keep a
+# different fraction at every SF). Each hop is one frontier⋈edges
+# equi-join + distinct; the oracle unrolls the 3 steps as CTEs.
+# ---------------------------------------------------------------------------
+
+_KHOP_K = 3
+_KHOP_SRC = 0
+
+
+@_register(
+    "khop_trade_nations",
+    f"""
+    WITH e AS (
+        SELECT c.c_nationkey AS u, s.s_nationkey AS v,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    ranked AS (
+        SELECT u, v, row_number() OVER (ORDER BY w DESC, u, v) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS ne
+        FROM e
+    ),
+    kept AS (SELECT u, v FROM ranked WHERE rn * 10 <= ne * 3),
+    h1 AS (SELECT DISTINCT v FROM kept WHERE u = {_KHOP_SRC}),
+    h2 AS (SELECT DISTINCT k.v FROM kept k JOIN h1 ON k.u = h1.v),
+    h3 AS (SELECT DISTINCT k.v FROM kept k JOIN h2 ON k.u = h2.v),
+    hops AS (
+        SELECT v, 1 AS hop FROM h1
+        UNION ALL SELECT v, 2 FROM h2
+        UNION ALL SELECT v, 3 FROM h3
+    ),
+    mh AS (
+        SELECT v, CAST(min(hop) AS INTEGER) AS min_hops
+        FROM hops WHERE v <> {_KHOP_SRC} GROUP BY v
+    )
+    SELECT n.n_name AS nation, min_hops
+    FROM mh JOIN nation n ON mh.v = n.n_nationkey
+    ORDER BY min_hops, nation
+    """,
+)
+def khop_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wspec = Window.orderBy(F.desc("w"), "u", "v")
+    ranked = e.withColumn("rn", F.row_number().over(wspec)).withColumn(
+        "ne", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    kept = ranked.where(F.col("rn") * 10 <= F.col("ne") * 3).select("u", "v")
+    mh = gr.khop_min_hops(kept, "u", "v", source_id=_KHOP_SRC, k=_KHOP_K)
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        mh.join(F.broadcast(nation), mh.id == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "min_hops")
+        .orderBy("min_hops", "nation")
+    )

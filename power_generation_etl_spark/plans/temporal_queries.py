@@ -364,3 +364,159 @@ def event_gap_magnitude_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_gaps"))
         .orderBy("gap_digits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval merge (coalesce overlapping intervals per key) — the classic
+# coverage problem: each event opens a 30-minute activity interval;
+# overlapping/touching intervals merge into islands via a running max of
+# interval ends (one window shuffle on the key, no self-join). Exact
+# integer microseconds throughout. At 100 TB this is the same single
+# window pass per key as sessionization — no pairwise interval joins.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "merged_user_intervals",
+    f"""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s_us,
+               epoch_us(ts) + {GAP_US} AS e_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s_us, e_us,
+               CASE WHEN max(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) >= s_us THEN 0 ELSE 1 END AS new_iv
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s_us, e_us,
+               CAST(sum(new_iv) OVER (
+                   PARTITION BY user_id ORDER BY s_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(e_us) - min(s_us) AS covered
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(covered) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def merged_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    iv = T_events_us(spark, sf_dir).select(
+        "user_id",
+        F.col("ts_us").alias("s_us"),
+        (F.col("ts_us") + GAP_US).alias("e_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us")
+    prev_end = F.max("e_us").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_iv", F.when(prev_end >= F.col("s_us"), F.lit(0)).otherwise(F.lit(1))
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_iv").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("e_us") - F.min("s_us")).alias("covered"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("covered").cast("bigint").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap-fill (last observation carried forward): the dense day ×
+# event-type spine with missing daily totals filled from the most
+# recent observed day — Spark `last(ignorenulls)` ↔ DuckDB
+# `last_value(... IGNORE NULLS)`, one window pass over the spine.
+# Days before the first observation stay NULL (no value to carry).
+# Integer cents, timezone-free day indexes.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "locf_daily_value",
+    """
+    WITH ev AS (
+        SELECT epoch_us(ts) // 86400000000 AS d, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    daily AS (
+        SELECT d, event_type, CAST(sum(cents) AS BIGINT) AS day_cents
+        FROM ev GROUP BY d, event_type
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    grid AS (
+        SELECT s.d, t.event_type, daily.day_cents
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN daily ON daily.d = s.d AND daily.event_type = t.event_type
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS day,
+           event_type,
+           day_cents,
+           last_value(day_cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_cents
+    FROM grid
+    ORDER BY day, event_type
+    """,
+)
+def locf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    day_us = 86_400_000_000
+    ev = T_events_us(spark, sf_dir).select(
+        F.expr(f"ts_us div {day_us}").alias("d"),
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    daily = ev.groupBy("d", "event_type").agg(
+        F.sum("cents").cast("bigint").alias("day_cents")
+    )
+    spine = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types)).join(
+        daily, ["d", "event_type"], "left"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "event_type",
+        "day_cents",
+        F.last("day_cents", ignorenulls=True).over(w).alias("filled_cents"),
+    ).orderBy("day", "event_type")
