@@ -111,7 +111,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def _png_gray_pixels(content: bytes):
     """Decode a non-interlaced 8-bit-depth PNG (gray / gray+alpha / RGB /
-    RGBA) into a flat float64 grayscale array, or None if the bytes are
+    RGBA) into an H×W float64 grayscale array, or None if the bytes are
     not such a PNG. Pure stdlib: chunk walk + zlib inflate + the five
     scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9)."""
     import numpy as np
@@ -175,12 +175,12 @@ def _png_gray_pixels(content: bytes):
         gray = (r * _LUMA[0] + g * _LUMA[1] + b * _LUMA[2]) / 1000.0
     else:  # gray or gray+alpha
         gray = px[..., 0]
-    return gray.ravel()
+    return gray
 
 
 def _bmp_gray_pixels(content: bytes):
     """Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER, BI_RGB)
-    into a flat float64 grayscale array, or None."""
+    into an H×W float64 grayscale array, or None."""
     import numpy as np
 
     if len(content) < 54 or content[:2] != b"BM":
@@ -206,7 +206,7 @@ def _bmp_gray_pixels(content: bytes):
         rows.append(
             (px[:, 2] * _LUMA[0] + px[:, 1] * _LUMA[1] + px[:, 0] * _LUMA[2]) / 1000.0
         )
-    return np.concatenate(rows)
+    return np.vstack(rows)
 
 
 def _decode_image(content: bytes) -> tuple[float | None, float | None]:
@@ -401,4 +401,150 @@ def media_stats(df: DataFrame) -> DataFrame:
             F.avg("duration_ms").alias("avg_duration_ms"),
         )
         .orderBy("kind")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + Hamming-banded near-dup pairs —
+# the image twin of the text SimHash family (`operators/minhash.py`).
+# ---------------------------------------------------------------------------
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),  # null: undecodable/tiny
+    ]
+)
+
+
+def _gray_image(content: bytes):
+    """H×W float64 grayscale, best codec tier wins (PIL → pure-python
+    PNG/BMP), or None when undecodable. Unlike `_decode_image` there is
+    no digest stub tier: a fake hash would manufacture fake near-dups."""
+    if _PILImage is not None:
+        try:
+            import numpy as np
+
+            return np.asarray(
+                _PILImage.open(io.BytesIO(content)).convert("L"), dtype="float64"
+            )
+        except Exception:
+            return None
+    try:
+        gray = _png_gray_pixels(content)
+        if gray is None:
+            gray = _bmp_gray_pixels(content)
+        return gray
+    except Exception:
+        return None
+
+
+def _dhash64(gray) -> int | None:
+    """64-bit difference hash: block-mean downscale to an 8×9 grid, then
+    one bit per horizontal gradient sign (grid[i,j+1] > grid[i,j]).
+    Deterministic (block means via fixed index splits — no resampling
+    kernel), robust to brightness/contrast shifts (gradient signs), and
+    comparable by Hamming distance. Returns a signed 64-bit int."""
+    import numpy as np
+
+    h, w = gray.shape
+    if h < 8 or w < 9:
+        return None  # too small for a meaningful gradient grid
+    grid = np.empty((8, 9))
+    for i, rb in enumerate(np.array_split(gray, 8, axis=0)):
+        for j, cb in enumerate(np.array_split(rb, 9, axis=1)):
+            grid[i, j] = cb.mean()
+    val = 0
+    for bit in (grid[:, 1:] > grid[:, :-1]).ravel():
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def extract_image_dhash(df: DataFrame) -> DataFrame:
+    """Arrow-batched dHash over binary image columns → (media_id,
+    dhash). Binary bytes never leave this stage; downstream matching
+    shuffles one bigint per image."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                gray = _gray_image(blob)
+                out.append(
+                    (media_id, _dhash64(gray) if gray is not None else None)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_DHASH_SCHEMA.fields]
+            )
+
+    narrow = df.filter(F.col("kind") == "image").select("media_id", "content")
+    return narrow.mapInPandas(extract, IMAGE_DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance, banded so
+    candidate generation never goes all-pairs: the 64-bit hash splits
+    into ``bands`` chunks; a pair is a candidate iff it agrees on at
+    least one chunk (pigeonhole: Hamming < bands ⇒ guaranteed candidate,
+    so recall is exact for ``max_hamming < bands``). Candidates shuffle
+    on (band, chunk-value) only; verification is one codegen
+    ``bit_count(a XOR b)`` over candidates. Same plan family as
+    `minhash.simhash_pairs` — shuffle payload is one bigint per image.
+    """
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    if max_hamming >= bands:
+        raise ValueError(
+            "max_hamming must be < bands for guaranteed recall "
+            "(pigeonhole over band chunks)"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sig = sigs.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    chunks = sig.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("h"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "h", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
+    left = chunks.select(
+        F.col("id").alias("id_a"), F.col("h").alias("h_a"), "band", "chunk"
+    )
+    right = chunks.select(
+        F.col("id").alias("id_b"), F.col("h").alias("h_b"), "band", "chunk"
+    )
+    cands = (
+        left.join(right, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
     )

@@ -640,3 +640,98 @@ def test_containment_catches_embedded_doc(spark):
     ).collect()
     assert not jac  # symmetric metric misses the embedding
     assert len(cont) == 1 and cont[0]["containment"] >= 0.8
+
+
+class TestImageDhashNearDup:
+    """Perceptual dHash + Hamming-banded near-dup pairs: near-identical
+    images must pair up, unrelated images must not, and the banded
+    candidate generation must find exactly what brute-force finds
+    (guaranteed recall for max_hamming < bands)."""
+
+    @pytest.fixture(scope="class")
+    def images(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 256, size=(32, 40, 3), dtype=np.uint8)
+        # Variant A: mild brightness shift — gradient signs survive.
+        brighter = np.clip(base.astype(np.int16) + 6, 0, 255).astype(np.uint8)
+        # Variant B: sparse pixel noise.
+        noisy = base.copy()
+        idx = rng.integers(0, 32, 20), rng.integers(0, 40, 20)
+        noisy[idx] = rng.integers(0, 256, size=(20, 3), dtype=np.uint8)
+        # Unrelated image.
+        other = rng.integers(0, 256, size=(32, 40, 3), dtype=np.uint8)
+        return {"base": base, "brighter": brighter, "noisy": noisy, "other": other}
+
+    def _media_df(self, spark, images):
+        rows = [
+            (i, "image", "image/bmp", _encode_bmp24(arr), arr.shape[1], arr.shape[0], None)
+            for i, arr in enumerate(
+                [images["base"], images["brighter"], images["noisy"], images["other"]]
+            )
+        ]
+        return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    def test_dhash_invariant_to_brightness(self, images):
+        h_base = mm._dhash64(
+            (images["base"].astype("float64") @ [0.299, 0.587, 0.114])
+        )
+        h_bright = mm._dhash64(
+            (images["brighter"].astype("float64") @ [0.299, 0.587, 0.114])
+        )
+        assert bin((h_base ^ h_bright) & ((1 << 64) - 1)).count("1") <= 4
+
+    def test_near_pairs_found_unrelated_rejected(self, spark, images):
+        sigs = mm.extract_image_dhash(self._media_df(spark, images))
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in mm.dhash_neardup_pairs(sigs, max_hamming=6).collect()
+        }
+        assert (0, 1) in pairs  # brightness variant
+        assert (0, 2) in pairs  # sparse noise variant
+        assert not any(3 in p for p in pairs)  # unrelated image stays out
+
+    def test_banded_recall_equals_brute_force(self, spark, images):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        arrs = [rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8) for _ in range(8)]
+        # Inject two near-dups of arrs[0].
+        for k in (1, 2):
+            v = arrs[0].copy()
+            v[rng.integers(0, 24, 5), rng.integers(0, 24, 5)] = 0
+            arrs[k] = v
+        rows = [
+            (i, "image", "image/bmp", _encode_bmp24(a), 24, 24, None)
+            for i, a in enumerate(arrs)
+        ]
+        sigs = mm.extract_image_dhash(
+            spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        )
+        hashes = {r["media_id"]: r["dhash"] for r in sigs.collect()}
+        brute = {
+            (a, b)
+            for a in hashes
+            for b in hashes
+            if a < b
+            and bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 6
+        }
+        banded = {
+            (r["id_a"], r["id_b"])
+            for r in mm.dhash_neardup_pairs(sigs, max_hamming=6).collect()
+        }
+        assert banded == brute
+
+    def test_tiny_and_undecodable_yield_null(self, spark):
+        import numpy as np
+
+        tiny = np.zeros((4, 4, 3), dtype=np.uint8)
+        rows = [
+            (1, "image", "image/bmp", _encode_bmp24(tiny), 4, 4, None),
+            (2, "image", "application/octet-stream", b"not an image", None, None, None),
+        ]
+        sigs = mm.extract_image_dhash(
+            spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        ).collect()
+        assert all(r["dhash"] is None for r in sigs)
