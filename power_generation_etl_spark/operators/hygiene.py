@@ -110,3 +110,43 @@ def decontaminate(
         F.count_distinct("h").alias("n_hit_ngrams"),
         F.count_distinct("bench_id").alias("n_bench_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding hygiene: UTF-8 damage detection (mojibake, replacement
+# chars, stray control bytes). Web-scale corpora are full of
+# double-encoded latin1→utf8 text; these are the standard cheap
+# tells, all RE2-and-Java-safe so the DuckDB oracle runs the identical
+# patterns. Counting uses the length-difference idiom
+# (len(x) − len(replace(x, pat, ''))), which both engines evaluate
+# identically for single-codepoint patterns.
+# ---------------------------------------------------------------------------
+
+# C0 control characters except tab/newline/carriage-return.
+CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+# U+FFFD REPLACEMENT CHARACTER — the decoder already gave up here.
+REPLACEMENT_RE = r"[\x{FFFD}]"
+# Classic latin1-read-as-utf8 mojibake: 'Ã' followed by a byte from the
+# latin-1 supplement continuation range (é → 'Ã©', ü → 'Ã¼', …).
+MOJIBAKE_RE = r"Ã[\x{80}-\x{BF}]"
+
+
+def _count_matches(text: Column, pattern: str, width: int = 1) -> Column:
+    """Occurrences of a fixed-width pattern via length difference —
+    codegen-only, no regexp_count (DuckDB lacks it)."""
+    return (
+        (F.length(text) - F.length(F.regexp_replace(text, pattern, "")))
+        / width
+    ).cast("bigint")
+
+
+def encoding_quality(text: Column) -> dict[str, Column]:
+    """Per-document encoding-damage evidence columns. NULL text yields
+    NULL counts (callers filter or coalesce explicitly — the size(NULL)
+    class of silent-wrong-answer is documented in the verify notes)."""
+    return {
+        "n_control": _count_matches(text, CONTROL_RE),
+        "n_replacement": _count_matches(text, REPLACEMENT_RE),
+        "n_mojibake": _count_matches(text, MOJIBAKE_RE, width=2),
+        "has_nonascii": text.rlike(r"[^\x00-\x7f]").cast("int"),
+    }

@@ -337,3 +337,60 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers only (float min/max formatting is not engine-portable)."""
     d = T(spark, sf_dir, "documents")
     return pr.table_profile(d, _PROFILE_COLS).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# Encoding hygiene rollup: UTF-8 damage tells (control bytes,
+# replacement chars, latin1→utf8 mojibake digraphs) aggregated per
+# source shard. One codegen regexp pass + one hash aggregation — no
+# shuffle of text. The synthetic corpus is clean (all-zero damage
+# verifies the negative path, like `pii_scan_docs`); the positive path
+# is pytest-checked on seeded mojibake fixtures.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "encoding_hygiene_docs",
+    f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(length(text) - length(regexp_replace(text,
+                    '{hg.CONTROL_RE}', '', 'g')) AS BIGINT) AS n_control,
+               CAST(length(text) - length(regexp_replace(text,
+                    '{hg.REPLACEMENT_RE}', '', 'g')) AS BIGINT) AS n_replacement,
+               CAST((length(text) - length(regexp_replace(text,
+                    '{hg.MOJIBAKE_RE}', '', 'g'))) // 2 AS BIGINT) AS n_mojibake,
+               CASE WHEN regexp_matches(text, '[^\\x00-\\x7f]') THEN 1 ELSE 0 END
+                   AS has_nonascii
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_control) AS BIGINT) AS total_control,
+           CAST(sum(n_replacement) AS BIGINT) AS total_replacement,
+           CAST(sum(n_mojibake) AS BIGINT) AS total_mojibake,
+           CAST(sum(has_nonascii) AS BIGINT) AS n_nonascii_docs,
+           CAST(count(*) FILTER (n_control + n_replacement + n_mojibake > 0)
+                AS BIGINT) AS n_damaged_docs
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def encoding_hygiene_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ev = hg.encoding_quality(F.col("text"))
+    per_doc = d.select("source", *[c.alias(n) for n, c in ev.items()])
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_control").cast("bigint").alias("total_control"),
+            F.sum("n_replacement").cast("bigint").alias("total_replacement"),
+            F.sum("n_mojibake").cast("bigint").alias("total_mojibake"),
+            F.sum("has_nonascii").cast("bigint").alias("n_nonascii_docs"),
+            F.count_if(
+                F.col("n_control") + F.col("n_replacement") + F.col("n_mojibake")
+                > 0
+            ).alias("n_damaged_docs"),
+        )
+        .orderBy("source")
+    )

@@ -219,3 +219,32 @@ class TestTableProfile:
         plan = pr.table_profile(df, ["id", "tag"])._jdf.queryExecution(
         ).executedPlan().toString()
         assert plan.count("Scan ExistingRDD") <= 1
+
+
+class TestEncodingQuality:
+    def _counts(self, spark, text):
+        df = spark.createDataFrame([(text,)], "text string")
+        ev = hg.encoding_quality(F.col("text"))
+        return df.select(*[c.alias(n) for n, c in ev.items()]).collect()[0]
+
+    def test_clean_ascii(self, spark):
+        r = self._counts(spark, "perfectly clean text")
+        assert (r["n_control"], r["n_replacement"], r["n_mojibake"]) == (0, 0, 0)
+        assert r["has_nonascii"] == 0
+
+    def test_mojibake_counted_per_digraph(self, spark):
+        # 'é' double-encoded twice + one 'ü' → 3 mojibake digraphs.
+        r = self._counts(spark, "cafÃ© naÃ¯ve glÃ¼hwein")
+        assert r["n_mojibake"] == 3
+        assert r["has_nonascii"] == 1
+
+    def test_control_and_replacement_chars(self, spark):
+        r = self._counts(spark, "a\x01b\x02c�� tab\tok\nline")
+        assert r["n_control"] == 2  # \t and \n are NOT damage
+        assert r["n_replacement"] == 2
+
+    def test_clean_unicode_is_not_mojibake(self, spark):
+        # Properly encoded accents must not trip the mojibake pattern.
+        r = self._counts(spark, "café naïve glühwein — ok")
+        assert r["n_mojibake"] == 0
+        assert r["has_nonascii"] == 1
