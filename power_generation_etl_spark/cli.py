@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Morton-interleave the sort columns (multi-column skipping)",
     )
 
+    bli = sub.add_parser(
+        "bloom-index", help="per-file Bloom sidecar for point-lookup skipping"
+    )
+    bli.add_argument("table")
+    bli.add_argument("--column", required=True)
+
     exp = sub.add_parser("aggregate-export")
     exp.add_argument("output_dir")
     exp.add_argument(
@@ -261,6 +267,9 @@ def _dispatch(args, spark, eng: Engine) -> int:
             f"{mode} {args.table} by ({', '.join(cols)}): "
             f"{before} -> {after} files"
         )
+    elif args.cmd == "bloom-index":
+        n = eng.bloom_index_table(args.table, args.column)
+        print(f"bloom-indexed {n} files of {args.table} on {args.column}")
     elif args.cmd == "aggregate-export":
         ok, n = eng.aggregate_export(args.output_dir, args.granularity)
         print(f"exported {n} rows to {args.output_dir}")

@@ -520,6 +520,15 @@ class Engine:
             raise ValueError(f"unknown table: {table}")
         return self.store.cluster(table, sort_cols, target_file_mb, zorder=zorder)
 
+    def bloom_index_table(self, table: str, column: str) -> int:
+        """Per-file Bloom membership sidecar over ``column`` — point-
+        lookup file skipping for secondary columns the physical sort
+        doesn't cover (`store.build_bloom_index`). Same identifier
+        guard as clear_table."""
+        if table not in set(KNOWN_TABLES.values()) | {"extraction_metadata"} | set(ALL_VIEWS):
+            raise ValueError(f"unknown table: {table}")
+        return self.store.build_bloom_index(table, column)
+
     def sanity_gate(
         self, df: DataFrame, checks: list[tuple[str, str, int]]
     ) -> dict:

@@ -111,3 +111,24 @@ def bloom_member_expr(col: Column, words: list[int], *, m: int, k: int) -> Colum
     for pr in probes[1:]:
         out = out & pr
     return out
+
+
+def bloom_positions_py(value, m: int, k: int) -> list[int]:
+    """Driver-side twin of `bloom_position` for probing a stored filter
+    without a Spark job: identical md5-slice positions for the value's
+    string form (Spark's string cast of BIGINT/VARCHAR matches Python
+    str()). Test-asserted equal to the Column expression."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:12], 16) % m
+        for i in range(k)
+    ]
+
+
+def words_contain(words: list[int], positions: list[int]) -> bool:
+    """Probe packed words for ALL given bit positions (driver-side)."""
+    return all(
+        (words[p // WORD_BITS] >> (p % WORD_BITS)) & 1 for p in positions
+    )

@@ -339,6 +339,138 @@ class TableStore:
         self._swap_in(table, tmp)
         return before, self.file_count(table)
 
+    # -- Bloom file-skipping index ---------------------------------------
+
+    def _bloom_file(self, table: str, column: str) -> str:
+        # Leading underscore → invisible to Spark's file listing.
+        return os.path.join(self.path(table), f"_bloom_{column}.json")
+
+    def _parquet_files(self, table: str) -> list[str]:
+        """All data files, as paths relative to the table root."""
+        root = self.path(table)
+        out = []
+        for d, _sub, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(d, f), root)
+                    )
+        return sorted(out)
+
+    def build_bloom_index(
+        self, table: str, column: str, *, m: int = 3072, k: int = 3
+    ) -> int:
+        """Build a per-file Bloom filter over ``column`` and persist it
+        as a `_bloom_<column>.json` sidecar — point-lookup file skipping
+        for columns the physical sort DOESN'T cover (min/max stats and
+        `cluster()` skip on the sort key; a high-cardinality secondary
+        column gets near-zero skipping from ranges but near-perfect
+        skipping from per-file membership bits). The parquet-native
+        analog is the column bloom index; this one is engine-portable
+        and probeable on the driver with zero Spark jobs.
+
+        Built distributed: one scan grouping set-bit positions by
+        `_metadata.file_path`; only packed words (m/48 longs per file)
+        reach the driver. Returns the number of files indexed. Files
+        appended AFTER the build are absent from the sidecar and are
+        always scanned (stale-safe, like the schema sidecars)."""
+        from power_generation_etl_spark.operators import bloom as bl
+
+        root = self.path(table)
+        files = self._parquet_files(table)
+        if not files:
+            return 0
+        df = self.spark.read.option("basePath", root).parquet(root)
+        key = F.col(column)
+        pos = (
+            df.select(F.col("_metadata.file_path").alias("f"), key.alias("key"))
+            .where(F.col("key").isNotNull())
+            .select(
+                "f",
+                F.explode(
+                    F.array(
+                        *[
+                            bl.bloom_position(F.col("key"), i, m)
+                            for i in range(k)
+                        ]
+                    )
+                ).alias("p"),
+            )
+            .distinct()
+        )
+        packed = (
+            pos.groupBy(
+                "f", (F.col("p") / bl.WORD_BITS).cast("bigint").alias("w")
+            )
+            .agg(
+                F.sum(
+                    F.element_at(
+                        bl._pow2(), (F.col("p") % bl.WORD_BITS).cast("int") + F.lit(1)
+                    )
+                ).alias("mask")
+            )
+            .collect()
+        )
+        n_words = m // bl.WORD_BITS
+        per_file: dict[str, list[int]] = {}
+        for row in packed:
+            rel = os.path.relpath(row["f"].removeprefix("file:"), root)
+            per_file.setdefault(rel, [0] * n_words)[int(row["w"])] = int(
+                row["mask"]
+            )
+        # Files with zero non-null rows still get an (all-zero) entry so
+        # a probe can skip them — absence means "not indexed", not empty.
+        index = {
+            "column": column,
+            "m": m,
+            "k": k,
+            "files": {f: per_file.get(f, [0] * n_words) for f in files},
+        }
+        import json
+
+        tmp = self._bloom_file(table, column) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(index, fh)
+        os.replace(tmp, self._bloom_file(table, column))
+        return len(files)
+
+    def bloom_prune_paths(
+        self, table: str, column: str, value
+    ) -> tuple[list[str], int]:
+        """Files that may contain ``value`` (absolute paths) + the total
+        file count. Driver-only: no Spark job. Unindexed files (no
+        sidecar entry — appended after the build) are always kept."""
+        import json
+
+        from power_generation_etl_spark.operators import bloom as bl
+
+        root = self.path(table)
+        files = self._parquet_files(table)
+        sidecar = self._bloom_file(table, column)
+        if not os.path.exists(sidecar):
+            return [os.path.join(root, f) for f in files], len(files)
+        with open(sidecar) as fh:
+            index = json.load(fh)
+        positions = bl.bloom_positions_py(value, index["m"], index["k"])
+        kept = [
+            os.path.join(root, f)
+            for f in files
+            if f not in index["files"]
+            or bl.words_contain(index["files"][f], positions)
+        ]
+        return kept, len(files)
+
+    def read_bloom_pruned(self, table: str, column: str, value) -> DataFrame:
+        """Read only the files whose Bloom entry may contain ``value``
+        (callers still apply the exact filter — the index is a
+        may-contain screen, never a truth source)."""
+        kept, _total = self.bloom_prune_paths(table, column, value)
+        if not kept:
+            return self.read(table).where(F.lit(False))
+        root = self.path(table)
+        df = self.spark.read.option("basePath", root).parquet(*kept)
+        return df.drop(MONTH_COL) if MONTH_COL in df.columns else df
+
     # -- time travel (opt-in versioned snapshots) ------------------------
 
     def _versions_dir(self, table: str) -> str:

@@ -336,3 +336,35 @@ def test_run_query_explain_flag(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "PushedFilters" in out
+
+
+def test_bloom_index_verb(tmp_path, spark, capsys):
+    for i in range(2):
+        p = tmp_path / f"npp_b{i}.jsonl"
+        rec = {
+            "extraction_run_id": f"12345678-1234-1234-1234-12345678901{i}",
+            "created_at_ms": NOW,
+            "timestamp_ms": NOW - 5000 - i,
+            "plant": f"P{i}",
+            "plant_and_unit": f"P{i} U",
+            "generation_mwh": float(i),
+        }
+        p.write_text(json.dumps(rec) + "\n")
+        assert _run(tmp_path, "load-data", "npp", str(p)) == 0
+    capsys.readouterr()
+    assert _run(tmp_path, "bloom-index", "npp_generation", "--column", "plant") == 0
+    out = capsys.readouterr().out
+    assert "bloom-indexed" in out and "npp_generation" in out
+
+    from power_generation_etl_spark.engine import Engine
+    from power_generation_etl_spark.session import get_spark
+
+    eng = Engine(get_spark("pytest"), _wh(tmp_path))
+    kept, total = eng.store.bloom_prune_paths("npp_generation", "plant", "P0")
+    assert total >= 2 and 1 <= len(kept) <= total
+    assert (
+        eng.store.read_bloom_pruned("npp_generation", "plant", "P0")
+        .where("plant = 'P0'")
+        .count()
+        == 1
+    )
