@@ -423,20 +423,24 @@ def stream_cdc_apply(
     return writer.start()
 
 
-def _kmv_store_versions(store_dir: str) -> list[int]:
+def _store_versions(store_dir: str, prefix: str) -> list[int]:
     """COMPLETE (committed) sketch-store versions, ascending. A version
-    is a `kmv_v<batch_id>` directory carrying Spark's _SUCCESS marker —
-    partial writes from a crashed batch never qualify."""
+    is a `<prefix><batch_id>` directory carrying Spark's _SUCCESS
+    marker — partial writes from a crashed batch never qualify."""
     import os
 
     out = []
     if os.path.isdir(store_dir):
         for name in os.listdir(store_dir):
-            if name.startswith("kmv_v") and name[5:].isdigit() and os.path.exists(
+            if name.startswith(prefix) and name[len(prefix):].isdigit() and os.path.exists(
                 os.path.join(store_dir, name, "_SUCCESS")
             ):
-                out.append(int(name[5:]))
+                out.append(int(name[len(prefix):]))
     return sorted(out)
+
+
+def _kmv_store_versions(store_dir: str) -> list[int]:
+    return _store_versions(store_dir, "kmv_v")
 
 
 def stream_kmv_cardinality(
@@ -537,4 +541,115 @@ def kmv_estimate_from_store(
         per_grp.join(kth, "grp", "left")
         .select("grp", sk.kmv_estimate_expr(k).alias("kmv_estimate"))
         .orderBy("grp")
+    )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    schema: str,
+    capacity: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming heavy-hitter tracking via a MERGEABLE Misra-Gries
+    summary bounded at ``capacity`` counters forever.
+
+    Each micro-batch counts its keys exactly (one hash aggregation —
+    an exact batch is itself a valid MG summary), merges counter-wise
+    into the persisted summary, and when the merged key set exceeds
+    capacity subtracts the (capacity+1)-th largest count from every
+    counter and drops the non-positives — the classic MG merge
+    (Agarwal et al., "Mergeable Summaries"). The cumulative subtracted
+    total rides along as the error bound: for every key,
+    ``est ≤ true ≤ est + max_err``, and any key whose true count
+    exceeds max_err is GUARANTEED present in the summary.
+
+    Crash/retry safety follows the KMV store protocol: versioned
+    `mg_v<batch_id>` directories, replayed batches rewrite their own
+    version from the last complete version with a smaller id.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        if batch_df.isEmpty():
+            return
+        new = (
+            batch_df.where(F.col(key_col).isNotNull())
+            .groupBy(F.col(key_col).alias("key"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        prev = [v for v in _store_versions(store_dir, "mg_v") if v < batch_id]
+        prev_err = 0
+        if prev:
+            prev_df = spark.read.parquet(
+                os.path.join(store_dir, f"mg_v{prev[-1]}")
+            ).drop("max_err")
+            # max_err is a summary-global scalar (same on every row):
+            # the cumulative decrement total. A per-key error would
+            # under-state the bound for keys evicted and re-inserted.
+            prev_err = int(
+                spark.read.parquet(os.path.join(store_dir, f"mg_v{prev[-1]}"))
+                .agg(F.max("max_err"))
+                .collect()[0][0]
+                or 0
+            )
+            merged = (
+                prev_df.unionByName(new)
+                .groupBy("key")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = new
+        # MG truncation: subtract the (capacity+1)-th largest count.
+        # The summary is ≤ 2*capacity rows here (prev ≤ capacity, new
+        # collapses to distinct batch keys merged on key) — tiny, but
+        # computed distributed anyway (one window, deterministic
+        # (cnt desc, key) order).
+        from pyspark.sql.window import Window
+
+        ranked = merged.withColumn(
+            "_rn", F.row_number().over(Window.orderBy(F.desc("cnt"), "key"))
+        )
+        cut_rows = ranked.where(F.col("_rn") == capacity + 1).select("cnt").collect()
+        cut = int(cut_rows[0]["cnt"]) if cut_rows else 0
+        kept = (
+            ranked.where(F.col("_rn") <= capacity)
+            .select("key", (F.col("cnt") - cut).alias("cnt"))
+            .where(F.col("cnt") > 0)
+            .withColumn("max_err", F.lit(prev_err + cut).cast("bigint"))
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"mg_v{batch_id}")
+        )
+        for v in prev[:-1]:
+            shutil.rmtree(
+                os.path.join(store_dir, f"mg_v{v}"), ignore_errors=True
+            )
+
+    stream = spark.readStream.schema(schema).json(landing_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def heavy_hitters_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(key, est_count, max_err) from the latest committed summary,
+    heaviest first. True counts satisfy est ≤ true ≤ est + max_err."""
+    import os
+
+    versions = _store_versions(store_dir, "mg_v")
+    if not versions:
+        raise ValueError(f"no committed heavy-hitter store under {store_dir}")
+    return (
+        spark.read.parquet(os.path.join(store_dir, f"mg_v{versions[-1]}"))
+        .select("key", F.col("cnt").alias("est_count"), "max_err")
+        .orderBy(F.desc("est_count"), "key")
     )

@@ -450,3 +450,53 @@ def test_kmv_store_ignores_partial_version(spark, tmp_path):
         for r in kmv_estimate_from_store(spark, str(store), k=64).collect()
     }
     assert est["g1"] == 50  # small-set exact fallback from the committed state
+
+
+def test_stream_heavy_hitters_misra_gries(spark, tmp_path):
+    """MG guarantees across micro-batches: bounded store, est ≤ true ≤
+    est + max_err, and every key with true count > max_err present."""
+    from power_generation_etl_spark.streaming.ingest import (
+        heavy_hitters_from_store,
+        stream_heavy_hitters,
+    )
+
+    landing = tmp_path / "hh_in"
+    landing.mkdir()
+    store = tmp_path / "hh_store"
+    CAP = 8
+
+    # Zipf-ish truth across two batches + a long tail that overflows
+    # the capacity and forces MG decrements.
+    true: dict[str, int] = {}
+
+    def drop(name, counts):
+        with open(landing / name, "w") as f:
+            for key, c in counts.items():
+                true[key] = true.get(key, 0) + c
+                for _ in range(c):
+                    f.write(json.dumps({"k": key}) + "\n")
+
+    drop("b1.jsonl", {"hot1": 60, "hot2": 40, **{f"t{i}": 2 for i in range(20)}})
+    q = stream_heavy_hitters(
+        spark, str(landing), str(store), str(tmp_path / "hh_ck"),
+        "k", "k string", capacity=CAP,
+    )
+    q.awaitTermination(120)
+    drop("b2.jsonl", {"hot1": 30, "hot3": 50, **{f"u{i}": 2 for i in range(20)}})
+    q = stream_heavy_hitters(
+        spark, str(landing), str(store), str(tmp_path / "hh_ck"),
+        "k", "k string", capacity=CAP,
+    )
+    q.awaitTermination(120)
+
+    rows = heavy_hitters_from_store(spark, str(store)).collect()
+    assert 0 < len(rows) <= CAP  # bounded forever
+    err = rows[0]["max_err"]
+    for r in rows:
+        assert r["max_err"] == err  # one global decrement total
+        assert r["est_count"] <= true[r["key"]] <= r["est_count"] + err
+    present = {r["key"] for r in rows}
+    for key, c in true.items():
+        if c > err:  # MG presence guarantee
+            assert key in present, (key, c, err)
+    assert {"hot1", "hot2", "hot3"} <= present
