@@ -245,3 +245,47 @@ def chunk_dedup_stats(
         .withColumn("n_dup", (F.col("n_chunks") - F.col("n_kept")).cast("bigint"))
         .orderBy("doc_id")
     )
+
+
+def vocab_oov(
+    df: DataFrame, id_col: str, text_col: str, *, vocab_size: int
+) -> DataFrame:
+    """Tokenizer-coverage profile: build the top-``vocab_size`` corpus
+    vocabulary by token frequency (deterministic (freq desc, token)
+    tiebreak) and report each document's out-of-vocabulary token count
+    and rate (integer ppm — no float division). The real-pipeline use
+    is sizing a tokenizer vocab / spotting shards that would explode
+    into byte-fallback tokens.
+
+    Shape: one (token) aggregation for the vocab, vocab broadcast back
+    onto the token stream, one (doc) aggregation. The corpus text never
+    shuffles — tokens carry (doc_id, token) pairs, the standard TF-IDF
+    shuffle profile."""
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        freq.orderBy(F.desc("c"), "tok")
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("_in_vocab").isNull()).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        F.expr("CAST(n_oov * 1000000 div n_tokens AS BIGINT)").alias("oov_ppm"),
+    )

@@ -1021,3 +1021,31 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.exact_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.8, metric="containment"
     )
+
+
+@_register(
+    "vocab_oov_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    freq AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    vocab AS (SELECT tok FROM freq ORDER BY c DESC, tok LIMIT 30),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (tok NOT IN (SELECT tok FROM vocab))
+                  AS BIGINT) AS n_oov
+      FROM t GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage profile: per-doc out-of-vocabulary rate
+    against the corpus top-30 vocabulary (`corpus.vocab_oov`)."""
+    d = T(spark, sf_dir, "documents")
+    return cp.vocab_oov(d, "doc_id", "text", vocab_size=30).orderBy("doc_id")
