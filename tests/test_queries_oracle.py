@@ -73,5 +73,8 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
         "rolling_7d_unique_users",
         "fuzzy_part_name_pairs",  # |distinct names|² domain cross, broadcast
         "lang_distribution_drift",  # two single-row total crosses
+        "chi_square_type_weekday",  # 1-row N total + 1-row dof crosses
+        "kmv_user_overlap",  # three 1-row sketch-stat crosses
+        "locf_daily_value",  # days × event kinds spine grid (broadcast-size)
     }:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"
