@@ -394,3 +394,64 @@ def encoding_hygiene_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: how identifying is a quasi-identifier tuple?
+# Groups rows by (nation, segment, balance-bucket) and counts the
+# equivalence classes below each k threshold — the release-gate check
+# run before publishing "anonymized" data. One hash aggregation on the
+# quasi-identifier + one tiny summary agg; thresholds are integer
+# counts, no notion of noise (this audits, it does not anonymize).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "k_anonymity_audit",
+    """
+    WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 500.0) AS BIGINT) AS bal_bucket
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, c_mktsegment, bal_bucket,
+               CAST(count(*) AS BIGINT) AS sz
+        FROM q GROUP BY c_nationkey, c_mktsegment, bal_bucket
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(min(sz) AS BIGINT) AS min_group,
+           CAST(max(sz) AS BIGINT) AS max_group,
+           CAST(count(*) FILTER (sz < 2) AS BIGINT) AS groups_lt_2,
+           CAST(coalesce(sum(sz) FILTER (sz < 2), 0) AS BIGINT) AS rows_lt_2,
+           CAST(count(*) FILTER (sz < 5) AS BIGINT) AS groups_lt_5,
+           CAST(coalesce(sum(sz) FILTER (sz < 5), 0) AS BIGINT) AS rows_lt_5,
+           CAST(count(*) FILTER (sz < 10) AS BIGINT) AS groups_lt_10,
+           CAST(coalesce(sum(sz) FILTER (sz < 10), 0) AS BIGINT) AS rows_lt_10
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = T(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal / 500.0) AS BIGINT)").alias("bal_bucket"),
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.min("sz").cast("bigint").alias("min_group"),
+        F.max("sz").cast("bigint").alias("max_group"),
+    ]
+    for k in (2, 5, 10):
+        aggs.append(F.count_if(F.col("sz") < k).alias(f"groups_lt_{k}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("sz") < k, F.col("sz"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"rows_lt_{k}")
+        )
+    return g.agg(*aggs)

@@ -520,3 +520,84 @@ def locf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_cents",
         F.last("day_cents", ignorenulls=True).over(w).alias("filled_cents"),
     ).orderBy("day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing with integer literal weights: exponential decay
+# a=0.5 truncated at 7 taps and scaled to percent ([50,25,13,6,3,2,1])
+# so the smoothed series is an exact integer convolution over the
+# zero-filled daily spine — float pow() chains would drift between
+# engines; a fixed integer kernel cannot. One window shuffle on
+# event_type; missing days contribute 0 (spine-filled), so the kernel
+# always sees 7 aligned taps.
+# ---------------------------------------------------------------------------
+
+_EWMA_W = [50, 25, 13, 6, 3, 2, 1]  # percent weights, a≈0.5, 7 taps
+
+
+@_register(
+    "ewma_daily_value",
+    f"""
+    WITH ev AS (
+        SELECT epoch_us(ts) // 86400000000 AS d, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    daily AS (
+        SELECT d, event_type, CAST(sum(cents) AS BIGINT) AS day_cents
+        FROM ev GROUP BY d, event_type
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    grid AS (
+        SELECT s.d, t.event_type, coalesce(daily.day_cents, 0) AS day_cents
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN daily ON daily.d = s.d AND daily.event_type = t.event_type
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS day,
+           event_type, day_cents,
+           CAST({" + ".join(
+               f"{w} * coalesce(lag(day_cents, {i}) OVER "
+               f"(PARTITION BY event_type ORDER BY d), 0)"
+               for i, w in enumerate(_EWMA_W)
+           )} AS BIGINT) AS ewma_cents_x100
+    FROM grid
+    ORDER BY day, event_type
+    """,
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    day_us = 86_400_000_000
+    ev = T_events_us(spark, sf_dir).select(
+        F.expr(f"ts_us div {day_us}").alias("d"),
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    daily = ev.groupBy("d", "event_type").agg(
+        F.sum("cents").cast("bigint").alias("day_cents")
+    )
+    spine = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        spine.crossJoin(F.broadcast(types))
+        .join(daily, ["d", "event_type"], "left")
+        .withColumn("day_cents", F.coalesce(F.col("day_cents"), F.lit(0)))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    ewma = None
+    for i, wt in enumerate(_EWMA_W):
+        term = wt * F.coalesce(F.lag("day_cents", i).over(w), F.lit(0))
+        ewma = term if ewma is None else ewma + term
+    return grid.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "event_type",
+        "day_cents",
+        ewma.cast("bigint").alias("ewma_cents_x100"),
+    ).orderBy("day", "event_type")

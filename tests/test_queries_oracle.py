@@ -76,5 +76,6 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
         "chi_square_type_weekday",  # 1-row N total + 1-row dof crosses
         "kmv_user_overlap",  # three 1-row sketch-stat crosses
         "locf_daily_value",  # days × event kinds spine grid (broadcast-size)
+        "ewma_daily_value",  # same spine grid as locf_daily_value
     }:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"
