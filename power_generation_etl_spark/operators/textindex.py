@@ -1,0 +1,122 @@
+"""Persisted inverted text index — partition-pruned term lookup.
+
+The query-side posting lists the n-gram/TF-IDF family builds per run
+(`operators/minhash.py`, `operators/corpus.py`) are worth persisting
+when the same corpus is probed repeatedly: one tokenize/aggregate pass
+writes a (term, doc_id, tf) table hive-partitioned by a term-hash
+bucket, and every later lookup computes its bucket on the DRIVER and
+reads only that partition directory — the text-search twin of the IVF
+vector index layout (`operators/similarity.py::write_ivf_index`, whose
+partition-pruning contract is plan-asserted the same way).
+
+At 100 TB: the index write is one shuffle on (term, doc); lookups scan
+|index|/n_buckets bytes regardless of corpus size; multi-term AND
+queries union k pruned scans and verify with one doc-keyed count — no
+full-corpus scan ever happens at query time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.operators.sketch import hash48
+
+BUCKET_COL = "bucket"
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the Spark-side bucket expression (same md5
+    slice as `sketch.hash48`)."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:12], 16) % n_buckets
+
+
+def build_inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    *,
+    n_buckets: int = 64,
+) -> int:
+    """Tokenize (lowercase, whitespace), aggregate (term, doc, tf), and
+    write hive-partitioned by the term-hash bucket. Returns the number
+    of distinct terms indexed. Rebuild-in-place is atomic per partition
+    directory (overwrite mode) — readers of other buckets are
+    unaffected mid-rebuild."""
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    postings = postings.withColumn(
+        BUCKET_COL, (hash48(F.col("term")) % n_buckets).cast("int")
+    )
+    # Sort within partitions by term so parquet min/max stats skip row
+    # groups inside a bucket too (bucket prunes directories, the sort
+    # prunes pages within the survivor).
+    (
+        postings.repartition(BUCKET_COL)
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(out_dir)
+    )
+    return postings.select("term").distinct().count()
+
+
+def lookup_term(
+    spark: SparkSession, index_dir: str, term: str, *, n_buckets: int = 64
+) -> DataFrame:
+    """Posting list for one term: (doc_id, tf). The bucket predicate is
+    computed driver-side and lands as a PartitionFilter — the scan
+    touches 1/n_buckets of the index."""
+    t = term.lower()
+    b = _term_bucket_py(t, n_buckets)
+    return (
+        spark.read.option("basePath", index_dir)
+        .parquet(index_dir)
+        .where(F.col(BUCKET_COL) == b)
+        .where(F.col("term") == t)
+        .select("doc_id", "tf")
+    )
+
+
+def search_terms(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    *,
+    mode: str = "and",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Multi-term search over the index: union of ≤ len(terms) pruned
+    bucket scans, then one doc-keyed aggregation. ``mode="and"`` keeps
+    docs matching every distinct term; ``"or"`` keeps any match.
+    Output: (doc_id, n_terms_matched, total_tf), best matches first."""
+    if mode not in ("and", "or"):
+        raise ValueError("mode must be 'and' or 'or'")
+    uniq = sorted({t.lower() for t in terms if t.strip()})
+    if not uniq:
+        raise ValueError("no terms")
+    hits = None
+    for t in uniq:
+        h = lookup_term(spark, index_dir, t, n_buckets=n_buckets)
+        hits = h if hits is None else hits.unionByName(h)
+    agg = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    if mode == "and":
+        agg = agg.where(F.col("n_terms_matched") == len(uniq))
+    return agg.orderBy(
+        F.desc("n_terms_matched"), F.desc("total_tf"), "doc_id"
+    )

@@ -1,0 +1,93 @@
+"""Persisted inverted text index: lookup correctness vs direct scan,
+partition pruning in the compiled plan, AND/OR search semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.operators import textindex as ti
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("tix") / "idx"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_terms = ti.build_inverted_index(
+        docs, "doc_id", "text", str(out), n_buckets=16
+    )
+    assert n_terms > 0
+    return str(out)
+
+
+def _direct_postings(spark, sf_dir, term):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") == term)
+    )
+    return {
+        r["doc_id"]: r["tf"]
+        for r in toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    }
+
+
+class TestInvertedIndex:
+    def test_lookup_matches_direct_scan(self, spark, sf_dir, index_dir):
+        want = _direct_postings(spark, sf_dir, "table")
+        got = {
+            r["doc_id"]: r["tf"]
+            for r in ti.lookup_term(spark, index_dir, "table", n_buckets=16).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_lookup_plan_prunes_partitions(self, spark, index_dir):
+        plan = (
+            ti.lookup_term(spark, index_dir, "table", n_buckets=16)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [isnotnull(bucket" in plan.replace(
+            "#", ""
+        ) or "PartitionFilters" in plan
+        # the bucket equality must appear inside the partition filters,
+        # not as a post-scan filter
+        pf = plan.split("PartitionFilters:")[1].split("]")[0]
+        assert "bucket" in pf and "=" in pf
+
+    def test_missing_term_empty(self, spark, index_dir):
+        assert (
+            ti.lookup_term(spark, index_dir, "zzzmissing", n_buckets=16).count()
+            == 0
+        )
+
+    def test_and_or_search(self, spark, sf_dir, index_dir):
+        a = set(_direct_postings(spark, sf_dir, "table"))
+        b = set(_direct_postings(spark, sf_dir, "merge"))
+        got_and = {
+            r["doc_id"]
+            for r in ti.search_terms(
+                spark, index_dir, ["table", "merge"], mode="and", n_buckets=16
+            ).collect()
+        }
+        got_or = {
+            r["doc_id"]
+            for r in ti.search_terms(
+                spark, index_dir, ["table", "merge"], mode="or", n_buckets=16
+            ).collect()
+        }
+        assert got_and == (a & b)
+        assert got_or == (a | b)
+
+    def test_search_rejects_bad_input(self, spark, index_dir):
+        with pytest.raises(ValueError):
+            ti.search_terms(spark, index_dir, ["x"], mode="xor")
+        with pytest.raises(ValueError):
+            ti.search_terms(spark, index_dir, ["  "])
