@@ -389,3 +389,77 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs via AllPairs prefix filtering (Bayardo et
+    al., WWW'07; Chaudhuri et al.) — the database-literature candidate
+    strategy, complementing the full inverted index
+    (`exact_jaccard_pairs`) and the probabilistic LSH family:
+
+    order every doc's shingles by one global canonical order
+    (document-frequency asc, shingle asc — rarest first) and index only
+    each doc's PREFIX of ``|s| − ceil(t·|s|) + 1`` shingles. The first
+    common shingle of any pair with J ≥ t provably lands in BOTH
+    prefixes, so joining prefix-against-prefix loses no qualifying
+    pair, while the posting lists shrink to the rare head of each doc —
+    the frequent shingles that dominate O(Σ posting²) join cost never
+    enter candidate generation (the principled version of the
+    `doc_freq_cap` stop-shingle heuristic, with zero recall loss).
+    Verification computes the exact intersection for candidates only.
+
+    Output is identical to `exact_jaccard_pairs(metric='jaccard')`
+    (pytest-asserted). The prefix length uses threshold − 1e-4 so pairs
+    whose ROUNDED similarity crests the threshold (true J down to
+    t − 5e-5) still satisfy the prefix lemma's premise.
+    """
+    from pyspark.sql.window import Window
+
+    t_eff = threshold - 1e-4
+    sh = shingle_table(df, id_col, text_col, n)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    pref = (
+        sh.join(dfreq, "s")
+        .withColumn("r", F.row_number().over(w))
+        .join(counts, "doc_id")
+        .where(
+            F.col("r")
+            <= F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "s")
+    )
+    npar = _par(df)
+    a = pref.select(F.col("doc_id").alias("id_a"), "s").repartition(npar, "s")
+    b = pref.select(F.col("doc_id").alias("id_b"), "s").repartition(npar, "s")
+    cands = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    sim = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

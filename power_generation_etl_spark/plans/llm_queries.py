@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from power_generation_etl_spark.operators import minhash as mh
 from power_generation_etl_spark.operators import similarity as sim
 from power_generation_etl_spark.operators import text as tx
-from power_generation_etl_spark.plans.queries import T, _register
+from power_generation_etl_spark.plans.queries import ORACLES, T, _register
 
 # ---------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on the text digest (shuffle carries 32-char
@@ -1049,3 +1049,16 @@ def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus top-30 vocabulary (`corpus.vocab_oov`)."""
     d = T(spark, sf_dir, "documents")
     return cp.vocab_oov(d, "doc_id", "text", vocab_size=30).orderBy("doc_id")
+
+
+# Registered with the IDENTICAL oracle SQL as `ngram_jaccard_pairs`:
+# two independent Spark plans (full inverted index vs AllPairs prefix
+# filtering) must both reproduce the same DuckDB truth — the candidate
+# strategy is an optimization, never a semantics change.
+@_register("prefix_jaccard_pairs", ORACLES["ngram_jaccard_pairs"])
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via AllPairs prefix filtering — only the
+    rare head of each doc's shingle list enters candidate generation
+    (zero recall loss, `operators/minhash.py::prefix_jaccard_pairs`)."""
+    d = T(spark, sf_dir, "documents")
+    return mh.prefix_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)

@@ -57,6 +57,25 @@ class TestNearDup:
         analyzed = pairs._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in analyzed
 
+    def test_prefix_filtering_equals_full_index(self, docs):
+        """AllPairs prefix filtering is an optimization, not a
+        semantics change: identical output to the full inverted index
+        at multiple thresholds (the lemma's zero-recall-loss claim)."""
+        for t in (0.3, 0.5, 0.7):
+            exact = sorted(
+                tuple(r)
+                for r in mh.exact_jaccard_pairs(
+                    docs, "doc_id", "text", threshold=t
+                ).collect()
+            )
+            pref = sorted(
+                tuple(r)
+                for r in mh.prefix_jaccard_pairs(
+                    docs, "doc_id", "text", threshold=t
+                ).collect()
+            )
+            assert pref == exact, f"divergence at threshold {t}"
+
     def test_shingles_edgecases(self, spark):
         df = spark.createDataFrame(
             [(1, "one two"), (2, "a b c d"), (3, "")], ["id", "t"]
