@@ -9,6 +9,7 @@ All time arithmetic is integer epoch-µs / integer day indexes (via
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from power_generation_etl_spark.operators import behavior as bh
 from power_generation_etl_spark.plans.queries import _register
@@ -137,3 +138,81 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bh.transition_matrix(
         e, "user_id", "ts_us", "event_type", "event_id"
     ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline deviation: compare each (event_type, day)'s actual
+# count against that type's weekday-of-week baseline and flag days that
+# deviate. The comparison is exact cross-multiplied integer arithmetic
+# (actual · baseline_days vs factor-scaled baseline total) — no float
+# shares, so a borderline day cannot flip between engines/partitionings.
+# Same shape at any scale: two hash aggs + one broadcast join back.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "seasonal_deviation_days",
+    """
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d FROM events
+    ),
+    daily AS (
+        SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY event_type, d
+    ),
+    base AS (
+        SELECT event_type, d % 7 AS wd,
+               CAST(sum(n) AS BIGINT) AS wd_total,
+               CAST(count(*) AS BIGINT) AS wd_days
+        FROM daily GROUP BY event_type, d % 7
+    )
+    SELECT daily.event_type,
+           strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS day,
+           n, wd_total, wd_days,
+           CASE WHEN n * wd_days * 20 > wd_total * 23 THEN 'high'
+                WHEN n * wd_days * 23 < wd_total * 20 THEN 'low'
+                ELSE 'normal' END AS flag
+    FROM daily
+    JOIN base ON daily.event_type = base.event_type AND daily.d % 7 = base.wd
+    WHERE n * wd_days * 20 > wd_total * 23 OR n * wd_days * 23 < wd_total * 20
+    ORDER BY daily.event_type, day
+    """,
+)
+def seasonal_deviation_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume is >1.15× ('high') or <1/1.15× ('low')
+    their type's same-weekday baseline — the volume-anomaly screen a
+    feed monitor runs. Thresholds are the integer cross-products
+    20n·days > 23·total and 23n·days < 20·total (±15%, tuned so
+    Poisson-level noise at test scale produces visible flags)."""
+    day_us = 86_400_000_000
+    ev = T_events_us(spark, sf_dir).select(
+        "event_type", F.expr(f"ts_us div {day_us}").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    base = daily.groupBy(
+        "event_type", (F.col("d") % 7).alias("wd")
+    ).agg(
+        F.sum("n").cast("bigint").alias("wd_total"),
+        F.count(F.lit(1)).alias("wd_days"),
+    )
+    j = daily.join(
+        F.broadcast(base),
+        (daily.event_type == base.event_type) & (daily.d % 7 == base.wd),
+    ).drop(base.event_type)
+    high = F.col("n") * F.col("wd_days") * 20 > F.col("wd_total") * 23
+    low = F.col("n") * F.col("wd_days") * 23 < F.col("wd_total") * 20
+    return (
+        j.where(high | low)
+        .select(
+            "event_type",
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "n",
+            "wd_total",
+            "wd_days",
+            F.when(high, "high").when(low, "low").otherwise("normal").alias("flag"),
+        )
+        .orderBy("event_type", "day")
+    )
