@@ -653,3 +653,112 @@ def heavy_hitters_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
         .select("key", F.col("cnt").alias("est_count"), "max_err")
         .orderBy(F.desc("est_count"), "key")
     )
+
+
+def stream_type_drift(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    schema: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming distribution-drift monitor — the streaming twin of the
+    batch `lang_distribution_drift` query: each micro-batch's key
+    distribution is compared against the cumulative baseline of all
+    PRIOR batches with the exact cross-multiplied L1 metric
+    (Σ|c_batch·N_base − c_base·N_batch|, ppm-scaled by integer
+    division — no float shares anywhere), then merged into the
+    baseline. State is O(distinct keys) counts forever; per-batch drift
+    rows land in a deterministic `alerts/batch=<id>` directory so a
+    replayed batch overwrites its own alert instead of duplicating it.
+
+    The first batch seeds the baseline and reports no drift (there is
+    nothing to compare against). Read results with
+    `type_drift_alerts`."""
+    import os
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new = (
+            batch_df.where(F.col(key_col).isNotNull())
+            .groupBy(F.col(key_col).alias("key"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        prev = [v for v in _store_versions(store_dir, "drift_v") if v < batch_id]
+        if prev:
+            base = spark.read.parquet(
+                os.path.join(store_dir, f"drift_v{prev[-1]}")
+            )
+            nb = new.agg(F.sum("cnt")).collect()[0][0] or 0
+            na = base.agg(F.sum("cnt")).collect()[0][0] or 0
+            j = (
+                base.withColumnRenamed("cnt", "base_cnt")
+                .join(new.withColumnRenamed("cnt", "batch_cnt"), "key", "full_outer")
+                .select(
+                    "key",
+                    F.coalesce(F.col("base_cnt"), F.lit(0)).alias("base_cnt"),
+                    F.coalesce(F.col("batch_cnt"), F.lit(0)).alias("batch_cnt"),
+                )
+            )
+            # Σ|batch_share − base_share| in exact integers: the L1 sum
+            # cross-multiplied by both totals, ppm-scaled at the end.
+            drift_x = j.agg(
+                F.sum(
+                    F.abs(
+                        F.col("batch_cnt") * F.lit(int(na))
+                        - F.col("base_cnt") * F.lit(int(nb))
+                    )
+                )
+                .cast("bigint")
+                .alias("x")
+            ).collect()[0]["x"] or 0
+            drift_ppm = (drift_x * 1_000_000) // (int(na) * int(nb)) if na and nb else 0
+            alert = spark.createDataFrame(
+                [(batch_id, int(nb), int(drift_ppm))],
+                "batch_id long, n_rows long, drift_ppm long",
+            )
+            alert.write.mode("overwrite").parquet(
+                os.path.join(store_dir, "alerts", f"batch={batch_id}")
+            )
+            merged = (
+                j.select(
+                    "key",
+                    (F.col("base_cnt") + F.col("batch_cnt")).alias("cnt"),
+                )
+            )
+        else:
+            merged = new
+        import shutil
+
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"drift_v{batch_id}")
+        )
+        for v in prev[:-1]:
+            shutil.rmtree(
+                os.path.join(store_dir, f"drift_v{v}"), ignore_errors=True
+            )
+
+    stream = spark.readStream.schema(schema).json(landing_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def type_drift_alerts(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(batch_id, n_rows, drift_ppm) per monitored batch, in batch
+    order. drift_ppm is Σ|share_batch − share_baseline| · 1e6 (L1
+    distance ∈ [0, 2e6])."""
+    import os
+
+    path = os.path.join(store_dir, "alerts")
+    if not os.path.isdir(path):
+        return spark.createDataFrame(
+            [], "batch_id long, n_rows long, drift_ppm long"
+        )
+    return spark.read.parquet(path).orderBy("batch_id")

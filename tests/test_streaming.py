@@ -500,3 +500,50 @@ def test_stream_heavy_hitters_misra_gries(spark, tmp_path):
         if c > err:  # MG presence guarantee
             assert key in present, (key, c, err)
     assert {"hot1", "hot2", "hot3"} <= present
+
+
+def test_stream_type_drift_monitor(spark, tmp_path):
+    """Baseline seeds on batch 1 (no alert); a same-shaped batch 2
+    reports near-zero drift; a skewed batch 3 reports the exact
+    cross-multiplied L1 ppm."""
+    from power_generation_etl_spark.streaming.ingest import (
+        stream_type_drift,
+        type_drift_alerts,
+    )
+
+    landing = tmp_path / "dr_in"
+    landing.mkdir()
+    store = tmp_path / "dr_store"
+
+    def drop(name, counts):
+        with open(landing / name, "w") as f:
+            for key, c in counts.items():
+                for _ in range(c):
+                    f.write(json.dumps({"t": key}) + "\n")
+
+    def run():
+        q = stream_type_drift(
+            spark, str(landing), str(store), str(tmp_path / "dr_ck"),
+            "t", "t string",
+        )
+        q.awaitTermination(120)
+
+    drop("b1.jsonl", {"a": 50, "b": 50})
+    run()
+    assert type_drift_alerts(spark, str(store)).count() == 0  # baseline seed
+
+    drop("b2.jsonl", {"a": 25, "b": 25})  # identical shape → drift 0
+    run()
+    drop("b3.jsonl", {"a": 60, "b": 0})  # hard skew
+    run()
+
+    alerts = {
+        r["batch_id"]: r["drift_ppm"]
+        for r in type_drift_alerts(spark, str(store)).collect()
+    }
+    assert len(alerts) == 2
+    ppm = sorted(alerts.values())
+    assert ppm[0] == 0  # identical distribution
+    # batch 3 vs baseline {a:75, b:75}: |60·150−75·60| + |0·150−75·60| =
+    # 4500+4500 = 9000; 9000·1e6 // (150·60) = 1_000_000 (L1 = 1.0).
+    assert ppm[1] == 1_000_000
