@@ -87,6 +87,22 @@ def build_parser() -> argparse.ArgumentParser:
     bli.add_argument("table")
     bli.add_argument("--column", required=True)
 
+    tib = sub.add_parser(
+        "text-index", help="build a partition-pruned inverted text index"
+    )
+    tib.add_argument("input_parquet")
+    tib.add_argument("--out", required=True)
+    tib.add_argument("--id-col", default="doc_id")
+    tib.add_argument("--text-col", default="text")
+    tib.add_argument("--buckets", type=int, default=64)
+
+    tis = sub.add_parser("text-search", help="search an inverted text index")
+    tis.add_argument("index_dir")
+    tis.add_argument("terms", nargs="+")
+    tis.add_argument("--mode", choices=["and", "or"], default="and")
+    tis.add_argument("--buckets", type=int, default=64)
+    tis.add_argument("--limit", type=int, default=20)
+
     exp = sub.add_parser("aggregate-export")
     exp.add_argument("output_dir")
     exp.add_argument(
@@ -270,6 +286,27 @@ def _dispatch(args, spark, eng: Engine) -> int:
     elif args.cmd == "bloom-index":
         n = eng.bloom_index_table(args.table, args.column)
         print(f"bloom-indexed {n} files of {args.table} on {args.column}")
+    elif args.cmd == "text-index":
+        from power_generation_etl_spark.operators import textindex as ti
+
+        df = eng.spark.read.parquet(args.input_parquet)
+        n = ti.build_inverted_index(
+            df, args.id_col, args.text_col, args.out, n_buckets=args.buckets
+        )
+        print(f"indexed {n} terms into {args.out}")
+    elif args.cmd == "text-search":
+        from power_generation_etl_spark.operators import textindex as ti
+
+        rows = ti.search_terms(
+            eng.spark,
+            args.index_dir,
+            args.terms,
+            mode=args.mode,
+            n_buckets=args.buckets,
+        ).take(args.limit)
+        for r in rows:
+            print(f"{r['doc_id']}\t{r['n_terms_matched']}\t{r['total_tf']}")
+        print(f"{len(rows)} match(es)")
     elif args.cmd == "aggregate-export":
         ok, n = eng.aggregate_export(args.output_dir, args.granularity)
         print(f"exported {n} rows to {args.output_dir}")

@@ -1713,3 +1713,67 @@ def khop_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "min_hops")
         .orderBy("min_hops", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary quartile codes per
+# customer — the classic CRM segmentation, expressed as three ntile
+# windows over integer measures (epoch-day recency, order counts,
+# total cents) with deterministic (measure, key) tie-breaks so the
+# quartile assignment is identical in both engines. One aggregation +
+# three windows over the same (global) ordering domain; the segment
+# distribution output is 64 rows max at any scale.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rfm_customer_segments",
+    """
+    WITH o AS (
+        SELECT o_custkey AS c,
+               max(epoch(o_orderdate)) // 86400 AS last_day,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT c,
+               ntile(4) OVER (ORDER BY last_day DESC, c) AS r,
+               ntile(4) OVER (ORDER BY freq DESC, c) AS f,
+               ntile(4) OVER (ORDER BY cents DESC, c) AS m
+        FROM o
+    )
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of customers by their orders: recency
+    (latest order epoch-day), frequency (order count), monetary (total
+    integer cents); quartile 1 = best. Output: customer count per
+    (r,f,m) cell. The global ntile windows are single-partition at test
+    scale — at 100 TB swap for the rank·4/n formulation over a
+    distributed sort, same assignment."""
+    o = T(spark, sf_dir, "orders").groupBy(F.col("o_custkey").alias("c")).agg(
+        F.expr("max(unix_date(CAST(o_orderdate AS DATE)))")
+        .cast("bigint")
+        .alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    scored = o.select(
+        "c",
+        F.ntile(4).over(Window.orderBy(F.desc("last_day"), "c")).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("freq"), "c")).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.desc("cents"), "c")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )

@@ -91,3 +91,22 @@ class TestInvertedIndex:
             ti.search_terms(spark, index_dir, ["x"], mode="xor")
         with pytest.raises(ValueError):
             ti.search_terms(spark, index_dir, ["  "])
+
+
+def test_cli_text_index_and_search(spark, sf_dir, tmp_path, capsys):
+    from power_generation_etl_spark import cli
+
+    out = str(tmp_path / "cli_idx")
+    rc = cli.main(
+        ["--warehouse", str(tmp_path / "wh"), "text-index",
+         f"{sf_dir}/documents.parquet", "--out", out, "--buckets", "8"]
+    )
+    assert rc == 0
+    assert "indexed" in capsys.readouterr().out
+    rc = cli.main(
+        ["--warehouse", str(tmp_path / "wh"), "text-search", out,
+         "table", "merge", "--mode", "or", "--buckets", "8", "--limit", "5"]
+    )
+    assert rc == 0
+    out_text = capsys.readouterr().out
+    assert "match(es)" in out_text
