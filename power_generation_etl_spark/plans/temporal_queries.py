@@ -601,3 +601,78 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_cents",
         ewma.cast("bigint").alias("ewma_cents_x100"),
     ).orderBy("day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Session-duration distribution: sessionize, then summarize session
+# lengths with exact positional statistics — median on DOUBLED integer
+# microseconds (even-count interpolation stays integral) and p90 by
+# explicit rank selection (row_number = ceil(0.9·n), deterministic
+# (duration, user, session) tiebreak) instead of an interpolating
+# quantile whose fractional arithmetic differs between engines.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "session_duration_stats",
+    f"""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    s AS (
+        SELECT user_id, ts_us,
+               CAST(sum(CASE WHEN prev IS NULL
+                             OR ts_us - prev > {GAP_US} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - 1 AS session_id
+        FROM (
+            SELECT user_id, ts_us,
+                   lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+            FROM ev
+        )
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               (max(ts_us) - min(ts_us)) * 2 AS dur2
+        FROM s GROUP BY user_id, session_id
+    ),
+    ranked AS (
+        SELECT dur2, row_number() OVER (ORDER BY dur2, user_id, session_id)
+               AS rn, CAST(count(*) OVER () AS BIGINT) AS n
+        FROM sess
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
+           (SELECT CAST(count(*) FILTER (n_events = 1) AS BIGINT) FROM sess)
+               AS single_event_sessions,
+           (SELECT CAST(sum(n_events) AS BIGINT) FROM sess) AS n_events,
+           (SELECT CAST(median(dur2) AS BIGINT) FROM sess) AS median_dur2_us,
+           (SELECT dur2 FROM ranked WHERE rn = (9 * n + 9) // 10)
+               AS p90_dur2_us
+    """,
+)
+def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = T_events_us(spark, sf_dir).select("user_id", "ts_us")
+    s = tmp.sessionize(ev, key="user_id", ts="ts_us", gap_sec=GAP_US)
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("ts_us") - F.min("ts_us")) * 2).alias("dur2"),
+    )
+    ranked = sess.select(
+        "dur2",
+        F.row_number()
+        .over(Window.orderBy("dur2", "user_id", "session_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    p90 = ranked.where(
+        F.col("rn") == F.expr("(9 * n + 9) div 10")
+    ).select(F.col("dur2").alias("p90_dur2_us"))
+    stats = sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_if(F.col("n_events") == 1).alias("single_event_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.median("dur2").cast("bigint").alias("median_dur2_us"),
+    )
+    return stats.crossJoin(p90)
