@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
     bli.add_argument("table")
     bli.add_argument("--column", required=True)
 
+    dp = sub.add_parser(
+        "describe-partitions", help="per-month rows/files/bytes for a table"
+    )
+    dp.add_argument("table")
+
     tib = sub.add_parser(
         "text-index", help="build a partition-pruned inverted text index"
     )
@@ -286,6 +291,14 @@ def _dispatch(args, spark, eng: Engine) -> int:
     elif args.cmd == "bloom-index":
         n = eng.bloom_index_table(args.table, args.column)
         print(f"bloom-indexed {n} files of {args.table} on {args.column}")
+    elif args.cmd == "describe-partitions":
+        rows = eng.store.partition_stats(args.table)
+        for r in rows:
+            print(
+                f"{r['partition']}\t{r['rows']} rows\t{r['files']} files\t"
+                f"{r['bytes']} bytes"
+            )
+        print(f"{len(rows)} partition(s)")
     elif args.cmd == "text-index":
         from power_generation_etl_spark.operators import textindex as ti
 

@@ -339,6 +339,48 @@ class TableStore:
         self._swap_in(table, tmp)
         return before, self.file_count(table)
 
+    def partition_stats(self, table: str) -> list[dict]:
+        """Per-`_month`-partition physical stats (rows, files, bytes) —
+        the ops view for retention, compaction, and skew decisions
+        (small-file partitions → `compact`, oversized months →
+        re-cluster). Rows come from ONE partition-grouped count over
+        the parquet footers (metadata-only scan); files/bytes from a
+        driver-side directory walk. Unpartitioned tables report a
+        single `(all)` row."""
+        root = self.path(table)
+        if not self._has_data(table):
+            return []
+        df = self.spark.read.option("basePath", root).parquet(root)
+        if MONTH_COL in df.columns:
+            counts = {
+                r["m"]: r["n"]
+                for r in df.groupBy(F.col(MONTH_COL).alias("m"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        else:
+            counts = {"(all)": df.count()}
+        phys: dict[str, list[int]] = {}
+        for d, _sub, files in os.walk(root):
+            part = "(all)"
+            for seg in os.path.relpath(d, root).split(os.sep):
+                if seg.startswith(f"{MONTH_COL}="):
+                    part = seg.split("=", 1)[1]
+            for f in files:
+                if f.endswith(".parquet"):
+                    ent = phys.setdefault(part, [0, 0])
+                    ent[0] += 1
+                    ent[1] += os.path.getsize(os.path.join(d, f))
+        return [
+            {
+                "partition": str(p),
+                "rows": int(counts.get(p, 0)),
+                "files": phys.get(str(p), [0, 0])[0],
+                "bytes": phys.get(str(p), [0, 0])[1],
+            }
+            for p in sorted(str(k) for k in counts)
+        ]
+
     # -- Bloom file-skipping index ---------------------------------------
 
     def _bloom_file(self, table: str, column: str) -> str:

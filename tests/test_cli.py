@@ -368,3 +368,29 @@ def test_bloom_index_verb(tmp_path, spark, capsys):
         .count()
         == 1
     )
+
+
+def test_describe_partitions_verb(tmp_path, spark, capsys):
+    months = ["2023-01-15", "2023-02-20"]
+    for i, day in enumerate(months):
+        import datetime as _dt
+
+        ts = int(
+            _dt.datetime.fromisoformat(day + "T00:00:00+00:00").timestamp() * 1000
+        )
+        p = tmp_path / f"npp_dp{i}.jsonl"
+        rec = {
+            "extraction_run_id": f"12345678-1234-1234-1234-12345678902{i}",
+            "created_at_ms": NOW,
+            "timestamp_ms": ts,
+            "plant": "P",
+            "plant_and_unit": f"P U{i}",
+            "generation_mwh": 1.0,
+        }
+        p.write_text(json.dumps(rec) + "\n")
+        assert _run(tmp_path, "load-data", "npp", str(p)) == 0
+    capsys.readouterr()
+    assert _run(tmp_path, "describe-partitions", "npp_generation") == 0
+    out = capsys.readouterr().out
+    assert "2023-01" in out and "2023-02" in out and "2 partition(s)" in out
+    assert "1 rows" in out
