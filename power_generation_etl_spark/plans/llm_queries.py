@@ -1062,3 +1062,73 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero recall loss, `operators/minhash.py::prefix_jaccard_pairs`)."""
     d = T(spark, sf_dir, "documents")
     return mh.prefix_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@_register(
+    "label_centroid_profile",
+    """
+    WITH v AS (
+      SELECT label, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    comp AS (
+      SELECT label, i.i AS dim,
+             CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT)
+                 AS q
+      FROM v, unnest(range(1, len(embedding) + 1)) AS i(i)
+    ),
+    sums AS (
+      SELECT label, dim, CAST(sum(q) AS BIGINT) AS sq
+      FROM comp GROUP BY label, dim
+    ),
+    n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM v GROUP BY label),
+    norm2 AS (
+      SELECT sums.label,
+             CAST(sum((sq // n_vecs) * (sq // n_vecs)) AS BIGINT) AS nsq
+      FROM sums JOIN n ON sums.label = n.label
+      GROUP BY sums.label
+    )
+    SELECT n.label, n_vecs,
+           CAST(floor(sqrt(CAST(nsq AS DOUBLE))) AS BIGINT)
+               AS centroid_l2_x1e6
+    FROM n JOIN norm2 ON n.label = norm2.label
+    ORDER BY n.label
+    """,
+)
+def label_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid magnitude profile with EXACT arithmetic:
+    components are quantized to integer millionths, per-dimension sums
+    and the mean (integer div) are exact, and the final magnitude is
+    floor(sqrt(Σ mean²)) — IEEE sqrt is correctly rounded, so even the
+    one float op is bit-identical across engines (unlike log/exp).
+    The well-clustered-labels sanity check: a centroid magnitude near
+    zero means the label's vectors cancel (not a cluster); near the
+    per-vector norm means tight clustering. One (label, dim) shuffle of
+    integer sums — vectors never move whole."""
+    e = T(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    comp = e.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").alias("q"),
+    )
+    sums = comp.groupBy("label", "dim").agg(F.sum("q").cast("bigint").alias("sq"))
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    norm2 = (
+        sums.join(F.broadcast(n), "label")
+        .select("label", F.expr("(sq div n_vecs) * (sq div n_vecs)").alias("t"))
+        .groupBy("label")
+        .agg(F.sum("t").cast("bigint").alias("nsq"))
+    )
+    return (
+        n.join(norm2, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.expr("CAST(floor(sqrt(CAST(nsq AS DOUBLE))) AS BIGINT)").alias(
+                "centroid_l2_x1e6"
+            ),
+        )
+        .orderBy("label")
+    )
