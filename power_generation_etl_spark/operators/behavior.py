@@ -53,23 +53,8 @@ def funnel_steps(
     attempt would satisfy it. Integer-µs comparisons keep membership
     exact across engines.
     """
-    w = Window.partitionBy("_u")
-    df = events.select(
-        F.col(user_col).alias("_u"),
-        F.col(ts_col).alias("_ts"),
-        F.col(type_col).alias("_ty"),
-    )
-    prev: Column | None = None
-    for i, step in enumerate(steps):
-        cond = F.col("_ty") == step
-        if prev is not None:
-            cond = cond & (F.col("_ts") > prev)
-            if within_us is not None:
-                cond = cond & (F.col("_ts") <= prev + within_us)
-        df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col("_ts"))).over(w))
-        prev = F.col(f"_t{i}")
-    reached = df.groupBy("_u").agg(
-        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    reached = funnel_user_times(
+        events, user_col, ts_col, type_col, steps, within_us=within_us
     )
     counts = reached.agg(
         *[
@@ -94,6 +79,39 @@ def funnel_steps(
             )
         )
     return counts.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def funnel_user_times(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_us: int | None = None,
+) -> DataFrame:
+    """Per-user ordered-funnel step times: one row per user with
+    ``_t0.._tk`` (NULL from the first unreached step on) — the shared
+    core of `funnel_steps` (conversion counts) and the step-latency
+    profile (gap distributions). Chained window minimums over one user
+    partitioning → one shuffle."""
+    w = Window.partitionBy("_u")
+    df = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+    )
+    prev: Column | None = None
+    for i, step in enumerate(steps):
+        cond = F.col("_ty") == step
+        if prev is not None:
+            cond = cond & (F.col("_ts") > prev)
+            if within_us is not None:
+                cond = cond & (F.col("_ts") <= prev + within_us)
+        df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col("_ts"))).over(w))
+        prev = F.col(f"_t{i}")
+    return df.groupBy("_u").agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
 
 
 def user_day_table(

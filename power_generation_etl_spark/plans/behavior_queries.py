@@ -216,3 +216,90 @@ def seasonal_deviation_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel step latency: for users who completed each step transition, the
+# median time between consecutive funnel steps — doubled integer µs so
+# the even-count median interpolation stays integral (the exact-median
+# idiom shared with `mad_value_outliers` / `session_duration_stats`).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "funnel_step_latency",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+    w0 AS (
+      SELECT user_id, ts_us, event_type,
+             min(CASE WHEN event_type = 'signup' THEN ts_us END)
+               OVER (PARTITION BY user_id) AS t0
+      FROM e
+    ),
+    w1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' AND ts_us > t0
+                         THEN ts_us END) OVER (PARTITION BY user_id) AS t1
+      FROM w0
+    ),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t1
+                         THEN ts_us END) OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > t2
+                         THEN ts_us END) OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ),
+    u AS (
+      SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM w3 GROUP BY 1
+    ),
+    gaps AS (
+      SELECT 1 AS step_idx, 'signup->view' AS transition,
+             (t1 - t0) * 2 AS gap2 FROM u WHERE t1 IS NOT NULL
+      UNION ALL
+      SELECT 2, 'view->click', (t2 - t1) * 2 FROM u WHERE t2 IS NOT NULL
+      UNION ALL
+      SELECT 3, 'click->purchase', (t3 - t2) * 2 FROM u WHERE t3 IS NOT NULL
+    )
+    SELECT CAST(step_idx AS BIGINT) AS step_idx, transition,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(median(gap2) AS BIGINT) AS median_gap2_us,
+           CAST(min(gap2) AS BIGINT) AS min_gap2_us,
+           CAST(max(gap2) AS BIGINT) AS max_gap2_us
+    FROM gaps GROUP BY step_idx, transition
+    ORDER BY step_idx
+    """,
+)
+def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T_events_us(spark, sf_dir)
+    times = bh.funnel_user_times(
+        e, "user_id", "ts_us", "event_type", FUNNEL_STEPS
+    )
+    structs = []
+    for i in range(1, len(FUNNEL_STEPS)):
+        structs.append(
+            F.struct(
+                F.lit(i).cast("bigint").alias("step_idx"),
+                F.lit(
+                    f"{FUNNEL_STEPS[i - 1]}->{FUNNEL_STEPS[i]}"
+                ).alias("transition"),
+                ((F.col(f"_t{i}") - F.col(f"_t{i - 1}")) * 2).alias("gap2"),
+            )
+        )
+    gaps = (
+        times.select(F.explode(F.array(*structs)).alias("g"))
+        .select("g.*")
+        .where(F.col("gap2").isNotNull())
+    )
+    return (
+        gaps.groupBy("step_idx", "transition")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.median("gap2").cast("bigint").alias("median_gap2_us"),
+            F.min("gap2").cast("bigint").alias("min_gap2_us"),
+            F.max("gap2").cast("bigint").alias("max_gap2_us"),
+        )
+        .orderBy("step_idx")
+    )
