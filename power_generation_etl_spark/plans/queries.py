@@ -1296,3 +1296,107 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "o_custkey", "spend", F.ntile(4).over(w).cast("bigint").alias("quartile")
     ).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Rank-window family completeness: percent_rank / cume_dist / ntile /
+# nth_value over one partitioning. All inputs are integer cents and the
+# rank floats are the same (rank−1)/(n−1) ratio of exact integers on
+# both engines, rounded 4dp.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "window_rank_family",
+    """
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderkey, o_custkey, cents,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume,
+           ntile(10) OVER w AS decile,
+           first_value(cents) OVER w AS min_cents,
+           nth_value(cents, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS third_cents
+    FROM o
+    WINDOW w AS (ORDER BY cents, o_orderkey)
+    ORDER BY cents, o_orderkey
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist/ntile/first_value/nth_value over one
+    global ordering (sampled 1/97 of orders so the single-partition
+    window stays test-sized; at scale these windows are per-group).
+    The rank ratios divide exact integers — identical doubles out."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+        F.first("cents").over(w).alias("min_cents"),
+        F.nth_value("cents", 3).over(wfull).alias("third_cents"),
+    ).orderBy("cents", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping_id — the generalized form of the
+# CUBE/ROLLUP entries: three hand-picked grouping sets in one scan.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(o_orderpriority, '(all)') AS priority,
+           coalesce(o_orderstatus, '(all)') AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY priority, status
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three grouping sets (by priority, by status, grand total) in ONE
+    scan — Catalyst expands to a single Expand + hash agg, not three
+    scans. NULL group keys are labeled '(all)' identically on both
+    engines."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            "n_orders",
+            "cents",
+        )
+        .orderBy("priority", "status")
+    )

@@ -676,3 +676,66 @@ def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("dur2").cast("bigint").alias("median_dur2_us"),
     )
     return stats.crossJoin(p90)
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP): each event's value holds until the
+# type's next event; the average weights each value by its holding
+# duration — Σ(cents·dur_us) div Σ(dur_us), all exact bigints (fits
+# int64 up to ~sf100; beyond that pre-scale durations to ms). One
+# window shuffle per type; the final divide is integer truncation.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "twap_by_type",
+    """
+    WITH e AS (
+        SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    held AS (
+        SELECT event_type, cents,
+               lead(ts_us) OVER (PARTITION BY event_type
+                                 ORDER BY ts_us, event_id) - ts_us AS dur_us
+        FROM e
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_held,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           CAST(sum(cents * dur_us) // sum(dur_us) AS BIGINT) AS twap_cents
+    FROM held WHERE dur_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = (
+        T_events_us(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            "ts_us",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    held = e.select(
+        "event_type",
+        "cents",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return (
+        held.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_held"),
+            F.sum("dur_us").cast("bigint").alias("total_us"),
+            F.expr("CAST(sum(cents * dur_us) div sum(dur_us) AS BIGINT)").alias(
+                "twap_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
