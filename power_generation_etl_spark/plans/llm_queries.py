@@ -1132,3 +1132,90 @@ def label_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _pq_adc_oracle(
+    m: int = 4, k_sub: int = 8, iters: int = 2, topk: int = 10
+) -> str:
+    """Generated DuckDB twin of pq_train + pq_topk: per-subspace
+    Lloyd's unrolled as CTE pairs (same lowest-id seeds, 6-dp-rounded
+    centroid trajectory, lowest-cell tie-breaks as `_kmeans_ivf_oracle`),
+    then code assignment by final-codebook argmin and the ADC sum as a
+    left-to-right add of per-subspace lookup joins — every double
+    reproduces the Spark literal bit-for-bit."""
+    sub = _EMBED_DIM // m
+    d2 = (
+        "list_aggregate(list_transform(range(1, len(s.s) + 1),"
+        " i -> (s.s[i] - c.cv[i]) * (s.s[i] - c.cv[i])), 'sum')"
+    )
+    qd2 = (
+        "list_aggregate(list_transform(range(1, len(q.qs) + 1),"
+        " i -> (q.qs[i] - c.cv[i]) * (q.qs[i] - c.cv[i])), 'sum')"
+    )
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)",
+    ]
+    code_joins, lut_joins, adc_terms = [], [], []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"s{j} AS (SELECT vec_id, e[{lo}:{hi}] AS s FROM v)")
+        parts.append(f"q{j} AS (SELECT qe[{lo}:{hi}] AS qs FROM qv)")
+        parts.append(
+            f"c{j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,"
+            f" s AS cv FROM (SELECT vec_id, s FROM s{j} ORDER BY vec_id"
+            f" LIMIT {k_sub}))"
+        )
+        for it in range(1, iters + 1):
+            prev = f"c{j}_{it - 1}"
+            parts.append(
+                f"a{j}_{it} AS (SELECT vec_id, s, cell FROM ("
+                f"SELECT s.vec_id, s.s, c.cell,"
+                f" row_number() OVER (PARTITION BY s.vec_id ORDER BY {d2},"
+                f" c.cell) AS rn FROM s{j} s, {prev} c) WHERE rn = 1)"
+            )
+            parts.append(
+                f"c{j}_{it} AS (SELECT cell, list(ci ORDER BY i) AS cv FROM ("
+                f"SELECT cell, i.i AS i, round(avg(s[i.i]), 6) AS ci"
+                f" FROM a{j}_{it}, unnest(range(1, {sub + 1})) AS i(i)"
+                f" GROUP BY cell, i.i) GROUP BY cell)"
+            )
+        last = f"c{j}_{iters}"
+        parts.append(
+            f"code{j} AS (SELECT vec_id, cell FROM ("
+            f"SELECT s.vec_id, c.cell,"
+            f" row_number() OVER (PARTITION BY s.vec_id ORDER BY {d2},"
+            f" c.cell) AS rn FROM s{j} s, {last} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"lut{j} AS (SELECT c.cell, {qd2} AS ld FROM {last} c, q{j} q)"
+        )
+        code_joins.append(
+            f"JOIN code{j} ON v.vec_id = code{j}.vec_id"
+        )
+        lut_joins.append(f"JOIN lut{j} ON code{j}.cell = lut{j}.cell")
+        adc_terms.append(f"lut{j}.ld")
+    adc = " + ".join(adc_terms)
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT v.vec_id, round({adc}, 4) AS adc_d2
+    FROM v {' '.join(code_joins)} {' '.join(lut_joins)}
+    ORDER BY adc_d2, v.vec_id
+    LIMIT {topk}
+    """
+    )
+
+
+@_register("pq_adc_topk", _pq_adc_oracle())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k via asymmetric distance computation:
+    4 subspaces × 8 sub-centroids (64× vector compression at scale),
+    query-to-centroid lookup tables as driver literals, ranked by the
+    fixed-order ADC sum (`operators/similarity.py::pq_topk`)."""
+    e = T(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        return spark.createDataFrame([], "vec_id bigint, adc_d2 double")
+    return sim.pq_topk(e, "vec_id", "embedding", qv, m=4, k_sub=8, iters=2, k=10)

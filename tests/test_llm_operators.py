@@ -233,6 +233,58 @@ class TestSimilarity:
             assert all(abs(x - round(x, 6)) < 1e-12 for x in cent)
 
 
+class TestPQ:
+    def test_adc_ranks_close_to_exact(self, spark, embeddings, sf_dir):
+        """PQ/ADC is approximate; with 4x8 codebooks on the synthetic
+        corpus its top-10 must still overlap the exact euclidean top-10
+        substantially (compressed-domain rank quality floor)."""
+        from pyspark.sql import functions as F
+
+        qv = [
+            float(x)
+            for x in embeddings.filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .head()[0]
+        ]
+        pq_top = [
+            r["vec_id"]
+            for r in sim.pq_topk(
+                embeddings, "vec_id", "embedding", qv, k=10
+            ).collect()
+        ]
+        v = sim.as_double_array(F.col("embedding"))
+        exact = [
+            r["vec_id"]
+            for r in embeddings.select(
+                "vec_id", sim.squared_dist(v, qv).alias("d2")
+            )
+            .orderBy("d2", "vec_id")
+            .limit(10)
+            .collect()
+        ]
+        # Uniform-random 64-dim vectors are PQ's worst case (no cluster
+        # structure for the codebooks to exploit); require a non-trivial
+        # overlap floor rather than production recall, plus the query
+        # vector itself surfacing.
+        assert len(set(pq_top) & set(exact)) >= 2
+        assert 0 in pq_top
+
+    def test_pq_empty_corpus(self, spark):
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        out = sim.pq_topk(empty, "vec_id", "embedding", [0.0] * 64, k=5)
+        assert out.collect() == []
+        assert out.columns == ["vec_id", "adc_d2"]
+
+    def test_pq_dim_not_divisible(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0] * 10)], "vec_id long, embedding array<double>"
+        )
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            sim.pq_train(df, "vec_id", "embedding", m=4)
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def media(self, spark):
