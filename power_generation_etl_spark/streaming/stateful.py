@@ -218,3 +218,34 @@ def stream_transition_counts(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_native(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Gap sessions via Spark's NATIVE `session_window` aggregation —
+    the built-in counterpart of the `applyInPandasWithState`
+    sessionizer above. Use this form when the per-session output is
+    plain aggregates (count/sum/min/max): state lives in the engine's
+    session-window store (merged on overlap, expired by the watermark),
+    no Python worker in the loop. Keep the applyInPandas form when the
+    session needs custom per-event logic the built-in can't express.
+
+    Input: streaming (ts timestamp, user_id, value). Output one row per
+    closed session: user_id, session_start/end, n_events, total_value
+    — same shape as `sessionize` so callers can swap implementations.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

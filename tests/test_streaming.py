@@ -547,3 +547,53 @@ def test_stream_type_drift_monitor(spark, tmp_path):
     # batch 3 vs baseline {a:75, b:75}: |60·150−75·60| + |0·150−75·60| =
     # 4500+4500 = 9000; 9000·1e6 // (150·60) = 1_000_000 (L1 = 1.0).
     assert ppm[1] == 1_000_000
+
+
+def test_native_session_window(spark, tmp_path):
+    """Native session_window sessionizer: two bursts 2h apart for one
+    user become two sessions; session_end = last event + gap."""
+    import datetime as dt
+
+    from power_generation_etl_spark.streaming.stateful import sessionize_native
+
+    landing = tmp_path / "sw_in"
+    landing.mkdir()
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def iso(minutes):
+        return (base + dt.timedelta(minutes=minutes)).strftime(
+            "%Y-%m-%dT%H:%M:%S"
+        )
+
+    rows = [
+        {"ts": iso(0), "user_id": 1, "value": 1.0},
+        {"ts": iso(10), "user_id": 1, "value": 2.0},
+        {"ts": iso(130), "user_id": 1, "value": 4.0},  # > 30min gap
+        {"ts": iso(500), "user_id": 99, "value": 0.0},  # watermark pusher
+    ]
+    with open(landing / "b1.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .json(str(landing))
+    )
+    out = sessionize_native(stream, gap="30 minutes", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sw_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"].minute, r["n_events"]): r["total_value"]
+        for r in spark.sql(
+            "SELECT * FROM native_sessions WHERE user_id = 1"
+        ).collect()
+    }
+    # burst 1: events at :00 and :10 → one session of 2, total 3.0
+    # burst 2: single event at +130min (minute 10 of 14:xx) → 1 event
+    assert got == {(1, 0, 2): 3.0, (1, 10, 1): 4.0}
