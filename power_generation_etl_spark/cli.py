@@ -319,7 +319,7 @@ def _dispatch(args, spark, eng: Engine) -> int:
         ).take(args.limit)
         for r in rows:
             print(f"{r['doc_id']}\t{r['n_terms_matched']}\t{r['total_tf']}")
-        print(f"{len(rows)} match(es)")
+        print(f"{len(rows)} match(es) shown (limit {args.limit})")
     elif args.cmd == "aggregate-export":
         ok, n = eng.aggregate_export(args.output_dir, args.granularity)
         print(f"exported {n} rows to {args.output_dir}")

@@ -550,8 +550,9 @@ def pq_train(
     lowest-cell tie-breaks) independently per subspace. Driver state is
     m × k_sub × (dim/m) floats; each training pass is the same
     linear-cost assignment/update loop as IVF."""
+    df = df.where(F.col(vec_col).isNotNull())
     probe = df.select(vec_col).head()
-    if probe is None or probe[0] is None:
+    if probe is None:
         return []
     dim = len(probe[0])
     if dim % m:
@@ -604,6 +605,7 @@ def pq_topk(
     IVF paths remain the recall baselines. Everything is deterministic:
     codebook trajectories reproduce in SQL, the ADC sum is a fixed-order
     add of exactly-reproducible doubles."""
+    df = df.where(F.col(vec_col).isNotNull())
     books = pq_train(df, id_col, vec_col, m=m, k_sub=k_sub, iters=iters)
     if not books:
         idt = dict(df.dtypes).get(id_col, "bigint")

@@ -43,9 +43,11 @@ def build_inverted_index(
 ) -> int:
     """Tokenize (lowercase, whitespace), aggregate (term, doc, tf), and
     write hive-partitioned by the term-hash bucket. Returns the number
-    of distinct terms indexed. Rebuild-in-place is atomic per partition
-    directory (overwrite mode) — readers of other buckets are
-    unaffected mid-rebuild."""
+    of distinct terms indexed. The write uses DYNAMIC partition
+    overwrite, so a rebuild replaces each bucket directory as it is
+    rewritten instead of truncating the whole index up front — a
+    mid-rebuild reader sees per-bucket old-or-new state, never a
+    missing index (static overwrite would delete out_dir first)."""
     toks = (
         df.where(F.col(text_col).isNotNull())
         .select(
@@ -67,10 +69,18 @@ def build_inverted_index(
         postings.repartition(BUCKET_COL)
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BUCKET_COL)
         .parquet(out_dir)
     )
-    return postings.select("term").distinct().count()
+    # Count terms from the just-written index — recomputing `postings`
+    # would re-run the whole tokenize+aggregate pipeline a second time.
+    return (
+        df.sparkSession.read.parquet(out_dir)
+        .select("term")
+        .distinct()
+        .count()
+    )
 
 
 def lookup_term(

@@ -1153,7 +1153,8 @@ def _pq_adc_oracle(
         " i -> (q.qs[i] - c.cv[i]) * (q.qs[i] - c.cv[i])), 'sum')"
     )
     parts = [
-        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
+        " WHERE embedding IS NOT NULL)",
         "qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)",
     ]
     code_joins, lut_joins, adc_terms = [], [], []

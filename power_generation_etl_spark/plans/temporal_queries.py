@@ -666,9 +666,15 @@ def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
-    p90 = ranked.where(
-        F.col("rn") == F.expr("(9 * n + 9) div 10")
-    ).select(F.col("dur2").alias("p90_dur2_us"))
+    # Single-row aggregate (not a filter): on an empty events table the
+    # filter form would emit 0 rows and the crossJoin would erase the
+    # stats row, while the oracle's scalar subqueries yield one row of
+    # NULLs — the agg form returns exactly one row in both cases.
+    p90 = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("dur2"))
+        ).alias("p90_dur2_us")
+    )
     stats = sess.agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.count_if(F.col("n_events") == 1).alias("single_event_sessions"),

@@ -586,20 +586,23 @@ def stream_heavy_hitters(
         prev = [v for v in _store_versions(store_dir, "mg_v") if v < batch_id]
         prev_err = 0
         if prev:
-            prev_df = spark.read.parquet(
-                os.path.join(store_dir, f"mg_v{prev[-1]}")
-            ).drop("max_err")
-            # max_err is a summary-global scalar (same on every row):
-            # the cumulative decrement total. A per-key error would
+            # ONE read of the previous version serves both the counter
+            # rows and the error scalar. max_err is a summary-global
+            # scalar (same on every row, and carried by the NULL-key
+            # meta row even when a truncation empties the counters — a
+            # per-key or rows-only error would silently reset the bound
+            # in exactly that case). A per-key error would also
             # under-state the bound for keys evicted and re-inserted.
+            prev_all = spark.read.parquet(
+                os.path.join(store_dir, f"mg_v{prev[-1]}")
+            ).localCheckpoint()
             prev_err = int(
-                spark.read.parquet(os.path.join(store_dir, f"mg_v{prev[-1]}"))
-                .agg(F.max("max_err"))
-                .collect()[0][0]
-                or 0
+                prev_all.agg(F.max("max_err")).collect()[0][0] or 0
             )
             merged = (
-                prev_df.unionByName(new)
+                prev_all.where(F.col("key").isNotNull())
+                .drop("max_err")
+                .unionByName(new)
                 .groupBy("key")
                 .agg(F.sum("cnt").cast("bigint").alias("cnt"))
             )
@@ -623,7 +626,12 @@ def stream_heavy_hitters(
             .where(F.col("cnt") > 0)
             .withColumn("max_err", F.lit(prev_err + cut).cast("bigint"))
         )
-        kept.write.mode("overwrite").parquet(
+        # NULL-key meta row: keeps the cumulative error even if the
+        # truncation just emptied the counter set (all counts == cut).
+        meta = spark.createDataFrame(
+            [(None, 0, prev_err + cut)], kept.schema
+        )
+        kept.unionByName(meta).write.mode("overwrite").parquet(
             os.path.join(store_dir, f"mg_v{batch_id}")
         )
         for v in prev[:-1]:
@@ -650,6 +658,7 @@ def heavy_hitters_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
         raise ValueError(f"no committed heavy-hitter store under {store_dir}")
     return (
         spark.read.parquet(os.path.join(store_dir, f"mg_v{versions[-1]}"))
+        .where(F.col("key").isNotNull())  # drop the error-carrier meta row
         .select("key", F.col("cnt").alias("est_count"), "max_err")
         .orderBy(F.desc("est_count"), "key")
     )
@@ -761,4 +770,10 @@ def type_drift_alerts(spark: SparkSession, store_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "batch_id long, n_rows long, drift_ppm long"
         )
-    return spark.read.parquet(path).orderBy("batch_id")
+    # Explicit projection: the batch=<id> directory layout adds a
+    # discovered partition column that must not leak into the contract.
+    return (
+        spark.read.parquet(path)
+        .select("batch_id", "n_rows", "drift_ppm")
+        .orderBy("batch_id")
+    )

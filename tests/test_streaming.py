@@ -597,3 +597,50 @@ def test_native_session_window(spark, tmp_path):
     # burst 1: events at :00 and :10 → one session of 2, total 3.0
     # burst 2: single event at +130min (minute 10 of 14:xx) → 1 event
     assert got == {(1, 0, 2): 3.0, (1, 10, 1): 4.0}
+
+
+def test_heavy_hitters_error_survives_emptied_summary(spark, tmp_path):
+    """Regression: a truncation that zeroes every counter must still
+    carry the cumulative decrement into the next batch (the NULL-key
+    meta row) — otherwise the est<=true<=est+max_err bound silently
+    resets."""
+    from power_generation_etl_spark.streaming.ingest import (
+        heavy_hitters_from_store,
+        stream_heavy_hitters,
+    )
+
+    landing = tmp_path / "hh2_in"
+    landing.mkdir()
+    store = tmp_path / "hh2_store"
+    true: dict[str, int] = {}
+
+    def drop(name, counts):
+        with open(landing / name, "w") as f:
+            for key, c in counts.items():
+                true[key] = true.get(key, 0) + c
+                for _ in range(c):
+                    f.write(json.dumps({"k": key}) + "\n")
+
+    def run():
+        q = stream_heavy_hitters(
+            spark, str(landing), str(store), str(tmp_path / "hh2_ck"),
+            "k", "k string", capacity=2,
+        )
+        q.awaitTermination(120)
+
+    drop("b1.jsonl", {"a": 3, "b": 3, "c": 3})  # 3 tied keys, cap 2 → all cut
+    run()
+    drop("b2.jsonl", {"a": 2, "x": 1, "y": 1})
+    run()
+
+    rows = heavy_hitters_from_store(spark, str(store)).collect()
+    assert rows, "summary must not be empty after batch 2"
+    err = rows[0]["max_err"]
+    assert err >= 3  # batch-1 decrement of 3 must survive, plus batch 2's
+    for r in rows:
+        assert r["est_count"] <= true[r["key"]] <= r["est_count"] + err
+    # absent keys must be coverable by the bound: true(b)=3 <= err
+    present = {r["key"] for r in rows}
+    for key, c in true.items():
+        if key not in present:
+            assert c <= err, (key, c, err)
