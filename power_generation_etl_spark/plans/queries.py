@@ -1400,3 +1400,56 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram: 10 buckets of (as near as possible) equal row
+# count over order value — the complement of `doc_length_histogram`'s
+# fixed-width buckets and the structure query optimizers keep as
+# column statistics. ntile over a deterministic (cents, key) order
+# makes bucket membership exact and engine-identical; per-bucket
+# min/max expose the boundaries.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "equi_depth_order_values",
+    """
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b AS (
+        SELECT cents,
+               ntile(10) OVER (ORDER BY cents, o_orderkey) AS bucket
+        FROM o
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def equi_depth_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten equal-count buckets over order totals (integer cents). The
+    global ntile is single-partition at test scale; the 100 TB form is
+    rank·10/n over a range-partitioned sort, same assignment."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    b = o.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_orderkey")).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
