@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
     bli.add_argument("table")
     bli.add_argument("--column", required=True)
 
+    au = sub.add_parser(
+        "audit-table", help="constraint audit: required-null + duplicate keys"
+    )
+    au.add_argument("source")
+
     dp = sub.add_parser(
         "describe-partitions", help="per-month rows/files/bytes for a table"
     )
@@ -291,6 +296,12 @@ def _dispatch(args, spark, eng: Engine) -> int:
     elif args.cmd == "bloom-index":
         n = eng.bloom_index_table(args.table, args.column)
         print(f"bloom-indexed {n} files of {args.table} on {args.column}")
+    elif args.cmd == "audit-table":
+        import json as _json
+
+        report = eng.audit_table(args.source)
+        print(_json.dumps(report, indent=2, sort_keys=True))
+        return 0 if report["ok"] else 1
     elif args.cmd == "describe-partitions":
         rows = eng.store.partition_stats(args.table)
         for r in rows:

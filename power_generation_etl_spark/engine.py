@@ -529,6 +529,48 @@ class Engine:
             raise ValueError(f"unknown table: {table}")
         return self.store.build_bloom_index(table, column)
 
+    def audit_table(self, source: str) -> dict:
+        """Constraint audit — the query-time analog of the reference's
+        DDL constraints (NOT NULL columns + the expression unique
+        indexes): nulls in required fields and duplicate natural keys
+        in the STORED table. The write path already enforces both
+        (validation V7 + idempotent-append D2); this verb is the
+        independent check an operator runs after out-of-band writes,
+        restores, or manual repairs. One count_if pass for the null
+        audit + one keys-only aggregation for duplicates."""
+        from power_generation_etl_spark.operators.dedupe import natural_key_cols
+        from power_generation_etl_spark.schemas import SOURCES
+
+        schema = SOURCES[source]
+        df = self.store.read(schema.table)
+        required = [f.name for f in schema.fields if f.required]
+        null_counts = {}
+        if required:
+            row = df.agg(
+                *[
+                    F.count_if(F.col(c).isNull()).alias(c)
+                    for c in required
+                ]
+            ).collect()[0]
+            null_counts = {c: int(row[c]) for c in required if int(row[c])}
+        dup_rows = 0
+        if schema.natural_key:
+            dup_rows = int(
+                df.select(*natural_key_cols(schema, df))
+                .groupBy(*[f"_k_{k}" for k in schema.natural_key])
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > 1)
+                .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)))
+                .collect()[0][0]
+            )
+        return {
+            "table": schema.table,
+            "n_rows": self.store.count(schema.table),
+            "null_violations": null_counts,
+            "duplicate_key_rows": dup_rows,
+            "ok": not null_counts and dup_rows == 0,
+        }
+
     def sanity_gate(
         self, df: DataFrame, checks: list[tuple[str, str, int]]
     ) -> dict:

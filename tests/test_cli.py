@@ -394,3 +394,44 @@ def test_describe_partitions_verb(tmp_path, spark, capsys):
     out = capsys.readouterr().out
     assert "2023-01" in out and "2023-02" in out and "2 partition(s)" in out
     assert "1 rows" in out
+
+
+def test_audit_table_verb(tmp_path, spark, capsys):
+    """Clean load → exit 0; an out-of-band write that bypasses the
+    idempotent append (direct store append of a duplicate + a null
+    required field) → exit 1 with both violations reported."""
+    p = tmp_path / "npp_audit.jsonl"
+    rec = {
+        "extraction_run_id": "12345678-1234-1234-1234-123456789030",
+        "created_at_ms": NOW,
+        "timestamp_ms": NOW - 9000,
+        "plant": "P",
+        "plant_and_unit": "P U",
+        "generation_mwh": 1.0,
+    }
+    p.write_text(json.dumps(rec) + "\n")
+    assert _run(tmp_path, "load-data", "npp", str(p)) == 0
+    capsys.readouterr()
+    assert _run(tmp_path, "audit-table", "npp") == 0
+    assert '"ok": true' in capsys.readouterr().out
+
+    from power_generation_etl_spark.engine import Engine
+    from power_generation_etl_spark.session import get_spark
+
+    eng = Engine(get_spark("pytest"), _wh(tmp_path))
+    good = eng.store.read("npp_generation")
+    bad = good.limit(1).withColumn("plant", F_lit_none_string())
+    eng.store.append("npp_generation", good.limit(1))  # duplicate key
+    eng.store.append("npp_generation", bad)  # null required field
+    capsys.readouterr()
+    assert _run(tmp_path, "audit-table", "npp") == 1
+    out = capsys.readouterr().out
+    assert '"ok": false' in out
+    assert '"plant": 1' in out
+    assert '"duplicate_key_rows"' in out
+
+
+def F_lit_none_string():
+    from pyspark.sql import functions as F
+
+    return F.lit(None).cast("string")
