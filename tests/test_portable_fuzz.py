@@ -13,6 +13,7 @@ import random
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from power_generation_etl_spark.operators import scoring as sc
 from power_generation_etl_spark.operators import sketch as sk
@@ -65,3 +66,48 @@ def test_chunk_kmv_classifier_differential(spark, tmp_path, seed):
         got = _norm([tuple(r) for r in fn().collect()])
         want = _norm(con.execute(ORACLES[name]).fetchall())
         assert got == want, f"{name} diverged at seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_bloom_cms_hash_parity_three_ways(spark, seed):
+    """bloom_position / cms_position must agree across all three
+    evaluators — the Spark Column, the generated DuckDB SQL, and the
+    driver-side Python probe — over randomized keys (unicode, empties,
+    negatives, huge ints)."""
+    from power_generation_etl_spark.operators import bloom as bl
+    from power_generation_etl_spark.operators import sketch as sk
+
+    rng = random.Random(seed)
+    keys: list[str] = []
+    for _ in range(40):
+        kind = rng.randrange(4)
+        if kind == 0:
+            keys.append(str(rng.randint(-(10**12), 10**12)))
+        elif kind == 1:
+            keys.append(
+                "".join(rng.choice("abcXYZ äöü языки 中文") for _ in range(rng.randint(0, 12)))
+            )
+        elif kind == 2:
+            keys.append("")
+        else:
+            keys.append(str(rng.random()))
+    m, k, w = 1536, 3, 256
+    df = spark.createDataFrame([(x,) for x in keys], "key string")
+    spark_rows = df.select(
+        "key",
+        *[bl.bloom_position(F.col("key"), i, m).alias(f"b{i}") for i in range(k)],
+        sk.cms_position(F.col("key"), 0, w).alias("c0"),
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(key VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in keys])
+    sql_cols = ", ".join(
+        [bl.bloom_position_sql("key", i, m) + f" AS b{i}" for i in range(k)]
+        + [sk.cms_position_sql("key", 0, w) + " AS c0"]
+    )
+    duck = {r[0]: r[1:] for r in con.execute(f"SELECT key, {sql_cols} FROM t").fetchall()}
+    for r in spark_rows:
+        key = r["key"]
+        got_spark = tuple(r[f"b{i}"] for i in range(k)) + (r["c0"],)
+        assert got_spark == duck[key], f"seed={seed} key={key!r}"
+        assert list(got_spark[:k]) == bl.bloom_positions_py(key, m, k)
