@@ -1453,3 +1453,54 @@ def equi_depth_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL join: per-customer correlated top-2 subquery — the SQL
+# surface for "top N related rows per driving row". Catalyst rewrites
+# the correlated LIMIT into a window-rank under the hood (same plan
+# family as `topk_per_group`), so this exercises the decorrelation
+# path rather than a per-row re-execution.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "lateral_top2_orders",
+    """
+    SELECT c.c_custkey,
+           t.o_orderkey,
+           CAST(floor(t.o_totalprice * 100) AS BIGINT) AS cents
+    FROM customer c
+    JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t ON true
+    WHERE c.c_custkey % 17 = 0
+    ORDER BY c.c_custkey, cents DESC, t.o_orderkey
+    """,
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per (sampled) customer via a correlated LATERAL
+    subquery — identical SQL text on both engines modulo view names."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("_cust_lat")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               t.o_orderkey,
+               CAST(floor(t.o_totalprice * 100) AS BIGINT) AS cents
+        FROM _cust_lat c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM _ord_lat
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey % 17 = 0
+        ORDER BY c.c_custkey, cents DESC, t.o_orderkey
+        """
+    )
