@@ -1504,3 +1504,94 @@ def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, cents DESC, t.o_orderkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume customers — GROUP BY + HAVING feeding
+# an IN subquery over the same fact. Catalyst plans the HAVING filter
+# as a post-aggregation filter and the IN as a LeftSemi on orderkey —
+# the fact table is scanned twice but shuffled only on keys.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "large_volume_customers",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+    ORDER BY total_qty DESC, o.o_orderkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("tq"))
+        .where(F.col("tq") > 250)
+        .select("l_orderkey")
+    )
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(F.sum("qty").cast("bigint").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier-count per part attribute with a NOT IN
+# exclusion subquery — NOT IN compiles to NullAware anti join (one
+# extra null-check branch vs NOT EXISTS; the exclusion set here is
+# non-null by construction so semantics match the anti join).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "part_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    AND p.p_size IN (5, 10, 15)
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """,
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bad = (
+        T(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        T(spark, sf_dir, "part")
+        .where(F.col("p_size").isin(5, 10, 15))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
