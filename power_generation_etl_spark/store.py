@@ -94,6 +94,35 @@ class TableStore:
             df = df.filter(F.col(MONTH_COL).isin(months)).drop(MONTH_COL)
         return df
 
+    def read_join_months(self, table: str, months_df: DataFrame) -> DataFrame:
+        """Runtime-pruned read: like `read_months`, but the month set is
+        a DATAFRAME (computed — "months in this batch", "months failing
+        an audit"), not a driver-side list. The broadcast inner join on
+        the partition column triggers Spark *dynamic partition pruning*:
+        the dim's month set becomes a directory-level PartitionFilter
+        (``dynamicpruningexpression`` in .explain), evaluated at runtime
+        from the reused broadcast — the fact scan opens only the joined
+        months and the driver never ``collect()``s the list. At 100 TB
+        this turns "backfill the affected months" from a full-table scan
+        (or a driver round-trip) into an O(affected months) scan.
+
+        `months_df`'s first column is taken as the 'yyyy-MM' key; pass a
+        FILTERED frame — DPP inserts the pruning subquery only when the
+        dim side carries a predicate Spark's isLikelySelective()
+        recognizes (comparison / IN / LIKE; a bare boolean attribute
+        does not count)."""
+        if not self._has_data(table):
+            return self.read(table)
+        df = self.spark.read.option("basePath", self.path(table)).parquet(
+            self.path(table)
+        )
+        if MONTH_COL not in df.columns:
+            return df
+        dim = months_df.select(
+            F.col(months_df.columns[0]).alias(MONTH_COL)
+        ).distinct()
+        return df.join(F.broadcast(dim), MONTH_COL).drop(MONTH_COL)
+
     def read_range(self, table: str, lo_ms: int, hi_ms: int) -> DataFrame:
         """Time-bounded read with *partition* pruning: the `_month`
         predicate eliminates whole partition directories before any file

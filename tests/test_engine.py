@@ -258,6 +258,37 @@ def test_read_range_partition_pruning(engine, spark, tmp_path):
     assert "PartitionFilters" in plan and "_month" in plan
 
 
+def test_dynamic_partition_pruning_from_dim_join(engine, spark, tmp_path):
+    """read_join_months: when the month set comes from a computed
+    DataFrame instead of a driver list, the fact scan must still prune
+    partition directories — at runtime, via Spark dynamic partition
+    pruning (dynamicpruningexpression fed by the reused broadcast),
+    with no driver-side collect of the month list."""
+    p = _write(tmp_path, [_entsoe(JAN, "P1", 1.0), _entsoe(FEB, "P2", 2.0)])
+    engine.load_jsonl("entsoe", p)
+    jan_month = __import__("datetime").datetime.utcfromtimestamp(
+        JAN / 1000
+    ).strftime("%Y-%m")
+    feb_month = __import__("datetime").datetime.utcfromtimestamp(
+        FEB / 1000
+    ).strftime("%Y-%m")
+    # NB: the filter must be one Spark's isLikelySelective() recognizes
+    # (comparison/IN/LIKE — a bare boolean attribute is not), or the
+    # DPP rule declines to insert the pruning subquery.
+    months = spark.createDataFrame(
+        [(jan_month, "yes"), (feb_month, "no")], ["month", "wanted"]
+    ).filter("wanted = 'yes'").select("month")
+    pruned = engine.store.read_join_months("entsoe_generation_data", months)
+    assert pruned.count() == 1  # only the January row survives the join
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(True)
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan, plan  # runtime dir-level pruning
+
+
 def test_retry_backoff():
     from power_generation_etl_spark.incremental import retry
 
