@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from power_generation_etl_spark.operators import rank as rk
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
@@ -1284,17 +1286,22 @@ def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile assignment by total spend — ntile is rank-based integer
     arithmetic over a deterministic total order (spend, custkey
-    tiebreak), so bucket membership is exact in both engines. The
-    global-order window is the documented scale limit: a single-
-    partition sort, fine for per-customer aggregates (cardinality ≪
-    input), wrong for raw events."""
+    tiebreak), so bucket membership is exact in both engines. Computed
+    as `ntile_of_rank` over a distributed two-pass rank
+    (operators/rank.py) instead of an unpartitioned ntile window:
+    per-customer aggregates are still billions of rows at 100 TB, and
+    a global-order window would single-partition them."""
     o = T(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
-    return s.select(
-        "o_custkey", "spend", F.ntile(4).over(w).cast("bigint").alias("quartile")
+    ranked = rk.with_global_rank(
+        s, [F.col("spend").desc(), F.col("o_custkey")], total_col="_t"
+    )
+    return ranked.select(
+        "o_custkey",
+        "spend",
+        rk.ntile_of_rank(F.col("rank"), F.col("_t"), 4).alias("quartile"),
     ).orderBy("o_custkey")
 
 
@@ -1433,16 +1440,21 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def equi_depth_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ten equal-count buckets over order totals (integer cents). The
-    global ntile is single-partition at test scale; the 100 TB form is
-    rank·10/n over a range-partitioned sort, same assignment."""
+    """Ten equal-count buckets over order totals (integer cents),
+    computed as `ntile_of_rank` over the distributed two-pass rank
+    (operators/rank.py) — the input is raw orders, so an unpartitioned
+    ntile window would funnel the whole fact table through one task.
+    Bucket assignment is identical to the window form."""
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
-    b = o.select(
+    ranked = rk.with_global_rank(
+        o, [F.col("cents"), F.col("o_orderkey")], total_col="_t"
+    )
+    b = ranked.select(
         "cents",
-        F.ntile(10).over(Window.orderBy("cents", "o_orderkey")).alias("bucket"),
+        rk.ntile_of_rank(F.col("rank"), F.col("_t"), 10).alias("bucket"),
     )
     return (
         b.groupBy("bucket")

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from power_generation_etl_spark.operators import corpus as cp
 from power_generation_etl_spark.operators import graph as gr
+from power_generation_etl_spark.operators import rank as rk
 from power_generation_etl_spark.operators import scoring as sc
 from power_generation_etl_spark.operators import sketch as sk
 from power_generation_etl_spark.plans.queries import T, _register
@@ -1754,9 +1755,11 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quartile segmentation of customers by their orders: recency
     (latest order epoch-day), frequency (order count), monetary (total
     integer cents); quartile 1 = best. Output: customer count per
-    (r,f,m) cell. The global ntile windows are single-partition at test
-    scale — at 100 TB swap for the rank·4/n formulation over a
-    distributed sort, same assignment."""
+    (r,f,m) cell. Each quartile is `ntile_of_rank` over the distributed
+    two-pass rank (operators/rank.py) — three range-partitioned sorts
+    instead of three single-partition ntile windows, since per-customer
+    aggregates are still billions of rows at 100 TB. Assignment is
+    bit-identical to the window form."""
     o = T(spark, sf_dir, "orders").groupBy(F.col("o_custkey").alias("c")).agg(
         F.expr("max(unix_date(CAST(o_orderdate AS DATE)))")
         .cast("bigint")
@@ -1766,12 +1769,14 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    scored = o.select(
-        "c",
-        F.ntile(4).over(Window.orderBy(F.desc("last_day"), "c")).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.desc("freq"), "c")).alias("f"),
-        F.ntile(4).over(Window.orderBy(F.desc("cents"), "c")).alias("m"),
-    )
+    scored = o
+    for col, out in (("last_day", "r"), ("freq", "f"), ("cents", "m")):
+        scored = rk.with_global_rank(
+            scored, [F.desc(col), F.col("c")], rank_col="_rk", total_col="_t"
+        ).withColumn(
+            out, rk.ntile_of_rank(F.col("_rk"), F.col("_t"), 4)
+        ).drop("_rk", "_t")
+    scored = scored.select("c", "r", "f", "m")
     return (
         scored.groupBy("r", "f", "m")
         .agg(F.count(F.lit(1)).alias("n_customers"))

@@ -659,12 +659,17 @@ def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         ((F.max("ts_us") - F.min("ts_us")) * 2).alias("dur2"),
     )
-    ranked = sess.select(
-        "dur2",
-        F.row_number()
-        .over(Window.orderBy("dur2", "user_id", "session_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # Distributed two-pass rank (operators/rank.py) instead of an
+    # unpartitioned row_number + COUNT() OVER () — sessions are
+    # row-scale (O(users × days)), a global window would single-
+    # partition them.
+    from power_generation_etl_spark.operators import rank as rk
+
+    ranked = rk.with_global_rank(
+        sess.select("dur2", "user_id", "session_id"),
+        [F.col("dur2"), F.col("user_id"), F.col("session_id")],
+        rank_col="rn",
+        total_col="n",
     )
     # Single-row aggregate (not a filter): on an empty events table the
     # filter form would emit 0 rows and the crossJoin would erase the

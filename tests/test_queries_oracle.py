@@ -80,3 +80,42 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
         "session_duration_stats",  # 1-row p90 rank-selection cross
     }:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"
+
+
+# Queries allowed an unpartitioned (global-order) Window: each one's
+# window input is cardinality-bounded by CONSTRUCTION — an upstream
+# aggregation whose key domain is a constant (days, sketch size k,
+# nation pairs, distinct doc lengths), never a row-scale table. Every
+# row-scale global window (ntile over customers/orders, session
+# percentiles) runs through operators/rank.py's distributed two-pass
+# rank instead.
+_GLOBAL_WINDOW_OK = {
+    "window_rank_family",  # 1/97-sampled demo of the window-fn family
+    "cumulative_unique_users",  # O(days) post-aggregation series
+    "pareto_docs_frontier",  # O(distinct doc lengths) running max
+    "khop_trade_nations",  # nation-pair edge list, ≤ |nations|²
+    "kmv_user_overlap",  # O(k) sketch rows
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_rowscale_global_window(name, spark, sf_dir):
+    """Unpartitioned windows move every row to ONE task (WindowExec's
+    'No Partition Defined' warning) — fatal over row-scale input on a
+    real cluster. Walk the optimized logical plan and reject any
+    Window node with an empty partitionSpec outside the documented
+    small-input allowlist."""
+    import json as _json
+
+    nodes = _json.loads(
+        QUERIES[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toJSON()
+    )
+    n_global = sum(
+        1
+        for nd in nodes
+        if nd.get("class", "").endswith(".Window")
+        and nd.get("partitionSpec") == []
+    )
+    if name in _GLOBAL_WINDOW_OK:
+        return  # documented small-by-construction global windows
+    assert n_global == 0, f"{name} has {n_global} unpartitioned Window node(s)"
