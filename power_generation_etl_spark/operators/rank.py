@@ -86,6 +86,59 @@ def with_global_rank(
     return out.drop("_rk_pid", "_rk_off")
 
 
+def with_running_sum(
+    df: DataFrame,
+    order: list[Column],
+    value: Column,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """`df` + `sum(value) OVER (ORDER BY *order ROWS UNBOUNDED
+    PRECEDING)` — the global prefix sum, computed without a
+    single-partition window. Same two-pass shape as `with_global_rank`:
+    range-partitioned sort, per-partition value totals collected and
+    exclusive-prefix-summed on the driver (≤ shuffle-partition rows),
+    then a partition-local cumulative window + broadcast offset.
+    `order` must be a total order; `value` must be integer-typed
+    (bigint) so the driver-side prefix sums are exact — float prefix
+    sums would depend on partition boundaries."""
+    spark = df.sparkSession
+    base = (
+        df.withColumn("_rk_v", value.cast("bigint"))
+        .repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_rk_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["_rk_pid"], r["s"])
+        for r in base.groupBy("_rk_pid")
+        .agg(F.sum("_rk_v").cast("bigint").alias("s"))
+        .collect()
+    )
+    total, rows = 0, []
+    for pid, s in counts:
+        rows.append((pid, total))
+        total += s or 0
+    offsets = spark.createDataFrame(
+        rows or [(0, 0)], "_rk_pid int, _rk_off bigint"
+    )
+    if not rows:
+        offsets = offsets.where(F.lit(False))
+    w_local = (
+        Window.partitionBy("_rk_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(offsets), "_rk_pid")
+        .withColumn(
+            out_col,
+            (F.sum("_rk_v").over(w_local) + F.col("_rk_off")).cast("bigint"),
+        )
+        .drop("_rk_pid", "_rk_off", "_rk_v")
+    )
+
+
 def _idiv(a: Column, b: Column) -> Column:
     """Exact nonnegative integer division as a Column expression.
     `(a - a mod b) / b` is an exactly-representable double for

@@ -1782,3 +1782,44 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r", "f", "m")
     )
+
+
+# ---------------------------------------------------------------------------
+# Global prefix sum at scale: cumulative order value over the full
+# (o_orderdate, o_orderkey) order. A plain `sum() OVER (ORDER BY ...)`
+# moves every order through ONE task; operators/rank.py's
+# with_running_sum computes the identical bigint prefix in two
+# distributed passes (range-partitioned sort + driver-prefix-summed
+# per-partition totals). Integer cents make the prefix exact — float
+# prefix sums would depend on partition boundaries.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "running_order_value",
+    """
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                OVER (ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS running_cents
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def running_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    run = rk.with_running_sum(
+        o,
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        F.col("cents"),
+        out_col="running_cents",
+    )
+    return run.select("o_orderkey", "cents", "running_cents").orderBy(
+        "o_orderkey"
+    )

@@ -66,3 +66,33 @@ def test_plan_has_no_global_window(data):
     for nd in nodes:
         if nd.get("class", "").endswith(".Window"):
             assert nd.get("partitionSpec") != [], "rank compiled to a global window"
+
+
+def test_running_sum_matches_window(data):
+    from power_generation_etl_spark.operators.rank import with_running_sum
+
+    r = with_running_sum(
+        data, [F.col("v"), F.col("id")], F.col("v") + 1, out_col="rs"
+    )
+    got = {x["id"]: x["rs"] for x in r.collect()}
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exp = {
+        x["id"]: x["rs"]
+        for x in data.select(
+            "id", F.sum(F.col("v") + 1).over(w).alias("rs")
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_running_sum_empty_input(data):
+    from power_generation_etl_spark.operators.rank import with_running_sum
+
+    emp = with_running_sum(
+        data.where(F.lit(False)), [F.col("v")], F.col("v"), out_col="rs"
+    )
+    assert emp.count() == 0
+    assert emp.columns == ["id", "v", "rs"]
