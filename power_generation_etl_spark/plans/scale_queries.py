@@ -1823,3 +1823,39 @@ def running_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.select("o_orderkey", "cents", "running_cents").orderBy(
         "o_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete deciles by distributed quickselect
+# (operators/selection.py): histogram-refinement passes whose shuffles
+# carry only (interval, cell, count) rows — never a sort of the data.
+# The complement of `equi_depth_order_values` (which materializes the
+# full bucket assignment via the two-pass rank): when only the
+# BOUNDARIES are wanted, selection is 3-4 aggregation scans vs a
+# cluster-wide sort shuffle. The oracle is the positional definition:
+# value at ascending rank ceil(tile·n/10).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "order_value_exact_deciles",
+    """
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM o),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o),
+    t AS (SELECT CAST(v.tile AS BIGINT) AS tile
+          FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS v(tile))
+    SELECT t.tile AS tile, r.cents AS value
+    FROM t CROSS JOIN n JOIN r ON r.rn = (t.tile * n.c + 9) // 10
+    ORDER BY tile
+    """,
+)
+def order_value_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from power_generation_etl_spark.operators import selection as sel
+
+    o = T(spark, sf_dir, "orders").select(
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    return sel.exact_deciles(o, "cents", n_tiles=10)
