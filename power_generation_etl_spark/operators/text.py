@@ -261,3 +261,91 @@ def exact_dup_key(text: Column) -> Column:
     At 100 TB, grouping by the 32-char digest instead of the document
     body shrinks the dedup shuffle by orders of magnitude."""
     return F.md5(text.cast("binary"))
+
+
+def bm25_scores(
+    df,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1_20: int = 24,  # k1 = k1_20/20 = 1.2
+    b_20: int = 15,   # b  = b_20/20  = 0.75
+):
+    """BM25 relevance of every document matching ≥1 query term —
+    Robertson/Sparck-Jones with the Lucene `ln(1 + (N-df+0.5)/(df+0.5))
+    = ln((N+1)/(df+0.5))` idf. Exactly cross-engine-reproducible:
+
+    - the tf-saturation factor is a SINGLE division of two exact
+      bigints (every rational k1/b/len/avglen term is cross-multiplied
+      by `20·S`, S = corpus token count), so both engines divide the
+      same integers and get the same double;
+    - idf is computed on the DRIVER with Python's libm from exact
+      (N, df) counts and injected as a literal — the oracle's `ln` on
+      the identical input double resolves through the same C library,
+      so no JVM-vs-C last-ulp divergence enters the plan;
+    - the score is a fixed-order sum of the per-term products.
+
+    One explode+groupBy over matching tokens (map-side combined) + two
+    1-row driver aggregates (N/S and per-term df) — the corpus is
+    never sorted or broadcast. k1/b arrive as twentieths to keep the
+    cross-multiplied arithmetic integral."""
+    import math
+
+    text = F.col(text_col)
+    base = df.where(text.isNotNull()).select(
+        F.col(id_col), token_count(text).alias("dl")
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").cast("bigint").alias("s")
+    ).collect()[0]
+    n_docs, s_tokens = g["n"] or 0, g["s"] or 0
+    if n_docs == 0 or s_tokens == 0:
+        spark = df.sparkSession
+        empty = spark.createDataFrame([(0, 0.0)], f"{id_col} bigint, score double")
+        return empty.where(F.lit(False))
+    toks = df.where(text.isNotNull()).select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(text), r"\s+")).alias("_tok"),
+    )
+    hits = (
+        toks.where(F.col("_tok").isin(terms))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("_tok") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"tf{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    dfs = hits.agg(
+        *[
+            F.count_if(F.col(f"tf{i}") > 0).alias(f"df{i}")
+            for i in range(len(terms))
+        ]
+    ).collect()[0]
+    # Driver-side idf literals: ln((N+1)/(df+0.5)), glibc on both engines.
+    idf = [
+        math.log((n_docs + 1) / (dfs[f"df{i}"] + 0.5)) for i in range(len(terms))
+    ]
+    scored = hits.join(base, id_col)
+    # s_t = tf·(k1+1) / (tf + k1(1-b) + k1·b·dl/avg); cross-multiplied
+    # by 20·S: num = (20+k1_20)·S·tf, den = 20·S·tf + k1_20·(20-b_20)/20·S
+    # + k1_20·b_20/20·dl·N — all exact bigints (k1_20·b_20 divisible by
+    # 20 for the default 1.2/0.75 pair keeps them integral).
+    c_num = (20 + k1_20) * s_tokens
+    c1 = k1_20 * (20 - b_20) * s_tokens // 20
+    c2 = k1_20 * b_20 // 20
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}")
+        num = (F.lit(c_num) * tf).cast("double")
+        den = (
+            F.lit(20 * s_tokens) * tf
+            + F.lit(c1)
+            + F.lit(c2) * F.col("dl") * F.lit(n_docs)
+        ).cast("double")
+        s_t = F.lit(idf[i]) * (num / den)
+        score = s_t if score is None else score + s_t
+    return scored.select(F.col(id_col), score.alias("score"))

@@ -1220,3 +1220,62 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if qv is None:
         return spark.createDataFrame([], "vec_id bigint, adc_d2 double")
     return sim.pq_topk(e, "vec_id", "embedding", qv, m=4, k_sub=8, iters=2, k=10)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Lucene idf) over the documents corpus — the
+# ranking half of a text-search stack (the persisted inverted index in
+# store.py provides the lookup half). Score arithmetic is engineered
+# for cross-engine bit-equality: the tf-saturation factor is ONE
+# division of exact cross-multiplied bigints, idf literals are computed
+# driver-side with the same C math library the oracle's ln() resolves
+# to, and the per-term products sum in fixed order.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["vector", "stream", "window"]
+
+
+def _bm25_oracle() -> str:
+    t1, t2, t3 = _BM25_TERMS
+    tf_cols = ", ".join(
+        "CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    score_terms = " + ".join(
+        f"ln((g.n + 1.0) / (d.df{i} + 0.5)) * "
+        f"(CAST(44 * g.s * h.tf{i} AS DOUBLE) / "
+        f"CAST(20 * g.s * h.tf{i} + 6 * g.s + 18 * h.dl * g.n AS DOUBLE))"
+        for i in range(len(_BM25_TERMS))
+    )
+    df_cols = ", ".join(
+        f"CAST(count_if(tf{i} > 0) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH l AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl,
+               {tf_cols}
+        FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (SELECT * FROM l WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s
+          FROM l),
+    d AS (SELECT {df_cols} FROM h)
+    SELECT h.doc_id, {score_terms} AS score
+    FROM h CROSS JOIN g CROSS JOIN d
+    ORDER BY score DESC, h.doc_id
+    LIMIT 20
+    """
+
+
+@_register("bm25_doc_scores", _bm25_oracle())
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 (k1=1.2, b=0.75) for a fixed 3-term
+    query. One explode+groupBy pass over matching tokens; N/S/df are
+    two 1-row driver aggregates; the corpus is never sorted — the
+    top-20 compiles to TakeOrderedAndProject."""
+    d = T(spark, sf_dir, "documents")
+    scored = tx.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
+    return scored.orderBy(F.desc("score"), "doc_id").limit(20)

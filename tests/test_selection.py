@@ -60,3 +60,47 @@ def test_empty_input(data):
     emp = exact_deciles(data.where(F.lit(False)), "v")
     assert emp.count() == 0
     assert emp.columns == ["tile", "value"]
+
+
+class TestBM25:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        from power_generation_etl_spark.operators.text import bm25_scores
+
+        docs = spark.createDataFrame(
+            [
+                (1, "cat dog cat"),
+                (2, "dog dog dog dog"),
+                (3, "bird"),
+                (4, None),
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r["doc_id"]: r["score"]
+            for r in bm25_scores(docs, "doc_id", "text", ["cat", "dog"]).collect()
+        }
+        # N=3 (non-null), S=8 tokens, df_cat=1, df_dog=2
+        n, s = 3, 8
+        idf_cat = math.log((n + 1) / (1 + 0.5))
+        idf_dog = math.log((n + 1) / (2 + 0.5))
+
+        def s_t(tf, dl):
+            return (44 * s * tf) / (20 * s * tf + 6 * s + 18 * dl * n)
+
+        exp = {
+            1: idf_cat * s_t(2, 3) + idf_dog * s_t(1, 3),
+            2: idf_dog * s_t(4, 4),
+        }
+        assert set(got) == {1, 2}  # doc 3 matches nothing, doc 4 is NULL
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], abs=1e-12)
+
+    def test_empty_corpus(self, spark):
+        from power_generation_etl_spark.operators.text import bm25_scores
+
+        docs = spark.createDataFrame([], "doc_id bigint, text string")
+        out = bm25_scores(docs, "doc_id", "text", ["cat"])
+        assert out.count() == 0
+        assert out.columns == ["doc_id", "score"]
