@@ -450,3 +450,406 @@ def dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — disjunctive bracket predicates: three (brand, quantity
+# range, size range) brackets OR-ed together. The whole filter is one
+# scan-stage predicate over the broadcast part join — Catalyst pushes
+# the part-side conjuncts (brand/size) into the broadcast build and
+# the quantity conjuncts into the lineitem scan.
+# ---------------------------------------------------------------------------
+@_register(
+    "bracket_revenue",
+    f"""
+    SELECT CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM (
+      SELECT {_CENTS_SQL} AS cents
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#13' AND l.l_quantity BETWEEN 1 AND 11
+             AND p.p_size BETWEEN 1 AND 5)
+         OR (p.p_brand = 'Brand#19' AND l.l_quantity BETWEEN 10 AND 20
+             AND p.p_size BETWEEN 1 AND 10)
+         OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 20 AND 30
+             AND p.p_size BETWEEN 1 AND 15)
+    )
+    """,
+)
+def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, z = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    brackets = (
+        ((b == "Brand#13") & q.between(1, 11) & z.between(1, 5))
+        | ((b == "Brand#19") & q.between(10, 20) & z.between(1, 10))
+        | ((b == "Brand#23") & q.between(20, 30) & z.between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .where(brackets)
+        .agg(
+            F.sum(_cents()).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape — promo revenue share in a date window: one broadcast part
+# join, two conditional sums, and a ppm ratio of exact bigints
+# (truncating integer division — no float threshold).
+# ---------------------------------------------------------------------------
+@_register(
+    "promo_revenue_share",
+    f"""
+    WITH j AS (
+      SELECT {_CENTS_SQL} AS cents, p.p_type AS p_type
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(l.l_shipdate) = 1996 AND month(l.l_shipdate) <= 3
+    )
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                AS BIGINT) AS promo_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                * 1000000 // CAST(sum(cents) AS BIGINT) AS BIGINT)
+               AS promo_ppm
+    FROM j
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.year("l_shipdate") == 1996) & (F.month("l_shipdate") <= 3)
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        _cents().alias("cents"), "p_type"
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("cents")).otherwise(F.lit(0))
+    )
+    return (
+        j.agg(
+            promo.cast("bigint").alias("promo_cents"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        ).withColumn(
+            "promo_ppm",
+            F.expr("CAST(promo_cents * 1000000 div total_cents AS BIGINT)"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — two-level conditional counts after an orders⋈lineitem
+# join (the dataset has no l_shipmode; l_returnflag carries the
+# grouping role, order priority the high/low split). One shuffle on
+# the join key, then a tiny grouped aggregate.
+# ---------------------------------------------------------------------------
+@_register(
+    "priority_by_returnflag",
+    """
+    SELECT l.l_returnflag AS returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE year(l.l_shipdate) = 1997
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 1997)
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_count"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape — product-type profit by supplier nation and order year.
+# No partsupp table: unit cost is proxied as 20% of the part's retail
+# price in exact cents; profit stays pure bigint arithmetic. Part
+# filter broadcast-semi-reduces lineitem before the orders shuffle.
+# ---------------------------------------------------------------------------
+@_register(
+    "product_type_profit",
+    f"""
+    WITH pr AS (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
+             {_CENTS_SQL}
+               - CAST(floor(p.p_retailprice * 20) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT) AS profit_cents
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+                         AND p.p_name LIKE '%widget%'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT nation, order_year,
+           CAST(sum(profit_cents) AS BIGINT) AS profit_cents
+    FROM pr
+    GROUP BY nation, order_year
+    ORDER BY nation, order_year
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    p = (
+        T(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select(
+            "p_partkey",
+            F.floor(F.col("p_retailprice") * 20).cast("bigint").alias("unit_cost"),
+        )
+    )
+    sn = (
+        T(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .select("s_suppkey", "nation")
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("order_year")
+    )
+    profit = _cents() - F.col("unit_cost") * F.col("l_quantity").cast("bigint")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("nation", "order_year", profit.alias("profit_cents"))
+        .groupBy("nation", "order_year")
+        .agg(F.sum("profit_cents").cast("bigint").alias("profit_cents"))
+        .orderBy("nation", "order_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — nested IN: suppliers who moved > 50 units of 'cold %'
+# parts. The inner aggregate reduces lineitem to qualifying supplier
+# keys; the outer membership is a broadcast LEFT SEMI against the tiny
+# supplier dim — never a materialized IN-list.
+# ---------------------------------------------------------------------------
+@_register(
+    "suppliers_with_excess_stock",
+    """
+    SELECT s.s_name AS supplier, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'cold%'
+      GROUP BY l.l_suppkey
+      HAVING sum(CAST(l.l_quantity AS BIGINT)) > 50
+    )
+    ORDER BY supplier
+    """,
+)
+def suppliers_with_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    p = (
+        T(spark, sf_dir, "part")
+        .where(F.col("p_name").like("cold%"))
+        .select("p_partkey")
+    )
+    movers = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(movers, s["s_suppkey"] == movers["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
+        .orderBy("supplier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — suppliers who kept finished orders waiting: the classic
+# EXISTS + NOT EXISTS pair of lineitem self-joins. "Late" = shipped
+# more than 60 days after the order date (no receipt/commit dates in
+# this dataset). Both subqueries compile to LEFT SEMI / LEFT ANTI
+# equi-joins on the order key with the supplier inequality as a join
+# residual — no correlated re-scan per row.
+# ---------------------------------------------------------------------------
+@_register(
+    "suppliers_kept_orders_waiting",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+                       AND o.o_orderstatus = 'F'
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name AS supplier, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, supplier
+    LIMIT 20
+    """,
+)
+def suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    multi = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "supplier")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — cheapest supplier per part within a region: the correlated
+# MIN subquery, decorrelated into one keyed aggregate + an equi-join
+# back on (part, min-cost). Cost is the supplier's total supplied cents
+# for the part (exact bigint MIN — no float compare); ties keep every
+# minimal supplier, as in the original query.
+# ---------------------------------------------------------------------------
+@_register(
+    "min_cost_supplier_per_part",
+    f"""
+    WITH cost AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             CAST(sum({_CENTS_SQL}) AS BIGINT) AS supply_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+      GROUP BY 1, 2
+    ),
+    mn AS (SELECT partkey, min(supply_cents) AS mn_cents FROM cost GROUP BY 1)
+    SELECT p.p_partkey AS partkey, p.p_name AS part_name,
+           s.s_name AS supplier, s.s_acctbal AS acctbal,
+           c.supply_cents AS supply_cents
+    FROM cost c
+    JOIN mn ON mn.partkey = c.partkey AND c.supply_cents = mn.mn_cents
+    JOIN part p ON p.p_partkey = c.partkey AND p.p_size BETWEEN 10 AND 20
+    JOIN supplier s ON s.s_suppkey = c.suppkey
+    ORDER BY acctbal DESC, partkey, supplier
+    LIMIT 100
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    region_supp = (
+        T(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "nation")
+                .join(
+                    F.broadcast(
+                        T(spark, sf_dir, "region").where(
+                            F.col("r_name") == "ASIA"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select(F.col("n_nationkey").alias("s_nationkey"))
+            ),
+            "s_nationkey",
+        )
+        .select("s_suppkey")
+    )
+    cost = (
+        li.join(
+            F.broadcast(region_supp),
+            li["l_suppkey"] == region_supp["s_suppkey"],
+            "left_semi",
+        )
+        .groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.sum(_cents()).cast("bigint").alias("supply_cents"))
+    )
+    mn = cost.groupBy("partkey").agg(F.min("supply_cents").alias("mn_cents"))
+    p = (
+        T(spark, sf_dir, "part")
+        .where(F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_name")
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        cost.join(
+            mn,
+            (cost["partkey"] == mn["partkey"])
+            & (cost["supply_cents"] == mn["mn_cents"]),
+        )
+        .drop(mn["partkey"])
+        .join(F.broadcast(p), F.col("partkey") == p["p_partkey"])
+        .join(F.broadcast(s), F.col("suppkey") == s["s_suppkey"])
+        .select(
+            "partkey",
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier"),
+            F.col("s_acctbal").alias("acctbal"),
+            "supply_cents",
+        )
+        .orderBy(F.desc("acctbal"), "partkey", "supplier")
+        .limit(100)
+    )
