@@ -144,6 +144,13 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("query")
     q.add_argument("--limit", type=int, default=100, help="max rows printed")
 
+    ex = sub.add_parser(
+        "explain-scale",
+        help="lint a SQL query's plan for 100 TB hazards (global windows, "
+        "cartesians, python evals, missing pushdown)",
+    )
+    ex.add_argument("query")
+
     ps = sub.add_parser(
         "prep-shards",
         help="pretraining data prep: quality/dedup/near-dup/pack -> JSONL shards",
@@ -355,6 +362,13 @@ def _dispatch(args, spark, eng: Engine) -> int:
             for r in rows:
                 print("\t".join("" if v is None else str(v) for v in r))
         print(f"({len(rows)} rows)", file=sys.stderr)
+    elif args.cmd == "explain-scale":
+        from power_generation_etl_spark.plancheck import check_plan
+
+        rep = check_plan(eng.sql(args.query))
+        for line in rep.lines():
+            print(line)
+        return 0 if rep.ok else 1
     elif args.cmd == "prep-shards":
         from power_generation_etl_spark.pipelines.pretrain import (
             prepare_pretraining_shards,

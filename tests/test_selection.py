@@ -104,3 +104,36 @@ class TestBM25:
         out = bm25_scores(docs, "doc_id", "text", ["cat"])
         assert out.count() == 0
         assert out.columns == ["doc_id", "score"]
+
+
+class TestPlanCheck:
+    def test_clean_plan_ok(self, spark, sf_dir):
+        from power_generation_etl_spark.plancheck import check_plan
+        from power_generation_etl_spark.plans import QUERIES
+
+        rep = check_plan(QUERIES["pricing_summary"](spark, sf_dir))
+        assert rep.ok
+        assert rep.scans >= 1
+        assert rep.global_windows == 0
+
+    def test_global_window_flagged(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from power_generation_etl_spark.plancheck import check_plan
+
+        df = spark.range(100).select(
+            F.row_number().over(Window.orderBy("id")).alias("r")
+        )
+        rep = check_plan(df)
+        assert rep.global_windows == 1
+        assert not rep.ok
+        assert "unpartitioned Window" in rep.warnings[0]
+
+    def test_cartesian_flagged(self, spark):
+        from power_generation_etl_spark.plancheck import check_plan
+
+        a, b = spark.range(10), spark.range(10)
+        rep = check_plan(a.crossJoin(b))
+        assert rep.cartesians + rep.nested_loop_joins >= 1
+        assert not rep.ok
