@@ -1859,3 +1859,65 @@ def order_value_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents")
     )
     return sel.exact_deciles(o, "cents", n_tiles=10)
+
+
+# ---------------------------------------------------------------------------
+# Exact triangle count of the nation trade graph — degree-orientation
+# node-iterator (operators/graph.py::triangle_count): orienting edges
+# from the (degree, id)-smaller endpoint bounds the wedge join by
+# O(m^1.5) regardless of hub skew; the oracle unrolls the same
+# orientation in SQL. Two shuffles: wedges on node, closure on pair.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "triangle_count_trade",
+    """
+    WITH e AS (
+        SELECT DISTINCT c.c_nationkey AS u, s.s_nationkey AS v
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    e0 AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM e WHERE u <> v
+    ),
+    deg AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0)
+        GROUP BY id
+    ),
+    o AS (
+        SELECT CASE WHEN da.c < db.c OR (da.c = db.c AND e0.a < e0.b)
+                    THEN e0.a ELSE e0.b END AS x,
+               CASE WHEN da.c < db.c OR (da.c = db.c AND e0.a < e0.b)
+                    THEN e0.b ELSE e0.a END AS y
+        FROM e0
+        JOIN deg da ON da.id = e0.a
+        JOIN deg db ON db.id = e0.b
+    ),
+    w AS (
+        SELECT o1.y AS w1, o2.y AS w2
+        FROM o o1 JOIN o o2 ON o1.x = o2.x AND o1.y <> o2.y
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM w JOIN o ON o.x = w.w1 AND o.y = w.w2
+    """,
+)
+def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
+        )
+        .distinct()
+    )
+    return gr.triangle_count(e, "u", "v")

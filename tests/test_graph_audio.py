@@ -1,0 +1,96 @@
+"""Triangle counting (degree orientation) and WAV spectral features."""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import wave
+
+import pytest
+
+
+def _make_wav(freq_hz: float, rate: int = 8000, ms: int = 250, nch: int = 1) -> bytes:
+    buf = io.BytesIO()
+    n = rate * ms // 1000
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            s = int(20000 * math.sin(2 * math.pi * freq_hz * i / rate))
+            frames += struct.pack("<h", s) * nch
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+class TestTriangles:
+    def test_known_graph(self, spark):
+        from power_generation_etl_spark.operators.graph import triangle_count
+
+        # K4 (4 triangles) + a pendant edge + a duplicate/reversed edge
+        edges = [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (4, 5),            # pendant — no new triangle
+            (2, 1), (3, 1),    # reversed duplicates — must not double count
+            (5, 5),            # self loop — dropped
+        ]
+        df = spark.createDataFrame(edges, "u bigint, v bigint")
+        assert triangle_count(df, "u", "v").collect()[0]["n_triangles"] == 4
+
+    def test_triangle_free(self, spark):
+        from power_generation_etl_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "u bigint, v bigint"
+        )
+        assert triangle_count(df, "u", "v").collect()[0]["n_triangles"] == 0
+
+    def test_empty(self, spark):
+        from power_generation_etl_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame([], "u bigint, v bigint")
+        assert triangle_count(df, "u", "v").collect()[0]["n_triangles"] == 0
+
+
+class TestAudioSpectral:
+    def test_sine_dominant_frequency(self, spark):
+        from power_generation_etl_spark.operators.multimodal import (
+            extract_audio_spectral,
+        )
+
+        rows = [
+            (1, "audio", "audio/wav", _make_wav(440.0), None, None, None),
+            (2, "audio", "audio/wav", _make_wav(1000.0, nch=2), None, None, None),
+            (3, "audio", "audio/mpeg", b"\xff\xfbnotdecodable", None, None, None),
+            (4, "image", "image/png", b"\x89PNG", None, None, None),
+        ]
+        from power_generation_etl_spark.operators.multimodal import MEDIA_SCHEMA
+
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r["media_id"]: r for r in extract_audio_spectral(df).collect()}
+        assert set(got) == {1, 2, 3}  # images filtered out
+        assert got[1]["dominant_hz"] == pytest.approx(440.0, abs=5.0)
+        assert got[2]["dominant_hz"] == pytest.approx(1000.0, abs=5.0)
+        assert got[3]["dominant_hz"] is None
+        # centroid of a pure tone sits near the tone
+        assert got[1]["centroid_hz"] == pytest.approx(440.0, abs=40.0)
+
+    def test_audio_summary_still_decodes(self, spark):
+        # the _wav_pcm refactor must keep extract_audio_features intact
+        from power_generation_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_audio_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "audio", "audio/wav", _make_wav(440.0), None, None, None)],
+            MEDIA_SCHEMA,
+        )
+        r = extract_audio_features(df).collect()[0]
+        assert r["sample_rate"] == 8000
+        assert r["n_channels"] == 1
+        assert r["duration_ms"] == 250
+        # sine rms = amp/sqrt(2) = (20000/32768)/1.414 ≈ 0.432
+        assert r["rms"] == pytest.approx(0.432, abs=0.01)
