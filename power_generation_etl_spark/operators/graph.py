@@ -365,3 +365,50 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
         o.select(F.col("x").alias("w1"), F.col("y").alias("w2")), ["w1", "w2"]
     )
     return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def kcore(edges: DataFrame, src: str, dst: str, k: int, max_rounds: int = 12):
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree ≥ k — iterative peeling (Matula & Beck). Each round is one
+    degree aggregation + one semi-join filter of the edge list; rounds
+    are O(peeling depth), each `localCheckpoint`ed to cut lineage.
+    Converges when a round removes nothing; `max_rounds` bounds the
+    oracle-unrollable trajectory (raise it for deep peelings).
+
+    Returns (node id, core_degree) rows — core_degree is the node's
+    degree inside the surviving subgraph.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("a").alias("id"))
+            .unionByName(e.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = deg.where(F.col("c") >= k).select("id").localCheckpoint()
+        e2 = (
+            e.join(keep.select(F.col("id").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("id").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+        if e2.count() == e.count():
+            e = e2
+            break
+        e = e2
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+    )
+    return deg

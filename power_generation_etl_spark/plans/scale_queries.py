@@ -1921,3 +1921,61 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return gr.triangle_count(e, "u", "v")
+
+
+# ---------------------------------------------------------------------------
+# k-core of the part–supplier bipartite graph (supplier ids offset to
+# disjoint the id spaces): iterative peeling, one degree agg + one
+# semi-join filter per round (operators/graph.py::kcore). The oracle
+# unrolls the same peeling a fixed 12 rounds — idempotent once the
+# fixpoint is reached, so early Spark convergence matches exactly.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 12
+_SUPP_OFFSET = 1_000_000
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        f"""e0 AS MATERIALIZED (
+        SELECT DISTINCT l_partkey AS a, l_suppkey + {_SUPP_OFFSET} AS b
+        FROM lineitem
+    )"""
+    ]
+    for i in range(_KCORE_ROUNDS):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT id, count(*) AS c
+        FROM (SELECT a AS id FROM e{i} UNION ALL SELECT b AS id FROM e{i})
+        GROUP BY id
+    ),
+    e{i + 1} AS MATERIALIZED (
+        SELECT a, b FROM e{i}
+        WHERE a IN (SELECT id FROM d{i} WHERE c >= {_KCORE_K})
+          AND b IN (SELECT id FROM d{i} WHERE c >= {_KCORE_K})
+    )"""
+        )
+    last = f"e{_KCORE_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT a AS id FROM {last} UNION ALL SELECT b AS id FROM {last})
+    GROUP BY id
+    HAVING count(*) >= {_KCORE_K}
+    ORDER BY id
+    """
+    )
+
+
+@_register("kcore_part_suppliers", _kcore_oracle())
+def kcore_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("u"),
+        (F.col("l_suppkey") + _SUPP_OFFSET).alias("v"),
+    )
+    return gr.kcore(
+        li, "u", "v", k=_KCORE_K, max_rounds=_KCORE_ROUNDS
+    ).orderBy("id")

@@ -94,3 +94,21 @@ class TestAudioSpectral:
         assert r["duration_ms"] == 250
         # sine rms = amp/sqrt(2) = (20000/32768)/1.414 ≈ 0.432
         assert r["rms"] == pytest.approx(0.432, abs=0.01)
+
+
+class TestKCore:
+    def test_peeling_cascade(self, spark):
+        from power_generation_etl_spark.operators.graph import kcore
+
+        # Triangle {1,2,3} plus a chain 3-4-5: 2-core = the triangle
+        # only, and removing 5 (deg 1) must cascade the removal of 4.
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+        df = spark.createDataFrame(edges, "u bigint, v bigint")
+        got = {r["id"]: r["core_degree"] for r in kcore(df, "u", "v", k=2).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_k_larger_than_graph(self, spark):
+        from power_generation_etl_spark.operators.graph import kcore
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "u bigint, v bigint")
+        assert kcore(df, "u", "v", k=5).count() == 0
