@@ -1235,7 +1235,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["vector", "stream", "window"]
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(tail: str = "") -> str:
     t1, t2, t3 = _BM25_TERMS
     tf_cols = ", ".join(
         "CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
@@ -1264,13 +1264,19 @@ def _bm25_oracle() -> str:
           FROM l),
     d AS (SELECT {df_cols} FROM h)
     SELECT h.doc_id, {score_terms} AS score
-    FROM h CROSS JOIN g CROSS JOIN d
-    ORDER BY score DESC, h.doc_id
-    LIMIT 20
+    FROM h CROSS JOIN g CROSS JOIN d{tail}
     """
 
 
-@_register("bm25_doc_scores", _bm25_oracle())
+def _bm25_oracle_topk() -> str:
+    return _bm25_oracle(
+        tail="""
+    ORDER BY score DESC, h.doc_id
+    LIMIT 20"""
+    )
+
+
+@_register("bm25_doc_scores", _bm25_oracle_topk())
 def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents by BM25 (k1=1.2, b=0.75) for a fixed 3-term
     query. One explode+groupBy pass over matching tokens; N/S/df are
@@ -1279,3 +1285,87 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     scored = tx.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
     return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-50
+# and the dense cosine top-50 (RRF, Cormack et al.) — the standard
+# fusion for lexical+vector search. Both candidate lists are tiny
+# (LIMIT 50), so the rank windows run over ≤50 rows by construction;
+# the fusion scores are sums of exact 1/(60+rank) divisions — same
+# IEEE ops in both engines.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPK = 50
+
+
+def _hybrid_oracle() -> str:
+    return f"""
+    WITH lex AS ({_bm25_oracle()}),
+    lexr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rl
+        FROM lex ORDER BY score DESC, doc_id LIMIT {_RRF_TOPK}
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id <> 0),
+    den AS (
+        SELECT vec_id AS doc_id, round({_COS_SQL}, 4) AS cs
+        FROM s, q ORDER BY cs DESC, doc_id LIMIT {_RRF_TOPK}
+    ),
+    denr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS rd
+        FROM den
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + a.rl), 0)
+             + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + b.rd), 0) AS rrf
+    FROM lexr a FULL JOIN denr b ON a.doc_id = b.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """
+
+
+@_register("hybrid_search_rrf", _hybrid_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 by reciprocal-rank fusion of BM25 (3 fixed terms) and
+    cosine (shared query vector, vec_id 0 excluded as in
+    `ann_topk_cosine`). The corpus-scale work is the two top-k
+    generators; fusion itself touches 2×50 rows."""
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    lex50 = (
+        tx.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_TOPK)
+    )
+    lexr = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("rl"),
+    )
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        den50 = spark.createDataFrame([], "doc_id bigint, cosine_sim double")
+    else:
+        den50 = sim.brute_force_topk(
+            e, "vec_id", "embedding", qv, k=_RRF_TOPK
+        ).withColumnRenamed("vec_id", "doc_id")
+    denr = den50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine_sim"), "doc_id"))
+        .alias("rd"),
+    )
+    fused = lexr.join(denr, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rl")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rd")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)

@@ -95,6 +95,7 @@ _GLOBAL_WINDOW_OK = {
     "pareto_docs_frontier",  # O(distinct doc lengths) running max
     "khop_trade_nations",  # nation-pair edge list, ≤ |nations|²
     "kmv_user_overlap",  # O(k) sketch rows
+    "hybrid_search_rrf",  # rank windows over the two LIMIT-50 candidate lists
 }
 
 
