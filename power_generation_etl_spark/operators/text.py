@@ -349,3 +349,43 @@ def bm25_scores(
         s_t = F.lit(idf[i]) * (num / den)
         score = s_t if score is None else score + s_t
     return scored.select(F.col(id_col), score.alias("score"))
+
+
+def rarity_scores(df, id_col: str, text_col: str):
+    """Unigram-LM surprisal proxy: per-document rarity
+    `Σ_tokens (T div c_t)` where `c_t` is the token's corpus frequency
+    and `T` the corpus token total — rare tokens contribute large
+    integer quanta, boilerplate contributes ~1 each. The log-free
+    integer form exists for a reason: a true mean-log-prob score sums
+    doubles in aggregation order (non-deterministic across runs AND
+    engines), while integer division makes the per-doc sum exact and
+    order-free. Headroom: T ≤ 1e13 tokens (100 TB) × 1e5 tokens/doc
+    caps the sum at 1e18 < 2^63.
+
+    One tokenize+explode pass, one token-count aggregation, one
+    shuffle join on the token (broadcast the top-V vocabulary at real
+    scale), one per-doc sum. `T` rides as a driver literal — no 1-row
+    cross join in the plan.
+
+    Output: (id, rarity, n_tokens, avg_rarity) with
+    avg_rarity = rarity div n_tokens (exact integer mean)."""
+    text = F.col(text_col)
+    toks = df.where(text.isNotNull()).select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(text), r"\s+")).alias("_tok"),
+    )
+    counts = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    t_total = toks.count()
+    return (
+        toks.join(counts, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.expr(f"CAST({t_total} AS BIGINT) div _cnt"))
+            .cast("bigint")
+            .alias("rarity"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .withColumn(
+            "avg_rarity", F.expr("CAST(rarity div n_tokens AS BIGINT)")
+        )
+    )

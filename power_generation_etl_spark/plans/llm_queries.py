@@ -1369,3 +1369,35 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Unigram rarity scoring — the LM-based quality signal without the
+# float-summation hazard: Σ (T div c_t) over exact integer corpus
+# counts is order-free and engine-identical, unlike a mean log-prob
+# (doubles summed in aggregation order). Corpus total T is a driver
+# literal on the Spark side; the oracle carries it as a 1-row cross.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_rarity_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY t),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM toks)
+    SELECT toks.doc_id,
+           CAST(sum(g.tot // c.cnt) AS BIGINT) AS rarity,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(g.tot // c.cnt) // count(*) AS BIGINT) AS avg_rarity
+    FROM toks JOIN c USING (t) CROSS JOIN g
+    GROUP BY toks.doc_id
+    ORDER BY toks.doc_id
+    """,
+)
+def doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return tx.rarity_scores(d, "doc_id", "text").orderBy("doc_id")

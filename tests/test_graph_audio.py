@@ -112,3 +112,29 @@ class TestKCore:
 
         df = spark.createDataFrame([(1, 2), (2, 3)], "u bigint, v bigint")
         assert kcore(df, "u", "v", k=5).count() == 0
+
+
+class TestRarity:
+    def test_hand_computed(self, spark):
+        from power_generation_etl_spark.operators.text import rarity_scores
+
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "a z"), (3, None)],
+            "doc_id bigint, text string",
+        )
+        # corpus tokens: a×3, b×1, z×1 → T=5
+        # doc 1: 5//3 + 5//3 + 5//1 = 1+1+5 = 7, n=3, avg=2
+        # doc 2: 5//3 + 5//1 = 1+5 = 6, n=2, avg=3
+        got = {
+            r["doc_id"]: (r["rarity"], r["n_tokens"], r["avg_rarity"])
+            for r in rarity_scores(docs, "doc_id", "text").collect()
+        }
+        assert got == {1: (7, 3, 2), 2: (6, 2, 3)}
+
+    def test_empty(self, spark):
+        from power_generation_etl_spark.operators.text import rarity_scores
+
+        docs = spark.createDataFrame([], "doc_id bigint, text string")
+        out = rarity_scores(docs, "doc_id", "text")
+        assert out.count() == 0
+        assert out.columns == ["doc_id", "rarity", "n_tokens", "avg_rarity"]
