@@ -412,3 +412,65 @@ def kcore(edges: DataFrame, src: str, dst: str, k: int, max_rounds: int = 12):
         .where(F.col("core_degree") >= k)
     )
     return deg
+
+
+def label_propagation(
+    edges: DataFrame, src: str, dst: str, rounds: int = 4
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.),
+    made deterministic: every node starts as its own label and each
+    round adopts the mode of its neighbors' labels with a fixed
+    (count DESC, label ASC) tie-break; isolated nodes keep their
+    label. Synchronous LPA oscillates on bipartite structures instead
+    of converging, so the round count is FIXED — the operator is a
+    labeling snapshot after `rounds` sweeps, and the oracle unrolls
+    exactly the same trajectory.
+
+    Per round: one edges⋈labels equi-join per direction (one shuffle
+    on node id), one (node, label) count aggregate, one rank window
+    PARTITIONED by node — never a global window. Labels are one
+    bigint per node; lineage cut per round.
+    """
+    from pyspark.sql.window import Window
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn("lab", F.col("id"))
+    w = Window.partitionBy("id").orderBy(F.desc("c"), "lab")
+    for _ in range(rounds):
+        nbr = (
+            e.join(labels.select(F.col("id").alias("b"), "lab"), "b")
+            .select(F.col("a").alias("id"), "lab")
+            .unionByName(
+                e.join(labels.select(F.col("id").alias("a"), "lab"), "a")
+                .select(F.col("b").alias("id"), "lab")
+            )
+        )
+        mode = (
+            nbr.groupBy("id", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(mode, "id", "left")
+            .select(
+                "id", F.coalesce(F.col("new_lab"), F.col("lab")).alias("lab")
+            )
+            .localCheckpoint()
+        )
+    return labels

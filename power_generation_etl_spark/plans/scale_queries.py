@@ -1979,3 +1979,75 @@ def kcore_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.kcore(
         li, "u", "v", k=_KCORE_K, max_rounds=_KCORE_ROUNDS
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the part–supplier bipartite graph:
+# fixed-round synchronous sweeps with a deterministic (count DESC,
+# label ASC) mode tie-break (operators/graph.py::label_propagation).
+# The oracle unrolls the identical trajectory round by round as
+# MATERIALIZED CTEs. Output: community size distribution.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"""e AS MATERIALIZED (
+        SELECT DISTINCT least(l_partkey, l_suppkey + {_SUPP_OFFSET}) AS a,
+               greatest(l_partkey, l_suppkey + {_SUPP_OFFSET}) AS b
+        FROM lineitem
+    ),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT id
+        FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+    ),
+    l0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes)"""
+    ]
+    for i in range(_LPA_ROUNDS):
+        parts.append(
+            f"""n{i} AS MATERIALIZED (
+        SELECT e.a AS id, l.lab FROM e JOIN l{i} l ON l.id = e.b
+        UNION ALL
+        SELECT e.b AS id, l.lab FROM e JOIN l{i} l ON l.id = e.a
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT id, lab FROM (
+            SELECT id, lab,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY count(*) DESC, lab) AS rn
+            FROM n{i} GROUP BY id, lab
+        ) WHERE rn = 1
+    ),
+    l{i + 1} AS MATERIALIZED (
+        SELECT nodes.id, COALESCE(m{i}.lab, l{i}.lab) AS lab
+        FROM nodes
+        JOIN l{i} ON l{i}.id = nodes.id
+        LEFT JOIN m{i} ON m{i}.id = nodes.id
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l{_LPA_ROUNDS}
+    GROUP BY lab
+    ORDER BY n_nodes DESC, community
+    """
+    )
+
+
+@_register("lpa_communities", _lpa_oracle())
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("u"),
+        (F.col("l_suppkey") + _SUPP_OFFSET).alias("v"),
+    )
+    labels = gr.label_propagation(li, "u", "v", rounds=_LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+    )

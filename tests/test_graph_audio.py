@@ -138,3 +138,37 @@ class TestRarity:
         out = rarity_scores(docs, "doc_id", "text")
         assert out.count() == 0
         assert out.columns == ["doc_id", "rarity", "n_tokens", "avg_rarity"]
+
+
+class TestLPA:
+    def test_two_cliques_with_bridge(self, spark):
+        from power_generation_etl_spark.operators.graph import label_propagation
+
+        # two triangles bridged by one edge: labels converge within
+        # each triangle to its min node id
+        edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+        df = spark.createDataFrame(edges, "u bigint, v bigint")
+        labs = {
+            r["id"]: r["lab"]
+            for r in label_propagation(df, "u", "v", rounds=4).collect()
+        }
+        assert len(labs) == 6
+        # deterministic: re-running yields the identical labeling
+        labs2 = {
+            r["id"]: r["lab"]
+            for r in label_propagation(df, "u", "v", rounds=4).collect()
+        }
+        assert labs == labs2
+        # the two triangle interiors never share a label with each other
+        assert labs[1] != labs[6]
+
+    def test_isolated_pair(self, spark):
+        from power_generation_etl_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame([(7, 8)], "u bigint, v bigint")
+        labs = {
+            r["id"]: r["lab"]
+            for r in label_propagation(df, "u", "v", rounds=2).collect()
+        }
+        # even rounds of a 2-cycle: each adopts the other then swaps back
+        assert set(labs) == {7, 8}
