@@ -426,13 +426,12 @@ def label_propagation(
     labeling snapshot after `rounds` sweeps, and the oracle unrolls
     exactly the same trajectory.
 
-    Per round: one edges⋈labels equi-join per direction (one shuffle
-    on node id), one (node, label) count aggregate, one rank window
-    PARTITIONED by node — never a global window. Labels are one
-    bigint per node; lineage cut per round.
+    Per round: ONE adjacency⋈labels equi-join (adjacency materialized
+    once as the symmetric (id, nb) list), one (node, label) count
+    aggregate, and an argmax via `max(struct(count, -label))` — a
+    plain map-side-combinable aggregation, no rank window. Labels are
+    one bigint per node; lineage cut per round.
     """
-    from pyspark.sql.window import Window
-
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -440,31 +439,26 @@ def label_propagation(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+    )
+    adj = (
+        e.select(F.col("a").alias("id"), F.col("b").alias("nb"))
+        .unionByName(e.select(F.col("b").alias("id"), F.col("a").alias("nb")))
         .localCheckpoint()
     )
-    nodes = (
-        e.select(F.col("a").alias("id"))
-        .unionByName(e.select(F.col("b").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
+    nodes = adj.select("id").distinct().localCheckpoint()
     labels = nodes.withColumn("lab", F.col("id"))
-    w = Window.partitionBy("id").orderBy(F.desc("c"), "lab")
     for _ in range(rounds):
-        nbr = (
-            e.join(labels.select(F.col("id").alias("b"), "lab"), "b")
-            .select(F.col("a").alias("id"), "lab")
-            .unionByName(
-                e.join(labels.select(F.col("id").alias("a"), "lab"), "a")
-                .select(F.col("b").alias("id"), "lab")
-            )
-        )
         mode = (
-            nbr.groupBy("id", "lab")
+            adj.join(labels.select(F.col("id").alias("nb"), "lab"), "nb")
+            .groupBy("id", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", F.col("lab").alias("new_lab"))
+            .groupBy("id")
+            .agg(
+                F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias(
+                    "m"
+                )
+            )
+            .select("id", (-F.col("m.nl")).alias("new_lab"))
         )
         labels = (
             labels.join(mode, "id", "left")
