@@ -2051,3 +2051,99 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy(F.desc("n_nodes"), "community")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint screen over daily per-type volumes. The clamped
+# recurrence S_i = max(0, S_{i-1} + d_i) has the closed form
+# S_i = P_i - min(0, min_{j<=i} P_j) (P = prefix sum of drifts), so it
+# computes as two windows over the per-type daily series — no
+# iterative recurrence. Drift is scale-free exact integer:
+# d_i = x_i·n_days - total (zero-mean by construction), so S stays
+# bigint and engine-identical. Output: the peak CUSUM day per type —
+# where sustained above-mean volume accumulated most.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cusum_peak_days",
+    f"""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(x) AS BIGINT) AS tot
+        FROM daily GROUP BY 1
+    ),
+    p AS (
+        SELECT d.event_type, d.day,
+               CAST(sum(d.x * st.nd - st.tot)
+                    OVER (PARTITION BY d.event_type ORDER BY d.day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS pf
+        FROM daily d JOIN st ON st.event_type = d.event_type
+    ),
+    s AS (
+        SELECT event_type, day,
+               pf - least(CAST(0 AS BIGINT),
+                          min(pf) OVER (PARTITION BY event_type ORDER BY day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)) AS cusum
+        FROM p
+    )
+    SELECT event_type, day AS peak_day, CAST(cusum AS BIGINT) AS cusum
+    FROM (
+        SELECT event_type, day, cusum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cusum DESC, day) AS rn
+        FROM s
+    )
+    WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def cusum_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T_events_us(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            "event_type", F.expr(f"ts_us div {_DAY_US}").alias("day")
+        ).agg(F.count(F.lit(1)).alias("x"))
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("x").cast("bigint").alias("tot")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = daily.join(st, "event_type").select(
+        "event_type",
+        "day",
+        F.sum(F.col("x") * F.col("nd") - F.col("tot"))
+        .over(w_cum)
+        .cast("bigint")
+        .alias("pf"),
+    )
+    s = p.select(
+        "event_type",
+        "day",
+        (
+            F.col("pf")
+            - F.least(F.lit(0).cast("bigint"), F.min("pf").over(w_cum))
+        ).alias("cusum"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(F.desc("cusum"), "day")
+    return (
+        s.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("peak_day"),
+            F.col("cusum").cast("bigint").alias("cusum"),
+        )
+        .orderBy("event_type")
+    )

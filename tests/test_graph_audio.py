@@ -172,3 +172,33 @@ class TestLPA:
         }
         # even rounds of a 2-cycle: each adopts the other then swaps back
         assert set(labs) == {7, 8}
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    """S_i = P_i - min(0, min_j<=i P_j) must equal the clamped
+    recurrence max(0, S_{i-1} + d_i) on a hand-run series."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    drifts = [3, -5, 2, 2, -1, 4, -10, 6]
+    s, exp = 0, []
+    for d in drifts:
+        s = max(0, s + d)
+        exp.append(s)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(drifts)], "i int, d bigint"
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    got = [
+        r["s"]
+        for r in df.select(
+            "i",
+            (
+                F.sum("d").over(w)
+                - F.least(F.lit(0).cast("bigint"), F.min(F.sum("d").over(w)).over(w))
+            ).alias("s"),
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == exp
