@@ -2147,3 +2147,170 @@ def cusum_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer spend — inequality of revenue
+# concentration. Needs every customer's ascending spend RANK, i.e. a
+# global row-scale ranking: runs on operators/rank.py's two-pass rank
+# (no single-partition window). The statistic is computed in exact
+# integer cents: G = (2·Σ(rank·x) − (n+1)·Σx) / (n·Σx), emitted as
+# parts-per-million by truncating integer division.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "customer_spend_gini",
+    """
+    WITH s AS (
+        SELECT o_custkey AS c,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, c) AS BIGINT) AS rk
+        FROM s
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS tot,
+               CAST(sum(rk * cents) AS BIGINT) AS rx
+        FROM r
+    ),
+    ab AS (
+        SELECT n, tot,
+               CAST(2 * rx - (n + 1) * tot AS BIGINT) AS a,
+               CAST(n * tot AS BIGINT) AS b
+        FROM g
+    ),
+    s1 AS (SELECT n, tot, b, a * 100 // b AS q1, a * 100 % b AS r1 FROM ab),
+    s2 AS (SELECT n, tot, b, q1, r1 * 100 // b AS q2, r1 * 100 % b AS r2
+           FROM s1)
+    SELECT n AS n_customers, tot AS total_cents,
+           CAST(q1 * 10000 + q2 * 100 + r2 * 100 // b AS BIGINT) AS gini_ppm
+    FROM s2
+    """,
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    r = rk.with_global_rank(s, [F.col("cents"), F.col("c")], rank_col="rk")
+    return (
+        r.agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.sum(F.col("rk") * F.col("cents")).cast("bigint").alias("_rx"),
+        )
+        # floor(a*1e6/b) in three ×100 long-division stages so no
+        # intermediate exceeds int64 under ANSI: a ≤ b = n·Σcents
+        # (~3.4e16 at sf0.1), and each stage multiplies a remainder
+        # < b by only 100 (valid to b ≤ 9.2e16, i.e. ~sf3 of cents —
+        # beyond that the statistic moves to DECIMAL(38) arithmetic).
+        # DuckDB runs the identical staged division (its int64 multiply
+        # overflow-ERRORS rather than widening, same constraint).
+        .withColumn(
+            "_a",
+            F.expr("2 * _rx - (n_customers + 1) * total_cents"),
+        )
+        .withColumn("_b", F.expr("n_customers * total_cents"))
+        .withColumn("_q1", F.expr("_a * 100 div _b"))
+        .withColumn("_r1", F.expr("_a * 100 % _b"))
+        .withColumn("_q2", F.expr("_r1 * 100 div _b"))
+        .withColumn("_r2", F.expr("_r1 * 100 % _b"))
+        .withColumn(
+            "gini_ppm",
+            F.expr(
+                "CAST(_q1 * 10000 + _q2 * 100 + _r2 * 100 div _b AS BIGINT)"
+            ),
+        )
+        .drop("_rx", "_a", "_b", "_q1", "_r1", "_q2", "_r2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov distance between the click and error
+# value distributions — distribution-shift detection with an EXACT
+# integer statistic: over the merged distinct cent values,
+# D = max |cum_a·m − cum_b·n| / (n·m); the numerator and denominator
+# are exact bigints (no ECDF floats). The cumulative window runs over
+# DISTINCT cents values (bounded by the value domain, not row count).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ks_click_vs_error",
+    """
+    WITH v AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+               CAST(count_if(event_type = 'click') AS BIGINT) AS a,
+               CAST(count_if(event_type = 'error') AS BIGINT) AS b
+        FROM events
+        WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT cents,
+               CAST(sum(a) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ca,
+               CAST(sum(b) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cb
+        FROM v
+    ),
+    g AS (SELECT CAST(sum(a) AS BIGINT) AS n, CAST(sum(b) AS BIGINT) AS m
+          FROM v)
+    SELECT g.n AS n_click, g.m AS n_error,
+           CAST(max(abs(c.ca * g.m - c.cb * g.n)) AS BIGINT) AS d_num,
+           CAST(g.n * g.m AS BIGINT) AS d_den
+    FROM c CROSS JOIN g
+    GROUP BY g.n, g.m
+    """,
+)
+def ks_click_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T_events_us(spark, sf_dir).where(
+        F.col("event_type").isin("click", "error") & F.col("value").isNotNull()
+    )
+    v = ev.groupBy(
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents")
+    ).agg(
+        F.count_if(F.col("event_type") == "click").alias("a"),
+        F.count_if(F.col("event_type") == "error").alias("b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    c = v.select(
+        "cents",
+        F.sum("a").over(w).cast("bigint").alias("ca"),
+        F.sum("b").over(w).cast("bigint").alias("cb"),
+    )
+    g = v.agg(
+        F.sum("a").cast("bigint").alias("n"), F.sum("b").cast("bigint").alias("m")
+    ).collect()[0]
+    n, m = g["n"] or 0, g["m"] or 0
+    out = (
+        c.agg(
+            F.max(
+                F.abs(F.col("ca") * F.lit(m) - F.col("cb") * F.lit(n))
+            )
+            .cast("bigint")
+            .alias("d_num")
+        )
+        .select(
+            F.lit(n).cast("bigint").alias("n_click"),
+            F.lit(m).cast("bigint").alias("n_error"),
+            "d_num",
+            F.lit(n * m).cast("bigint").alias("d_den"),
+        )
+    )
+    # Oracle's GROUP BY emits no row on an empty input; Spark's agg
+    # always emits one — align by filtering the degenerate case.
+    return out.where(F.lit(n + m > 0))

@@ -96,6 +96,7 @@ _GLOBAL_WINDOW_OK = {
     "khop_trade_nations",  # nation-pair edge list, ≤ |nations|²
     "kmv_user_overlap",  # O(k) sketch rows
     "hybrid_search_rrf",  # rank windows over the two LIMIT-50 candidate lists
+    "ks_click_vs_error",  # ECDF window over DISTINCT cent values (domain-bounded)
 }
 
 
