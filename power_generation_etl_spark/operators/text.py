@@ -389,3 +389,93 @@ def rarity_scores(df, id_col: str, text_col: str):
             "avg_rarity", F.expr("CAST(rarity div n_tokens AS BIGINT)")
         )
     )
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style within-document repetition statistics (Rae et al.
+    2021 §A1.1 repetition filters, count-based variant): documents that
+    loop boilerplate — nav menus, keyword stuffing, scraper echo — are
+    flagged by how concentrated their own n-gram mass is, before any
+    cross-document dedup runs.
+
+    Per document:
+      * ``n_tokens``        whitespace token count
+      * ``ttr_ppm``         type-token ratio (distinct div total, ppm)
+      * ``top_bigram_ppm``  share of word-bigram occurrences claimed by
+                            the single most frequent bigram
+      * ``dup_5gram_ppm``   share of word-5-gram occurrences whose
+                            5-gram appears >= 2 times in the document
+      * ``repetitive``      Gopher-threshold flag
+                            (top bigram > 20% OR dup 5-grams > 15%)
+
+    All ratios are exact integer ppm (``x * 1000000 div total``) so the
+    flag is bit-identical across engines — no float thresholds.
+
+    Shape for 100 TB: the token table is built once (posexplode + one
+    lead() window partitioned BY DOCUMENT — never a global window) and
+    localCheckpoint'ed because three aggregation subtrees consume it.
+    Every groupBy is keyed by doc_id (or doc_id + gram), so the shuffle
+    is document-partitioned and skew-free; nothing leaves its document.
+    The three per-doc aggregates join back on doc_id — co-partitioned
+    exchanges, no broadcast needed, no O(corpus) driver state."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = toks
+    for j in range(1, 5):
+        g = g.withColumn(f"w{j}", F.lead("w", j).over(w))
+    g = g.localCheckpoint()
+
+    tstat = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_types"),
+    )
+    bi = (
+        g.where(F.col("w1").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2"), F.sum("c").alias("tot2"))
+    )
+    g5 = (
+        g.where(F.col("w4").isNotNull())
+        .select(
+            "doc_id", F.concat_ws(" ", "w", "w1", "w2", "w3", "w4").alias("gram")
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+            .alias("dup5"),
+            F.sum("c").alias("tot5"),
+        )
+    )
+    return (
+        tstat.join(bi, "doc_id")
+        .join(g5, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("CAST(n_types * 1000000 div n_tokens AS BIGINT)").alias(
+                "ttr_ppm"
+            ),
+            F.expr("CAST(top2 * 1000000 div tot2 AS BIGINT)").alias(
+                "top_bigram_ppm"
+            ),
+            F.expr("CAST(dup5 * 1000000 div tot5 AS BIGINT)").alias(
+                "dup_5gram_ppm"
+            ),
+            F.expr(
+                "top2 * 1000000 div tot2 > 200000"
+                " OR dup5 * 1000000 div tot5 > 150000"
+            ).alias("repetitive"),
+        )
+    )

@@ -455,3 +455,63 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"rows_lt_{k}")
         )
     return g.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher repetition filters, count-based):
+# all ratios exact integer ppm; every shuffle keyed by doc_id.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "gopher_repetition_flags",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    tstat AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT w.w) AS BIGINT) AS n_types
+      FROM toks, unnest(t) AS w(w)
+      GROUP BY doc_id, len(t)
+    ),
+    bic AS (
+      SELECT doc_id, array_to_string(t[i.i:i.i+1], ' ') AS gram,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks, unnest(range(1, len(t))) AS i(i)
+      GROUP BY 1, 2
+    ),
+    bi AS (
+      SELECT doc_id, max(c) AS top2, sum(c) AS tot2 FROM bic GROUP BY 1
+    ),
+    g5c AS (
+      SELECT doc_id, array_to_string(t[i.i:i.i+4], ' ') AS gram,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks, unnest(range(1, len(t) - 3)) AS i(i)
+      GROUP BY 1, 2
+    ),
+    g5 AS (
+      SELECT doc_id,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup5,
+             sum(c) AS tot5
+      FROM g5c GROUP BY 1
+    )
+    SELECT tstat.doc_id, n_tokens,
+           CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+           CAST(top2 * 1000000 // tot2 AS BIGINT) AS top_bigram_ppm,
+           CAST(dup5 * 1000000 // tot5 AS BIGINT) AS dup_5gram_ppm,
+           (top2 * 1000000 // tot2 > 200000
+            OR dup5 * 1000000 // tot5 > 150000) AS repetitive
+    FROM tstat JOIN bi USING (doc_id) JOIN g5 USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screen per document: type-token ratio,
+    top-bigram concentration, duplicate-5-gram share (exact integer
+    ppm) and the published-threshold `repetitive` flag. See
+    operators/text.py::repetition_stats for the 100 TB plan notes."""
+    d = T(spark, sf_dir, "documents")
+    return tx.repetition_stats(d, "doc_id", "text").orderBy("doc_id")

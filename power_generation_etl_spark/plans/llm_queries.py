@@ -1401,3 +1401,70 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return tx.rarity_scores(d, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training, pair-count stage: the first merge round of
+# byte-pair encoding, computed the way BPE is actually trained at
+# corpus scale — reduce the corpus to its word-frequency table first
+# (vocab-scale: ~1e7 rows at 100 TB, vs 1e13 tokens), then count
+# adjacent symbol pairs over the VOCAB weighted by word frequency.
+# The corpus is touched exactly once (tokenize + word groupBy with
+# map-side combine); every later merge round would iterate on the
+# tiny vocab table only — the same unrolled-iteration pattern as the
+# k-means IVF training. Top pair = the merge BPE would apply.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bpe_pair_stage",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents
+    ),
+    wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+    pairs AS (
+      SELECT substr(w, CAST(i.i AS INTEGER), 1) AS sym_a,
+             substr(w, CAST(i.i AS INTEGER) + 1, 1) AS sym_b,
+             f
+      FROM wf, unnest(range(1, len(w))) AS i(i)
+      WHERE len(w) >= 2
+    )
+    SELECT sym_a, sym_b, CAST(sum(f) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1, 2
+    ORDER BY pair_count DESC, sym_a, sym_b
+    LIMIT 20
+    """,
+)
+def bpe_pair_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs by corpus frequency — BPE
+    training's first merge candidates. Corpus → word-frequency table
+    (one tokenize pass, one map-side-combined groupBy), pair explode
+    over the vocab only, TakeOrderedAndProject for the top-k (no
+    global sort). Deterministic ties: (count desc, sym_a, sym_b)."""
+    d = T(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = (
+        wf.where(F.length("w") >= 2)
+        .select(
+            "w",
+            "f",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("substring(w, i, 1)").alias("sym_a"),
+            F.expr("substring(w, i + 1, 1)").alias("sym_b"),
+            "f",
+        )
+    )
+    return (
+        pairs.groupBy("sym_a", "sym_b")
+        .agg(F.sum("f").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "sym_a", "sym_b")
+        .limit(20)
+    )

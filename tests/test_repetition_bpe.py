@@ -1,0 +1,73 @@
+"""Hand-computed tests for the Gopher repetition screen
+(operators/text.py::repetition_stats) and the BPE pair-count stage
+(plans/llm_queries.py::bpe_pair_stage core)."""
+
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.operators import text as tx
+
+
+def _stats(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r.asDict()
+        for r in tx.repetition_stats(df, "doc_id", "text").collect()
+    }
+
+
+class TestRepetitionStats:
+    def test_fully_repetitive_doc_flagged(self, spark):
+        # "a b" * 5: 10 tokens, 2 types, bigrams = 'a b'x5 + 'b a'x4,
+        # 5-grams: 'a b a b a'x3, 'b a b a b'x3 -> all counts >= 2.
+        out = _stats(spark, [(1, "a b a b a b a b a b")])
+        s = out[1]
+        assert s["n_tokens"] == 10
+        assert s["ttr_ppm"] == 200_000  # 2 div 10
+        assert s["top_bigram_ppm"] == 5 * 1_000_000 // 9
+        assert s["dup_5gram_ppm"] == 1_000_000
+        assert s["repetitive"] is True
+
+    def test_all_distinct_doc_not_flagged(self, spark):
+        text = " ".join(f"w{i}" for i in range(12))
+        out = _stats(spark, [(2, text)])
+        s = out[2]
+        assert s["n_tokens"] == 12
+        assert s["ttr_ppm"] == 1_000_000
+        assert s["top_bigram_ppm"] == 1_000_000 // 11  # every bigram once
+        assert s["dup_5gram_ppm"] == 0
+        assert s["repetitive"] is False
+
+    def test_doc_without_5grams_dropped(self, spark):
+        # 4 tokens -> no 5-gram rows -> inner join drops the doc,
+        # matching the SQL oracle's inner joins.
+        out = _stats(spark, [(3, "a b c d"), (4, "a b c d e")])
+        assert 3 not in out
+        assert 4 in out
+
+    def test_case_folded(self, spark):
+        out = _stats(spark, [(5, "A a A a A a A a A a")])
+        assert out[5]["ttr_ppm"] == 100_000  # one type after lower()
+
+
+class TestBpePairStage:
+    def test_pair_counts_weighted_by_word_freq(self, spark):
+        from power_generation_etl_spark.plans.llm_queries import (
+            bpe_pair_stage,
+        )
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            docs = spark.createDataFrame(
+                [(1, "ab ab cd", "en", "s0", 8), (2, "abc x", "en", "s0", 5)],
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long",
+            )
+            docs.write.parquet(os.path.join(d, "documents.parquet"))
+            out = {
+                (r["sym_a"], r["sym_b"]): r["pair_count"]
+                for r in bpe_pair_stage(spark, d).collect()
+            }
+        # 'ab' f=2 -> (a,b)+2 ; 'cd' f=1 -> (c,d)+1 ;
+        # 'abc' f=1 -> (a,b)+1, (b,c)+1 ; 'x' len 1 -> no pairs.
+        assert out == {("a", "b"): 3, ("b", "c"): 1, ("c", "d"): 1}
