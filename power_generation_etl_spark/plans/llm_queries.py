@@ -1468,3 +1468,80 @@ def bpe_pair_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "sym_a", "sym_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Full BPE training, k merge rounds: pair-count -> argmax -> merge,
+# iterated on the vocab-scale segmented word-frequency table. The
+# DuckDB oracle unrolls every round as MATERIALIZED CTE triples with
+# scalar subqueries for the learned pattern — the k-means-IVF oracle
+# strategy applied to tokenizer training. operators/bpe.py has the
+# two-pass merge proof and the 100 TB shape notes.
+# ---------------------------------------------------------------------------
+
+from power_generation_etl_spark.operators import bpe as _bpe  # noqa: E402
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_oracle(rounds: int) -> str:
+    merged = "' ' || replace((SELECT gram FROM m{r}), ' ', '') || ' '"
+    pat = "' ' || replace((SELECT gram FROM m{r}), ' ', '  ') || ' '"
+    ctes = [
+        """wf AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents WHERE text IS NOT NULL)
+      WHERE w <> '' GROUP BY 1
+    )""",
+        """s0 AS MATERIALIZED (
+      SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seg, f
+      FROM wf
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT array_to_string(t[i.i:i.i+1], ' ') AS gram,
+             CAST(sum(f) AS BIGINT) AS cnt
+      FROM (SELECT string_split(trim(seg), '  ') AS t, f FROM {prev}) q,
+           unnest(range(1, len(t))) AS i(i)
+      GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+      SELECT gram, cnt FROM p{r} ORDER BY cnt DESC, gram LIMIT 1
+    )"""
+        )
+        if r < rounds:
+            p = pat.format(r=r)
+            m = merged.format(r=r)
+            ctes.append(
+                f"""s{r} AS MATERIALIZED (
+      SELECT replace(seg, {p}, {m}) AS seg, f
+      FROM {prev}
+    )"""
+            )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, gram AS merge,"
+        f" cnt AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM ({sel})\n    ORDER BY round"
+    )
+
+
+@_register("bpe_train_rounds", _bpe_oracle(_BPE_ROUNDS))
+def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {rounds} learned BPE merges over the corpus: (round,
+    merge, pair_count) in learning order — the merge table a tokenizer
+    persists. Corpus touched once (word-frequency groupBy); each round
+    is one vocab-scale pair aggregation + a 1-row driver collect +
+    two literal replaces, localCheckpoint per round."""
+    d = T(spark, sf_dir, "documents")
+    return _bpe.train_merges(d, "text", rounds=_BPE_ROUNDS).orderBy("round")

@@ -71,3 +71,46 @@ class TestBpePairStage:
         # 'ab' f=2 -> (a,b)+2 ; 'cd' f=1 -> (c,d)+1 ;
         # 'abc' f=1 -> (a,b)+1, (b,c)+1 ; 'x' len 1 -> no pairs.
         assert out == {("a", "b"): 3, ("b", "c"): 1, ("c", "d"): 1}
+
+
+class TestBpeTrainer:
+    def _merges(self, spark, texts, rounds=3):
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        from power_generation_etl_spark.operators import bpe
+
+        return [
+            (r["round"], r["merge"], r["pair_count"])
+            for r in bpe.train_merges(df, "text", rounds=rounds).collect()
+        ]
+
+    def test_learned_merges_hand_corpus(self, spark):
+        # corpus: 'low' x3, 'lower' x1 -> round 1 pair (l,o) f=4;
+        # round 2: (lo,w) f=4; round 3: (low,e) 1 vs ... 'low' fully
+        # merged: remaining pairs (low,e)=1,(e,r)=1 -> tie broken by
+        # gram string: 'e r' < 'low e'.
+        m = self._merges(spark, ["low low low lower"])
+        assert m[0] == (1, "l o", 4)
+        assert m[1] == (2, "lo w", 4)
+        assert m[2] == (3, "e r", 1)
+
+    def test_alternating_chain_two_pass_merge(self, spark):
+        # 'ababab...': after (a,b) is learned, every disjoint (a,b)
+        # occurrence must merge in ONE round — the two-pass fixed
+        # point. 'abababab' segments to a b a b a b a b; merging (a,b)
+        # leaves ab ab ab ab, so round 2's top pair is (ab,ab) f=3.
+        m = self._merges(spark, ["abababab"], rounds=2)
+        assert m[0][1] == "a b"
+        assert m[1] == (2, "ab ab", 3)
+
+    def test_same_symbol_run_leftmost_nonoverlap(self, spark):
+        # 'aaaaa' -> pairs (a,a) x4 -> merge leftmost non-overlapping:
+        # aa aa a. Round 2 counts: (aa,aa)=1, (aa,a)=1 -> tie on gram
+        # string: 'aa a' < 'aa aa'.
+        m = self._merges(spark, ["aaaaa"], rounds=2)
+        assert m[0] == (1, "a a", 4)
+        assert m[1] == (2, "aa a", 1)
+
+    def test_early_stop_when_no_pairs(self, spark):
+        # single-char words only -> no adjacent pairs at all.
+        m = self._merges(spark, ["a b c", "a"], rounds=3)
+        assert m == []
