@@ -84,16 +84,11 @@ def apply_merge(seg, gram):
     return F.replace(seg, pat, rep)
 
 
-def train_merges(
-    df: DataFrame, text_col: str, rounds: int = 4
-) -> DataFrame:
-    """Learn the first `rounds` BPE merges from a corpus. Returns
-    (round, merge, pair_count) — the merge table a BPE tokenizer
-    persists, in learning order. Deterministic ties: highest count,
-    then lexicographically smallest gram string (space < every symbol
-    character, so gram-string order equals (sym_a, sym_b) tuple
-    order). Stops early if the vocab runs out of pairs."""
-    spark = df.sparkSession
+def _train(df: DataFrame, text_col: str, rounds: int, final_seg: bool):
+    """Shared training loop: returns (merges list, final seg DataFrame).
+    When `final_seg` the merge learned in the LAST round is also
+    applied (the encoder needs the post-round-k segmentation; the
+    merge-table query does not pay for that extra pass)."""
     wf = (
         df.where(F.col(text_col).isNotNull())
         .select(
@@ -117,10 +112,35 @@ def train_merges(
             break
         gram, cnt = top[0]["gram"], top[0]["cnt"]
         merges.append((r, gram, cnt))
-        if r < rounds:
+        if r < rounds or final_seg:
             seg = seg.select(
                 "w", "f", apply_merge(F.col("seg"), gram).alias("seg")
             ).localCheckpoint()
+    return merges, seg
+
+
+def train_merges(
+    df: DataFrame, text_col: str, rounds: int = 4
+) -> DataFrame:
+    """Learn the first `rounds` BPE merges from a corpus. Returns
+    (round, merge, pair_count) — the merge table a BPE tokenizer
+    persists, in learning order. Deterministic ties: highest count,
+    then lexicographically smallest gram string (space < every symbol
+    character, so gram-string order equals (sym_a, sym_b) tuple
+    order). Stops early if the vocab runs out of pairs."""
+    spark = df.sparkSession
+    merges, _ = _train(df, text_col, rounds, final_seg=False)
     return spark.createDataFrame(
         merges, "round int, merge string, pair_count bigint"
     )
+
+
+def trained_segmentation(
+    df: DataFrame, text_col: str, rounds: int = 4
+) -> DataFrame:
+    """The vocab after `rounds` learned merges: (w, f, seg). This IS
+    the BPE encoder — tokenizing new text = explode its words and join
+    this table (broadcast at real scale: vocab-sized), exactly how
+    production tokenizers apply a frozen merge list."""
+    _, seg = _train(df, text_col, rounds, final_seg=True)
+    return seg

@@ -1484,7 +1484,10 @@ from power_generation_etl_spark.operators import bpe as _bpe  # noqa: E402
 _BPE_ROUNDS = 4
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_ctes(rounds: int, final_seg: bool = False) -> str:
+    """The unrolled training rounds as CTE text. `final_seg` also
+    applies round `rounds`'s merge (the encoder needs s{rounds}; the
+    merge-table query stops at m{rounds})."""
     merged = "' ' || replace((SELECT gram FROM m{r}), ' ', '') || ' '"
     pat = "' ' || replace((SELECT gram FROM m{r}), ' ', '  ') || ' '"
     ctes = [
@@ -1495,7 +1498,7 @@ def _bpe_oracle(rounds: int) -> str:
       WHERE w <> '' GROUP BY 1
     )""",
         """s0 AS MATERIALIZED (
-      SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seg, f
+      SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seg, f
       FROM wf
     )""",
     ]
@@ -1515,15 +1518,19 @@ def _bpe_oracle(rounds: int) -> str:
       SELECT gram, cnt FROM p{r} ORDER BY cnt DESC, gram LIMIT 1
     )"""
         )
-        if r < rounds:
+        if r < rounds or final_seg:
             p = pat.format(r=r)
             m = merged.format(r=r)
             ctes.append(
                 f"""s{r} AS MATERIALIZED (
-      SELECT replace(seg, {p}, {m}) AS seg, f
+      SELECT w, replace(seg, {p}, {m}) AS seg, f
       FROM {prev}
     )"""
             )
+    return ",\n    ".join(ctes)
+
+
+def _bpe_oracle(rounds: int) -> str:
     sel = "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS round, gram AS merge,"
         f" cnt AS pair_count FROM m{r}"
@@ -1531,7 +1538,7 @@ def _bpe_oracle(rounds: int) -> str:
     )
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + _bpe_ctes(rounds)
         + f"\n    SELECT * FROM ({sel})\n    ORDER BY round"
     )
 
@@ -1545,3 +1552,59 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     two literal replaces, localCheckpoint per round."""
     d = T(spark, sf_dir, "documents")
     return _bpe.train_merges(d, "text", rounds=_BPE_ROUNDS).orderBy("round")
+
+
+@_register(
+    "bpe_encode_doc_lengths",
+    "WITH "
+    + _bpe_ctes(_BPE_ROUNDS, final_seg=True)
+    + f""",
+    vs AS MATERIALIZED (
+      SELECT w, CAST(len(string_split(trim(seg), '  ')) AS BIGINT) AS n_syms
+      FROM s{_BPE_ROUNDS}
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_syms) AS BIGINT) AS n_symbols
+    FROM (SELECT doc_id, w FROM tok WHERE w <> '') t JOIN vs USING (w)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def bpe_encode_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE over the trained merges: per-document sequence
+    length after {rounds} merges — the number a token-budget planner
+    (pack_sequences) actually needs. Applying a frozen merge list is a
+    vocab join: explode doc words, join the trained segmentation
+    (broadcast at real scale — the vocab table is ~1e7 rows no matter
+    how big the corpus), sum symbol counts per doc. No per-document
+    re-segmentation work at encode time."""
+    d = T(spark, sf_dir, "documents")
+    seg = _bpe.trained_segmentation(d, "text", rounds=_BPE_ROUNDS)
+    vs = seg.select(
+        "w",
+        F.size(F.split(F.trim(F.col("seg")), "  ")).cast("bigint").alias(
+            "n_syms"
+        ),
+    )
+    toks = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    return (
+        toks.join(F.broadcast(vs), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_symbols"),
+        )
+        .orderBy("doc_id")
+    )

@@ -114,3 +114,14 @@ class TestBpeTrainer:
         # single-char words only -> no adjacent pairs at all.
         m = self._merges(spark, ["a b c", "a"], rounds=3)
         assert m == []
+
+    def test_encode_lengths_compress(self, spark):
+        # After learning on 'abab abab ab': merges (a,b) then (ab,ab).
+        # 'abab' -> 1 symbol, 'ab' -> 1 symbol.
+        from power_generation_etl_spark.operators import bpe
+
+        df = spark.createDataFrame([("abab abab ab",)], "text string")
+        seg = bpe.trained_segmentation(df, "text", rounds=2)
+        got = {r["w"]: r["seg"] for r in seg.collect()}
+        assert got["abab"].split() == ["abab"]
+        assert got["ab"].split() == ["ab"]
