@@ -113,6 +113,22 @@ def build_parser() -> argparse.ArgumentParser:
     tis.add_argument("--buckets", type=int, default=64)
     tis.add_argument("--limit", type=int, default=20)
 
+    tb = sub.add_parser(
+        "train-bpe", help="learn BPE merges from a parquet text corpus"
+    )
+    tb.add_argument("input_parquet")
+    tb.add_argument("--out", required=True)
+    tb.add_argument("--text-col", default="text")
+    tb.add_argument("--rounds", type=int, default=8)
+
+    be = sub.add_parser(
+        "bpe-encode", help="per-doc BPE sequence lengths from a trained vocab"
+    )
+    be.add_argument("input_parquet")
+    be.add_argument("vocab_dir")
+    be.add_argument("--id-col", default="doc_id")
+    be.add_argument("--text-col", default="text")
+
     exp = sub.add_parser("aggregate-export")
     exp.add_argument("output_dir")
     exp.add_argument(
@@ -338,6 +354,27 @@ def _dispatch(args, spark, eng: Engine) -> int:
         for r in rows:
             print(f"{r['doc_id']}\t{r['n_terms_matched']}\t{r['total_tf']}")
         print(f"{len(rows)} match(es) shown (limit {args.limit})")
+    elif args.cmd == "train-bpe":
+        from power_generation_etl_spark.operators import bpe
+
+        df = eng.spark.read.parquet(args.input_parquet)
+        merges = bpe.train_merges(df, args.text_col, rounds=args.rounds)
+        seg = bpe.trained_segmentation(df, args.text_col, rounds=args.rounds)
+        merges.write.mode("overwrite").parquet(f"{args.out}/merges.parquet")
+        seg.write.mode("overwrite").parquet(f"{args.out}/vocab_seg.parquet")
+        for r in merges.orderBy("round").collect():
+            print(f"{r['round']}\t{r['merge']!r}\t{r['pair_count']}")
+        print(f"wrote merges + segmented vocab to {args.out}")
+    elif args.cmd == "bpe-encode":
+        from power_generation_etl_spark.operators import bpe
+
+        df = eng.spark.read.parquet(args.input_parquet)
+        vocab = eng.spark.read.parquet(f"{args.vocab_dir}/vocab_seg.parquet")
+        enc = bpe.encode_with_vocab(df, vocab, args.id_col, args.text_col)
+        tot = enc.agg(
+            F.sum("n_words").alias("w"), F.sum("n_symbols").alias("s")
+        ).collect()[0]
+        print(f"{tot['w']} words -> {tot['s']} symbols")
     elif args.cmd == "aggregate-export":
         ok, n = eng.aggregate_export(args.output_dir, args.granularity)
         print(f"exported {n} rows to {args.output_dir}")

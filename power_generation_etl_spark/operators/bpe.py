@@ -144,3 +144,42 @@ def trained_segmentation(
     production tokenizers apply a frozen merge list."""
     _, seg = _train(df, text_col, rounds, final_seg=True)
     return seg
+
+
+def encode_with_vocab(
+    df: DataFrame, vocab: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Encode documents against a FROZEN trained segmentation (the
+    `trained_segmentation` output, typically persisted by the
+    `train-bpe` CLI verb and broadcast at encode time): per-doc
+    (n_words, n_symbols). Out-of-vocab words fall back to
+    character-level segmentation (`length(w)` symbols) — the standard
+    BPE behavior of decomposing unseen words into base symbols."""
+    vs = vocab.select(
+        "w",
+        F.size(F.split(F.trim(F.col("seg")), "  ")).cast("bigint").alias(
+            "n_syms"
+        ),
+    )
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    return (
+        toks.join(F.broadcast(vs), "w", "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_syms"), F.length("w").cast("bigint")).alias(
+                "n_syms"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_symbols"),
+        )
+    )

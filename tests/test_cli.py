@@ -435,3 +435,30 @@ def F_lit_none_string():
     from pyspark.sql import functions as F
 
     return F.lit(None).cast("string")
+
+
+def test_train_bpe_and_encode_verbs(tmp_path, spark, capsys):
+    docs = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "ab ab new")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs.parquet"
+    docs.write.parquet(str(src))
+    out = tmp_path / "bpe"
+    assert _run(tmp_path, "train-bpe", str(src), "--out", str(out),
+                "--rounds", "2") == 0
+    printed = capsys.readouterr().out
+    assert "wrote merges" in printed
+    merges = spark.read.parquet(str(out / "merges.parquet"))
+    assert merges.count() == 2
+    # encode the same corpus plus an OOV word against the frozen vocab
+    docs2 = spark.createDataFrame(
+        [(9, "low unseen")], "doc_id long, text string"
+    )
+    src2 = tmp_path / "docs2.parquet"
+    docs2.write.parquet(str(src2))
+    assert _run(tmp_path, "bpe-encode", str(src2), str(out)) == 0
+    enc_out = capsys.readouterr().out
+    # 'low' after 2 merges ((l,o) then (lo,w)) is 1 symbol; 'unseen'
+    # is OOV -> 6 char symbols: 2 words -> 7 symbols.
+    assert "2 words -> 7 symbols" in enc_out
