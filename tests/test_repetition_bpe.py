@@ -125,3 +125,79 @@ class TestBpeTrainer:
         got = {r["w"]: r["seg"] for r in seg.collect()}
         assert got["abab"].split() == ["abab"]
         assert got["ab"].split() == ["ab"]
+
+
+def _py_bpe(texts, rounds):
+    """Reference classic BPE (symbol-level greedy leftmost merge) —
+    the semantics operators/bpe.py claims to reproduce via the
+    double-space string encoding."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                wf[w] += 1
+    segs = {w: list(w) for w in wf}
+    merges = []
+    for r in range(1, rounds + 1):
+        pc = Counter()
+        for w, f in wf.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        merges.append((r, f"{a} {b}", cnt))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+class TestBpeDifferentialFuzz:
+    def test_random_corpora_match_reference_bpe(self, spark):
+        import random
+
+        from power_generation_etl_spark.operators import bpe
+
+        rng = random.Random(20260814)
+        for case in range(6):
+            alphabet = "ab" if case < 3 else "abc"
+            texts = [
+                " ".join(
+                    "".join(
+                        rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 7))
+                    )
+                    for _ in range(rng.randint(1, 12))
+                )
+                for _ in range(rng.randint(1, 5))
+            ]
+            rounds = rng.randint(1, 4)
+            want_merges, want_segs = _py_bpe(texts, rounds)
+            df = spark.createDataFrame([(t,) for t in texts], "text string")
+            got_merges = [
+                (r["round"], r["merge"], r["pair_count"])
+                for r in bpe.train_merges(df, "text", rounds=rounds)
+                .orderBy("round")
+                .collect()
+            ]
+            assert got_merges == want_merges, (case, texts, rounds)
+            got_segs = {
+                r["w"]: r["seg"].split()
+                for r in bpe.trained_segmentation(
+                    df, "text", rounds=rounds
+                ).collect()
+            }
+            assert got_segs == want_segs, (case, texts, rounds)
