@@ -1608,3 +1608,76 @@ def bpe_encode_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "bpe_fertility_by_lang",
+    "WITH "
+    + _bpe_ctes(_BPE_ROUNDS, final_seg=True)
+    + f""",
+    vs AS MATERIALIZED (
+      SELECT w, CAST(len(string_split(trim(seg), '  ')) AS BIGINT) AS n_syms
+      FROM s{_BPE_ROUNDS}
+    ),
+    tok AS (
+      SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_syms) AS BIGINT) AS n_symbols
+      FROM (SELECT lang, w FROM tok WHERE w <> '') t JOIN vs USING (w)
+      GROUP BY lang
+    )
+    SELECT lang, n_words, n_symbols,
+           CAST((n_symbols * 100 // n_words) * 10000
+              + ((n_symbols * 100 % n_words) * 100 // n_words) * 100
+              + ((n_symbols * 100 % n_words) * 100 % n_words) * 100
+                // n_words AS BIGINT) AS fertility_ppm
+    FROM agg
+    ORDER BY lang
+    """,
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE symbols per word, exact integer ppm)
+    per language — the fairness statistic multilingual tokenizer work
+    tracks (languages the merges under-serve pay more sequence length
+    per word). Same broadcast-vocab encode as bpe_encode_doc_lengths,
+    aggregated by language; the ppm ratio runs through the staged ×100
+    long division (customer_spend_gini pattern) so n_symbols ~ 1e13 at
+    100 TB never overflows int64 under ANSI."""
+    d = T(spark, sf_dir, "documents")
+    seg = _bpe.trained_segmentation(d, "text", rounds=_BPE_ROUNDS)
+    vs = seg.select(
+        "w",
+        F.size(F.split(F.trim(F.col("seg")), "  ")).cast("bigint").alias(
+            "n_syms"
+        ),
+    )
+    toks = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    return (
+        toks.join(F.broadcast(vs), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_symbols"),
+        )
+        .withColumn(
+            "fertility_ppm",
+            F.expr(
+                "CAST((n_symbols * 100 div n_words) * 10000"
+                " + ((n_symbols * 100 % n_words) * 100 div n_words) * 100"
+                " + ((n_symbols * 100 % n_words) * 100 % n_words) * 100"
+                " div n_words AS BIGINT)"
+            ),
+        )
+        .orderBy("lang")
+    )
