@@ -183,6 +183,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ps.add_argument("--decontam-ngram", type=int, default=5)
     ps.add_argument(
+        "--bpe-vocab",
+        default=None,
+        help="train-bpe output dir: pack sequences by BPE symbol "
+        "counts instead of whitespace tokens",
+    )
+    ps.add_argument(
         "--no-redact-pii",
         action="store_true",
         help="skip email/IP/phone placeholder redaction in written shards",
@@ -425,6 +431,11 @@ def _dispatch(args, spark, eng: Engine) -> int:
             benchmark=bench,
             decontam_n=args.decontam_ngram,
             redact_pii=not args.no_redact_pii,
+            bpe_vocab=(
+                spark.read.parquet(f"{args.bpe_vocab}/vocab_seg.parquet")
+                if args.bpe_vocab
+                else None
+            ),
         )
         print(
             f"input={s.n_input} quality={s.n_after_quality} "

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from power_generation_etl_spark.operators import bpe
 from power_generation_etl_spark.operators import corpus as cp
 from power_generation_etl_spark.operators import hygiene as hg
 from power_generation_etl_spark.operators import minhash as mh
@@ -51,6 +52,7 @@ def prepare_pretraining_shards(
     benchmark: DataFrame | None = None,
     decontam_n: int = 5,
     redact_pii: bool = True,
+    bpe_vocab: DataFrame | None = None,
 ) -> PrepSummary:
     """Run the full prep pipeline and write training shards.
 
@@ -67,6 +69,13 @@ def prepare_pretraining_shards(
     ``decontam_n``-gram with it are dropped (eval-set leak removal);
     when ``redact_pii`` is set, emails/IPs/phone numbers are replaced
     with typed placeholders in the written shards.
+
+    When ``bpe_vocab`` is given (a `train-bpe` segmented vocab —
+    operators/bpe.py::trained_segmentation output), `n_tok` is the
+    document's BPE symbol count (broadcast vocab join, char-fallback
+    for OOV words) instead of the whitespace token count, so the
+    packing budget matches what the downstream tokenizer will actually
+    emit.
     """
     n_input = docs.count()
 
@@ -106,12 +115,22 @@ def prepare_pretraining_shards(
     if redact_pii:
         kept = kept.withColumn(text_col, hg.redact_pii(F.col(text_col)))
 
-    # 4. language tag + token counts (explode once, codegen aggregates)
+    # 4. language tag + token counts (explode once, codegen aggregates).
+    # With a trained BPE vocab, n_tok = post-merge symbol count — the
+    # real sequence-length currency of the downstream tokenizer.
     langs = tx.score_langs(kept, id_col, text_col)
-    enriched = (
-        kept.join(langs, id_col)
-        .withColumn("n_tok", tx.token_count(F.col(text_col)))
-    )
+    enriched = kept.join(langs, id_col)
+    if bpe_vocab is not None:
+        lens = bpe.encode_with_vocab(
+            enriched, bpe_vocab, id_col, text_col
+        ).select(id_col, F.col("n_symbols").alias("n_tok"))
+        enriched = enriched.join(lens, id_col, "left").withColumn(
+            "n_tok", F.coalesce(F.col("n_tok"), F.lit(0))
+        )
+    else:
+        enriched = enriched.withColumn(
+            "n_tok", tx.token_count(F.col(text_col))
+        )
 
     # 5. per-shard sequence assignment (windowed inside the shard)
     packed = cp.assign_sequences(enriched, shard_col, id_col, "n_tok", budget)

@@ -93,3 +93,36 @@ def test_pipeline_decontam_and_redaction(spark, tmp_path):
     t2 = {r["doc_id"]: r["text"]
           for r in spark.read.json(str(tmp_path / "shards2")).collect()}
     assert "alice@example.com" in t2[2]
+
+
+def test_pipeline_bpe_budgeted_packing(spark, tmp_path):
+    """With a trained BPE vocab, n_tok is the post-merge symbol count
+    (so packing budgets match tokenizer output), with char-level
+    fallback for OOV words."""
+    from power_generation_etl_spark.operators import bpe
+
+    train = spark.createDataFrame(
+        [(1, "low low low lower", "s0")],
+        "doc_id long, text string, source string",
+    )
+    vocab = bpe.trained_segmentation(train, "text", rounds=2)
+    # after (l,o) and (lo,w): 'low' -> 1 symbol, 'lower' -> low+e+r = 3
+    docs = spark.createDataFrame(
+        [
+            (1, "low low lower " + "spark query join window " * 10, "s0"),
+            (2, "low zz " + "table scan filter value " * 10, "s0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "bpe_shards")
+    s = prepare_pretraining_shards(
+        docs, out, budget=64, neardup_threshold=0.9, bpe_vocab=vocab
+    )
+    shards = spark.read.json(out)
+    got = {r["doc_id"]: r["n_tok"] for r in shards.collect()}
+    # doc 1: low(1)+low(1)+lower(3) + 40 OOV words x word-length chars
+    d1_oov = sum(len(w) for w in ("spark query join window ".split() * 10))
+    assert got[1] == 1 + 1 + 3 + d1_oov
+    d2_oov = sum(len(w) for w in ("table scan filter value ".split() * 10)) + 2
+    assert got[2] == 1 + d2_oov
+    assert s.total_tokens == got[1] + got[2]
