@@ -462,3 +462,22 @@ def test_train_bpe_and_encode_verbs(tmp_path, spark, capsys):
     # 'low' after 2 merges ((l,o) then (lo,w)) is 1 symbol; 'unseen'
     # is OOV -> 6 char symbols: 2 words -> 7 symbols.
     assert "2 words -> 7 symbols" in enc_out
+
+
+def test_train_bpe_empty_and_degenerate_corpus(tmp_path, spark, capsys):
+    """train-bpe on a corpus with no pairs writes an empty merge table;
+    bpe-encode against that vocab still works (char fallback covers
+    every word, vocab join contributes nothing)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    src = tmp_path / "docs1ch.parquet"
+    docs.write.parquet(str(src))
+    out = tmp_path / "bpe_empty"
+    assert _run(tmp_path, "train-bpe", str(src), "--out", str(out),
+                "--rounds", "3") == 0
+    capsys.readouterr()
+    merges = spark.read.parquet(str(out / "merges.parquet"))
+    assert merges.count() == 0
+    assert _run(tmp_path, "bpe-encode", str(src), str(out)) == 0
+    assert "3 words -> 3 symbols" in capsys.readouterr().out
