@@ -183,6 +183,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ps.add_argument("--decontam-ngram", type=int, default=5)
     ps.add_argument(
+        "--repetition-filter",
+        action="store_true",
+        help="also drop Gopher-flagged repetitive documents",
+    )
+    ps.add_argument(
         "--bpe-vocab",
         default=None,
         help="train-bpe output dir: pack sequences by BPE symbol "
@@ -431,6 +436,7 @@ def _dispatch(args, spark, eng: Engine) -> int:
             benchmark=bench,
             decontam_n=args.decontam_ngram,
             redact_pii=not args.no_redact_pii,
+            repetition_filter=args.repetition_filter,
             bpe_vocab=(
                 spark.read.parquet(f"{args.bpe_vocab}/vocab_seg.parquet")
                 if args.bpe_vocab

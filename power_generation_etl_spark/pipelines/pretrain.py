@@ -53,6 +53,7 @@ def prepare_pretraining_shards(
     decontam_n: int = 5,
     redact_pii: bool = True,
     bpe_vocab: DataFrame | None = None,
+    repetition_filter: bool = False,
 ) -> PrepSummary:
     """Run the full prep pipeline and write training shards.
 
@@ -70,6 +71,10 @@ def prepare_pretraining_shards(
     when ``redact_pii`` is set, emails/IPs/phone numbers are replaced
     with typed placeholders in the written shards.
 
+    ``repetition_filter`` adds the Gopher within-document repetition
+    screen (operators/text.py::repetition_stats thresholds) to the
+    quality stage.
+
     When ``bpe_vocab`` is given (a `train-bpe` segmented vocab —
     operators/bpe.py::trained_segmentation output), `n_tok` is the
     document's BPE symbol count (broadcast vocab join, char-fallback
@@ -79,9 +84,19 @@ def prepare_pretraining_shards(
     """
     n_input = docs.count()
 
-    # 1. quality filter — one projection scan
+    # 1. quality filter — one projection scan; optionally also the
+    # Gopher repetition screen (repetition_stats is join-shaped, so it
+    # runs as a doc-keyed anti-join rather than a Column predicate;
+    # docs too short to have 5-grams are never flagged)
     m = tx.quality_metrics(F.col(text_col))
     q = docs.filter(tx.quality_pass(m))
+    if repetition_filter:
+        flagged = (
+            tx.repetition_stats(q, id_col, text_col)
+            .where(F.col("repetitive"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        q = q.join(flagged, id_col, "left_anti")
     n_quality = q.count()
 
     # 2. exact dedup — keep lowest id per digest (digest-only shuffle)

@@ -126,3 +126,26 @@ def test_pipeline_bpe_budgeted_packing(spark, tmp_path):
     d2_oov = sum(len(w) for w in ("table scan filter value ".split() * 10)) + 2
     assert got[2] == 1 + d2_oov
     assert s.total_tokens == got[1] + got[2]
+
+
+def test_pipeline_repetition_filter(spark, tmp_path):
+    """repetition_filter drops Gopher-flagged looping docs; clean docs
+    of the same length survive."""
+    loop = "click here menu home " * 30
+    clean = " ".join(f"word{i} item{i} part{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, loop, "s0"), (2, clean, "s0")],
+        "doc_id long, text string, source string",
+    )
+    out1 = str(tmp_path / "rep_on")
+    s_on = prepare_pretraining_shards(
+        docs, out1, neardup_threshold=0.9, repetition_filter=True
+    )
+    out2 = str(tmp_path / "rep_off")
+    s_off = prepare_pretraining_shards(
+        docs, out2, neardup_threshold=0.9, repetition_filter=False
+    )
+    assert s_off.n_after_quality == 2
+    assert s_on.n_after_quality == 1
+    kept = spark.read.json(out1)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
