@@ -55,14 +55,42 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    full = {
+        "metric": "total wall-clock for all registered queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The full per-query map (150+ keys) overflows the driver's output
+    # tail capture (round 4 shipped `parsed: null`). Persist the full
+    # map to a sidecar artifact and print it FIRST (so it scrolls out
+    # of the tail), then print a compact machine-readable line LAST —
+    # the line the driver actually parses. The compact line keeps the
+    # required schema (metric/value/unit/queries/sf) but bounds the
+    # `queries` map to the slowest entries so it stays under ~1 KiB.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(full, fh)
+    except OSError as exc:
+        print(f"# could not write {detail_path}: {exc}", file=sys.stderr)
+    print(json.dumps(full))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:12]
+    )
     print(
         json.dumps(
             {
                 "metric": "total wall-clock for all registered queries",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from power_generation_etl_spark.operators import bloom as bl
 from power_generation_etl_spark.operators import sketch as sk
@@ -241,13 +240,20 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hflags = flags.groupBy(sk.hash48(F.col("user_id")).alias("h")).agg(
         F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
     )
-    ranked = hflags.withColumn("rn", F.row_number().over(Window.orderBy("h")))
-    kstats = ranked.where(F.col("rn") <= _KMV_K).agg(
+    # Bottom-k selection via orderBy().limit(K): compiles to
+    # TakeOrderedAndProject — each partition keeps a local K-row heap,
+    # only K rows per partition reach the driver-side merge. The input
+    # to the (implicit) global order is never materialized in one task,
+    # unlike a row_number() window over all O(distinct users) hashes.
+    # h_k = max(h) of the kept set == the K-th smallest hash whenever
+    # n_hashes >= K; when n_hashes < K the estimate's CASE ignores h_k.
+    topk = hflags.orderBy("h").limit(_KMV_K)
+    kstats = topk.agg(
         F.count(F.lit(1)).alias("n_in_k"),
         F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
         .cast("bigint")
         .alias("n_both_k"),
-        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("h_k"),
+        F.max("h").alias("h_k"),
     )
     hl = hflags.agg(F.count(F.lit(1)).alias("n_hashes"))
     est_union = F.expr(

@@ -1307,9 +1307,11 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Rank-window family completeness: percent_rank / cume_dist / ntile /
-# nth_value over one partitioning. All inputs are integer cents and the
-# rank floats are the same (rank−1)/(n−1) ratio of exact integers on
-# both engines, rounded 4dp.
+# nth_value over one PARTITIONED window (by o_orderpriority) — no
+# unpartitioned window anywhere in the plan, so the rows of each group
+# land on that group's task, never all on one. All inputs are integer
+# cents and the rank floats are the same (rank−1)/(n−1) ratio of exact
+# integers on both engines, rounded 4dp.
 # ---------------------------------------------------------------------------
 
 
@@ -1317,12 +1319,12 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank_family",
     """
     WITH o AS (
-        SELECT o_custkey,
+        SELECT o_orderpriority, o_custkey,
                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
                o_orderkey
         FROM orders WHERE o_orderkey % 97 = 0
     )
-    SELECT o_orderkey, o_custkey, cents,
+    SELECT o_orderkey, o_orderpriority, o_custkey, cents,
            round(percent_rank() OVER w, 4) AS pct_rank,
            round(cume_dist() OVER w, 4) AS cume,
            ntile(10) OVER w AS decile,
@@ -1330,28 +1332,30 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            nth_value(cents, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND UNBOUNDED FOLLOWING) AS third_cents
     FROM o
-    WINDOW w AS (ORDER BY cents, o_orderkey)
-    ORDER BY cents, o_orderkey
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+    ORDER BY o_orderpriority, cents, o_orderkey
     """,
 )
 def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank/cume_dist/ntile/first_value/nth_value over one
-    global ordering (sampled 1/97 of orders so the single-partition
-    window stays test-sized; at scale these windows are per-group).
-    The rank ratios divide exact integers — identical doubles out."""
+    """percent_rank/cume_dist/ntile/first_value/nth_value, partitioned
+    by o_orderpriority (the 1/97 key sample just bounds the test
+    output). The rank ratios divide exact integers within each group —
+    identical doubles out of both engines."""
     o = (
         T(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") % 97 == 0)
         .select(
             "o_orderkey",
+            "o_orderpriority",
             "o_custkey",
             F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
         )
     )
-    w = Window.orderBy("cents", "o_orderkey")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_orderkey",
+        "o_orderpriority",
         "o_custkey",
         "cents",
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
@@ -1359,7 +1363,7 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).alias("decile"),
         F.first("cents").over(w).alias("min_cents"),
         F.nth_value("cents", 3).over(wfull).alias("third_cents"),
-    ).orderBy("cents", "o_orderkey")
+    ).orderBy("o_orderpriority", "cents", "o_orderkey")
 
 
 # ---------------------------------------------------------------------------

@@ -90,11 +90,9 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
 # percentiles) runs through operators/rank.py's distributed two-pass
 # rank instead.
 _GLOBAL_WINDOW_OK = {
-    "window_rank_family",  # 1/97-sampled demo of the window-fn family
     "cumulative_unique_users",  # O(days) post-aggregation series
     "pareto_docs_frontier",  # O(distinct doc lengths) running max
     "khop_trade_nations",  # nation-pair edge list, ≤ |nations|²
-    "kmv_user_overlap",  # O(k) sketch rows
     "hybrid_search_rrf",  # rank windows over the two LIMIT-50 candidate lists
     "ks_click_vs_error",  # ECDF window over DISTINCT cent values (domain-bounded)
 }
