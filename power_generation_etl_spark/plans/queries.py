@@ -9,7 +9,9 @@ declarative Spark plan. Every query has a DuckDB oracle in ``ORACLES``
 Design rules (100 TB discipline):
 - built-in `pyspark.sql.functions` only in hot paths — no Python UDFs;
 - aggregates are hash-aggregable (map-side partial aggregation);
-- dimension joins are explicitly `broadcast()`;
+- only constant-cardinality dims (nation/region, 1-row aggregates)
+  carry explicit `broadcast()` hints; sf-proportional tables never
+  do (a hard hint overrides AQE's size check → OOM at large sf);
 - double-typed aggregate outputs are `round()`ed identically on both
   sides so value-hash comparison is robust to fp summation order;
 - dates/timestamps are emitted as formatted strings so session-timezone
@@ -438,8 +440,9 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
 # ---------------------------------------------------------------------------
 # J4: dimension equi-joins with broadcast (reference downstream dashboard
 # contract, schema/materialized_views.sql:160-162). TPC-H Q5 shape:
-# fact → fact join (shuffle) then three broadcast dim joins — the small
-# sides never shuffle the lineitem table.
+# fact → fact join (shuffle) then dim joins — nation/region are
+# hint-broadcast (constant 25/5 rows); customer is unhinted because it
+# grows with sf (AQE broadcasts it only while it actually fits).
 # ---------------------------------------------------------------------------
 @_register(
     "regional_revenue",
@@ -465,7 +468,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -693,7 +696,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -967,7 +970,8 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # TPC-H Q9-flavor 5-way star join: lineitem fact joined to part,
-# supplier, nation, region — all four dims explicitly broadcast, the
+# supplier, nation, region — nation/region hint-broadcast, part and
+# supplier unhinted (sf-proportional; AQE sizes them at runtime), the
 # p_type filter pushed into the part scan before the join. Plan shape
 # at 100 TB: one pass over the fact, zero fact-side shuffles until the
 # final (r_name, p_brand) aggregation (map-side combined).
@@ -995,8 +999,8 @@ def supplier_region_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = T(spark, sf_dir, "nation")
     region = T(spark, sf_dir, "region")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -1562,7 +1566,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big, "l_orderkey", "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey")
         .agg(F.sum("qty").cast("bigint").alias("total_qty"))
         .orderBy(F.desc("total_qty"), "o_orderkey")
@@ -1606,7 +1610,7 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")

@@ -217,7 +217,7 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Integer PageRank over the customer-nation → supplier-nation trade
 # graph (edges derived relationally from lineitem⋈orders⋈customer⋈
-# supplier; dims broadcast). Unrolled-CTE oracle reproduces the exact
+# supplier; only constant dims hinted — customer/supplier AQE-sized). Unrolled-CTE oracle reproduces the exact
 # integer trajectory.
 # ---------------------------------------------------------------------------
 
@@ -250,8 +250,8 @@ def pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy(
             F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
         )
@@ -904,7 +904,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = T(spark, sf_dir, "region").select("r_regionkey", "r_name")
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
@@ -1697,8 +1697,8 @@ def khop_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     e = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy(F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -1913,8 +1913,8 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     e = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
         )

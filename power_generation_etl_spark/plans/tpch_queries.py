@@ -20,8 +20,10 @@ Every DuckDB ``sum()`` output is CAST to BIGINT (DuckDB widens integer
 sums to HUGEINT, which would hash-mismatch Spark's bigint).
 
 Scale notes per query are on the function docstrings; the common rule:
-nation/region/part dims are broadcast, fact⋈fact joins shuffle on their
-keys, and global scalars are 1-row subqueries (Catalyst executes them
+only constant-cardinality dims (nation, region) carry broadcast hints —
+sf-proportional sides (part/supplier/customer) are left unhinted so AQE
+broadcasts them only when their runtime size actually fits; fact⋈fact
+joins shuffle on their keys, and global scalars are 1-row subqueries (Catalyst executes them
 as separate tiny jobs — never a cartesian against the fact table).
 """
 
@@ -46,9 +48,9 @@ def _cents() -> F.Column:
 # Q7 shape — volume shipping between two nations, both directions.
 # Join topology: lineitem⋈supplier⋈orders⋈customer + nation×2 (the same
 # 25-row dim joined under two roles). At 100 TB the two nation joins are
-# broadcasts; supplier/customer are broadcast at this dataset's scale
-# (dims ≪ facts) and would become shuffle joins on a full TPC-H where
-# customer is 1/10 of orders; the nation filter semi-reduces both fact
+# broadcasts; supplier/customer carry NO hint — AQE promotes them to
+# broadcast when small, falling back to shuffle joins on a full TPC-H
+# where customer is 1/10 of orders; the nation filter semi-reduces both fact
 # inputs before the fact⋈fact shuffle either way.
 # ---------------------------------------------------------------------------
 @_register(
@@ -105,10 +107,10 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents().alias("cents"),
     )
     rev = (
-        li2.join(F.broadcast(s2), li2["l_suppkey"] == s2["s_suppkey"])
+        li2.join(s2, li2["l_suppkey"] == s2["s_suppkey"])
         .join(o.select("o_orderkey", "o_custkey"),
               li2["l_orderkey"] == F.col("o_orderkey"))
-        .join(F.broadcast(c2), F.col("o_custkey") == c2["c_custkey"])
+        .join(c2, F.col("o_custkey") == c2["c_custkey"])
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (
@@ -187,14 +189,14 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "supp_nation")
     )
     vol = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(supp_nation), li["l_suppkey"] == supp_nation["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(supp_nation, li["l_suppkey"] == supp_nation["s_suppkey"])
         .join(
             o.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year")),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust_region),
+            cust_region,
             F.col("o_custkey") == cust_region["c_custkey"],
             "left_semi",
         )
@@ -455,9 +457,10 @@ def dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q19 shape — disjunctive bracket predicates: three (brand, quantity
 # range, size range) brackets OR-ed together. The whole filter is one
-# scan-stage predicate over the broadcast part join — Catalyst pushes
-# the part-side conjuncts (brand/size) into the broadcast build and
-# the quantity conjuncts into the lineitem scan.
+# scan-stage predicate over the part join (unhinted — AQE broadcasts
+# the filtered part side when it fits) — Catalyst pushes the part-side
+# conjuncts (brand/size) below the join and the quantity conjuncts
+# into the lineitem scan.
 # ---------------------------------------------------------------------------
 @_register(
     "bracket_revenue",
@@ -487,7 +490,7 @@ def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#23") & q.between(20, 30) & z.between(1, 15))
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .where(brackets)
         .agg(
             F.sum(_cents()).cast("bigint").alias("revenue_cents"),
@@ -497,8 +500,8 @@ def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q14 shape — promo revenue share in a date window: one broadcast part
-# join, two conditional sums, and a ppm ratio of exact bigints
+# Q14 shape — promo revenue share in a date window: one part join
+# (AQE-sized), two conditional sums, and a ppm ratio of exact bigints
 # (truncating integer division — no float threshold).
 # ---------------------------------------------------------------------------
 @_register(
@@ -524,7 +527,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("l_shipdate") == 1996) & (F.month("l_shipdate") <= 3)
     )
     p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
         _cents().alias("cents"), "p_type"
     )
     promo = F.sum(
@@ -580,8 +583,8 @@ def priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q9 shape — product-type profit by supplier nation and order year.
 # No partsupp table: unit cost is proxied as 20% of the part's retail
-# price in exact cents; profit stays pure bigint arithmetic. Part
-# filter broadcast-semi-reduces lineitem before the orders shuffle.
+# price in exact cents; profit stays pure bigint arithmetic. The part
+# join reduces lineitem before the orders shuffle (AQE-sized build).
 # ---------------------------------------------------------------------------
 @_register(
     "product_type_profit",
@@ -634,8 +637,8 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     profit = _cents() - F.col("unit_cost") * F.col("l_quantity").cast("bigint")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .select("nation", "order_year", profit.alias("profit_cents"))
         .groupBy("nation", "order_year")
@@ -674,7 +677,7 @@ def suppliers_with_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     movers = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
         .where(F.col("qty") > 50)
@@ -755,7 +758,7 @@ def suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        sole_late.join(s, F.col("l_suppkey") == s["s_suppkey"])
         .groupBy(F.col("s_name").alias("supplier"))
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "supplier")
@@ -818,7 +821,7 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost = (
         li.join(
-            F.broadcast(region_supp),
+            region_supp,
             li["l_suppkey"] == region_supp["s_suppkey"],
             "left_semi",
         )
@@ -841,8 +844,8 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (cost["supply_cents"] == mn["mn_cents"]),
         )
         .drop(mn["partkey"])
-        .join(F.broadcast(p), F.col("partkey") == p["p_partkey"])
-        .join(F.broadcast(s), F.col("suppkey") == s["s_suppkey"])
+        .join(p, F.col("partkey") == p["p_partkey"])
+        .join(s, F.col("suppkey") == s["s_suppkey"])
         .select(
             "partkey",
             F.col("p_name").alias("part_name"),

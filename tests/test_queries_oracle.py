@@ -119,3 +119,18 @@ def test_no_rowscale_global_window(name, spark, sf_dir):
     if name in _GLOBAL_WINDOW_OK:
         return  # documented small-by-construction global windows
     assert n_global == 0, f"{name} has {n_global} unpartitioned Window node(s)"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_bigtable_broadcast(name, spark, sf_dir):
+    """No catalog query may hard-broadcast a scale-factor-proportional
+    base table (customer/supplier/part/orders/lineitem/events/
+    documents/embeddings) without an aggregate/limit bounding it: the
+    hint overrides AQE's size check, so at large sf it is an OOM, not
+    a slow plan. Constant-cardinality dims (nation, region) and
+    aggregated sub-results may keep their hints; AQE promotes any
+    genuinely small side at runtime anyway."""
+    from power_generation_etl_spark.plancheck import bigtable_broadcasts
+
+    offenders = bigtable_broadcasts(QUERIES[name](spark, sf_dir))
+    assert not offenders, f"{name} broadcast-hints sf-proportional {offenders}"

@@ -137,3 +137,56 @@ class TestPlanCheck:
         rep = check_plan(a.crossJoin(b))
         assert rep.cartesians + rep.nested_loop_joins >= 1
         assert not rep.ok
+
+    def test_bigtable_broadcast_flagged(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from power_generation_etl_spark.plancheck import (
+            bigtable_broadcasts,
+            check_plan,
+        )
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        # Raw sf-proportional table under a hard hint: flagged even
+        # through a filter (filters don't bound size asymptotically).
+        bad = o.join(
+            F.broadcast(c.where(F.col("c_acctbal") > 0)),
+            o.o_custkey == c.c_custkey,
+        )
+        assert bigtable_broadcasts(bad) == ["customer"]
+        rep = check_plan(bad)
+        assert any("sf-proportional" in w for w in rep.warnings)
+
+    def test_bounded_broadcast_not_flagged(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from power_generation_etl_spark.plancheck import bigtable_broadcasts
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        # Aggregated sub-result of a big table: bounded, hint allowed.
+        top = c.groupBy("c_nationkey").agg(F.count("*").alias("n"))
+        ok1 = o.join(F.broadcast(top), o.o_custkey == top.c_nationkey)
+        assert bigtable_broadcasts(ok1) == []
+        # Constant-cardinality dim: allowed.
+        ok2 = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        assert bigtable_broadcasts(ok2) == []
+        # limit() bounds too.
+        ok3 = o.join(F.broadcast(c.limit(10)), o.o_custkey == c.c_custkey)
+        assert bigtable_broadcasts(ok3) == []
+
+    def test_single_partition_exchange_flagged(self, spark):
+        from pyspark.sql import functions as F
+
+        from power_generation_etl_spark.plancheck import check_plan
+
+        # repartition(1) funnels row-scale data through one task.
+        rep = check_plan(spark.range(1000).repartition(1))
+        assert rep.single_partition_exchanges >= 1
+        assert any("SinglePartition" in w for w in rep.warnings)
+        # The final exchange of a global (no-group-key) aggregate is
+        # the benign form: one input row per upstream partition.
+        rep2 = check_plan(spark.range(1000).agg(F.sum("id")))
+        assert not any("SinglePartition" in w for w in rep2.warnings)
