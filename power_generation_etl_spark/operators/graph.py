@@ -367,13 +367,29 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
 
 
-def kcore(edges: DataFrame, src: str, dst: str, k: int, max_rounds: int = 12):
+def kcore(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int,
+    max_rounds: int = 12,
+    strict: bool = True,
+):
     """Nodes of the k-core: the maximal subgraph where every node keeps
     degree ≥ k — iterative peeling (Matula & Beck). Each round is one
     degree aggregation + one semi-join filter of the edge list; rounds
     are O(peeling depth), each `localCheckpoint`ed to cut lineage.
     Converges when a round removes nothing; `max_rounds` bounds the
-    oracle-unrollable trajectory (raise it for deep peelings).
+    oracle-unrollable trajectory (raise it for deep peelings — long
+    chains hanging off the core need O(chain length) rounds).
+
+    If the fixpoint is NOT reached within `max_rounds`, the surviving
+    subgraph is a strict SUPERSET of the k-core (the final degree
+    filter masks remaining under-degree structure), so by default the
+    operator raises instead of silently returning it. Pass
+    ``strict=False`` to accept the partially-peeled snapshot — e.g.
+    when an unrolled oracle reproduces the identical truncated
+    trajectory.
 
     Returns (node id, core_degree) rows — core_degree is the node's
     degree inside the surviving subgraph.
@@ -387,6 +403,7 @@ def kcore(edges: DataFrame, src: str, dst: str, k: int, max_rounds: int = 12):
         .distinct()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_rounds):
         deg = (
             e.select(F.col("a").alias("id"))
@@ -402,8 +419,16 @@ def kcore(edges: DataFrame, src: str, dst: str, k: int, max_rounds: int = 12):
         )
         if e2.count() == e.count():
             e = e2
+            converged = True
             break
         e = e2
+    if not converged and strict:
+        raise ValueError(
+            f"kcore did not reach the peeling fixpoint in {max_rounds} "
+            "rounds — the result would be a superset of the k-core. "
+            "Raise max_rounds (deep chains peel one hop per round) or "
+            "pass strict=False to accept the truncated trajectory"
+        )
     deg = (
         e.select(F.col("a").alias("id"))
         .unionByName(e.select(F.col("b").alias("id")))

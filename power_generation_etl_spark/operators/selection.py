@@ -24,7 +24,11 @@ full terabyte-scale sort-shuffle. All arithmetic is exact bigint, so
 results are bit-identical to the positional oracle on any engine.
 
 Requires an integer-typed (or integer-castable) value column — the
-same exact-cents convention the rest of the catalog uses for money.
+same exact-cents convention the rest of the catalog uses for money —
+whose total spread fits int64 (`max - min < 2^63`, checked): interval
+arithmetic (`v - lo`, `new_lo = lo + c*step`) stays in exact bigint,
+and the cell index is an integer `div`, never a float divide whose
+rounding could disagree with the driver's exact interval boundaries.
 """
 
 from __future__ import annotations
@@ -55,6 +59,13 @@ def value_at_ranks(
     targets = {k for k in ranks if 1 <= k <= n}
     if not targets:
         return {}
+    if stats["hi"] - stats["lo"] >= 2**63:
+        # v - lo would overflow int64 executor-side (ANSI error /
+        # silent wrap). Full-range inputs need a sign-split first.
+        raise ValueError(
+            "value_at_ranks requires max - min < 2^63; split the input "
+            "by sign and recombine ranks for full-range bigint columns"
+        )
     # Per target: (lo, hi, below) — rank searched within [lo, hi],
     # `below` = rows with v < lo.
     state = {k: (stats["lo"], stats["hi"], 0) for k in targets}
@@ -77,11 +88,21 @@ def value_at_ranks(
         iid = cell = None
         for i, (lo, hi) in enumerate(intervals):
             cond = (F.col("v") >= lo) & (F.col("v") <= hi)
-            cexpr = (F.col("v") - F.lit(lo)) / F.lit(step[(lo, hi)])
+            # Integer `div`, not float `/` + floor: near 2^63 the
+            # double-rounded quotient can disagree with the driver's
+            # exact integer boundaries (new_lo = lo + c*step) by one
+            # cell, corrupting the carried `below` count. v >= lo
+            # inside cond, so truncating div == floor div.
+            # CAST(... AS BIGINT) instead of an L-suffixed literal: the
+            # parser rejects -9223372036854775808L (negation of an
+            # out-of-range positive literal) but casts the decimal form.
+            cexpr = F.expr(
+                f"(v - CAST({lo} AS BIGINT)) div {step[(lo, hi)]}L"
+            )
             iid = F.when(cond, F.lit(i)) if iid is None else iid.when(cond, F.lit(i))
             cell = F.when(cond, cexpr) if cell is None else cell.when(cond, cexpr)
         hist = (
-            vals.select(iid.alias("i"), F.floor(cell).alias("c"))
+            vals.select(iid.alias("i"), cell.alias("c"))
             .where(F.col("i").isNotNull())
             .groupBy("i", "c")
             .agg(F.count(F.lit(1)).alias("n"))

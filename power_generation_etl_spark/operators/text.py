@@ -275,20 +275,30 @@ def bm25_scores(
     Robertson/Sparck-Jones with the Lucene `ln(1 + (N-df+0.5)/(df+0.5))
     = ln((N+1)/(df+0.5))` idf. Exactly cross-engine-reproducible:
 
-    - the tf-saturation factor is a SINGLE division of two exact
-      bigints (every rational k1/b/len/avglen term is cross-multiplied
-      by `20·S`, S = corpus token count), so both engines divide the
-      same integers and get the same double;
+    - the tf-saturation factor's numerator/denominator are built from
+      exact integer inputs combined with IEEE-754 double `*`/`+` in a
+      FIXED association — correctly-rounded ops, so both engines
+      produce bit-identical doubles from the same integers. Integer
+      products that could outgrow int64 at corpus scale are never
+      formed: the corpus-scale constants ((20+k1_20)·S, 20·S,
+      k1_20·(20-b_20)·S/20) are exact driver-side Python ints cast to
+      double BEFORE the per-row tf multiply (the round-4 form
+      multiplied 44·S·tf in bigint — overflow at S~1e13, tf≥21);
     - idf is computed on the DRIVER with Python's libm from exact
       (N, df) counts and injected as a literal — the oracle's `ln` on
       the identical input double resolves through the same C library,
       so no JVM-vs-C last-ulp divergence enters the plan;
     - the score is a fixed-order sum of the per-term products.
 
+    Headroom (int64 stays exact): S < 2^63/44 ≈ 2.1e17 corpus tokens
+    for the driver constants, and dl·N < 2^63/k1b ≈ 5.1e17 for the
+    per-row `c2·dl·N` term (N docs, dl tokens/doc) — both orders of
+    magnitude above the 100 TB design point (S ~1e13, N ~1e10).
+
     One explode+groupBy over matching tokens (map-side combined) + two
     1-row driver aggregates (N/S and per-term df) — the corpus is
     never sorted or broadcast. k1/b arrive as twentieths to keep the
-    cross-multiplied arithmetic integral."""
+    driver-side constants integral."""
     import math
 
     text = F.col(text_col)
@@ -300,9 +310,12 @@ def bm25_scores(
     ).collect()[0]
     n_docs, s_tokens = g["n"] or 0, g["s"] or 0
     if n_docs == 0 or s_tokens == 0:
-        spark = df.sparkSession
-        empty = spark.createDataFrame([(0, 0.0)], f"{id_col} bigint, score double")
-        return empty.where(F.lit(False))
+        # Empty result carries the INPUT id column's type (a hardcoded
+        # bigint would change the schema vs the normal path for
+        # string-typed ids, breaking downstream unions on empty input).
+        return df.select(F.col(id_col)).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
     toks = df.where(text.isNotNull()).select(
         F.col(id_col),
         F.explode(F.split(F.lower(text), r"\s+")).alias("_tok"),
@@ -330,22 +343,27 @@ def bm25_scores(
         math.log((n_docs + 1) / (dfs[f"df{i}"] + 0.5)) for i in range(len(terms))
     ]
     scored = hits.join(base, id_col)
-    # s_t = tf·(k1+1) / (tf + k1(1-b) + k1·b·dl/avg); cross-multiplied
+    # s_t = tf·(k1+1) / (tf + k1(1-b) + k1·b·dl/avg), cross-multiplied
     # by 20·S: num = (20+k1_20)·S·tf, den = 20·S·tf + k1_20·(20-b_20)/20·S
-    # + k1_20·b_20/20·dl·N — all exact bigints (k1_20·b_20 divisible by
-    # 20 for the default 1.2/0.75 pair keeps them integral).
+    # + k1_20·b_20/20·dl·N. The S-scale constants are exact Python ints
+    # (k1_20·b_20 divisible by 20 for the default 1.2/0.75 pair keeps
+    # them integral) cast to double BEFORE the tf multiply, so no
+    # bigint product carries S·tf (int64 overflow at 100 TB scale).
+    # The only executor-side integer product is c2·dl·N (headroom in
+    # the docstring); every double op is fixed-association IEEE —
+    # bit-identical in the DuckDB oracle's mirrored expression.
     c_num = (20 + k1_20) * s_tokens
     c1 = k1_20 * (20 - b_20) * s_tokens // 20
     c2 = k1_20 * b_20 // 20
     score = None
     for i in range(len(terms)):
-        tf = F.col(f"tf{i}")
-        num = (F.lit(c_num) * tf).cast("double")
+        tf = F.col(f"tf{i}").cast("double")
+        num = F.lit(float(c_num)) * tf
         den = (
-            F.lit(20 * s_tokens) * tf
-            + F.lit(c1)
-            + F.lit(c2) * F.col("dl") * F.lit(n_docs)
-        ).cast("double")
+            F.lit(float(20 * s_tokens)) * tf
+            + F.lit(float(c1))
+            + (F.lit(c2) * F.col("dl") * F.lit(n_docs)).cast("double")
+        )
         s_t = F.lit(idf[i]) * (num / den)
         score = s_t if score is None else score + s_t
     return scored.select(F.col(id_col), score.alias("score"))

@@ -1226,8 +1226,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BM25 retrieval scoring (Lucene idf) over the documents corpus — the
 # ranking half of a text-search stack (the persisted inverted index in
 # store.py provides the lookup half). Score arithmetic is engineered
-# for cross-engine bit-equality: the tf-saturation factor is ONE
-# division of exact cross-multiplied bigints, idf literals are computed
+# for cross-engine bit-equality: the tf-saturation factor combines
+# exact integer inputs with fixed-association IEEE double ops (the
+# S-scale constants leave int64 before any per-row multiply, so no
+# product overflows at corpus scale), idf literals are computed
 # driver-side with the same C math library the oracle's ln() resolves
 # to, and the per-term products sum in fixed order.
 # ---------------------------------------------------------------------------
@@ -1242,10 +1244,16 @@ def _bm25_oracle(tail: str = "") -> str:
         f"x -> x = '{t}')) AS BIGINT) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
     )
+    # Mirrors operators/text.py::bm25_scores exactly: the S-scale
+    # constants (44·S, 20·S, 6·S) go to DOUBLE before the tf multiply
+    # (no S·tf bigint product — int64 overflow at corpus scale), the
+    # only integer product is 18·dl·n, and the den additions associate
+    # left — fixed-order IEEE ops are bit-identical across engines.
     score_terms = " + ".join(
         f"ln((g.n + 1.0) / (d.df{i} + 0.5)) * "
-        f"(CAST(44 * g.s * h.tf{i} AS DOUBLE) / "
-        f"CAST(20 * g.s * h.tf{i} + 6 * g.s + 18 * h.dl * g.n AS DOUBLE))"
+        f"((CAST(44 * g.s AS DOUBLE) * CAST(h.tf{i} AS DOUBLE)) / "
+        f"(CAST(20 * g.s AS DOUBLE) * CAST(h.tf{i} AS DOUBLE) "
+        f"+ CAST(6 * g.s AS DOUBLE) + CAST(18 * h.dl * g.n AS DOUBLE)))"
         for i in range(len(_BM25_TERMS))
     )
     df_cols = ", ".join(

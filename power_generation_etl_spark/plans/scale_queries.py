@@ -2292,25 +2292,25 @@ def ks_click_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").over(w).cast("bigint").alias("ca"),
         F.sum("b").over(w).cast("bigint").alias("cb"),
     )
+    # 1-row totals ride a broadcast cross join (exactly the oracle's
+    # CROSS JOIN g) instead of a driver .collect() — one aggregation
+    # job fewer, and the empty-input row-count semantics (GROUP BY
+    # over an empty cross product → 0 rows) fall out for free.
     g = v.agg(
         F.sum("a").cast("bigint").alias("n"), F.sum("b").cast("bigint").alias("m")
-    ).collect()[0]
-    n, m = g["n"] or 0, g["m"] or 0
-    out = (
-        c.agg(
-            F.max(
-                F.abs(F.col("ca") * F.lit(m) - F.col("cb") * F.lit(n))
-            )
+    )
+    return (
+        c.crossJoin(F.broadcast(g))
+        .groupBy("n", "m")
+        .agg(
+            F.max(F.abs(F.col("ca") * F.col("m") - F.col("cb") * F.col("n")))
             .cast("bigint")
             .alias("d_num")
         )
         .select(
-            F.lit(n).cast("bigint").alias("n_click"),
-            F.lit(m).cast("bigint").alias("n_error"),
+            F.col("n").alias("n_click"),
+            F.col("m").alias("n_error"),
             "d_num",
-            F.lit(n * m).cast("bigint").alias("d_den"),
+            (F.col("n") * F.col("m")).cast("bigint").alias("d_den"),
         )
     )
-    # Oracle's GROUP BY emits no row on an empty input; Spark's agg
-    # always emits one — align by filtering the degenerate case.
-    return out.where(F.lit(n + m > 0))

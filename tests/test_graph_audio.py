@@ -113,6 +113,27 @@ class TestKCore:
         df = spark.createDataFrame([(1, 2), (2, 3)], "u bigint, v bigint")
         assert kcore(df, "u", "v", k=5).count() == 0
 
+    def test_nonconvergence_raises(self, spark):
+        """Deep peeling (a long chain into a triangle core) needs one
+        round per chain hop; an under-budgeted max_rounds must raise
+        rather than silently return a superset of the k-core."""
+        import pytest as _pytest
+
+        from power_generation_etl_spark.operators.graph import kcore
+
+        chain = [(i, i + 1) for i in range(10, 18)]  # 10-11-...-18
+        tri = [(1, 2), (2, 3), (1, 3), (3, 10)]
+        df = spark.createDataFrame(tri + chain, "u bigint, v bigint")
+        with _pytest.raises(ValueError, match="fixpoint"):
+            kcore(df, "u", "v", k=2, max_rounds=2)
+        # strict=False accepts the truncated trajectory (a superset)...
+        loose = {r["id"] for r in
+                 kcore(df, "u", "v", k=2, max_rounds=2, strict=False).collect()}
+        assert {1, 2, 3} < loose
+        # ...and enough rounds reaches the true 2-core: the triangle.
+        full = {r["id"] for r in kcore(df, "u", "v", k=2).collect()}
+        assert full == {1, 2, 3}
+
 
 class TestRarity:
     def test_hand_computed(self, spark):

@@ -62,6 +62,37 @@ def test_empty_input(data):
     assert emp.columns == ["tile", "value"]
 
 
+def test_huge_range_exact_integer_cells(spark):
+    """Values with a spread far beyond 2^53: a float-divided cell index
+    ((v-lo)/step rounded to double) can land ranks one cell off the
+    driver's exact integer boundaries. The integer `div` path must
+    still match the sort-based definition bit-for-bit — including
+    adjacent values (2^62, 2^62+1) that a double cannot distinguish."""
+    base = 2**62
+    neg = -(2**61)  # keep max - min < 2^63 (the documented bound)
+    vals = [neg, -7, 0, 1, base - 1, base, base + 1, base + 2]
+    random.seed(7)
+    vals += [random.randint(neg, base) for _ in range(500)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, v bigint"
+    )
+    sv = sorted(vals)
+    ranks = [1, 2, 250, len(sv) - 1, len(sv)]
+    assert value_at_ranks(df, "v", ranks, buckets=16) == {
+        k: sv[k - 1] for k in ranks
+    }
+
+
+def test_full_range_rejected(spark):
+    """max - min >= 2^63 would overflow v - lo executor-side; the
+    documented guard raises instead of silently wrapping."""
+    df = spark.createDataFrame(
+        [(0, -(2**63)), (1, 2**63 - 1)], "id bigint, v bigint"
+    )
+    with pytest.raises(ValueError, match="2\\^63"):
+        value_at_ranks(df, "v", [1])
+
+
 class TestBM25:
     def test_hand_computed_scores(self, spark):
         import math
@@ -104,6 +135,25 @@ class TestBM25:
         out = bm25_scores(docs, "doc_id", "text", ["cat"])
         assert out.count() == 0
         assert out.columns == ["doc_id", "score"]
+
+    def test_empty_corpus_string_id_keeps_schema(self, spark):
+        """The empty path must carry the INPUT id type — a hardcoded
+        bigint would diverge from the normal path's schema for
+        string-typed ids and break empty-input unions downstream."""
+        from power_generation_etl_spark.operators.text import bm25_scores
+
+        docs = spark.createDataFrame([], "doc_id string, text string")
+        out = bm25_scores(docs, "doc_id", "text", ["cat"])
+        assert out.count() == 0
+        full = bm25_scores(
+            spark.createDataFrame([("a", "cat sat")], "doc_id string, text string"),
+            "doc_id",
+            "text",
+            ["cat"],
+        )
+        assert [f.dataType for f in out.schema.fields] == [
+            f.dataType for f in full.schema.fields
+        ]
 
 
 class TestPlanCheck:
