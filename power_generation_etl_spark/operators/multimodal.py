@@ -20,10 +20,12 @@ wins (worker-side import-try):
 
 Audio decodes for real too: RIFF/WAV PCM via the stdlib `wave` codec
 (rate / channels / duration / RMS / peak); compressed audio containers
-yield null features. Video frame sampling demuxes RIFF/AVI containers
-for real (pure-python chunk walk over the `movi` frame chunks — what a
-sampler hands to a downstream decoder); mp4/mkv fall back to the
-byte-slicing stub (those need ffmpeg).
+yield null features. Video frame sampling demuxes three container
+families for real — RIFF/AVI (pure-python chunk walk over the `movi`
+frame chunks), YUV4MPEG2 (fixed-size raw frame split from the stream
+header), and raw MJPEG (SOI/EOI marker split) — emitting exactly the
+per-frame payloads a sampler hands to a downstream decoder; mp4/mkv
+fall back to the byte-slicing stub (those need ffmpeg).
 """
 
 from __future__ import annotations
@@ -370,19 +372,95 @@ def _avi_frames(content: bytes) -> list[bytes] | None:
     return frames
 
 
+def _y4m_frames(content: bytes) -> list[bytes] | None:
+    """Split a YUV4MPEG2 (.y4m) stream into raw frame payloads. The
+    format is trivially splittable without any codec: one ASCII stream
+    header (`YUV4MPEG2 W<w> H<h> ... C<subsampling>\\n`) followed by
+    `FRAME[ params]\\n` + a fixed-size raw plane dump per frame. Frame
+    size derives from W/H and the chroma mode (420: 3/2·w·h, 422:
+    2·w·h, 444: 3·w·h, mono: w·h). Returns None if not Y4M."""
+    if not content.startswith(b"YUV4MPEG2"):
+        return None
+    nl = content.find(b"\x0a")
+    if nl < 0:
+        return None
+    w = h = None
+    chroma = "420"
+    for tok in content[9:nl].decode("ascii", "replace").split():
+        if tok[:1] == "W":
+            w = int(tok[1:]) if tok[1:].isdigit() else None
+        elif tok[:1] == "H":
+            h = int(tok[1:]) if tok[1:].isdigit() else None
+        elif tok[:1] == "C":
+            chroma = tok[1:]
+    if not w or not h:
+        return None
+    if chroma.startswith("420"):
+        fsize = w * h * 3 // 2
+    elif chroma.startswith("422"):
+        fsize = w * h * 2
+    elif chroma.startswith("444"):
+        fsize = w * h * 3
+    elif chroma.startswith("mono"):
+        fsize = w * h
+    else:
+        return None
+    frames: list[bytes] = []
+    pos = nl + 1
+    n = len(content)
+    while pos + 5 <= n and content[pos : pos + 5] == b"FRAME":
+        fnl = content.find(b"\x0a", pos)
+        if fnl < 0:
+            break
+        start = fnl + 1
+        if start + fsize > n:
+            break
+        frames.append(content[start : start + fsize])
+        pos = start + fsize
+    return frames or None
+
+
+def _mjpeg_frames(content: bytes) -> list[bytes] | None:
+    """Split a raw MJPEG stream (back-to-back JPEG images, the payload
+    many capture devices emit) on SOI/EOI (FFD8/FFD9) markers. A full
+    parser would walk JPEG segments to skip entropy-coded data where a
+    literal FFD9 could occur; encoders byte-stuff FF→FF00 in scans, so
+    marker scanning is the standard MJPEG splitting approach. Returns
+    None if the bytes don't start with a JPEG SOI."""
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    frames: list[bytes] = []
+    pos = 0
+    while True:
+        soi = content.find(b"\xff\xd8", pos)
+        if soi < 0:
+            break
+        eoi = content.find(b"\xff\xd9", soi + 2)
+        if eoi < 0:
+            break
+        frames.append(content[soi : eoi + 2])
+        pos = eoi + 2
+    return frames or None
+
+
 def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame sampling over binary video columns. AVI containers demux
-    for real (pure-python RIFF walk — evenly spaced `##dc`/`##db` frame
-    payloads); other containers (mp4/mkv need ffmpeg) fall back to the
-    byte-slicing stub so the explode shape (1 row in → n rows out, wide
-    binary payload) stays exercised everywhere."""
+    """Frame sampling over binary video columns. Three real demux
+    tiers, best match wins: RIFF/AVI chunk walk (`##dc`/`##db` frame
+    payloads), YUV4MPEG2 fixed-size frame split, and raw-MJPEG SOI/EOI
+    marker split — all pure stdlib, emitting exactly the per-frame
+    payloads a downstream decoder consumes. Other containers (mp4/mkv
+    need ffmpeg) fall back to the byte-slicing stub so the explode
+    shape (1 row in → n rows out, wide binary payload) stays exercised
+    everywhere."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                frames = _avi_frames(blob)
+                frames = (
+                    _avi_frames(blob) or _y4m_frames(blob) or _mjpeg_frames(blob)
+                )
                 if frames:
                     k = min(n_frames, len(frames))
                     # evenly spaced, always including the first frame

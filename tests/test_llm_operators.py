@@ -697,6 +697,61 @@ class TestRealAviDemux:
         assert len(out) == 4  # stub shape preserved
 
 
+class TestY4mMjpegDemux:
+    """The two codec-less real demux tiers beyond AVI: YUV4MPEG2's
+    fixed-size frame split and raw MJPEG's SOI/EOI marker split must
+    return true per-frame payloads, evenly sampled."""
+
+    @staticmethod
+    def _encode_y4m(n_frames, w=4, h=2, fill=0x40):
+        fsize = w * h * 3 // 2  # C420
+        header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+        frames = [bytes([fill + i]) * fsize for i in range(n_frames)]
+        return header + b"".join(b"FRAME\n" + f for f in frames), frames
+
+    @staticmethod
+    def _encode_mjpeg(payloads):
+        # back-to-back minimal JPEGs: SOI + payload + EOI
+        frames = [b"\xff\xd8" + p + b"\xff\xd9" for p in payloads]
+        return b"".join(frames), frames
+
+    def test_y4m_exact_payloads(self, spark):
+        blob, frames = self._encode_y4m(6)
+        df = spark.createDataFrame(
+            [(1, "video", "video/x-yuv4mpeg", blob, 4, 2, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        out = sorted(
+            mm.sample_video_frames(df, n_frames=3).collect(),
+            key=lambda r: r["frame_index"],
+        )
+        assert [bytes(r["frame_bytes"]) for r in out] == [
+            frames[0], frames[2], frames[4]
+        ]
+
+    def test_y4m_truncated_tail_frame_dropped(self, spark):
+        blob, frames = self._encode_y4m(3)
+        df = spark.createDataFrame(
+            [(1, "video", "video/x-yuv4mpeg", blob[:-1], 4, 2, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        out = mm.sample_video_frames(df, n_frames=8).collect()
+        assert len(out) == 2  # the truncated final frame is not emitted
+        assert {bytes(r["frame_bytes"]) for r in out} == set(frames[:2])
+
+    def test_mjpeg_exact_payloads(self, spark):
+        blob, frames = self._encode_mjpeg([b"alpha", b"beta", b"gamma", b"delta"])
+        df = spark.createDataFrame(
+            [(1, "video", "video/x-motion-jpeg", blob, None, None, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        out = sorted(
+            mm.sample_video_frames(df, n_frames=2).collect(),
+            key=lambda r: r["frame_index"],
+        )
+        assert [bytes(r["frame_bytes"]) for r in out] == [frames[0], frames[2]]
+
+
 def test_containment_catches_embedded_doc(spark):
     from power_generation_etl_spark.operators import minhash as mh
 
