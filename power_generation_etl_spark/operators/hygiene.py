@@ -150,3 +150,71 @@ def encoding_quality(text: Column) -> dict[str, Column]:
         "n_mojibake": _count_matches(text, MOJIBAKE_RE, width=2),
         "has_nonascii": text.rlike(r"[^\x00-\x7f]").cast("int"),
     }
+
+
+def c4_line_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al., 2020, "Exploring
+    the Limits of Transfer Learning..." §2.2 — the rule set behind the
+    C4 corpus): keep only lines that
+
+      * end in terminal punctuation (. ! ? or a closing quote),
+      * have at least 3 words,
+      * contain neither "javascript" nor "lorem ipsum" nor a '{'
+        (case-insensitive).
+
+    Returns per-document (doc_id, n_lines, n_kept, kept_chars,
+    cleaned_md5) where cleaned_md5 hashes the kept lines re-joined in
+    original order with newlines — the verifiable fingerprint of the
+    cleaned text without shipping the text itself (pipelines that want
+    the cleaned string select the same array_join directly).
+
+    Shape for 100 TB: one line explode (posexplode of split-on-newline)
+    with codegen per-line predicates, one doc-keyed aggregation. Line
+    order is restored inside the aggregate by array_sort on (pos, line)
+    structs — document-local, no window, no driver state.
+    """
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    lines = base.select(
+        "doc_id", F.posexplode(F.split(F.col("_t"), r"\n")).alias("pos", "l")
+    )
+    li = F.col("l")
+    low = F.lower(li)
+    keep = (
+        F.expr("right(rtrim(l), 1)").isin(".", "!", "?", '"', "”")
+        & (F.size(F.regexp_extract_all(li, F.lit(r"\S+"), F.lit(0))) >= 3)
+        & ~low.contains("javascript")
+        & ~low.contains("lorem ipsum")
+        & ~li.contains("{")
+    )
+    flagged = lines.select("doc_id", "pos", "l", keep.alias("keep"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.length("l"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep"),
+                                    F.struct(F.col("pos"), F.col("l")),
+                                )
+                            )
+                        ),
+                        lambda x: x["l"],
+                    ),
+                    "\n",
+                )
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )

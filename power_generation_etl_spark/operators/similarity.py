@@ -630,3 +630,87 @@ def pq_topk(
         .orderBy("adc_d2", id_col)
         .limit(k)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    kernel: str = "expr",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — k-means clusters the
+    vectors, then only WITHIN-cluster pairs are compared by cosine;
+    the higher-id member of every pair above `threshold` is dropped
+    (the "keep one representative" policy, transitive chains keep the
+    lowest id of each chain's pairwise-linked prefix — the standard
+    one-pass rule, same as the text near-dup family).
+
+    Scale design: clustering makes the pair join O(Σ cluster²) instead
+    of O(n²) — the published algorithm's exact trade. k is the scale
+    knob: hold the expected cluster size n/k constant (SemDeDup used
+    50k clusters for LAION-440M, ~9k vectors/cluster), so the per-
+    cluster quadratic work is bounded and spread across the shuffle's
+    (cell) partitions. Training is `kmeans_train` — iters linear
+    passes, driver holds k×dim floats; assignment is a projection.
+    Deterministic and oracle-reproducible (seeded centroids, 6-decimal
+    rounding per round, lowest-cell distance tie-break, 4-decimal
+    cosine rounding at the threshold compare).
+
+    Returns per-cluster stats (cell, n_vectors, n_dropped), cell-
+    ordered — the shape a dedup report wants; join the dropped-id set
+    back to filter the corpus in a pipeline.
+    """
+    spark = df.sparkSession
+    cents = kmeans_train(df, id_col, vec_col, k=k, iters=iters, kernel=kernel)
+    if not cents:
+        return spark.createDataFrame(
+            [], "cell int, n_vectors bigint, n_dropped bigint"
+        )
+    v = as_double_array(F.col(vec_col))
+    assigner = assign_cell_fast if kernel == "arrow" else assign_cell
+    assigned = df.select(
+        F.col(id_col).alias("id"), v.alias("vec"), assigner(v, cents).alias("cell")
+    ).localCheckpoint()  # feeds three subtrees: counts + both join sides
+    npar = spark.sparkContext.defaultParallelism
+    left = assigned.repartition(npar, "cell")
+    right = assigned.select(
+        F.col("id").alias("id2"),
+        F.col("vec").alias("vec2"),
+        F.col("cell").alias("cell2"),
+    )
+    sim = (
+        cosine_pairwise_fast(F.col("vec"), F.col("vec2"))
+        if kernel == "arrow"
+        else cosine(F.col("vec"), F.col("vec2"))
+    )
+    dropped = (
+        left.join(
+            right,
+            (F.col("cell") == F.col("cell2")) & (F.col("id") < F.col("id2")),
+        )
+        .select("cell", F.col("id2").alias("id"), F.round(sim, 4).alias("s"))
+        .where(F.col("s") >= threshold)
+        .select("cell", "id")
+        .distinct()
+    )
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    drops = dropped.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dropped")
+    )
+    return (
+        counts.join(drops, "cell", "left")
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_vectors",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("cell")
+    )

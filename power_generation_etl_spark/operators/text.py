@@ -497,3 +497,183 @@ def repetition_stats(df, id_col: str, text_col: str):
             ).alias("repetitive"),
         )
     )
+
+
+def dsir_importance_weights(
+    df,
+    id_col: str,
+    text_col: str,
+    target_cond: Column,
+    n_buckets: int = 64,
+):
+    """DSIR-style importance weights (Xie et al., 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how much its hashed-bigram feature
+    distribution resembles a TARGET subset (`target_cond` rows) versus
+    the raw corpus. Weight(doc) = Σ_b count_doc[b] · ln(p̂_t[b]/p̂_r[b])
+    with Laplace-smoothed bucket distributions p̂[b] = (c[b]+1)/(S+B).
+
+    Cross-engine exactness: the per-bucket log-ratios are computed on
+    the DRIVER with Python libm from exact integer counts (the bm25
+    idf pattern — same C library the oracle's ln() resolves to),
+    floor-scaled to integer ppm; the per-document score is then an
+    exact bigint Σ count·ppm — order-free, no float aggregation.
+    Python's arbitrary-precision ints form the smoothing products
+    exactly at any scale (the DuckDB oracle twin mirrors them in
+    bigint, valid to test scale).
+
+    Scale shape: one tokenize+lead pass builds the bigram stream; the
+    bucket totals aggregate to ≤ n_buckets rows (map-side combined,
+    collected to the driver — bounded); per-doc scoring is a broadcast
+    join of the ≤ n_buckets weight table onto doc-partitioned counts.
+    Headroom: Σ count·ppm ≤ doc_bigrams · 3e7 · — int64-safe to ~1e11
+    bigrams per document.
+
+    Returns (doc_id, weight_ppm) — higher = more target-like.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    from power_generation_etl_spark.operators.minhash import portable_hash32
+
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        target_cond.cast("int").alias("is_t"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        base.withColumn("w1", F.lead("w", 1).over(wspec))
+        .where(F.col("w1").isNotNull())
+        .select(
+            "doc_id",
+            "is_t",
+            (portable_hash32(F.concat_ws(" ", "w", "w1")) % n_buckets).alias("b"),
+        )
+        .localCheckpoint()  # feeds bucket totals AND per-doc counts
+    )
+    totals = (
+        bg.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cr"),
+            F.sum("is_t").cast("bigint").alias("ct"),
+        )
+        .collect()  # ≤ n_buckets rows — bounded driver state
+    )
+    spark = df.sparkSession
+    if not totals:
+        return spark.createDataFrame([], "doc_id bigint, weight_ppm bigint")
+    s_r = sum(r["cr"] for r in totals)
+    s_t = sum(r["ct"] for r in totals)
+    rows = []
+    for r in sorted(totals, key=lambda r: r["b"]):
+        num = (r["ct"] + 1) * (s_r + n_buckets)
+        den = (r["cr"] + 1) * (s_t + n_buckets)
+        # float(num)/float(den), NOT num/den: Python's true-rational
+        # int division rounds differently from the oracle's
+        # double-cast-then-divide for inputs beyond 2^53.
+        rows.append(
+            (r["b"], math.floor(math.log(float(num) / float(den)) * 1_000_000))
+        )
+    wtab = spark.createDataFrame(rows, "b bigint, w_ppm bigint")
+    per_doc = bg.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        per_doc.join(F.broadcast(wtab), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("w_ppm")).cast("bigint").alias("weight_ppm")
+        )
+    )
+
+
+# The eight function words whose presence (>= 2 distinct) is Gopher's
+# "required words" quality rule (Rae et al., 2021, appendix A1.1).
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df, id_col: str, text_col: str):
+    """The Gopher document-quality rules (Rae et al., 2021, "Scaling
+    Language Models: ... Gopher", appendix A1.1 — the same rule bundle
+    MassiveText/RefinedWeb/FineWeb derivatives apply), one flag column
+    per rule plus the conjunction:
+
+      * flag_word_count     50 <= words <= 100000
+      * flag_word_length    3 <= mean word length <= 10
+      * flag_symbol_ratio   (# + ellipsis) / words <= 0.1
+      * flag_bullet_lines   lines starting with a bullet <= 90%
+      * flag_ellipsis_lines lines ending with ellipsis <= 30%
+      * flag_alpha_words    words containing a letter >= 80%
+      * flag_stopwords      >= 2 of the 8 required function words
+      * gopher_pass         all of the above
+
+    Every ratio threshold is cross-multiplied to exact integer
+    comparisons (10·sym <= words, 5·alpha >= 4·words, ...) — no float
+    thresholds, bit-identical across engines.
+
+    Shape for 100 TB: ONE line explode (posexplode of split-on-newline,
+    partitioned by document) feeding a doc-keyed aggregation, joined
+    back to a single-scan projection for the doc-level stopword
+    membership — two document-partitioned shuffles, no driver state.
+    """
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    lines = base.select(
+        "doc_id", F.posexplode(F.split(F.col("_t"), r"\n")).alias("_p", "l")
+    )
+    li = F.col("l")
+    n_words_l = F.size(F.regexp_extract_all(li, F.lit(r"\S+"), F.lit(0)))
+    word_chars_l = F.length(F.regexp_replace(li, r"\s", ""))
+    alpha_words_l = F.size(
+        F.regexp_extract_all(li, F.lit(r"\S*[A-Za-z]\S*"), F.lit(0))
+    )
+    hash_l = F.length(li) - F.length(F.expr("replace(l, '#', '')"))
+    ell3_l = (F.length(li) - F.length(F.expr("replace(l, '...', '')"))) / F.lit(3)
+    ellu_l = F.length(li) - F.length(F.translate(li, "…", ""))
+    bullet_l = F.substring(F.ltrim(li), 1, 1).isin("-", "*", "•")
+    ellend_l = (F.expr("right(rtrim(l), 3)") == "...") | (
+        F.expr("right(rtrim(l), 1)") == "…"
+    )
+    stats = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(n_words_l).cast("bigint").alias("n_words"),
+        F.sum(word_chars_l).cast("bigint").alias("word_chars"),
+        F.sum(alpha_words_l).cast("bigint").alias("alpha_words"),
+        F.sum(hash_l + ell3_l.cast("bigint") + ellu_l)
+        .cast("bigint")
+        .alias("n_symbols"),
+        F.sum(bullet_l.cast("int")).cast("bigint").alias("bullet_lines"),
+        F.sum(ellend_l.cast("int")).cast("bigint").alias("ellipsis_lines"),
+    )
+    toks = F.split(F.lower(F.col("_t")), r"\s+")
+    stop_hits = None
+    for w in GOPHER_REQUIRED_WORDS:
+        hit = F.array_contains(toks, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    doc = base.select("doc_id", stop_hits.cast("bigint").alias("stop_hits"))
+    j = stats.join(doc, "doc_id")
+    nw = F.col("n_words")
+    flags = {
+        "flag_word_count": (nw >= 50) & (nw <= 100000),
+        "flag_word_length": (F.col("word_chars") >= 3 * nw)
+        & (F.col("word_chars") <= 10 * nw),
+        "flag_symbol_ratio": F.col("n_symbols") * 10 <= nw,
+        "flag_bullet_lines": F.col("bullet_lines") * 10 <= F.col("n_lines") * 9,
+        "flag_ellipsis_lines": F.col("ellipsis_lines") * 10
+        <= F.col("n_lines") * 3,
+        "flag_alpha_words": F.col("alpha_words") * 5 >= nw * 4,
+        "flag_stopwords": F.col("stop_hits") >= 2,
+    }
+    gopher_pass = None
+    for c in flags.values():
+        gopher_pass = c if gopher_pass is None else gopher_pass & c
+    return j.select(
+        "doc_id",
+        "n_lines",
+        "n_words",
+        *[expr.alias(name) for name, expr in flags.items()],
+        gopher_pass.alias("gopher_pass"),
+    )

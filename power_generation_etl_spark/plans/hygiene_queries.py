@@ -515,3 +515,173 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::repetition_stats for the 100 TB plan notes."""
     d = T(spark, sf_dir, "documents")
     return tx.repetition_stats(d, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rule bundle (Rae et al., 2021, appendix
+# A1.1): the filter set MassiveText-style pipelines apply before
+# training. Every ratio threshold is a cross-multiplied exact integer
+# comparison on both engines (operators/text.py::gopher_quality_flags).
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOP_SQL = " + ".join(
+    "CAST(list_contains(string_split_regex(lower(text), '\\s+'), "
+    f"'{w}') AS INTEGER)"
+    for w in tx.GOPHER_REQUIRED_WORDS
+)
+
+
+@_register(
+    "gopher_quality_flags",
+    f"""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN replace(base, 'hash', '# #')
+                    ELSE base END AS text
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN regexp_replace(text, ' (line|row) ',
+                                            ' ...' || chr(10) || '- ', 'g')
+                             || ' of that have with'
+                        ELSE regexp_replace(text, ' (line|row) ',
+                                            ' ...' || chr(10) || '- ', 'g')
+                   END AS base
+            FROM documents WHERE text IS NOT NULL
+        )
+    ),
+    lines AS (
+        SELECT doc_id, l.l AS l
+        FROM raw, unnest(string_split(text, chr(10))) AS l(l)
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(len(regexp_extract_all(l, '\\S+'))) AS BIGINT)
+                   AS n_words,
+               CAST(sum(length(regexp_replace(l, '\\s', '', 'g'))) AS BIGINT)
+                   AS word_chars,
+               CAST(sum(len(regexp_extract_all(l, '\\S*[A-Za-z]\\S*')))
+                    AS BIGINT) AS alpha_words,
+               CAST(sum((length(l) - length(replace(l, '#', '')))
+                        + (length(l) - length(replace(l, '...', ''))) // 3
+                        + (length(l) - length(replace(l, '…', ''))))
+                    AS BIGINT) AS n_symbols,
+               CAST(sum(CASE WHEN substr(ltrim(l), 1, 1) IN ('-', '*', '•')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bullet_lines,
+               CAST(sum(CASE WHEN right(rtrim(l), 3) = '...'
+                              OR right(rtrim(l), 1) = '…'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ellipsis_lines
+        FROM lines GROUP BY doc_id
+    ),
+    doc AS (
+        SELECT doc_id, CAST({_GOPHER_STOP_SQL} AS BIGINT) AS stop_hits
+        FROM raw
+    )
+    SELECT s.doc_id, n_lines, n_words,
+           (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+           (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+               AS flag_word_length,
+           (n_symbols * 10 <= n_words) AS flag_symbol_ratio,
+           (bullet_lines * 10 <= n_lines * 9) AS flag_bullet_lines,
+           (ellipsis_lines * 10 <= n_lines * 3) AS flag_ellipsis_lines,
+           (alpha_words * 5 >= n_words * 4) AS flag_alpha_words,
+           (stop_hits >= 2) AS flag_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+            AND (n_symbols * 10 <= n_words)
+            AND (bullet_lines * 10 <= n_lines * 9)
+            AND (ellipsis_lines * 10 <= n_lines * 3)
+            AND (alpha_words * 5 >= n_words * 4)
+            AND (stop_hits >= 2)) AS gopher_pass
+    FROM stats s JOIN doc USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher quality rule flags + the conjunction
+    (operators/text.py::gopher_quality_flags). The synthetic corpus is
+    single-line and stopword-poor, so line structure, ellipsis/bullet
+    lines, required stopwords, and symbol noise are synthesized
+    DETERMINISTICALLY from the text + doc_id (the entsoe_fixup_chain
+    precedent) so every rule exercises both branches; the operator is
+    applied to the synthesized column unchanged."""
+    d = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    base = F.regexp_replace(F.col("text"), r" (line|row) ", " ...\n- ")
+    with_stops = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(base, F.lit(" of that have with"))
+    ).otherwise(base)
+    synth = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.replace(with_stops, F.lit("hash"), F.lit("# #")),
+    ).otherwise(with_stops)
+    prepared = d.select("doc_id", synth.alias("text"))
+    return tx.gopher_quality_flags(prepared, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4-style line cleaning (Raffel et al., 2020 §2.2): keep lines ending
+# in terminal punctuation with >= 3 words and no javascript/lorem-
+# ipsum/brace content; report per-doc funnel counts plus an md5
+# fingerprint of the cleaned text (kept lines re-joined in order).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "c4_line_cleaning",
+    """
+    WITH raw AS (
+        SELECT doc_id,
+               regexp_replace(replace(replace(text, 'spark', 'javascript'),
+                                      'vector', 'vec {'),
+                              ' (table|agg|window) ', '.' || chr(10), 'g')
+                   AS text
+        FROM documents WHERE text IS NOT NULL
+    ),
+    split AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM raw
+    ),
+    lines AS (
+        SELECT doc_id, i.i AS pos, ls[i.i] AS l
+        FROM split, unnest(range(1, len(ls) + 1)) AS i(i)
+    ),
+    flagged AS (
+        SELECT doc_id, pos, l,
+               (right(rtrim(l), 1) IN ('.', '!', '?', '"', '”')
+                AND len(regexp_extract_all(l, '\\S+')) >= 3
+                AND NOT contains(lower(l), 'javascript')
+                AND NOT contains(lower(l), 'lorem ipsum')
+                AND NOT contains(l, '{')) AS keep
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(length(l)) FILTER (WHERE keep), 0) AS BIGINT)
+               AS kept_chars,
+           md5(coalesce(string_agg(l, chr(10) ORDER BY pos)
+                        FILTER (WHERE keep), '')) AS cleaned_md5
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document C4 line-cleaning funnel + cleaned-text fingerprint
+    (operators/hygiene.py::c4_line_clean). Sentence lines, javascript
+    poison, and brace content are synthesized deterministically from
+    the single-line synthetic corpus (the entsoe_fixup_chain
+    precedent), so keep and drop branches of every rule fire; the
+    operator runs on the synthesized column unchanged."""
+    d = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    synth = F.regexp_replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("spark"), F.lit("javascript")),
+            F.lit("vector"),
+            F.lit("vec {"),
+        ),
+        r" (table|agg|window) ",
+        ".\n",
+    )
+    prepared = d.select("doc_id", synth.alias("text"))
+    return hg.c4_line_clean(prepared, "doc_id", "text")

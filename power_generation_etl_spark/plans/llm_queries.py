@@ -1689,3 +1689,170 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al., 2023): semantic dedup of the embedding corpus
+# — k-means clusters, within-cluster cosine pairs, drop the higher-id
+# member above the threshold. The oracle unrolls the identical Lloyd's
+# trajectory (seeded centroids, 6-decimal rounding per round, lowest-
+# cell tie-break) as CTE pairs, then mirrors the pair join per cell.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_ITERS = 2
+# The published SemDeDup tau is ~0.95 for web-scale corpora full of
+# boilerplate near-duplicates; this synthetic corpus has NO near-dups
+# (max pairwise cosine ~0.5 at sf0.01), so the catalog entry runs at a
+# demo threshold that actually exercises the drop path. The operator
+# default stays at 0.95.
+_SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_oracle(
+    k: int = _SEMDEDUP_K,
+    iters: int = _SEMDEDUP_ITERS,
+    threshold: float = _SEMDEDUP_TAU,
+) -> str:
+    """DuckDB twin of operators.similarity.semdedup: same unrolled
+    k-means trajectory as `_kmeans_ivf_oracle`, then within-cell pairs
+    at round(cosine, 4) >= threshold; afin is MATERIALIZED because
+    three consumers reference it (both pair sides + the counts)."""
+    dim1 = _EMBED_DIM + 1
+    d2 = (
+        "list_aggregate(list_transform(range(1, len(v.e) + 1),"
+        " i -> (v.e[i] - c.cv[i]) * (v.e[i] - c.cv[i])), 'sum')"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, len({a}) + 1),"
+            f" i -> {a}[i] * {b}[i]), 'sum')"
+            f" / (sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+            f" * sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum')))"
+        )
+
+    steps = []
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        steps.append(f"""a{it} AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2}, c.cell) AS rn
+        FROM v, {prev} c) WHERE rn = 1
+    ),
+    c{it} AS (
+      SELECT cell, list(ci ORDER BY i) AS cv FROM (
+        SELECT cell, i.i AS i, round(avg(e[i.i]), 6) AS ci
+        FROM a{it}, unnest(range(1, {dim1})) AS i(i) GROUP BY cell, i.i
+      ) GROUP BY cell
+    )""")
+    last = f"c{iters}"
+    unrolled = ",\n    ".join(steps)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS cv
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})
+    ),
+    {unrolled},
+    afin AS MATERIALIZED (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2}, c.cell) AS rn
+        FROM v, {last} c) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.cell, b.vec_id AS id2
+      FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({cos('a.e', 'b.e')}, 4) >= {threshold}
+    ),
+    counts AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM afin GROUP BY cell
+    ),
+    drops AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped
+      FROM dropped GROUP BY cell
+    )
+    SELECT CAST(counts.cell AS INTEGER) AS cell, n_vectors,
+           CAST(coalesce(drops.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM counts LEFT JOIN drops ON counts.cell = drops.cell
+    ORDER BY cell
+    """
+
+
+@_register("semdedup_embeddings", _semdedup_oracle())
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup per-cluster dedup report over the embeddings corpus
+    (operators/similarity.py::semdedup): k-means cells bound the pair
+    join to O(Σ cluster²); higher-id members of >= tau cosine pairs
+    are the drop set."""
+    e = T(spark, sf_dir, "embeddings")
+    return sim.semdedup(
+        e,
+        "vec_id",
+        "embedding",
+        k=_SEMDEDUP_K,
+        iters=_SEMDEDUP_ITERS,
+        threshold=_SEMDEDUP_TAU,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al., 2023): rank raw documents by how
+# much their hashed-bigram distribution resembles the labeled-English
+# target slice. Per-bucket log-ratios are driver-computed libm literals
+# (the bm25 idf pattern), floor-scaled to ppm; per-doc scores are exact
+# bigint sums — order-free on both engines.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+
+
+@_register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, (lang = 'en') AS is_t,
+               string_split_regex(lower(text), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+        SELECT doc_id, is_t,
+               CAST(('0x' || substr(md5(t[i.i] || ' ' || t[i.i + 1]), 1, 8))
+                    AS BIGINT) % {_DSIR_BUCKETS} AS b
+        FROM toks, unnest(range(1, len(t))) AS i(i)
+    ),
+    tot AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS cr,
+               CAST(count_if(is_t) AS BIGINT) AS ct
+        FROM bg GROUP BY b
+    ),
+    s AS (SELECT CAST(sum(cr) AS BIGINT) AS sr, CAST(sum(ct) AS BIGINT) AS st
+          FROM tot),
+    w AS (
+        SELECT b,
+               CAST(floor(ln(CAST((ct + 1) * (sr + {_DSIR_BUCKETS}) AS DOUBLE) /
+                             CAST((cr + 1) * (st + {_DSIR_BUCKETS}) AS DOUBLE))
+                          * 1000000) AS BIGINT) AS w_ppm
+        FROM tot, s
+    ),
+    cnt AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+            FROM bg GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(c * w_ppm) AS BIGINT) AS weight_ppm
+    FROM cnt JOIN w USING (b)
+    GROUP BY doc_id
+    ORDER BY weight_ppm DESC, doc_id
+    LIMIT 100
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 most target-like documents by DSIR hashed-bigram
+    importance weight, target = the lang='en' slice
+    (operators/text.py::dsir_importance_weights)."""
+    d = T(spark, sf_dir, "documents")
+    scored = tx.dsir_importance_weights(
+        d, "doc_id", "text", F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
+    )
+    return scored.orderBy(F.desc("weight_ppm"), "doc_id").limit(100)

@@ -1,0 +1,190 @@
+"""Round-5 operators: SemDeDup, DSIR importance weights, Gopher
+quality rules, C4 line cleaning — hand-computed expectations on
+crafted inputs (the catalog oracle entries cover the corpus-scale
+cross-engine check)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestSemDeDup:
+    def test_hand_built_clusters(self, spark):
+        from power_generation_etl_spark.operators.similarity import semdedup
+
+        # Seeds are the two lowest ids ([1,0], [0,1]); after one Lloyd's
+        # round the clusters are {0, 2} and {1, 3, 4}. Vectors 3 and 4
+        # are identical near-dups of 1; 2 is a 45-degree neighbor of 0
+        # (cosine ~0.707, below the threshold).
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.7, 0.7]),
+            (3, [0.05, 1.0]),
+            (4, [0.05, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        got = [
+            (r["cell"], r["n_vectors"], r["n_dropped"])
+            for r in semdedup(
+                df, "vec_id", "embedding", k=2, iters=1, threshold=0.995
+            ).collect()
+        ]
+        assert got == [(0, 2, 0), (1, 3, 2)]
+
+    def test_empty_corpus(self, spark):
+        from power_generation_etl_spark.operators.similarity import semdedup
+
+        df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+        out = semdedup(df, "vec_id", "embedding", k=2)
+        assert out.count() == 0
+        assert out.columns == ["cell", "n_vectors", "n_dropped"]
+
+
+def _bucket(bigram: str, n_buckets: int = 64) -> int:
+    return int(hashlib.md5(bigram.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+class TestDsir:
+    def test_hand_computed_weights(self, spark):
+        from power_generation_etl_spark.operators.text import (
+            dsir_importance_weights,
+        )
+
+        # Target docs are pure "alpha beta" bigrams; the raw-only doc is
+        # pure "gamma delta". The target-like scorer must rank doc 2
+        # (alpha-beta text, NOT in the target set) above doc 3.
+        rows = [
+            (0, 1, "alpha beta alpha beta"),
+            (1, 1, "alpha beta"),
+            (2, 0, "alpha beta alpha"),
+            (3, 0, "gamma delta gamma delta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, t int, text string")
+        out = {
+            r["doc_id"]: r["weight_ppm"]
+            for r in dsir_importance_weights(
+                df, "doc_id", "text", F.col("t") == 1, n_buckets=64
+            ).collect()
+        }
+        # Replicate the exact arithmetic: bigram streams per doc.
+        docs = {
+            0: ["alpha beta", "beta alpha", "alpha beta"],
+            1: ["alpha beta"],
+            2: ["alpha beta", "beta alpha"],
+            3: ["gamma delta", "delta gamma", "gamma delta"],
+        }
+        target = {0, 1}
+        cr: dict[int, int] = {}
+        ct: dict[int, int] = {}
+        for d, grams in docs.items():
+            for g in grams:
+                b = _bucket(g)
+                cr[b] = cr.get(b, 0) + 1
+                if d in target:
+                    ct[b] = ct.get(b, 0) + 1
+        s_r, s_t = sum(cr.values()), sum(ct.values())
+        w = {
+            b: math.floor(
+                math.log(
+                    float((ct.get(b, 0) + 1) * (s_r + 64))
+                    / float((cr[b] + 1) * (s_t + 64))
+                )
+                * 1_000_000
+            )
+            for b in cr
+        }
+        expected = {
+            d: sum(w[_bucket(g)] for g in grams) for d, grams in docs.items()
+        }
+        assert out == expected
+        assert out[2] > out[3]
+
+    def test_empty_corpus(self, spark):
+        from power_generation_etl_spark.operators.text import (
+            dsir_importance_weights,
+        )
+
+        df = spark.createDataFrame([], "doc_id bigint, text string")
+        out = dsir_importance_weights(df, "doc_id", "text", F.lit(True))
+        assert out.count() == 0
+        assert out.columns == ["doc_id", "weight_ppm"]
+
+
+class TestGopherQuality:
+    def test_rule_branches(self, spark):
+        from power_generation_etl_spark.operators.text import (
+            gopher_quality_flags,
+        )
+
+        # 8 + 45 = 53 words (>= 50), all alphabetic, mean word length
+        # 249/53 within [3, 10], >= 2 required stopwords, no symbols.
+        good = "the be to of and that have with " + " ".join(["wordy"] * 45)
+        bullets = "- one two three\n- four five six\n- seven eight nine"
+        hashy = "# # # # # # word word the be to of and that have with"
+        rows = [(0, good), (1, bullets), (2, hashy)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r["doc_id"]: r.asDict() for r in
+               gopher_quality_flags(df, "doc_id", "text").collect()}
+        assert got[0]["flag_word_count"] is True
+        assert got[0]["flag_stopwords"] is True
+        assert got[0]["flag_alpha_words"] is True
+        assert got[0]["flag_symbol_ratio"] is True
+        assert got[0]["gopher_pass"] is True
+        # every line is a bullet -> > 90% bullet lines
+        assert got[1]["flag_bullet_lines"] is False
+        assert got[1]["gopher_pass"] is False
+        # 6 symbols over 16 words -> ratio > 0.1
+        assert got[2]["flag_symbol_ratio"] is False
+        assert got[2]["flag_stopwords"] is True
+        assert got[2]["gopher_pass"] is False
+
+    def test_word_length_bounds(self, spark):
+        from power_generation_etl_spark.operators.text import (
+            gopher_quality_flags,
+        )
+
+        short = " ".join(["ab"] * 60)  # mean word length 2 < 3
+        df = spark.createDataFrame([(0, short)], "doc_id bigint, text string")
+        r = gopher_quality_flags(df, "doc_id", "text").collect()[0]
+        assert r["flag_word_count"] is True
+        assert r["flag_word_length"] is False
+
+
+class TestC4LineClean:
+    def test_keep_and_drop_rules(self, spark):
+        from power_generation_etl_spark.operators.hygiene import c4_line_clean
+
+        text = "\n".join(
+            [
+                "This line ends with a period and has words.",  # keep
+                "too short.",  # < 3 words
+                "No terminal punctuation here at all",  # no punct
+                "Enable javascript to view this page.",  # poison word
+                "A brace { appears in this line.",  # brace
+                "Final good sentence stays here!",  # keep
+            ]
+        )
+        df = spark.createDataFrame([(7, text)], "doc_id bigint, text string")
+        r = c4_line_clean(df, "doc_id", "text").collect()[0]
+        assert (r["n_lines"], r["n_kept"]) == (6, 2)
+        kept = (
+            "This line ends with a period and has words.\n"
+            "Final good sentence stays here!"
+        )
+        assert r["kept_chars"] == len(kept) - 1  # newline not counted
+        assert r["cleaned_md5"] == hashlib.md5(kept.encode()).hexdigest()
+
+    def test_no_kept_lines_hashes_empty(self, spark):
+        from power_generation_etl_spark.operators.hygiene import c4_line_clean
+
+        df = spark.createDataFrame(
+            [(1, "no punctuation anywhere")], "doc_id bigint, text string"
+        )
+        r = c4_line_clean(df, "doc_id", "text").collect()[0]
+        assert r["n_kept"] == 0
+        assert r["cleaned_md5"] == hashlib.md5(b"").hexdigest()
