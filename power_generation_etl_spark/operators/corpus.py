@@ -289,3 +289,102 @@ def vocab_oov(
         "n_oov",
         F.expr("CAST(n_oov * 1000000 div n_tokens AS BIGINT)").alias("oov_ppm"),
     )
+
+
+def exact_substring_spans(
+    df: DataFrame, id_col: str, text_col: str, *, length: int = 50
+) -> DataFrame:
+    """ExactSubstr duplicated-span report (Lee et al., 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better"): every ``length``-token window whose token sequence occurs
+    at least twice anywhere in the corpus (any document, any offset —
+    including elsewhere in the same document) marks its
+    ``[pos, pos+length)`` span as duplicated; overlapping/adjacent
+    marked spans merge into maximal islands. Per-document output:
+    (doc_id, n_tokens, n_dup_grams, n_spans, dup_tokens, dup_ppm) —
+    the report a substring-dedup pass consumes to cut the spans out.
+
+    The published implementation builds a corpus suffix array; since
+    any repeated substring of length >= L contains a repeated L-token
+    window, the union of repeated L-gram spans equals the union of
+    repeated >=L substrings — so the Spark-idiomatic plan needs no
+    suffix array and no global sort:
+
+      1. per-doc posexplode + (length-1) window ``lead``s build each
+         position's L-gram, hashed to a 128-bit md5 immediately (all
+         whole-stage codegen; the wide concat never materializes),
+      2. duplicated grams come from a digest-only groupBy (map-side
+         combine; shuffle rows are 16-byte digests + a count),
+      3. a left-semi join marks duplicated positions (token-scale
+         shuffle of (digest, doc, pos) triples — the irreducible cost
+         of corpus-wide exact substring matching),
+      4. a per-doc interval merge (running-max window, island sums —
+         same single window pass as sessionization) yields the merged
+         span coverage.
+
+    Exactness is modulo md5(128-bit) collisions (~n²/2¹²⁹ — negligible
+    at any corpus size). dup_ppm stays in int64 for docs up to ~9e12
+    tokens (dup_tokens * 1e6).
+    """
+    from .minhash import _par
+
+    ex = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .repartition(_par(df), "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("_t")), r"\s+")).alias("p0", "t"),
+        )
+    )
+    ntok = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.partitionBy("doc_id").orderBy("p0")
+    leads = [F.lead("t", j).over(w) for j in range(1, length)]
+    grams = (
+        ex.select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),  # 1-based, oracle-aligned
+            F.concat_ws(" ", F.col("t"), *leads).alias("_g"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())  # full windows only
+        .select("doc_id", "pos", F.md5(F.col("_g")).alias("g"))
+    )
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c")).filter(
+        F.col("_c") >= 2
+    )
+    hits = grams.join(dup.select("g"), "g", "left_semi")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + length).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "new_iv", F.when(prev_end >= F.col("pos"), F.lit(0)).otherwise(F.lit(1))
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_iv").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        (F.max("pos") + length - F.min("pos")).alias("covered"),
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum("n_pos").cast("bigint").alias("n_dup_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("covered").cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        ntok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("CAST(dup_tokens * 1000000 div n_tokens AS BIGINT)")
+        )
+        .orderBy("doc_id")
+    )

@@ -1856,3 +1856,78 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
     )
     return scored.orderBy(F.desc("weight_ppm"), "doc_id").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr duplicated spans (Lee et al., 2021): positions whose
+# L-token window repeats anywhere in the corpus, interval-merged per
+# document. The oracle builds the identical L-grams by list slicing
+# and mirrors the digest count + running-max island merge. L=20 here
+# (the synthetic docs average ~54 tokens; the operator default is the
+# published 50).
+# ---------------------------------------------------------------------------
+
+_XSUB_L = 20
+
+
+@_register(
+    "exact_substring_dup_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ntok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+    grams AS (
+      SELECT doc_id, i.i AS pos,
+             md5(array_to_string(t[i.i:i.i+{_XSUB_L - 1}], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - {_XSUB_L} + 2)) AS i(i)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    hits AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + {_XSUB_L}) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) >= pos THEN 0 ELSE 1 END AS new_iv
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             CAST(sum(new_iv) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc_id, island, CAST(count(*) AS BIGINT) AS n_pos,
+             max(pos) + {_XSUB_L} - min(pos) AS covered
+      FROM islands GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(n_pos) AS BIGINT) AS n_dup_grams,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(covered) AS BIGINT) AS dup_tokens
+      FROM merged GROUP BY doc_id
+    )
+    SELECT n.doc_id, n.n_tokens,
+           CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(p.dup_tokens, 0) * 1000000 // n.n_tokens AS BIGINT)
+             AS dup_ppm
+    FROM ntok n LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. ExactSubstr duplicated-span report
+    (operators/corpus.py::exact_substring_spans): repeated L-gram
+    positions via a digest-only groupBy, per-doc interval merge —
+    suffix-array semantics without a suffix array or global sort."""
+    d = T(spark, sf_dir, "documents")
+    return cp.exact_substring_spans(d, "doc_id", "text", length=_XSUB_L)

@@ -188,3 +188,54 @@ class TestC4LineClean:
         r = c4_line_clean(df, "doc_id", "text").collect()[0]
         assert r["n_kept"] == 0
         assert r["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+
+
+class TestExactSubstringSpans:
+    def _run(self, spark, rows, length=3):
+        from power_generation_etl_spark.operators.corpus import (
+            exact_substring_spans,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_dup_grams"],
+                r["n_spans"],
+                r["dup_tokens"],
+                r["dup_ppm"],
+            )
+            for r in exact_substring_spans(
+                df, "doc_id", "text", length=length
+            ).collect()
+        }
+
+    def test_cross_doc_shared_span(self, spark):
+        # docs 1/2 share the 4-token run "a b c d" -> two repeated
+        # 3-grams each, merging into one 4-token span per doc.
+        got = self._run(
+            spark, [(1, "a b c d e f"), (2, "x a b c d y"), (5, "q w e r t")]
+        )
+        assert got[1] == (6, 2, 1, 4, 666666)
+        assert got[2] == (6, 2, 1, 4, 666666)
+        assert got[5] == (5, 0, 0, 0, 0)
+
+    def test_within_doc_repeat_covers_whole_doc(self, spark):
+        # every 3-gram of the periodic doc repeats -> one island
+        # covering all 9 tokens.
+        got = self._run(spark, [(3, "p q r p q r p q r")])
+        assert got[3] == (9, 7, 1, 9, 1000000)
+
+    def test_disjoint_spans_stay_separate(self, spark):
+        # "u v w" repeats at positions 1 and 7; spans [1,4) and [7,10)
+        # do not touch -> two islands of 3 tokens each.
+        got = self._run(spark, [(4, "u v w z1 z2 z3 u v w")])
+        assert got[4] == (9, 2, 2, 6, 666666)
+
+    def test_short_and_null_docs(self, spark):
+        # doc shorter than L contributes no grams (but still reports
+        # its token count); null text is dropped entirely.
+        got = self._run(spark, [(6, "a b"), (7, None), (8, "a b"), (9, "a b c")])
+        assert got[6] == (2, 0, 0, 0, 0)
+        assert 7 not in got
+        assert got[9] == (3, 0, 0, 0, 0)
