@@ -1931,3 +1931,160 @@ def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array semantics without a suffix array or global sort."""
     d = T(spark, sf_dir, "documents")
     return cp.exact_substring_spans(d, "doc_id", "text", length=_XSUB_L)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (FAISS IndexIVFPQ, by_residual=False): coarse k-means prunes
+# to the probed cells, PQ-ADC ranks inside them. The oracle glues the
+# two existing unrolled trajectories — the coarse Lloyd's CTE chain
+# (a{it}/c{it}, as _kmeans_ivf_oracle) and the per-subspace chains
+# (a{j}_{it}/c{j}_{it}, as _pq_adc_oracle) — and filters the ADC
+# ranking to the probed cell set.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle(
+    n_cells: int = 8,
+    coarse_iters: int = 2,
+    probe_fraction: float = 0.25,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 1,
+    topk: int = 10,
+) -> str:
+    dim1 = _EMBED_DIM + 1
+    sub = _EMBED_DIM // m
+    gd2 = (
+        "list_aggregate(list_transform(range(1, len(v.e) + 1),"
+        " i -> (v.e[i] - c.cv[i]) * (v.e[i] - c.cv[i])), 'sum')"
+    )
+    sd2 = (
+        "list_aggregate(list_transform(range(1, len(s.s) + 1),"
+        " i -> (s.s[i] - c.cv[i]) * (s.s[i] - c.cv[i])), 'sum')"
+    )
+    qd2 = (
+        "list_aggregate(list_transform(range(1, len(q.qs) + 1),"
+        " i -> (q.qs[i] - c.cv[i]) * (q.qs[i] - c.cv[i])), 'sum')"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, len({a}) + 1),"
+            f" i -> {a}[i] * {b}[i]), 'sum')"
+            f" / (sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+            f" * sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum')))"
+        )
+
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
+        " WHERE embedding IS NOT NULL)",
+        "qq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS cv"
+        f" FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {n_cells}))",
+    ]
+    for it in range(1, coarse_iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"a{it} AS (SELECT vec_id, e, cell FROM ("
+            f"SELECT v.vec_id, v.e, c.cell,"
+            f" row_number() OVER (PARTITION BY v.vec_id ORDER BY {gd2},"
+            f" c.cell) AS rn FROM v, {prev} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT cell, list(ci ORDER BY i) AS cv FROM ("
+            f"SELECT cell, i.i AS i, round(avg(e[i.i]), 6) AS ci"
+            f" FROM a{it}, unnest(range(1, {dim1})) AS i(i)"
+            f" GROUP BY cell, i.i) GROUP BY cell)"
+        )
+    glast = f"c{coarse_iters}"
+    parts.append(
+        f"ranked AS (SELECT cell, {cos('cv', 'qv')} AS cell_sim"
+        f" FROM {glast}, qq)"
+    )
+    parts.append(
+        f"probed AS (SELECT cell FROM ranked ORDER BY cell_sim DESC, cell"
+        f" LIMIT (SELECT CAST(ceil(count(*) * {probe_fraction}) AS BIGINT)"
+        f" FROM ranked))"
+    )
+    parts.append(
+        f"afin AS (SELECT vec_id, cell FROM ("
+        f"SELECT v.vec_id, c.cell,"
+        f" row_number() OVER (PARTITION BY v.vec_id ORDER BY {gd2},"
+        f" c.cell) AS rn FROM v, {glast} c) WHERE rn = 1)"
+    )
+    code_joins, lut_joins, adc_terms = [], [], []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"s{j} AS (SELECT vec_id, e[{lo}:{hi}] AS s FROM v)")
+        parts.append(f"q{j} AS (SELECT qv[{lo}:{hi}] AS qs FROM qq)")
+        parts.append(
+            f"c{j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,"
+            f" s AS cv FROM (SELECT vec_id, s FROM s{j} ORDER BY vec_id"
+            f" LIMIT {k_sub}))"
+        )
+        for it in range(1, iters + 1):
+            prev = f"c{j}_{it - 1}"
+            parts.append(
+                f"a{j}_{it} AS (SELECT vec_id, s, cell FROM ("
+                f"SELECT s.vec_id, s.s, c.cell,"
+                f" row_number() OVER (PARTITION BY s.vec_id ORDER BY {sd2},"
+                f" c.cell) AS rn FROM s{j} s, {prev} c) WHERE rn = 1)"
+            )
+            parts.append(
+                f"c{j}_{it} AS (SELECT cell, list(ci ORDER BY i) AS cv FROM ("
+                f"SELECT cell, i.i AS i, round(avg(s[i.i]), 6) AS ci"
+                f" FROM a{j}_{it}, unnest(range(1, {sub + 1})) AS i(i)"
+                f" GROUP BY cell, i.i) GROUP BY cell)"
+            )
+        blast = f"c{j}_{iters}"
+        parts.append(
+            f"code{j} AS (SELECT vec_id, cell FROM ("
+            f"SELECT s.vec_id, c.cell,"
+            f" row_number() OVER (PARTITION BY s.vec_id ORDER BY {sd2},"
+            f" c.cell) AS rn FROM s{j} s, {blast} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"lut{j} AS (SELECT c.cell, {qd2} AS ld FROM {blast} c, q{j} q)"
+        )
+        code_joins.append(f"JOIN code{j} ON v.vec_id = code{j}.vec_id")
+        lut_joins.append(f"JOIN lut{j} ON code{j}.cell = lut{j}.cell")
+        adc_terms.append(f"lut{j}.ld")
+    adc = " + ".join(adc_terms)
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT v.vec_id, CAST(afin.cell AS INTEGER) AS cell,
+           round({adc}, 4) AS adc_d2
+    FROM v JOIN afin ON v.vec_id = afin.vec_id
+    {' '.join(code_joins)} {' '.join(lut_joins)}
+    WHERE afin.cell IN (SELECT cell FROM probed)
+    ORDER BY adc_d2, v.vec_id
+    LIMIT {topk}
+    """
+    )
+
+
+@_register("ivfpq_adc_topk", _ivfpq_oracle())
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving-layout top-k
+    (operators/similarity.py::ivfpq_topk): coarse cells prune the scan,
+    PQ-ADC ranks the probed subset — cell pruning × 64× code
+    compression, the FAISS IndexIVFPQ composition."""
+    e = T(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        return spark.createDataFrame([], "vec_id bigint, cell int, adc_d2 double")
+    return sim.ivfpq_topk(
+        e,
+        "vec_id",
+        "embedding",
+        qv,
+        n_cells=8,
+        coarse_iters=2,
+        n_probe_fraction=0.25,
+        m=4,
+        k_sub=8,
+        iters=1,
+        k=10,
+    )

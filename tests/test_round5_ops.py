@@ -239,3 +239,48 @@ class TestExactSubstringSpans:
         assert got[6] == (2, 0, 0, 0, 0)
         assert 7 not in got
         assert got[9] == (3, 0, 0, 0, 0)
+
+
+class TestIvfPqTopk:
+    def test_prunes_to_probed_cells_and_ranks_by_adc(self, spark):
+        from power_generation_etl_spark.operators.similarity import (
+            ivfpq_topk,
+        )
+
+        # Two tight clusters on opposite axes; query sits on the first.
+        # With 2 cells and probe fraction 0.5 only the query-side cell
+        # survives, so the far cluster's ids never appear even though
+        # k asks for more rows than the probed cell holds.
+        rows = [(i, [10.0 + 0.01 * i, 0.0]) for i in range(4)] + [
+            (100 + i, [0.0, 10.0 + 0.01 * i]) for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        got = ivfpq_topk(
+            df,
+            "vec_id",
+            "embedding",
+            [10.0, 0.0],
+            n_cells=2,
+            coarse_iters=2,
+            n_probe_fraction=0.5,
+            m=2,
+            k_sub=2,
+            iters=1,
+            k=8,
+        ).collect()
+        ids = [r["vec_id"] for r in got]
+        assert sorted(ids) == [0, 1, 2, 3]
+        # ADC distances are non-decreasing in rank order.
+        d = [r["adc_d2"] for r in got]
+        assert d == sorted(d)
+        assert len({r["cell"] for r in got}) == 1
+
+    def test_empty_corpus_stable_schema(self, spark):
+        from power_generation_etl_spark.operators.similarity import (
+            ivfpq_topk,
+        )
+
+        df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+        out = ivfpq_topk(df, "vec_id", "embedding", [1.0, 0.0], m=2, k_sub=2)
+        assert out.columns == ["vec_id", "cell", "adc_d2"]
+        assert out.count() == 0
