@@ -225,3 +225,140 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet, Fusy, Gandouet, Meunier, AofA 2007). Registers
+# are pure integer arithmetic over the same 48-bit md5 hash as KMV:
+# bucket = top p bits, rho = leading-zero count of the remaining W-bit
+# word (via bit-length, exact in both engines). The indicator sum
+# Z = sum(2^-M_j) is carried as the exact bigint sum(2^(50-M_j)) —
+# every term is a power of two <= 2^50, m=64 terms, no float addition
+# anywhere. The only float ops are one literal/bigint division for the
+# raw estimate and the published linear-counting branch, whose
+# m*ln(m/V) values are DRIVER-side libm literals indexed by the
+# integer V (the cross-engine ln trick from bm25, extended to a LUT) —
+# so the whole estimate reproduces bit-for-bit in the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 6  # 2^6 = 64 registers
+_HLL_M = 1 << _HLL_P
+_HLL_W = _HASH_BITS - _HLL_P  # 42-bit rho word
+_HLL_ALPHA = 0.709  # alpha_64, Flajolet et al. 2007 fig. 3
+# Exact-integer indicator scaling: 2^(50-M) with M in [1, W+1=43].
+_HLL_SHIFT = 50
+
+
+def _hll_literals() -> tuple[str, list[str]]:
+    """(alpha*m^2*2^shift, [m*ln(m/V) for V in 1..m]) as repr strings —
+    Python's repr round-trips the exact double, and both engines parse
+    the same decimal to the same IEEE value."""
+    import math as _m
+
+    a = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_SHIFT))
+    lc = [repr(_HLL_M * _m.log(_HLL_M / v)) for v in range(1, _HLL_M + 1)]
+    return a, lc
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HLL distinct-count estimate: (group, v_empty,
+    z_scaled, hll_estimate). hll_estimate applies the published
+    small-range correction (linear counting when E <= 2.5m and empty
+    registers remain) and truncates to 4 decimals with floor on both
+    engines.
+
+    Scale: the shuffle carries at most m=64 (group, bucket, max-rho)
+    rows per group after map-side combine — O(m) state per group
+    regardless of cardinality, the property KMV's distinct-shuffle
+    lacks. Mergeable by construction (max of maxes)."""
+    m, w_bits = _HLL_M, _HLL_W
+    h = hash48(F.col(value_col))
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), h.alias("h")
+    )
+    buck = base.select(
+        "grp",
+        F.expr(f"h div {1 << w_bits}").alias("bucket"),
+        F.expr(f"h % {1 << w_bits}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.conv(F.col("w"), 10, 2))
+    )
+    regs = buck.select("grp", "bucket", rho.alias("rho")).groupBy(
+        "grp", "bucket"
+    ).agg(F.max("rho").alias("mj"))
+    per_grp = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT} - mj)")
+        ).alias("z_present"),
+    )
+    a_lit, lc_lits = _hll_literals()
+    v_empty = F.lit(m) - F.col("n_present")
+    z_scaled = (
+        F.col("z_present")
+        + v_empty.cast("bigint") * F.lit(1 << _HLL_SHIFT)
+    )
+    raw = F.lit(float(a_lit)) / z_scaled.cast("double")
+    lc_arr = F.array(*[F.lit(float(x)) for x in lc_lits])
+    est = F.when(
+        (v_empty > 0) & (raw <= F.lit(2.5 * m)),
+        F.element_at(lc_arr, v_empty.cast("int")),
+    ).otherwise(raw)
+    return per_grp.select(
+        F.col("grp").alias(group_col),
+        v_empty.cast("bigint").alias("v_empty"),
+        z_scaled.cast("bigint").alias("z_scaled"),
+        (
+            F.floor(est * F.lit(10000.0)).cast("bigint") / F.lit(10000.0)
+        ).alias("hll_estimate"),
+    )
+
+
+def hll_oracle_sql(
+    table_expr: str, group_col: str, value_expr: str
+) -> str:
+    """DuckDB twin of `hll_distinct` — identical bucket/rho integer
+    pipeline, the same driver literals for alpha·m²·2^shift and the
+    linear-counting LUT."""
+    m, w_bits = _HLL_M, _HLL_W
+    a_lit, lc_lits = _hll_literals()
+    lc_list = ", ".join(lc_lits)
+    return f"""
+    WITH b AS (
+      SELECT {group_col} AS grp,
+             h // {1 << w_bits} AS bucket, h % {1 << w_bits} AS w
+      FROM (SELECT {group_col},
+                   CAST('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1,
+                        {_HASH_HEX}) AS BIGINT) AS h
+            FROM {table_expr}
+            WHERE {value_expr} IS NOT NULL)
+    ),
+    regs AS (
+      SELECT grp, bucket,
+             max(CASE WHEN w = 0 THEN {w_bits + 1}
+                 ELSE {w_bits + 1} - length(bin(w)) END) AS mj
+      FROM b GROUP BY grp, bucket
+    ),
+    pg AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_present,
+             CAST(sum(1::BIGINT << ({_HLL_SHIFT} - mj)) AS BIGINT)
+               AS z_present
+      FROM regs GROUP BY grp
+    ),
+    est AS (
+      SELECT grp, {m} - n_present AS v_empty,
+             z_present + ({m} - n_present) * {1 << _HLL_SHIFT} AS z_scaled
+      FROM pg
+    )
+    SELECT grp AS {group_col},
+           CAST(v_empty AS BIGINT) AS v_empty,
+           CAST(z_scaled AS BIGINT) AS z_scaled,
+           CAST(floor(
+             CASE WHEN v_empty > 0
+                       AND {a_lit} / CAST(z_scaled AS DOUBLE) <= {2.5 * m}
+                  THEN ([{lc_list}]::DOUBLE[])[CAST(v_empty AS INTEGER)]
+                  ELSE {a_lit} / CAST(z_scaled AS DOUBLE) END * 10000.0
+           ) AS BIGINT) / 10000.0 AS hll_estimate
+    FROM est
+    """

@@ -276,3 +276,40 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_overlap.alias("est_overlap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct users per event type, reported against the
+# exact count. Registers are integer-exact; the raw-estimate division
+# and linear-counting branch use driver libm literals (sketch.py), so
+# the estimate hashes identically across engines.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "hll_distinct_users",
+    f"""
+    WITH hll AS ({sk.hll_oracle_sql("events", "event_type", "user_id")}),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT hll.event_type, exact.exact_distinct, hll.v_empty,
+           hll.z_scaled, hll.hll_estimate
+    FROM hll JOIN exact ON hll.event_type = exact.event_type
+    ORDER BY hll.event_type
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id")
+    hll = sk.hll_distinct(ev, "event_type", "user_id")
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        hll.join(exact, "event_type")
+        .select("event_type", "exact_distinct", "v_empty", "z_scaled", "hll_estimate")
+        .orderBy("event_type")
+    )

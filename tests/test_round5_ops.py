@@ -284,3 +284,89 @@ class TestIvfPqTopk:
         out = ivfpq_topk(df, "vec_id", "embedding", [1.0, 0.0], m=2, k_sub=2)
         assert out.columns == ["vec_id", "cell", "adc_d2"]
         assert out.count() == 0
+
+
+class TestHllDistinct:
+    def test_estimate_within_published_error(self, spark):
+        from power_generation_etl_spark.operators.sketch import hll_distinct
+
+        # 2000 distinct values, m=64 registers: published standard
+        # error is 1.04/sqrt(64) = 13%; assert a loose 3-sigma band.
+        rows = [("g", f"user-{i}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "grp string, v string")
+        r = hll_distinct(df, "grp", "v").collect()[0]
+        assert abs(r["hll_estimate"] - 2000) < 0.39 * 2000
+        assert r["v_empty"] == 0  # 2000 >> 64 buckets all hit
+
+    def test_small_cardinality_uses_linear_counting(self, spark):
+        from power_generation_etl_spark.operators.sketch import hll_distinct
+
+        # 3 distinct values: most registers empty -> the linear-counting
+        # branch; with V=61 the estimate is 64*ln(64/61) = 3.07258,
+        # floor-truncated to 4 decimals.
+        rows = [("g", "a"), ("g", "b"), ("g", "c"), ("g", "a")]
+        df = spark.createDataFrame(rows, "grp string, v string")
+        r = hll_distinct(df, "grp", "v").collect()[0]
+        assert r["v_empty"] == 61
+        assert r["hll_estimate"] == 3.0725
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        from power_generation_etl_spark.operators.sketch import hll_distinct
+
+        once = [("g", f"u{i}") for i in range(200)]
+        thrice = once * 3
+        a = hll_distinct(
+            spark.createDataFrame(once, "grp string, v string"), "grp", "v"
+        ).collect()[0]
+        b = hll_distinct(
+            spark.createDataFrame(thrice, "grp string, v string"), "grp", "v"
+        ).collect()[0]
+        assert (a["z_scaled"], a["hll_estimate"]) == (
+            b["z_scaled"],
+            b["hll_estimate"],
+        )
+
+    def test_register_state_merges_as_max(self, spark):
+        # The sketch of a union equals the union of sketches merged by
+        # per-bucket max — verified through z_scaled equality: sketch
+        # over A+B must match what merging A's and B's registers gives.
+        from power_generation_etl_spark.operators.sketch import hll_distinct
+
+        a_rows = [("g", f"a{i}") for i in range(300)]
+        b_rows = [("g", f"b{i}") for i in range(300)]
+        union = hll_distinct(
+            spark.createDataFrame(a_rows + b_rows, "grp string, v string"),
+            "grp",
+            "v",
+        ).collect()[0]
+        # Tag the halves with different groups, merge registers by max.
+        tagged = [("a", v) for _, v in a_rows] + [("b", v) for _, v in b_rows]
+        df = spark.createDataFrame(tagged, "grp string, v string")
+        from power_generation_etl_spark.operators import sketch as sk
+        from pyspark.sql import functions as F
+
+        h = sk.hash48(F.col("v"))
+        w_bits = sk._HLL_W
+        buck = df.select(h.alias("h")).select(
+            F.expr(f"h div {1 << w_bits}").alias("bucket"),
+            F.expr(f"h % {1 << w_bits}").alias("w"),
+        )
+        rho = F.when(F.col("w") == 0, F.lit(w_bits + 1)).otherwise(
+            F.lit(w_bits + 1) - F.length(F.conv(F.col("w"), 10, 2))
+        )
+        merged_z = (
+            buck.select("bucket", rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("mj"))
+            .agg(
+                F.sum(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), {sk._HLL_SHIFT} - mj)")
+                ).alias("z"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        z_scaled = merged_z["z"] + (sk._HLL_M - merged_z["n"]) * (
+            1 << sk._HLL_SHIFT
+        )
+        assert z_scaled == union["z_scaled"]
