@@ -146,3 +146,84 @@ def logit_expr(
     return (
         F.when(text_col.isNull(), F.lit(bias)).otherwise(total).cast("bigint")
     )
+
+
+def bigram_lm_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style LM perplexity filtering (Wenzek et al., 2020 — low
+    perplexity under an in-domain LM selects clean text), with the LM a
+    corpus-trained add-one-smoothed bigram model instead of an external
+    KenLM: per document, the mean surprisal of its bigrams under
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V).
+
+    Fixed-point contract: surprisal is defined as
+    L(c1 + V) - L(c2 + 1) with L(n) = floor(1e6 · ln(n)) — ln runs on
+    exact integer-valued doubles, so Python/glibc (which builds the
+    Spark-side lookup) and DuckDB's std::log (the oracle) produce the
+    identical double and the identical floor (the bm25 idf trick,
+    applied to the distinct count domain). All downstream sums are
+    exact bigints — no float summation order anywhere.
+
+    Scale shape: tokenize once (posexplode + per-doc lead window),
+    two count aggregations (bigram, prefix), two count-keyed joins back
+    (token-scale shuffles, the TF-IDF profile), and ln evaluated only
+    on the DISTINCT count domain (O(distinct frequencies) ≈ O(√N) by
+    Zipf — the 'compute per distinct value, join back' rule). At true
+    100 TB swap the driver LUT for engine ln: cross-engine bit-equality
+    is an oracle concern, not a production one.
+
+    Output: (doc_id, n_bigrams, total_unats, mean_unats) for docs with
+    at least one bigram, doc-ordered; mean_unats = total div n (exact).
+    """
+    import math as _m
+
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    ex = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("_t")), r"\s+")).alias("pos", "w"),
+        )
+    )
+    vocab_n = ex.select("w").distinct().count()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = ex.select(
+        "doc_id", F.col("w").alias("w1"), F.lead("w", 1).over(w).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        big.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .select(
+            "doc_id",
+            (F.col("c1") + F.lit(vocab_n)).alias("_den"),
+            (F.col("c2") + F.lit(1)).alias("_num"),
+        )
+    )
+    dom = sorted(
+        {r["_den"] for r in scored.select("_den").distinct().collect()}
+        | {r["_num"] for r in scored.select("_num").distinct().collect()}
+    )
+    lut = spark.createDataFrame(
+        [(int(n), int(_m.floor(_m.log(float(n)) * 1_000_000))) for n in dom],
+        "n bigint, l bigint",
+    )
+    s = (
+        scored.join(lut.select(F.col("n").alias("_den"), F.col("l").alias("_ld")), "_den")
+        .join(lut.select(F.col("n").alias("_num"), F.col("l").alias("_ln")), "_num")
+        .select("doc_id", (F.col("_ld") - F.col("_ln")).alias("s_unats"))
+    )
+    return (
+        s.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("s_unats").cast("bigint").alias("total_unats"),
+        )
+        .withColumn(
+            "mean_unats", F.expr("CAST(total_unats div n_bigrams AS BIGINT)")
+        )
+        .orderBy("doc_id")
+    )

@@ -2088,3 +2088,56 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=1,
         k=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity filtering (Wenzek et al. 2020), with the LM a
+# corpus-trained add-one bigram model: per-doc mean surprisal in exact
+# integer micro-nats. ln evaluates only on integer-valued doubles —
+# Python/glibc builds the Spark-side LUT, the oracle runs DuckDB's
+# std::log on the identical inputs (the bm25 idf equivalence).
+# ---------------------------------------------------------------------------
+
+from power_generation_etl_spark.operators import scoring as _scoring  # noqa: E402
+
+
+@_register(
+    "bigram_lm_surprisal",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    voc AS (
+      SELECT CAST(count(DISTINCT t[i.i]) AS BIGINT) AS v
+      FROM toks, unnest(range(1, len(t) + 1)) AS i(i)
+    ),
+    big AS (
+      SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS i(i)
+    ),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    sc AS (
+      SELECT doc_id,
+             CAST(floor(ln(CAST(c1.c1 + voc.v AS DOUBLE)) * 1000000)
+                  - floor(ln(CAST(c2.c2 + 1 AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS s
+      FROM big
+      JOIN c2 USING (w1, w2)
+      JOIN c1 USING (w1), voc
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(s) AS BIGINT) AS total_unats,
+           CAST(CAST(sum(s) AS BIGINT) // count(*) AS BIGINT) AS mean_unats
+    FROM sc GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram-LM surprisal in exact integer micro-nats
+    (operators/scoring.py::bigram_lm_surprisal) — the perplexity-filter
+    ranking of the CCNet pipeline, reproduced bit-for-bit across
+    engines via the distinct-count-domain ln LUT."""
+    d = T(spark, sf_dir, "documents")
+    return _scoring.bigram_lm_surprisal(d, "doc_id", "text")

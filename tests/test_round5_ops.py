@@ -370,3 +370,61 @@ class TestHllDistinct:
             1 << sk._HLL_SHIFT
         )
         assert z_scaled == union["z_scaled"]
+
+
+class TestBigramLmSurprisal:
+    def test_hand_computed_two_doc_corpus(self, spark):
+        import math
+
+        from power_generation_etl_spark.operators.scoring import (
+            bigram_lm_surprisal,
+        )
+
+        # Corpus: "a b a b" and "a b c". V=3 (a,b,c).
+        # Bigram counts: (a,b)=3, (b,a)=1, (b,c)=1. Prefix counts:
+        # a·=3, b·=2.
+        # L(n) = floor(1e6*ln(n)).
+        L = lambda n: math.floor(math.log(n) * 1_000_000)
+        s_ab = L(3 + 3) - L(3 + 1)
+        s_ba = L(2 + 3) - L(1 + 1)
+        s_bc = L(2 + 3) - L(1 + 1)
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id bigint, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["total_unats"], r["mean_unats"])
+            for r in bigram_lm_surprisal(df, "doc_id", "text").collect()
+        }
+        t1 = s_ab + s_ba + s_ab
+        t2 = s_ab + s_bc
+        assert got[1] == (3, t1, t1 // 3)
+        assert got[2] == (2, t2, t2 // 2)
+
+    def test_rare_bigrams_score_higher(self, spark):
+        from power_generation_etl_spark.operators.scoring import (
+            bigram_lm_surprisal,
+        )
+
+        # One doc repeats a common pattern; another is all novel
+        # transitions -> the novel doc must have higher mean surprisal.
+        common = " ".join(["x y"] * 20)
+        novel = "q w e r t z u i o p"
+        df = spark.createDataFrame(
+            [(1, common), (2, novel)], "doc_id bigint, text string"
+        )
+        got = {
+            r["doc_id"]: r["mean_unats"]
+            for r in bigram_lm_surprisal(df, "doc_id", "text").collect()
+        }
+        assert got[2] > got[1]
+
+    def test_single_token_docs_absent(self, spark):
+        from power_generation_etl_spark.operators.scoring import (
+            bigram_lm_surprisal,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "only"), (2, "two words")], "doc_id bigint, text string"
+        )
+        got = [r["doc_id"] for r in bigram_lm_surprisal(df, "doc_id", "text").collect()]
+        assert got == [2]
