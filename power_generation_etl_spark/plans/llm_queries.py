@@ -2141,3 +2141,70 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines via the distinct-count-domain ln LUT."""
     d = T(spark, sf_dir, "documents")
     return _scoring.bigram_lm_surprisal(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Distributed suffix array (prefix doubling): the top of the corpus-
+# wide lexicographic suffix order, previewed. The oracle sorts the
+# materialized suffix strings directly — valid because tokens contain
+# no whitespace, so joining with ' ' (below every token character)
+# reproduces token-wise order with end-of-suffix first.
+# ---------------------------------------------------------------------------
+
+from power_generation_etl_spark.operators import suffix as _suffix  # noqa: E402
+
+_SA_TOPK = 100
+
+
+@_register(
+    "suffix_array_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sfx AS (
+      SELECT doc_id, i.i AS pos,
+             array_to_string(t[i.i:len(t)], ' ') AS suffix,
+             array_to_string(t[i.i:least(i.i + 4, len(t))], ' ') AS preview
+      FROM toks, unnest(range(1, len(t) + 1)) AS i(i)
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY suffix, doc_id, pos) AS sa_rank,
+             doc_id, pos, preview
+      FROM sfx
+    )
+    SELECT CAST(sa_rank AS BIGINT) AS sa_rank, doc_id,
+           CAST(pos AS INTEGER) AS pos, preview
+    FROM ranked WHERE sa_rank <= {_SA_TOPK}
+    ORDER BY sa_rank
+    """,
+)
+def suffix_array_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {_SA_TOPK} suffixes of the corpus-wide suffix array
+    (operators/suffix.py::suffix_array — prefix doubling, distributed
+    dense ranks, no global window), with a 5-token preview joined back
+    from the source text."""
+    d = T(spark, sf_dir, "documents")
+    sa = _suffix.suffix_array(d, "doc_id", "text")
+    top = sa.where(F.col("sa_rank") <= _SA_TOPK)
+    toks = d.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("_tk")
+    )
+    return (
+        top.join(toks, "doc_id")
+        .select(
+            "sa_rank",
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.array_join(
+                F.slice(
+                    F.col("_tk"),
+                    F.col("pos"),
+                    F.least(F.lit(5), F.size("_tk") - F.col("pos") + 1),
+                ),
+                " ",
+            ).alias("preview"),
+        )
+        .orderBy("sa_rank")
+    )

@@ -428,3 +428,60 @@ class TestBigramLmSurprisal:
         )
         got = [r["doc_id"] for r in bigram_lm_surprisal(df, "doc_id", "text").collect()]
         assert got == [2]
+
+
+class TestSuffixArray:
+    def test_hand_ordered_suffixes(self, spark):
+        from power_generation_etl_spark.operators.suffix import suffix_array
+
+        # Suffixes: d1 = ["b a" (pos1), "a" (pos2)]; d2 = ["a" (pos1)].
+        # Lexicographic order: "a"(d1,2) = "a"(d2,1) tie -> doc order,
+        # then "b a".
+        df = spark.createDataFrame(
+            [(1, "b a"), (2, "a")], "doc_id bigint, text string"
+        )
+        got = {
+            (r["doc_id"], r["pos"]): r["sa_rank"]
+            for r in suffix_array(df, "doc_id", "text").collect()
+        }
+        assert got == {(1, 2): 1, (2, 1): 2, (1, 1): 3}
+
+    def test_prefix_before_extension(self, spark):
+        from power_generation_etl_spark.operators.suffix import suffix_array
+
+        # ["a"] < ["a","b"] < ["ab"]: end-of-suffix sorts before any
+        # token, and token-wise order is NOT string-concat order.
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a b"), (3, "ab")], "doc_id bigint, text string"
+        )
+        got = {
+            (r["doc_id"], r["pos"]): r["sa_rank"]
+            for r in suffix_array(df, "doc_id", "text").collect()
+        }
+        # suffixes: (1,1)="a", (2,1)="a b", (2,2)="b", (3,1)="ab"
+        assert got[(1, 1)] == 1
+        assert got[(2, 1)] == 2
+        assert got[(3, 1)] == 3
+        assert got[(2, 2)] == 4
+
+    def test_duplicate_docs_total_order(self, spark):
+        from power_generation_etl_spark.operators.suffix import suffix_array
+
+        df = spark.createDataFrame(
+            [(5, "x y"), (9, "x y")], "doc_id bigint, text string"
+        )
+        got = {
+            (r["doc_id"], r["pos"]): r["sa_rank"]
+            for r in suffix_array(df, "doc_id", "text").collect()
+        }
+        # identical suffixes tie-break by doc_id: x y(5) < x y(9),
+        # y(5) < y(9)
+        assert got == {(5, 1): 1, (9, 1): 2, (5, 2): 3, (9, 2): 4}
+
+    def test_empty_corpus(self, spark):
+        from power_generation_etl_spark.operators.suffix import suffix_array
+
+        df = spark.createDataFrame([], "doc_id bigint, text string")
+        out = suffix_array(df, "doc_id", "text")
+        assert out.columns == ["doc_id", "pos", "sa_rank"]
+        assert out.count() == 0
