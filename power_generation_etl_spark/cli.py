@@ -198,6 +198,24 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="skip email/IP/phone placeholder redaction in written shards",
     )
+    ps.add_argument(
+        "--c4-clean",
+        action="store_true",
+        help="rewrite each doc to its C4 line-cleaned form before filtering",
+    )
+    ps.add_argument(
+        "--gopher-filter",
+        action="store_true",
+        help="also apply the Gopher document-quality rule bundle",
+    )
+    ps.add_argument(
+        "--max-mean-surprisal",
+        type=int,
+        default=None,
+        metavar="UNATS",
+        help="CCNet-style perplexity gate: drop docs whose mean "
+        "bigram-LM surprisal (integer micro-nats) exceeds this bound",
+    )
 
     sp = sub.add_parser(
         "scan-pii",
@@ -437,6 +455,9 @@ def _dispatch(args, spark, eng: Engine) -> int:
             decontam_n=args.decontam_ngram,
             redact_pii=not args.no_redact_pii,
             repetition_filter=args.repetition_filter,
+            c4_clean=args.c4_clean,
+            gopher_filter=args.gopher_filter,
+            max_mean_surprisal=args.max_mean_surprisal,
             bpe_vocab=(
                 spark.read.parquet(f"{args.bpe_vocab}/vocab_seg.parquet")
                 if args.bpe_vocab

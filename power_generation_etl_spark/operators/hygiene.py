@@ -152,6 +152,55 @@ def encoding_quality(text: Column) -> dict[str, Column]:
     }
 
 
+def _c4_flagged_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, l, keep) — every line of every document with its
+    C4 keep/drop verdict. Shared by the stats report (`c4_line_clean`)
+    and the text rewriter (`c4_cleaned_text`), so the rule set cannot
+    drift between them."""
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    lines = base.select(
+        "doc_id", F.posexplode(F.split(F.col("_t"), r"\n")).alias("pos", "l")
+    )
+    li = F.col("l")
+    low = F.lower(li)
+    keep = (
+        F.expr("right(rtrim(l), 1)").isin(".", "!", "?", '"', "”")
+        & (F.size(F.regexp_extract_all(li, F.lit(r"\S+"), F.lit(0))) >= 3)
+        & ~low.contains("javascript")
+        & ~low.contains("lorem ipsum")
+        & ~li.contains("{")
+    )
+    return lines.select("doc_id", "pos", "l", keep.alias("keep"))
+
+
+def c4_cleaned_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, cleaned) — each document's surviving lines re-joined in
+    original order (same array_sort-inside-aggregate as the md5
+    fingerprint in `c4_line_clean`, so `md5(cleaned)` equals that
+    report's `cleaned_md5` by construction). Documents whose every
+    line is dropped yield an empty string — downstream quality gates
+    remove them."""
+    flagged = _c4_flagged_lines(df, id_col, text_col)
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct(F.col("pos"), F.col("l")),
+                        )
+                    )
+                ),
+                lambda x: x["l"],
+            ),
+            "\n",
+        ).alias("cleaned")
+    )
+
+
 def c4_line_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al., 2020, "Exploring
     the Limits of Transfer Learning..." §2.2 — the rule set behind the
@@ -173,22 +222,7 @@ def c4_line_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     order is restored inside the aggregate by array_sort on (pos, line)
     structs — document-local, no window, no driver state.
     """
-    base = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
-    )
-    lines = base.select(
-        "doc_id", F.posexplode(F.split(F.col("_t"), r"\n")).alias("pos", "l")
-    )
-    li = F.col("l")
-    low = F.lower(li)
-    keep = (
-        F.expr("right(rtrim(l), 1)").isin(".", "!", "?", '"', "”")
-        & (F.size(F.regexp_extract_all(li, F.lit(r"\S+"), F.lit(0))) >= 3)
-        & ~low.contains("javascript")
-        & ~low.contains("lorem ipsum")
-        & ~li.contains("{")
-    )
-    flagged = lines.select("doc_id", "pos", "l", keep.alias("keep"))
+    flagged = _c4_flagged_lines(df, id_col, text_col)
     return (
         flagged.groupBy("doc_id")
         .agg(

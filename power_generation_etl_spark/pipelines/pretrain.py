@@ -27,6 +27,7 @@ from power_generation_etl_spark.operators import bpe
 from power_generation_etl_spark.operators import corpus as cp
 from power_generation_etl_spark.operators import hygiene as hg
 from power_generation_etl_spark.operators import minhash as mh
+from power_generation_etl_spark.operators import scoring
 from power_generation_etl_spark.operators import text as tx
 
 
@@ -54,6 +55,9 @@ def prepare_pretraining_shards(
     redact_pii: bool = True,
     bpe_vocab: DataFrame | None = None,
     repetition_filter: bool = False,
+    c4_clean: bool = False,
+    gopher_filter: bool = False,
+    max_mean_surprisal: int | None = None,
 ) -> PrepSummary:
     """Run the full prep pipeline and write training shards.
 
@@ -75,6 +79,18 @@ def prepare_pretraining_shards(
     screen (operators/text.py::repetition_stats thresholds) to the
     quality stage.
 
+    ``c4_clean`` rewrites each document to its C4 line-cleaned form
+    BEFORE any filtering (operators/hygiene.py::c4_cleaned_text) —
+    documents whose every line is dropped become empty and fall to the
+    quality gate. ``gopher_filter`` adds the Rae et al. A1.1 document
+    rule bundle (operators/text.py::gopher_quality_flags) to the
+    quality stage. ``max_mean_surprisal`` (integer micro-nats) adds the
+    CCNet-style perplexity gate: the bigram LM trains on the
+    quality-passed corpus itself and documents whose mean surprisal
+    exceeds the bound are dropped (operators/scoring.py::
+    bigram_lm_surprisal); all three compose with the existing stages
+    in funnel order.
+
     When ``bpe_vocab`` is given (a `train-bpe` segmented vocab —
     operators/bpe.py::trained_segmentation output), `n_tok` is the
     document's BPE symbol count (broadcast vocab join, char-fallback
@@ -84,10 +100,24 @@ def prepare_pretraining_shards(
     """
     n_input = docs.count()
 
+    # 0. optional C4 line-level rewrite — the corpus the rest of the
+    # funnel sees is the cleaned text (empty-cleaned docs die at the
+    # quality gate, C4's own behavior for pages with no kept lines)
+    if c4_clean:
+        cleaned = hg.c4_cleaned_text(docs, id_col, text_col).select(
+            F.col("doc_id").alias(id_col), F.col("cleaned")
+        )
+        docs = (
+            docs.join(cleaned, id_col, "left")
+            .withColumn(text_col, F.coalesce("cleaned", F.col(text_col)))
+            .drop("cleaned")
+        )
+
     # 1. quality filter — one projection scan; optionally also the
-    # Gopher repetition screen (repetition_stats is join-shaped, so it
-    # runs as a doc-keyed anti-join rather than a Column predicate;
-    # docs too short to have 5-grams are never flagged)
+    # Gopher repetition screen and document rule bundle (both are
+    # join-shaped, so they run as doc-keyed anti-/semi-joins rather
+    # than Column predicates; docs too short to have 5-grams are never
+    # repetition-flagged)
     m = tx.quality_metrics(F.col(text_col))
     q = docs.filter(tx.quality_pass(m))
     if repetition_filter:
@@ -97,6 +127,22 @@ def prepare_pretraining_shards(
             .select(F.col("doc_id").alias(id_col))
         )
         q = q.join(flagged, id_col, "left_anti")
+    if gopher_filter:
+        passing = (
+            tx.gopher_quality_flags(q, id_col, text_col)
+            .where(F.col("gopher_pass"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        q = q.join(passing, id_col, "left_semi")
+    if max_mean_surprisal is not None:
+        # CCNet-style gate: LM trained on the surviving corpus itself;
+        # docs with <2 tokens have no bigrams and pass untested.
+        noisy = (
+            scoring.bigram_lm_surprisal(q, id_col, text_col)
+            .where(F.col("mean_unats") > max_mean_surprisal)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        q = q.join(noisy, id_col, "left_anti")
     n_quality = q.count()
 
     # 2. exact dedup — keep lowest id per digest (digest-only shuffle)

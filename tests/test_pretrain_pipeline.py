@@ -149,3 +149,72 @@ def test_pipeline_repetition_filter(spark, tmp_path):
     assert s_on.n_after_quality == 1
     kept = spark.read.json(out1)
     assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_pipeline_c4_clean_rewrites_text(spark, tmp_path):
+    good = "This sentence is long enough and ends properly. " * 2
+    docs = spark.createDataFrame(
+        [
+            (1, good + "\nEnable javascript now", "a"),
+            (2, "{ nav menu\nshort.", "a"),  # every line dropped -> empty
+            (3, good, "b"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    s = prepare_pretraining_shards(
+        docs, str(tmp_path / "s"), c4_clean=True, redact_pii=False
+    )
+    shards = spark.read.json(str(tmp_path / "s"))
+    texts = {r["doc_id"]: r["text"] for r in shards.collect()}
+    # doc 1 survives with the javascript line stripped
+    assert "javascript" not in texts[1]
+    # doc 2's cleaned form is empty -> dies at the quality gate
+    assert 2 not in texts
+    assert s.n_after_quality < s.n_input
+
+
+def test_pipeline_gopher_filter(spark, tmp_path):
+    stop = "the be to of and that have with "
+    good = stop + " ".join(["content"] * 60) + "."
+    bullets = "\n".join(["- item one two"] * 30)
+    docs = spark.createDataFrame(
+        [(1, good, "a"), (2, bullets, "a")],
+        "doc_id bigint, text string, source string",
+    )
+    s = prepare_pretraining_shards(
+        docs, str(tmp_path / "s"), gopher_filter=True, redact_pii=False
+    )
+    kept = {r["doc_id"] for r in spark.read.json(str(tmp_path / "s")).collect()}
+    assert kept == {1}
+    assert s.n_after_quality == 1
+
+
+def test_pipeline_surprisal_gate_drops_novel_doc(spark, tmp_path):
+    # 30 docs repeating the same bigrams train a confident LM; the one
+    # all-novel doc scores far above their mean surprisal.
+    common = ("alpha beta gamma delta " * 10).strip()
+    novel = "zk1 zk2 zk3 zk4 zk5 zk6 zk7 zk8 zk9 zk10"
+    rows = [(i, common + f" tail{i % 3}", "a") for i in range(30)]
+    rows.append((99, novel, "a"))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    from power_generation_etl_spark.operators.scoring import (
+        bigram_lm_surprisal,
+    )
+
+    scored = {
+        r["doc_id"]: r["mean_unats"]
+        for r in bigram_lm_surprisal(docs, "doc_id", "text").collect()
+    }
+    cut = (max(v for k, v in scored.items() if k != 99) + scored[99]) // 2
+    s = prepare_pretraining_shards(
+        docs,
+        str(tmp_path / "s"),
+        max_mean_surprisal=int(cut),
+        neardup_threshold=0.99,
+        redact_pii=False,
+    )
+    kept = {r["doc_id"] for r in spark.read.json(str(tmp_path / "s")).collect()}
+    assert 99 not in kept
+    assert s.n_after_quality == 30
