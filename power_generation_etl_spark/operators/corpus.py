@@ -388,3 +388,58 @@ def exact_substring_spans(
         )
         .orderBy("doc_id")
     )
+
+
+def chunk_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding-prep
+    primitive: chunk k covers tokens [k·stride + 1, k·stride + size]
+    (1-based, stride = size - overlap), the final chunk truncating at
+    the document end. Output: (doc_id, chunk_id, start_pos, n_tokens,
+    chunk_md5) with chunk_md5 hashing the space-joined window — the
+    verifiable span identity an embedding pipeline stores alongside the
+    vector.
+
+    One projection builds the token array, one posexplode over the
+    chunk-index sequence, everything codegen (F.slice is an ordinary
+    expression, not a lambda HOF). Chunks per doc = ceil((n - overlap)
+    / stride) — document-local, no shuffle at all until a consumer
+    aggregates."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    stride = size - overlap
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.col(text_col)), r"\s+").alias("_tk"),
+        )
+        .withColumn("_n", F.size("_tk"))
+        .where(F.col("_n") >= 1)
+    )
+    ks = base.select(
+        "doc_id",
+        "_tk",
+        "_n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.expr(f"(_n - 1) div {stride}"))
+        ).alias("_i", "k"),
+    )
+    start = F.col("k") * stride + 1
+    return ks.select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_id"),
+        start.cast("int").alias("start_pos"),
+        F.least(F.lit(size), F.col("_n") - F.col("k") * stride)
+        .cast("int")
+        .alias("n_tokens"),
+        F.md5(F.array_join(F.slice(F.col("_tk"), start, size), " ")).alias(
+            "chunk_md5"
+        ),
+    ).orderBy("doc_id", "chunk_id")

@@ -2208,3 +2208,45 @@ def suffix_array_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sa_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (RAG/embedding prep): stride-24
+# windows of 32 tokens with 8-token overlap, identity-hashed.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@_register(
+    "doc_chunk_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ks AS (
+      SELECT doc_id, t, len(t) AS n, k.k AS k
+      FROM toks, unnest(range(0, (len(t) - 1) // {_CHUNK_STRIDE} + 1)) AS k(k)
+      WHERE len(t) >= 1
+    )
+    SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+           CAST(k * {_CHUNK_STRIDE} + 1 AS INTEGER) AS start_pos,
+           CAST(least({_CHUNK_SIZE}, n - k * {_CHUNK_STRIDE}) AS INTEGER)
+             AS n_tokens,
+           md5(array_to_string(
+             t[k * {_CHUNK_STRIDE} + 1 :
+               least(k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)], ' ')) AS chunk_md5
+    FROM ks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks with verifiable span hashes
+    (operators/corpus.py::chunk_spans) — the document-side half of an
+    embedding/RAG indexing pipeline."""
+    d = T(spark, sf_dir, "documents")
+    return cp.chunk_spans(
+        d, "doc_id", "text", size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )

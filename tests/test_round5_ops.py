@@ -485,3 +485,45 @@ class TestSuffixArray:
         out = suffix_array(df, "doc_id", "text")
         assert out.columns == ["doc_id", "pos", "sa_rank"]
         assert out.count() == 0
+
+
+class TestChunkSpans:
+    def test_overlap_and_tail(self, spark):
+        import hashlib as _h
+
+        from power_generation_etl_spark.operators.corpus import chunk_spans
+
+        toks = [f"t{i}" for i in range(10)]
+        df = spark.createDataFrame(
+            [(1, " ".join(toks))], "doc_id bigint, text string"
+        )
+        got = [
+            (r["chunk_id"], r["start_pos"], r["n_tokens"], r["chunk_md5"])
+            for r in chunk_spans(df, "doc_id", "text", size=4, overlap=2).collect()
+        ]
+        # stride 2 over 10 tokens: starts 1,3,5,7,9 -> last chunk len 2
+        assert [(c, s, n) for c, s, n, _ in got] == [
+            (0, 1, 4),
+            (1, 3, 4),
+            (2, 5, 4),
+            (3, 7, 4),
+            (4, 9, 2),
+        ]
+        md5 = lambda xs: _h.md5(" ".join(xs).encode()).hexdigest()
+        assert got[0][3] == md5(toks[0:4])
+        assert got[4][3] == md5(toks[8:10])
+
+    def test_short_doc_single_chunk(self, spark):
+        from power_generation_etl_spark.operators.corpus import chunk_spans
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        got = chunk_spans(df, "doc_id", "text", size=8, overlap=2).collect()
+        assert len(got) == 1
+        assert (got[0]["chunk_id"], got[0]["n_tokens"]) == (0, 2)
+
+    def test_overlap_ge_size_rejected(self, spark):
+        from power_generation_etl_spark.operators.corpus import chunk_spans
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        with pytest.raises(ValueError):
+            chunk_spans(df, "doc_id", "text", size=4, overlap=4)
