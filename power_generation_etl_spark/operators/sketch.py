@@ -271,7 +271,16 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     rows per group after map-side combine — O(m) state per group
     regardless of cardinality, the property KMV's distinct-shuffle
     lacks. Mergeable by construction (max of maxes)."""
-    m, w_bits = _HLL_M, _HLL_W
+    return hll_estimate_from_registers(
+        hll_registers(df, group_col, value_col)
+    ).withColumnRenamed("grp", group_col)
+
+
+def hll_registers(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(grp, bucket, mj) HLL register table — the mergeable state:
+    sketches of two corpora merge by per-(grp, bucket) max(mj), which
+    is what the streaming store does per micro-batch."""
+    w_bits = _HLL_W
     h = hash48(F.col(value_col))
     base = df.where(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"), h.alias("h")
@@ -284,9 +293,19 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     rho = F.when(F.col("w") == 0, F.lit(w_bits + 1)).otherwise(
         F.lit(w_bits + 1) - F.length(F.conv(F.col("w"), 10, 2))
     )
-    regs = buck.select("grp", "bucket", rho.alias("rho")).groupBy(
-        "grp", "bucket"
-    ).agg(F.max("rho").alias("mj"))
+    return (
+        buck.select("grp", "bucket", rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """(grp, v_empty, z_scaled, hll_estimate) from a (grp, bucket, mj)
+    register table — the single estimate definition shared by the batch
+    sketch and the streaming store reader, so the correction policy can
+    never drift between them."""
+    m = _HLL_M
     per_grp = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(
@@ -306,7 +325,7 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.element_at(lc_arr, v_empty.cast("int")),
     ).otherwise(raw)
     return per_grp.select(
-        F.col("grp").alias(group_col),
+        "grp",
         v_empty.cast("bigint").alias("v_empty"),
         z_scaled.cast("bigint").alias("z_scaled"),
         (

@@ -777,3 +777,86 @@ def type_drift_alerts(spark: SparkSession, store_dir: str) -> DataFrame:
         .select("batch_id", "n_rows", "drift_ppm")
         .orderBy("batch_id")
     )
+
+
+def _hll_store_versions(store_dir: str) -> list[int]:
+    return _store_versions(store_dir, "hll_v")
+
+
+def stream_hll_cardinality(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    schema: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming distinct-cardinality tracking via persisted HLL
+    registers — the HLL twin of `stream_kmv_cardinality`: each
+    micro-batch sketches its values (operators/sketch.py::
+    hll_registers) and merges into the store by per-(grp, bucket)
+    max(mj), the textbook HLL union. The store is bounded at
+    O(groups × m=64) rows forever, and because max() is idempotent and
+    commutative the merged state equals the batch sketch over
+    everything ever seen regardless of arrival order or replays.
+
+    Versioned-store crash/retry protocol identical to the KMV store:
+    each batch writes `hll_v<batch_id>` from the latest complete
+    version with id < batch_id, so replays rewrite their own version
+    and never read partial output."""
+    from power_generation_etl_spark.operators import sketch as sk
+
+    stream = spark.readStream.schema(schema).json(landing_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        if batch_df.isEmpty():
+            return
+        new = sk.hll_registers(batch_df, group_col, value_col)
+        prev = [v for v in _hll_store_versions(store_dir) if v < batch_id]
+        if prev:
+            prev_path = os.path.join(store_dir, f"hll_v{prev[-1]}")
+            merged = (
+                spark.read.parquet(prev_path)
+                .unionByName(new)
+                .groupBy("grp", "bucket")
+                .agg(F.max("mj").alias("mj"))
+            )
+        else:
+            merged = new
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"hll_v{batch_id}")
+        )
+        for v in prev[:-1]:  # keep the merge source until the next batch
+            shutil.rmtree(
+                os.path.join(store_dir, f"hll_v{v}"), ignore_errors=True
+            )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hll_estimate_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(grp, v_empty, z_scaled, hll_estimate) from the latest committed
+    register-store version — the identical estimate expression as the
+    batch sketch (sketch.hll_estimate_from_registers), so streamed and
+    batch numbers can never drift."""
+    import os
+
+    from power_generation_etl_spark.operators import sketch as sk
+
+    versions = _hll_store_versions(store_dir)
+    if not versions:
+        raise ValueError(f"no committed hll store under {store_dir}")
+    regs = spark.read.parquet(
+        os.path.join(store_dir, f"hll_v{versions[-1]}")
+    ).select("grp", "bucket", "mj")
+    return sk.hll_estimate_from_registers(regs).orderBy("grp")

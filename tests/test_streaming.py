@@ -644,3 +644,51 @@ def test_heavy_hitters_error_survives_emptied_summary(spark, tmp_path):
     for key, c in true.items():
         if key not in present:
             assert c <= err, (key, c, err)
+
+
+def test_stream_hll_cardinality_merges_as_batch(spark, tmp_path):
+    from power_generation_etl_spark.operators import sketch as sk
+    from power_generation_etl_spark.streaming.ingest import (
+        _hll_store_versions,
+        hll_estimate_from_store,
+        stream_hll_cardinality,
+    )
+
+    landing = tmp_path / "hll_in"
+    landing.mkdir()
+    store = tmp_path / "hll_store"
+
+    def drop(name, vals):
+        with open(landing / name, "w") as f:
+            for v in vals:
+                f.write(json.dumps({"g": "g1", "v": v}) + "\n")
+
+    drop("b1.jsonl", [f"v{i}" for i in range(300)])
+    q = stream_hll_cardinality(
+        spark, str(landing), str(store), str(tmp_path / "ck"),
+        "g", "v", "g string, v string",
+    )
+    q.awaitTermination(120)
+    drop("b2.jsonl", [f"v{i}" for i in range(200, 500)])  # 100 overlap
+    q = stream_hll_cardinality(
+        spark, str(landing), str(store), str(tmp_path / "ck"),
+        "g", "v", "g string, v string",
+    )
+    q.awaitTermination(120)
+
+    est = {
+        r["grp"]: (r["z_scaled"], r["hll_estimate"])
+        for r in hll_estimate_from_store(spark, str(store)).collect()
+    }
+    # streamed/merged registers must equal the batch sketch over the
+    # union of everything ever seen (mergeability), overlap included
+    batch = spark.createDataFrame(
+        [("g1", f"v{i}") for i in range(500)], "g string, v string"
+    )
+    want = sk.hll_distinct(batch, "g", "v").collect()[0]
+    assert est["g1"] == (want["z_scaled"], want["hll_estimate"])
+    # the committed store stays bounded at m rows per group
+    versions = _hll_store_versions(str(store))
+    assert versions, "no committed store version"
+    latest = store / f"hll_v{versions[-1]}"
+    assert spark.read.parquet(str(latest)).count() <= 64
