@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .rank import with_global_rank
 
@@ -56,13 +57,26 @@ def suffix_array(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     maxlen = row["m"] or 0
     if maxlen == 0:  # empty corpus
         return spark.createDataFrame([], "doc_id bigint, pos int, sa_rank bigint")
-    # Round 0: dense rank of the token itself (row_number over the
-    # DISTINCT vocabulary is a dense rank of the full stream).
-    vocab = with_global_rank(
-        ex.select("t").distinct(), [F.col("t")], rank_col="r"
+    # Round 0: dense rank of each suffix's first INIT tokens, joined
+    # with ' '. Because tokens contain no whitespace and ' ' orders
+    # below every token character, string order on the joined form
+    # equals token-wise order with end-of-suffix first (concat_ws
+    # skips the null leads of tail windows, so short suffixes join
+    # only their remaining tokens and sort as prefixes — first). One
+    # window of leads replaces log2(INIT) doubling rounds.
+    init = 8
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("t", j).over(wl) for j in range(1, init)]
+    pref = ex.select(
+        "doc_id", "pos", F.concat_ws(" ", F.col("t"), *leads).alias("p0")
     )
-    ranks = ex.join(vocab, "t").select("doc_id", "pos", "r").localCheckpoint()
-    delta = 1
+    keys0 = with_global_rank(
+        pref.select("p0").distinct(), [F.col("p0")], rank_col="r"
+    )
+    ranks = (
+        pref.join(keys0, "p0").select("doc_id", "pos", "r").localCheckpoint()
+    )
+    delta = init
     while delta < maxlen:
         ahead = ranks.select(
             "doc_id", (F.col("pos") - delta).alias("pos"), F.col("r").alias("_r2")
