@@ -204,8 +204,12 @@ def bigram_lm_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
     )
     dom = sorted(
-        {r["_den"] for r in scored.select("_den").distinct().collect()}
-        | {r["_num"] for r in scored.select("_num").distinct().collect()}
+        r["n"]
+        for r in scored.select(
+            F.explode(F.array("_den", "_num")).alias("n")
+        )
+        .distinct()
+        .collect()
     )
     lut = spark.createDataFrame(
         [(int(n), int(_m.floor(_m.log(float(n)) * 1_000_000))) for n in dom],
