@@ -67,6 +67,26 @@ HEADLINES = {
     "every merge round is vocab-scale with a 1-row driver collect",
     "bpe_encode_doc_lengths": "frozen merges applied as a BROADCAST vocab "
     "join — corpus side never shuffles its text",
+    "exact_substring_dup_spans": "duplicated L-grams from a digest-only "
+    "groupBy (16-byte shuffle rows); positions re-join by digest; span "
+    "merge is one doc-partitioned window — no suffix array, no sort",
+    "semdedup_embeddings": "k-means cells bound the pair join to "
+    "O(Σ cluster²); assignment is a projection; every training round is "
+    "one map-side-combined aggregate",
+    "ivfpq_adc_topk": "probed-cell filter is a projection predicate; ADC "
+    "ranking is literal-LUT lookups + TakeOrderedAndProject — float "
+    "vectors never shuffle",
+    "bigram_lm_surprisal": "two count aggregations + count-keyed joins "
+    "(TF-IDF shuffle profile); ln only on the DISTINCT count domain via "
+    "a joined driver LUT",
+    "hll_distinct_users": "register build is one map-side-combined "
+    "aggregate (≤ 64 rows per group at the shuffle); estimate is pure "
+    "projection arithmetic",
+    "suffix_array_topk": "each doubling round: per-doc equi-join + "
+    "two-pass dense rank of the DISTINCT pair set — no unpartitioned "
+    "Window, round count bounded by log2(max doc length)",
+    "doc_chunk_spans": "token-array projection + posexplode over the "
+    "chunk-index sequence — zero shuffle before the ordered output",
 }
 
 
