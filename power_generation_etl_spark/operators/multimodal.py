@@ -700,3 +700,100 @@ def extract_audio_spectral(df: DataFrame) -> DataFrame:
 
     narrow = df.filter(F.col("kind") == "audio").select("media_id", "content")
     return narrow.mapInPandas(extract, AUDIO_SPECTRAL_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("afp64", T.LongType(), True),
+    ]
+)
+
+
+def _wav_fingerprint(
+    content: bytes, *, frame_ms: int = 50, n_band_edges: int = 17
+):
+    """Haitsma-Kalker robust audio hash (Philips, ISMIR 2002), 16-bit
+    sub-fingerprints: Hann-windowed frames with 50% hop, 16 log-spaced
+    energy bands between 300 Hz and Nyquist, and bit b of frame f set
+    iff the band-energy difference derivative
+    (E[f][b] - E[f][b+1]) - (E[f-1][b] - E[f-1][b+1]) is positive —
+    sign-of-derivative bits survive volume/EQ shifts the way dHash's
+    gradient signs survive brightness shifts. Returns
+    (n_subfingerprints, afp64) where afp64 packs the first four
+    sub-fingerprints into one signed 64-bit int so the generic
+    Hamming-banded pair machinery (`dhash_neardup_pairs`) applies
+    unchanged; None when undecodable or shorter than 5 frames."""
+    import numpy as np
+
+    pcm = _wav_pcm(content)
+    if pcm is None:
+        return None
+    rate, nch, x = pcm
+    if rate == 0 or x.size == 0:
+        return None
+    if nch > 1:
+        n_frames_pcm = len(x) // nch
+        x = x[: n_frames_pcm * nch].reshape(n_frames_pcm, nch).mean(axis=1)
+    frame = max(rate * frame_ms // 1000, 8)
+    hop = frame // 2
+    if len(x) < frame + 4 * hop:  # need >= 5 frames for 4 subfps
+        return None
+    lo, hi = 300.0, rate / 2.0
+    if hi <= lo:
+        return None
+    edges = lo * (hi / lo) ** (np.arange(n_band_edges) / (n_band_edges - 1))
+    win = np.hanning(frame)
+    freqs = np.fft.rfftfreq(frame, 1.0 / rate)
+    band_of = np.searchsorted(edges, freqs, side="right") - 1
+    subs, prev = [], None
+    n_frames = (len(x) - frame) // hop + 1
+    for f in range(n_frames):
+        seg = x[f * hop : f * hop + frame] * win
+        power = np.abs(np.fft.rfft(seg)) ** 2
+        e = np.zeros(n_band_edges)
+        for b in range(n_band_edges - 1):
+            sel = band_of == b
+            if sel.any():
+                e[b] = power[sel].sum()
+        diff = e[:-1] - e[1:]  # 16 band differences
+        if prev is not None:
+            bits = diff - prev > 0
+            val = 0
+            for bit in bits[: n_band_edges - 1]:
+                val = (val << 1) | int(bit)
+            subs.append(val)
+        prev = diff
+    if len(subs) < 4:
+        return None
+    afp = (subs[0] << 48) | (subs[1] << 32) | (subs[2] << 16) | subs[3]
+    afp = afp - (1 << 64) if afp >= 1 << 63 else afp
+    return len(subs), afp
+
+
+def extract_audio_fingerprint(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio fingerprints over binary WAV columns →
+    (media_id, sha256, n_frames, afp64). Same mapInPandas scale shape
+    as the other extractors: bytes stay in the executor batch, one
+    bigint fingerprint comes out, and near-dup matching runs through
+    the generic banded-Hamming pair join
+    (`dhash_neardup_pairs(sigs, hash_col="afp64")`)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                fp = _wav_fingerprint(blob)
+                rows.append(
+                    (media_id, hashlib.sha256(blob).hexdigest())
+                    + (fp if fp else (None, None))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    narrow = df.filter(F.col("kind") == "audio").select("media_id", "content")
+    return narrow.mapInPandas(extract, AUDIO_FP_SCHEMA)

@@ -223,3 +223,94 @@ def test_cusum_closed_form_matches_recurrence(spark):
         .collect()
     ]
     assert got == exp
+
+
+def _make_wav_scaled(freq_hz: float, amp: int, rate: int = 8000, ms: int = 400,
+                     sweep_hz: float = 2000.0) -> bytes:
+    """Linear chirp (not a stationary tone): the Haitsma-Kalker bits
+    are band-energy DERIVATIVE signs, which are all zero for a steady
+    sine — temporal structure is what the fingerprint encodes."""
+    buf = io.BytesIO()
+    n = rate * ms // 1000
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        phase = 0.0
+        for i in range(n):
+            f = freq_hz + sweep_hz * i / n
+            phase += 2 * math.pi * f / rate
+            s = int(amp * math.sin(phase))
+            frames += struct.pack("<h", s)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+class TestAudioFingerprint:
+    def test_volume_invariant_and_content_sensitive(self, spark):
+        from power_generation_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_audio_fingerprint,
+        )
+
+        rows = [
+            (1, "audio", "audio/wav", _make_wav_scaled(440.0, 20000), None, None, None),
+            (2, "audio", "audio/wav", _make_wav_scaled(440.0, 9000), None, None, None),
+            (3, "audio", "audio/wav", _make_wav_scaled(440.0, 20000, sweep_hz=-300.0), None, None, None),
+            (4, "audio", "audio/mpeg", b"\xff\xfbnope", None, None, None),
+            (5, "image", "image/png", b"\x89PNG", None, None, None),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r["media_id"]: r for r in extract_audio_fingerprint(df).collect()}
+        assert set(got) == {1, 2, 3, 4}  # images filtered, bad audio kept as nulls
+        # volume scaling preserves derivative signs up to int16
+        # quantization noise on near-zero differences: near, not exact
+        ham12 = bin(
+            (got[1]["afp64"] ^ got[2]["afp64"]) & ((1 << 64) - 1)
+        ).count("1")
+        assert ham12 <= 4
+        assert got[1]["afp64"] is not None and got[1]["afp64"] != 0
+        # an opposite-direction sweep flips derivative bits
+        assert got[1]["afp64"] != got[3]["afp64"]
+        assert got[4]["afp64"] is None and got[4]["n_frames"] is None
+
+    def test_feeds_banded_hamming_pairs(self, spark):
+        from power_generation_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            dhash_neardup_pairs,
+            extract_audio_fingerprint,
+        )
+
+        rows = [
+            (1, "audio", "audio/wav", _make_wav_scaled(440.0, 20000), None, None, None),
+            (2, "audio", "audio/wav", _make_wav_scaled(440.0, 9000), None, None, None),
+            (3, "audio", "audio/wav", _make_wav_scaled(2600.0, 20000, sweep_hz=-2000.0), None, None, None),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        sigs = extract_audio_fingerprint(df).localCheckpoint()
+        fps = {r["media_id"]: r["afp64"] for r in sigs.collect()}
+        pairs = dhash_neardup_pairs(sigs, hash_col="afp64", max_hamming=4).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        # self-consistency: the banded join must return exactly the
+        # pairs whose true 64-bit Hamming distance is <= 4
+        want = set()
+        ids = sorted(fps)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ham = bin((fps[ids[i]] ^ fps[ids[j]]) & ((1 << 64) - 1)).count("1")
+                if ham <= 4:
+                    want.add((ids[i], ids[j]))
+        assert got == want
+        assert (1, 2) in got  # volume twin lands within the Hamming bound
+
+    def test_too_short_clip_null(self, spark):
+        from power_generation_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_audio_fingerprint,
+        )
+
+        rows = [(1, "audio", "audio/wav", _make_wav_scaled(440.0, 20000, ms=30), None, None, None)]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        r = extract_audio_fingerprint(df).collect()[0]
+        assert r["afp64"] is None
