@@ -729,31 +729,38 @@ def ivfpq_topk(
     k_sub: int = 8,
     iters: int = 2,
     k: int = 10,
+    by_residual: bool = False,
 ) -> DataFrame:
-    """IVF-PQ top-k (the FAISS ``IndexIVFPQ`` composition, in its
-    ``by_residual=False`` mode): a coarse k-means quantizer prunes the
-    corpus to the closest ``n_probe_fraction`` of cells, then PQ codes
-    ranked by the asymmetric-distance sum pick the top-k inside the
-    probed cells — the standard billion-scale ANN serving layout
-    (Jégou et al., PAMI 2011 §IV).
+    """IVF-PQ top-k (the FAISS ``IndexIVFPQ`` composition): a coarse
+    k-means quantizer prunes the corpus to the closest
+    ``n_probe_fraction`` of cells, then PQ codes ranked by the
+    asymmetric-distance sum pick the top-k inside the probed cells —
+    the standard billion-scale ANN serving layout (Jégou et al., PAMI
+    2011 §IV).
 
-    Scale shape: both trainings are linear Lloyd's passes holding only
+    ``by_residual=False``: codebooks train on raw vectors — code
+    assignment is cell-independent (one projection, one m·k_sub query
+    LUT). ``by_residual=True`` (FAISS's default quality knob): the PQ
+    encodes each vector's RESIDUAL against its coarse centroid, which
+    centers every cell's distribution at the origin and makes the same
+    k_sub codes resolve much finer distances; the cost is one
+    m×k_sub LUT per PROBED cell (query-residual distances, still a
+    driver-literal map — n_probe·m·k_sub doubles) and a residual
+    projection before encoding.
+
+    Scale shape: all trainings are linear Lloyd's passes holding only
     (n_cells + m·k_sub)·dim driver floats; the coarse cell id is the
     table's partition column in a deployed index (`write_ivf_index`),
     so probing reads only the probed partitions AND scans 1-byte/
     subspace codes instead of float vectors — cell pruning multiplies
-    with PQ's 64× compression. Non-residual codebooks keep the code
-    assignment cell-independent (one projection, no per-cell LUT
-    explosion); residual encoding is FAISS's default quality knob but
-    adds an m·k_sub LUT per probed cell — the trade is documented, not
-    hidden. Deterministic end-to-end: both trajectories reproduce in
-    SQL (lowest-id seeds, 6-dp rounding, lowest-cell ties), the ADC
-    sum is a fixed-order add, ties rank by id.
+    with PQ's 64× compression. Deterministic end-to-end: every
+    trajectory reproduces in SQL (lowest-id seeds, 6-dp rounding,
+    lowest-cell ties), residuals and LUTs are fixed-order IEEE ops,
+    the ADC sum is a fixed-order add, ties rank by id.
     """
     df = df.where(F.col(vec_col).isNotNull())
     cents = kmeans_train(df, id_col, vec_col, k=n_cells, iters=coarse_iters)
-    books = pq_train(df, id_col, vec_col, m=m, k_sub=k_sub, iters=iters)
-    if not cents or not books:
+    if not cents:
         idt = dict(df.dtypes).get(id_col, "bigint")
         return df.sparkSession.createDataFrame(
             [], f"{id_col} {idt}, cell int, adc_d2 double"
@@ -761,6 +768,34 @@ def ivfpq_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = as_double_array(F.col(vec_col))
     spark = df.sparkSession
+    dim = len(cents[0][1])
+    cell = assign_cell(v, cents)
+    if by_residual:
+        # residual = v - centroid[cell], via a literal cell→centroid map
+        cmap = F.map_from_arrays(
+            F.array(*[F.lit(int(cid)) for cid, _ in cents]),
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in c])
+                    for _, c in cents
+                ]
+            ),
+        )
+        crow = F.element_at(cmap, cell)
+        enc_vec = F.array(
+            *[v.getItem(i) - F.element_at(crow, i + 1) for i in range(dim)]
+        )
+    else:
+        enc_vec = v
+    # Train PQ on what it will encode (raw vectors or residuals); the
+    # projected table feeds m×iters training scans — materialize once.
+    train_df = df.select(
+        F.col(id_col).alias("_id"), enc_vec.alias("_enc")
+    ).localCheckpoint()
+    books = pq_train(train_df, "_id", "_enc", m=m, k_sub=k_sub, iters=iters)
+    if not books:
+        idt = dict(df.dtypes).get(id_col, "bigint")
+        return spark.createDataFrame([], f"{id_col} {idt}, cell int, adc_d2 double")
     ranked_rows = (
         spark.createDataFrame(
             [(cid, c) for cid, c in cents], "cell int, centroid array<double>"
@@ -771,20 +806,44 @@ def ivfpq_topk(
     )
     n_probe = max(1, int(math.ceil(len(ranked_rows) * n_probe_fraction)))
     probe_cells = [r["cell"] for r in ranked_rows[:n_probe]]
-    cell = assign_cell(v, cents)
     probed = df.filter(cell.isin(probe_cells)).select(
-        F.col(id_col), v.alias("_v"), cell.alias("cell")
+        F.col(id_col), enc_vec.alias("_v"), cell.alias("cell")
     )
     sub = len(query_vec) // m
     vv = F.col("_v")
+    cent_by_id = dict(cents)
     adc = None
     for j, book in enumerate(books):
         slice_j = F.slice(vv, j * sub + 1, sub)
-        q_slice = query_vec[j * sub : (j + 1) * sub]
         dists = F.array(*[squared_dist(slice_j, c) for _, c in book])
         idx = F.array_position(dists, F.array_min(dists)).cast("int")
-        lut = F.array(*[F.lit(_py_squared_dist(q_slice, c)) for _, c in book])
-        term = F.element_at(lut, idx)
+        if by_residual:
+            # per-probed-cell LUT: distances of the QUERY RESIDUAL's
+            # j-th slice to the j-th codebook (driver doubles, same
+            # fold order as the SQL twin)
+            luts = {}
+            for c in probe_cells:
+                qres = [
+                    query_vec[i] - cent_by_id[c][i] for i in range(dim)
+                ]
+                qs = qres[j * sub : (j + 1) * sub]
+                luts[c] = [_py_squared_dist(qs, cv) for _, cv in book]
+            lutmap = F.map_from_arrays(
+                F.array(*[F.lit(int(c)) for c in probe_cells]),
+                F.array(
+                    *[
+                        F.array(*[F.lit(x) for x in luts[c]])
+                        for c in probe_cells
+                    ]
+                ),
+            )
+            term = F.element_at(F.element_at(lutmap, F.col("cell")), idx)
+        else:
+            q_slice = query_vec[j * sub : (j + 1) * sub]
+            lut = F.array(
+                *[F.lit(_py_squared_dist(q_slice, c)) for _, c in book]
+            )
+            term = F.element_at(lut, idx)
         adc = term if adc is None else adc + term
     return (
         probed.select(F.col(id_col), "cell", F.round(adc, 4).alias("adc_d2"))

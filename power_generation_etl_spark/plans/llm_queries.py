@@ -1951,6 +1951,7 @@ def _ivfpq_oracle(
     k_sub: int = 8,
     iters: int = 1,
     topk: int = 10,
+    residual: bool = False,
 ) -> str:
     dim1 = _EMBED_DIM + 1
     sub = _EMBED_DIM // m
@@ -2007,16 +2008,30 @@ def _ivfpq_oracle(
         f" FROM ranked))"
     )
     parts.append(
-        f"afin AS (SELECT vec_id, cell FROM ("
+        f"afin AS MATERIALIZED (SELECT vec_id, cell FROM ("
         f"SELECT v.vec_id, c.cell,"
         f" row_number() OVER (PARTITION BY v.vec_id ORDER BY {gd2},"
         f" c.cell) AS rn FROM v, {glast} c) WHERE rn = 1)"
     )
+    if residual:
+        # every subspace CTE references the residual table — MATERIALIZED
+        # or DuckDB's CTE inlining re-expands the full assignment m times
+        parts.append(
+            f"rres AS MATERIALIZED (SELECT a.vec_id, a.cell,"
+            f" list_transform(range(1, {dim1}), i -> v.e[i] - g.cv[i]) AS re"
+            f" FROM afin a JOIN v ON a.vec_id = v.vec_id"
+            f" JOIN {glast} g ON a.cell = g.cell)"
+        )
     code_joins, lut_joins, adc_terms = [], [], []
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
-        parts.append(f"s{j} AS (SELECT vec_id, e[{lo}:{hi}] AS s FROM v)")
-        parts.append(f"q{j} AS (SELECT qv[{lo}:{hi}] AS qs FROM qq)")
+        if residual:
+            parts.append(
+                f"s{j} AS (SELECT vec_id, re[{lo}:{hi}] AS s FROM rres)"
+            )
+        else:
+            parts.append(f"s{j} AS (SELECT vec_id, e[{lo}:{hi}] AS s FROM v)")
+            parts.append(f"q{j} AS (SELECT qv[{lo}:{hi}] AS qs FROM qq)")
         parts.append(
             f"c{j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,"
             f" s AS cv FROM (SELECT vec_id, s FROM s{j} ORDER BY vec_id"
@@ -2043,11 +2058,30 @@ def _ivfpq_oracle(
             f" row_number() OVER (PARTITION BY s.vec_id ORDER BY {sd2},"
             f" c.cell) AS rn FROM s{j} s, {blast} c) WHERE rn = 1)"
         )
-        parts.append(
-            f"lut{j} AS (SELECT c.cell, {qd2} AS ld FROM {blast} c, q{j} q)"
-        )
+        if residual:
+            # query-residual LUT per coarse cell: the same
+            # ((q[i] - g.cv[i]) - c.cv[i]) left-associated fold the
+            # Spark driver computes in Python
+            qres_d2 = (
+                f"list_aggregate(list_transform(range(1, {sub + 1}),"
+                f" i -> (qq.qv[{lo} + i - 1] - g.cv[{lo} + i - 1] - c.cv[i])"
+                f" * (qq.qv[{lo} + i - 1] - g.cv[{lo} + i - 1] - c.cv[i])),"
+                f" 'sum')"
+            )
+            parts.append(
+                f"lut{j} AS (SELECT g.cell AS gcell, c.cell AS code,"
+                f" {qres_d2} AS ld FROM {glast} g, {blast} c, qq)"
+            )
+            lut_joins.append(
+                f"JOIN lut{j} ON lut{j}.gcell = afin.cell"
+                f" AND lut{j}.code = code{j}.cell"
+            )
+        else:
+            parts.append(
+                f"lut{j} AS (SELECT c.cell, {qd2} AS ld FROM {blast} c, q{j} q)"
+            )
+            lut_joins.append(f"JOIN lut{j} ON code{j}.cell = lut{j}.cell")
         code_joins.append(f"JOIN code{j} ON v.vec_id = code{j}.vec_id")
-        lut_joins.append(f"JOIN lut{j} ON code{j}.cell = lut{j}.cell")
         adc_terms.append(f"lut{j}.ld")
     adc = " + ".join(adc_terms)
     return (
@@ -2249,4 +2283,30 @@ def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return cp.chunk_spans(
         d, "doc_id", "text", size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+
+
+@_register("ivfpq_residual_topk", _ivfpq_oracle(residual=True))
+def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ top-k (by_residual=True — FAISS's
+    default quality mode): PQ codes the residual against each vector's
+    coarse centroid; ADC uses a per-probed-cell query-residual LUT
+    (operators/similarity.py::ivfpq_topk)."""
+    e = T(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        return spark.createDataFrame([], "vec_id bigint, cell int, adc_d2 double")
+    return sim.ivfpq_topk(
+        e,
+        "vec_id",
+        "embedding",
+        qv,
+        n_cells=8,
+        coarse_iters=2,
+        n_probe_fraction=0.25,
+        m=4,
+        k_sub=8,
+        iters=1,
+        k=10,
+        by_residual=True,
     )

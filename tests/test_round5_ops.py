@@ -527,3 +527,46 @@ class TestChunkSpans:
         df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
         with pytest.raises(ValueError):
             chunk_spans(df, "doc_id", "text", size=4, overlap=4)
+
+
+class TestIvfPqResidual:
+    def test_residual_adc_tighter_than_raw(self, spark):
+        from power_generation_etl_spark.operators.similarity import (
+            brute_force_topk,
+            ivfpq_topk,
+        )
+
+        # Two clusters; the query-side cluster has fine structure that
+        # raw 1-iter PQ blurs. Residual coding must (a) return the same
+        # candidate set from the probed cell, and (b) rank the exact
+        # nearest vector first.
+        rows = [(i, [100.0 + i, 1.0 * (i % 3)]) for i in range(12)] + [
+            (100 + i, [-100.0 - i, 5.0]) for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        qv = [100.0, 0.0]
+        got = ivfpq_topk(
+            df, "vec_id", "embedding", qv,
+            n_cells=2, coarse_iters=2, n_probe_fraction=0.5,
+            m=2, k_sub=4, iters=2, k=5, by_residual=True,
+        ).collect()
+        ids = [r["vec_id"] for r in got]
+        assert all(i < 100 for i in ids)  # far cluster pruned
+        # exact nearest by L2 is vec 0 ([100, 0]); residual ADC at
+        # k_sub=4 over the 12-vector cell resolves it first
+        assert ids[0] == 0
+        d = [r["adc_d2"] for r in got]
+        assert d == sorted(d)
+
+    def test_residual_deterministic(self, spark):
+        from power_generation_etl_spark.operators.similarity import ivfpq_topk
+
+        rows = [(i, [float(i % 7), float((3 * i) % 5)]) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        kw = dict(
+            n_cells=3, coarse_iters=2, n_probe_fraction=0.4,
+            m=2, k_sub=4, iters=2, k=8, by_residual=True,
+        )
+        a = [tuple(r) for r in ivfpq_topk(df, "vec_id", "embedding", [2.0, 1.0], **kw).collect()]
+        b = [tuple(r) for r in ivfpq_topk(df, "vec_id", "embedding", [2.0, 1.0], **kw).collect()]
+        assert a == b and len(a) == 8
