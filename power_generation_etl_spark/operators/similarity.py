@@ -850,3 +850,125 @@ def ivfpq_topk(
         .orderBy("adc_d2", id_col)
         .limit(k)
     )
+
+
+def binary_sign_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    *,
+    shortlist: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Binary-quantized ANN with exact re-rank: each dimension becomes
+    one bit (value above the corpus mean for that dimension — the
+    mean-thresholded variant of sign hashing, so it works on
+    non-centered embeddings), packed into 32-bit words; candidate
+    ranking is codegen `bit_count(xor)` Hamming distance, and the
+    `shortlist` nearest-by-Hamming vectors get exact cosine re-ranking
+    for the final top-k. The 32x compression (1 bit/dim) is the
+    coarsest point on the quantization ladder (float -> int8 -> PQ ->
+    binary); re-ranking restores exactness of the final order over the
+    shortlist.
+
+    One aggregation for thresholds (dim driver floats), one projection
+    for packing, TakeOrderedAndProject for both ranking stages — no
+    shuffle of float vectors beyond the shortlist join. Deterministic:
+    thresholds round to 6dp, Hamming ties break by id."""
+    df = df.where(F.col(vec_col).isNotNull())
+    v = as_double_array(F.col(vec_col))
+    probe = df.select(vec_col).head()
+    idt = dict(df.dtypes).get(id_col, "bigint")
+    empty_schema = f"{id_col} {idt}, hamming int, cosine_sim double"
+    if probe is None:
+        return df.sparkSession.createDataFrame([], empty_schema)
+    dim = len(probe[0])
+    trow = df.agg(
+        *[F.round(F.avg(v.getItem(i)), 6).alias(f"t{i}") for i in range(dim)]
+    ).collect()[0]
+    thr = [float(trow[f"t{i}"]) for i in range(dim)]
+    n_words = (dim + 31) // 32
+    words = []
+    qwords = []
+    for w in range(n_words):
+        dims = range(w * 32, min(w * 32 + 32, dim))
+        expr = None
+        qval = 0
+        for j, d in enumerate(dims):
+            bit = F.when(v.getItem(d) > F.lit(thr[d]), F.lit(1 << (31 - j))).otherwise(
+                F.lit(0)
+            )
+            expr = bit if expr is None else expr + bit
+            if query_vec[d] > thr[d]:
+                qval |= 1 << (31 - j)
+        words.append(expr.cast("bigint").alias(f"w{w}"))
+        qwords.append(qval)
+    packed = df.select(F.col(id_col), v.alias("_v"), *words)
+    ham = None
+    for w in range(n_words):
+        term = F.expr(f"bit_count(w{w} ^ {qwords[w]}L)")
+        ham = term if ham is None else ham + term
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    short = (
+        packed.select(F.col(id_col), F.col("_v"), ham.cast("int").alias("hamming"))
+        .orderBy("hamming", id_col)
+        .limit(shortlist)
+    )
+    return (
+        short.select(
+            F.col(id_col),
+            "hamming",
+            F.round(cosine(F.col("_v"), q), 4).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def matryoshka_rerank_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    *,
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka-style two-stage retrieval (Kusupati et al., 2022,
+    "Matryoshka Representation Learning"): shortlist by cosine over
+    only the first ``prefix_dim`` dimensions (MRL-trained embeddings
+    front-load information, so the prefix is a valid coarse embedding),
+    then re-rank the shortlist with the full-dimension exact cosine.
+    On untrained embeddings this is simply truncation — recall depends
+    on how much signal the prefix carries — but the PLAN is the point:
+    the first stage scans prefix_dim/dim of the float data (column-
+    pruned at the storage layer when vectors are stored chunked), and
+    the exact stage touches only `shortlist` rows.
+
+    Both stages are TakeOrderedAndProject; deterministic ties by id."""
+    df = df.where(F.col(vec_col).isNotNull())
+    v = as_double_array(F.col(vec_col))
+    qp = F.array(*[F.lit(float(x)) for x in query_vec[:prefix_dim]])
+    qf = F.array(*[F.lit(float(x)) for x in query_vec])
+    short = (
+        df.select(
+            F.col(id_col),
+            v.alias("_v"),
+            F.round(cosine(F.slice(v, 1, prefix_dim), qp), 4).alias(
+                "prefix_sim"
+            ),
+        )
+        .orderBy(F.col("prefix_sim").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    return (
+        short.select(
+            F.col(id_col),
+            "prefix_sim",
+            F.round(cosine(F.col("_v"), qf), 4).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -2310,3 +2310,117 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         by_residual=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary sign-quantized ANN (1 bit/dim, mean thresholds) with exact
+# cosine re-rank of the Hamming shortlist — the coarsest point on the
+# quantization ladder (float -> int8 -> PQ -> binary).
+# ---------------------------------------------------------------------------
+
+
+def _binary_sign_oracle(shortlist: int = 50, topk: int = 10) -> str:
+    dim = _EMBED_DIM
+
+    def word(src: str, j_lo: int, j_hi: int, shift_base: int) -> str:
+        return (
+            f"CAST(list_aggregate(list_transform(range({j_lo}, {j_hi + 1}),"
+            f" j -> CASE WHEN {src}[j] > t.tl[j] THEN 1::BIGINT"
+            f" << ({shift_base} - j) ELSE 0::BIGINT END), 'sum') AS BIGINT)"
+        )
+
+    cos = (
+        "list_aggregate(list_transform(range(1, len(e) + 1),"
+        " i -> e[i] * qv[i]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum')))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
+    qq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    t AS (SELECT list(tv ORDER BY i) AS tl FROM (
+        SELECT i.i AS i, round(avg(e[i.i]), 6) AS tv
+        FROM v, unnest(range(1, {dim + 1})) AS i(i) GROUP BY i.i)),
+    packed AS (SELECT vec_id, e,
+        {word('v.e', 1, 32, 32)} AS w0,
+        {word('v.e', 33, 64, 64)} AS w1
+        FROM v, t),
+    qw AS (SELECT
+        {word('qq.qv', 1, 32, 32)} AS q0,
+        {word('qq.qv', 33, 64, 64)} AS q1
+        FROM qq, t),
+    short AS (SELECT vec_id, e,
+        CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS INTEGER)
+          AS hamming
+        FROM packed, qw ORDER BY hamming, vec_id LIMIT {shortlist})
+    SELECT vec_id, hamming, round({cos}, 4) AS cosine_sim
+    FROM short, qq
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT {topk}
+    """
+
+
+@_register("binary_sign_topk", _binary_sign_oracle())
+def binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit/dim sign-quantized ANN with exact re-rank
+    (operators/similarity.py::binary_sign_topk): codegen
+    bit_count(xor) Hamming shortlist, exact cosine final order."""
+    e = T(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, hamming int, cosine_sim double"
+        )
+    return sim.binary_sign_topk(e, "vec_id", "embedding", qv, shortlist=50, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka two-stage retrieval: prefix-dim cosine shortlist, exact
+# full-dim re-rank (Kusupati et al. 2022).
+# ---------------------------------------------------------------------------
+
+
+def _matryoshka_oracle(
+    prefix_dim: int = 16, shortlist: int = 50, topk: int = 10
+) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, len({a}) + 1),"
+            f" i -> {a}[i] * {b}[i]), 'sum')"
+            f" / (sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+            f" * sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum')))"
+        )
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
+    qq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    pre AS (SELECT vec_id, e, e[1:{prefix_dim}] AS ep,
+                   qv[1:{prefix_dim}] AS qp, qv
+            FROM v, qq),
+    short AS (SELECT vec_id, e, qv,
+                     round({cos('ep', 'qp')}, 4) AS prefix_sim
+              FROM pre ORDER BY prefix_sim DESC, vec_id LIMIT {shortlist})
+    SELECT vec_id, prefix_sim, round({cos('e', 'qv')}, 4) AS cosine_sim
+    FROM short
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT {topk}
+    """
+
+
+@_register("matryoshka_rerank_topk", _matryoshka_oracle())
+def matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dim shortlist + full-dim exact re-rank
+    (operators/similarity.py::matryoshka_rerank_topk): the first stage
+    reads a quarter of the float data, the exact stage touches only
+    the shortlist."""
+    e = T(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    if qv is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, prefix_sim double, cosine_sim double"
+        )
+    return sim.matryoshka_rerank_topk(
+        e, "vec_id", "embedding", qv, prefix_dim=16, shortlist=50, k=10
+    )

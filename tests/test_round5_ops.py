@@ -570,3 +570,59 @@ class TestIvfPqResidual:
         a = [tuple(r) for r in ivfpq_topk(df, "vec_id", "embedding", [2.0, 1.0], **kw).collect()]
         b = [tuple(r) for r in ivfpq_topk(df, "vec_id", "embedding", [2.0, 1.0], **kw).collect()]
         assert a == b and len(a) == 8
+
+
+class TestBinaryAndMatryoshka:
+    def test_binary_sign_shortlist_and_rerank(self, spark):
+        from power_generation_etl_spark.operators.similarity import (
+            binary_sign_topk,
+        )
+
+        # Cluster A sits near the query in every dimension (bits match),
+        # cluster B is the query's negation (all bits flip).
+        rows = [(i, [1.0 + 0.1 * i, 1.0, -1.0, -1.0]) for i in range(5)] + [
+            (100 + i, [-1.0 - 0.1 * i, -1.0, 1.0, 1.0]) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        got = binary_sign_topk(
+            df, "vec_id", "embedding", [1.0, 1.0, -1.0, -1.0], shortlist=5, k=5
+        ).collect()
+        ids = [r["vec_id"] for r in got]
+        assert all(i < 100 for i in ids)  # negated cluster never shortlists
+        sims = [r["cosine_sim"] for r in got]
+        assert sims == sorted(sims, reverse=True)
+
+    def test_binary_sign_empty(self, spark):
+        from power_generation_etl_spark.operators.similarity import (
+            binary_sign_topk,
+        )
+
+        df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+        out = binary_sign_topk(df, "vec_id", "embedding", [1.0, -1.0])
+        assert out.columns == ["vec_id", "hamming", "cosine_sim"]
+        assert out.count() == 0
+
+    def test_matryoshka_prefix_shortlist_then_exact(self, spark):
+        from power_generation_etl_spark.operators.similarity import (
+            matryoshka_rerank_topk,
+        )
+
+        # Vector 1 wins on the 2-dim prefix; vector 2 is better
+        # full-dim. With shortlist covering both, the exact re-rank
+        # must put 2 first; with shortlist=1 the prefix winner is the
+        # only candidate — the documented recall trade.
+        rows = [
+            (1, [1.0, 0.0, 5.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 1.0]),
+            (3, [-1.0, 0.5, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        q = [1.0, 0.0, 0.0, 1.0]
+        full = matryoshka_rerank_topk(
+            df, "vec_id", "embedding", q, prefix_dim=2, shortlist=3, k=2
+        ).collect()
+        assert [r["vec_id"] for r in full] == [2, 1]
+        narrow = matryoshka_rerank_topk(
+            df, "vec_id", "embedding", q, prefix_dim=2, shortlist=1, k=2
+        ).collect()
+        assert [r["vec_id"] for r in narrow] == [1]
