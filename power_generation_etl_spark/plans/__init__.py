@@ -31,14 +31,11 @@ _FRONT = [
     "grouping_sets_revenue",
     # distributed rank / exact-quantile selection
     "customer_spend_quartiles",
-    "value_percentiles",
     "order_value_exact_deciles",
     # dedup families
     "exact_dedup_docs",
     "minhash_lsh_pairs",
-    "simhash_pairs",
     "ngram_jaccard_pairs",
-    "prefix_jaccard_pairs",
     "neardup_components",
     # similarity search
     "ann_topk_cosine",
@@ -54,33 +51,38 @@ _FRONT = [
     # temporal
     "asof_clicks_errors",
     "sessionized_events",
-    "ohlc_5min_bars",
     # hygiene
     "decontam_ngram_hits",
     "pii_scan_docs",
-    "k_anonymity_audit",
     # behavior
     "funnel_conversion",
     "daily_cohort_retention",
-    "event_transition_matrix",
     # graph analytics
     "pagerank_trade_nations",
     "lpa_communities",
     "kcore_part_suppliers",
-    "triangle_count_trade",
     # scale-hardened statistics
     "customer_spend_gini",
     "rfm_customer_segments",
-    "ks_click_vs_error",
     "mixture_plan",
     # sketches
     "kmv_distinct_sources",
     "cms_custkey_counts",
     "bloom_prefilter_orders",
-    "kmv_user_overlap",
     # TPC-H shapes
     "nation_pair_trade_volume",
-    "market_share_by_year",
+    # round-5 families: curation, substring dedup, suffix array,
+    # perplexity filter, HLL, IVF-PQ, chunking
+    "semdedup_embeddings",
+    "dsir_importance_weights",
+    "gopher_quality_flags",
+    "c4_line_cleaning",
+    "exact_substring_dup_spans",
+    "suffix_array_topk",
+    "bigram_lm_surprisal",
+    "hll_distinct_users",
+    "ivfpq_adc_topk",
+    "doc_chunk_spans",
 ]
 
 _missing = [n for n in _FRONT if n not in QUERIES]
