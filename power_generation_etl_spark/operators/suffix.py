@@ -104,3 +104,70 @@ def suffix_array(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return with_global_rank(
         ranks, [F.col("r"), F.col("doc_id"), F.col("pos")], rank_col="sa_rank"
     ).select("doc_id", "pos", F.col("sa_rank").cast("bigint").alias("sa_rank"))
+
+
+def longest_repeated_substrings(
+    df: DataFrame, id_col: str, text_col: str, *, top: int = 10
+) -> DataFrame:
+    """Top-``top`` longest repeated token substrings in the corpus —
+    the classic suffix-array application: in suffix order, every
+    repeated substring is a prefix of two ADJACENT suffixes, so the
+    maximum LCP over adjacent pairs finds the longest repeat without
+    comparing all O(n²) suffix pairs.
+
+    LCP of an adjacent pair is computed in one codegen-free pass over
+    the pair's token arrays: zip_with null-safe equality, first-false
+    position (O(suffix length) per pair, and only adjacent pairs are
+    joined — O(n) pairs total). Pairing suffixes by consecutive
+    sa_rank is an equi-join on rank, not a window. Output:
+    (lcp, doc_a, pos_a, doc_b, pos_b, repeat_preview) ordered by
+    (lcp desc, doc_a, pos_a), preview = first min(lcp, 8) tokens of
+    the repeated substring.
+    """
+    sa = suffix_array(df, id_col, text_col)
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("_tk"),
+    )
+    suf = sa.join(toks, "doc_id").select(
+        "sa_rank",
+        "doc_id",
+        "pos",
+        F.slice(
+            F.col("_tk"), F.col("pos"), F.size("_tk") - F.col("pos") + 1
+        ).alias("_suf"),
+    )
+    left = suf.select(
+        F.col("sa_rank"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("_suf").alias("_sa"),
+    )
+    right = suf.select(
+        (F.col("sa_rank") - 1).alias("sa_rank"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("_suf").alias("_sb"),
+    )
+    pairs = left.join(right, "sa_rank")
+    eqs = F.zip_with("_sa", "_sb", lambda x, y: x.eqNullSafe(y))
+    first_false = F.array_position(eqs, F.lit(False))
+    lcp = F.coalesce(
+        F.nullif(first_false, F.lit(0)) - 1,
+        F.least(F.size("_sa"), F.size("_sb")),
+    ).cast("int")
+    return (
+        pairs.select(
+            lcp.alias("lcp"),
+            "doc_a",
+            "pos_a",
+            "doc_b",
+            "pos_b",
+            F.array_join(
+                F.slice(F.col("_sa"), 1, F.least(lcp, F.lit(8))), " "
+            ).alias("repeat_preview"),
+        )
+        .where(F.col("lcp") >= 1)
+        .orderBy(F.col("lcp").desc(), "doc_a", "pos_a")
+        .limit(top)
+    )

@@ -2424,3 +2424,69 @@ def matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.matryoshka_rerank_topk(
         e, "vec_id", "embedding", qv, prefix_dim=16, shortlist=50, k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest repeated substrings — the classic suffix-array application:
+# max LCP over ADJACENT suffixes in SA order (every repeat is a prefix
+# of two adjacent suffixes, so O(n) pairs suffice). The oracle sorts
+# suffix strings directly and mirrors the zip/first-false LCP.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "longest_repeated_substrings",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sfx AS (
+      SELECT doc_id, i.i AS pos,
+             array_to_string(t[i.i:len(t)], ' ') AS suffix,
+             t[i.i:len(t)] AS sl
+      FROM toks, unnest(range(1, len(t) + 1)) AS i(i)
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY suffix, doc_id, pos) AS sa_rank,
+             doc_id, pos, sl
+      FROM sfx
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+             b.doc_id AS doc_b, b.pos AS pos_b,
+             a.sl AS sa, b.sl AS sb
+      FROM ranked a JOIN ranked b ON b.sa_rank = a.sa_rank + 1
+    ),
+    scored AS (
+      SELECT doc_a, pos_a, doc_b, pos_b, sa,
+             CAST(coalesce(
+               list_position(
+                 list_transform(list_zip(sa, sb),
+                                p -> coalesce(p[1] = p[2], false)),
+                 false) - 1,
+               least(len(sa), len(sb))) AS INTEGER) AS lcp
+      FROM pairs
+    )
+    SELECT lcp, doc_a, CAST(pos_a AS INTEGER) AS pos_a,
+           doc_b, CAST(pos_b AS INTEGER) AS pos_b,
+           array_to_string(sa[1:least(lcp, 8)], ' ') AS repeat_preview
+    FROM scored WHERE lcp >= 1
+    ORDER BY lcp DESC, doc_a, pos_a
+    LIMIT 10
+    """,
+)
+def longest_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 longest repeated token substrings via adjacent-suffix
+    LCP over the distributed suffix array
+    (operators/suffix.py::longest_repeated_substrings)."""
+    d = T(spark, sf_dir, "documents")
+    out = _suffix.longest_repeated_substrings(d, "doc_id", "text", top=10)
+    return out.select(
+        "lcp",
+        "doc_a",
+        F.col("pos_a").cast("int").alias("pos_a"),
+        "doc_b",
+        F.col("pos_b").cast("int").alias("pos_b"),
+        "repeat_preview",
+    )

@@ -626,3 +626,44 @@ class TestBinaryAndMatryoshka:
             df, "vec_id", "embedding", q, prefix_dim=2, shortlist=1, k=2
         ).collect()
         assert [r["vec_id"] for r in narrow] == [1]
+
+
+class TestLongestRepeatedSubstrings:
+    def test_finds_cross_doc_repeat(self, spark):
+        from power_generation_etl_spark.operators.suffix import (
+            longest_repeated_substrings,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "x a b c d y"),
+                (2, "z a b c d w"),
+                (3, "q r s"),
+            ],
+            "doc_id bigint, text string",
+        )
+        top = longest_repeated_substrings(df, "doc_id", "text", top=1).collect()[0]
+        assert top["lcp"] == 4
+        assert top["repeat_preview"] == "a b c d"
+        assert {top["doc_a"], top["doc_b"]} == {1, 2}
+
+    def test_identical_docs_full_length_repeat(self, spark):
+        from power_generation_etl_spark.operators.suffix import (
+            longest_repeated_substrings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "m n o p"), (2, "m n o p")], "doc_id bigint, text string"
+        )
+        top = longest_repeated_substrings(df, "doc_id", "text", top=1).collect()[0]
+        assert top["lcp"] == 4  # whole doc repeats
+
+    def test_no_repeats_empty(self, spark):
+        from power_generation_etl_spark.operators.suffix import (
+            longest_repeated_substrings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "c d")], "doc_id bigint, text string"
+        )
+        assert longest_repeated_substrings(df, "doc_id", "text").count() == 0
