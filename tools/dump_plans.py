@@ -87,6 +87,13 @@ HEADLINES = {
     "Window, round count bounded by log2(max doc length)",
     "doc_chunk_spans": "token-array projection + posexplode over the "
     "chunk-index sequence — zero shuffle before the ordered output",
+    "ivfpq_residual_topk": "residual = one staged centroid-map lookup "
+    "per row; per-probed-cell LUTs are literal maps — float vectors "
+    "never shuffle",
+    "binary_sign_topk": "bit-packed words in one projection; Hamming "
+    "shortlist and exact re-rank are both TakeOrderedAndProject",
+    "longest_repeated_substrings": "adjacent-rank equi-join (no window); "
+    "LCP is one zip_with pass per O(n) pair",
 }
 
 
