@@ -988,3 +988,50 @@ def matryoshka_rerank_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_decontam(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    benchmark: DataFrame,
+    bench_id_col: str,
+    bench_vec_col: str,
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic decontamination: flag every corpus vector whose cosine
+    to ANY benchmark vector reaches ``threshold`` — the embedding-space
+    complement of the n-gram decontamination in `operators/hygiene.py`
+    (n-gram screens catch verbatim leaks; embedding screens catch
+    paraphrased eval items).
+
+    Scale shape — the realistic asymmetry: eval benchmarks are small
+    and fixed-size while the corpus is 100 TB, so the benchmark side
+    BROADCASTS and the corpus scans ONCE; the per-row best match is a
+    map-side-combined max aggregation keyed by corpus id (no shuffle
+    of vectors beyond the corpus's own id partitioning). Returns
+    (id, bench_id, sim) of each flagged vector's best benchmark match,
+    id-ordered; anti-join the ids to drop them in a pipeline.
+    """
+    corpus = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    )
+    bench = benchmark.where(F.col(bench_vec_col).isNotNull()).select(
+        F.col(bench_id_col).alias("bench_id"),
+        as_double_array(F.col(bench_vec_col)).alias("bv"),
+    )
+    sim = F.round(cosine(F.col("v"), F.col("bv")), 4)
+    scored = corpus.join(F.broadcast(bench), F.lit(True)).select(
+        "id", "bench_id", sim.alias("sim")
+    )
+    best = (
+        scored.groupBy("id")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("bench_id")).alias("_nb"))).alias("_m"))
+        .select(
+            "id",
+            (-F.col("_m._nb")).alias("bench_id"),
+            F.col("_m.sim").alias("sim"),
+        )
+    )
+    return best.where(F.col("sim") >= threshold).orderBy("id")

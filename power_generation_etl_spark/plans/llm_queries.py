@@ -2490,3 +2490,69 @@ def longest_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos_b").cast("int").alias("pos_b"),
         "repeat_preview",
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: corpus vectors too close (cosine) to a
+# fixed benchmark embedding set — the embedding-space complement of
+# the n-gram decontamination family. The benchmark here is a
+# deterministic 20-vector subset (every 50th id, limit-bounded), the
+# corpus is everything else.
+# ---------------------------------------------------------------------------
+
+_SEMDECON_TAU = 0.35
+_SEMDECON_N = 20
+
+
+@_register(
+    "semantic_decontam_embeddings",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
+    bench AS (SELECT vec_id AS bench_id, e AS bv FROM v
+              WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {_SEMDECON_N}),
+    corpus AS (SELECT vec_id AS id, e FROM v WHERE vec_id % 50 <> 0),
+    scored AS (
+      SELECT id, bench_id,
+             round(
+               list_aggregate(list_transform(range(1, len(e) + 1),
+                              i -> e[i] * bv[i]), 'sum')
+               / (sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(bv, x -> x * x),
+                                        'sum'))), 4) AS sim
+      FROM corpus, bench
+    ),
+    best AS (
+      SELECT id, bench_id, sim FROM (
+        SELECT id, bench_id, sim,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY sim DESC, bench_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT id, bench_id, sim FROM best
+    WHERE sim >= {_SEMDECON_TAU}
+    ORDER BY id
+    """,
+)
+def semantic_decontam_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-leak screen
+    (operators/similarity.py::semantic_decontam): broadcast the
+    fixed-size benchmark, scan the corpus once, keep each flagged
+    vector's best benchmark match."""
+    e = T(spark, sf_dir, "embeddings")
+    bench = (
+        e.where(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(_SEMDECON_N)
+    )
+    corpus = e.where(F.col("vec_id") % 50 != 0)
+    return sim.semantic_decontam(
+        corpus,
+        "vec_id",
+        "embedding",
+        bench,
+        "vec_id",
+        "embedding",
+        threshold=_SEMDECON_TAU,
+    ).select(F.col("id"), F.col("bench_id"), F.col("sim"))

@@ -110,6 +110,7 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
         "locf_daily_value",  # days × event kinds spine grid (broadcast-size)
         "ewma_daily_value",  # same spine grid as locf_daily_value
         "session_duration_stats",  # 1-row p90 rank-selection cross
+        "semantic_decontam_embeddings",  # limit-bounded benchmark cross
     }:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"
 

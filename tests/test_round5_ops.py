@@ -667,3 +667,48 @@ class TestLongestRepeatedSubstrings:
             [(1, "a b"), (2, "c d")], "doc_id bigint, text string"
         )
         assert longest_repeated_substrings(df, "doc_id", "text").count() == 0
+
+
+class TestSemanticDecontam:
+    def test_flags_only_close_vectors(self, spark):
+        from power_generation_etl_spark.operators.similarity import (
+            semantic_decontam,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+            "bid bigint, bv array<double>",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, [0.99, 0.05]),   # ~bench 100
+                (2, [0.05, 0.99]),   # ~bench 200
+                (3, [0.7, -0.7]),    # far from both
+            ],
+            "id bigint, v array<double>",
+        )
+        got = {
+            r["id"]: (r["bench_id"], r["sim"])
+            for r in semantic_decontam(
+                corpus, "id", "v", bench, "bid", "bv", threshold=0.9
+            ).collect()
+        }
+        assert set(got) == {1, 2}
+        assert got[1][0] == 100 and got[2][0] == 200
+
+    def test_tie_breaks_to_lowest_bench_id(self, spark):
+        from power_generation_etl_spark.operators.similarity import (
+            semantic_decontam,
+        )
+
+        # identical benchmark vectors -> equal sims; lowest id wins
+        bench = spark.createDataFrame(
+            [(9, [1.0, 0.0]), (5, [1.0, 0.0])], "bid bigint, bv array<double>"
+        )
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "id bigint, v array<double>"
+        )
+        r = semantic_decontam(
+            corpus, "id", "v", bench, "bid", "bv", threshold=0.5
+        ).collect()[0]
+        assert (r["bench_id"], r["sim"]) == (5, 1.0)
