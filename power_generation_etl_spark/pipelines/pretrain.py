@@ -58,6 +58,9 @@ def prepare_pretraining_shards(
     c4_clean: bool = False,
     gopher_filter: bool = False,
     max_mean_surprisal: int | None = None,
+    corpus_embeddings: DataFrame | None = None,
+    benchmark_embeddings: DataFrame | None = None,
+    semantic_tau: float = 0.9,
 ) -> PrepSummary:
     """Run the full prep pipeline and write training shards.
 
@@ -90,6 +93,12 @@ def prepare_pretraining_shards(
     exceeds the bound are dropped (operators/scoring.py::
     bigram_lm_surprisal); all three compose with the existing stages
     in funnel order.
+
+    When ``corpus_embeddings`` + ``benchmark_embeddings`` are given
+    (both (doc_id, embedding)), the decontamination stage ALSO drops
+    documents whose embedding reaches ``semantic_tau`` cosine to any
+    benchmark embedding (operators/similarity.py::semantic_decontam) —
+    the paraphrase-robust complement of the n-gram screen.
 
     When ``bpe_vocab`` is given (a `train-bpe` segmented vocab —
     operators/bpe.py::trained_segmentation output), `n_tok` is the
@@ -170,7 +179,31 @@ def prepare_pretraining_shards(
             kept, benchmark, id_col, text_col, n=decontam_n
         ).select(F.col("doc_id").alias(id_col))
         kept = kept.join(contaminated, id_col, "left_anti")
-    n_decontam = kept.count() if benchmark is not None else n_neardup
+
+    # 3b'. semantic decontamination — embedding-cosine screen against
+    # the benchmark's embeddings (broadcast benchmark, one scan of the
+    # surviving docs' embeddings)
+    if corpus_embeddings is not None and benchmark_embeddings is not None:
+        from power_generation_etl_spark.operators import similarity as sim
+
+        flagged = sim.semantic_decontam(
+            corpus_embeddings.join(
+                kept.select(F.col(id_col).alias("doc_id")), "doc_id"
+            ),
+            "doc_id",
+            "embedding",
+            benchmark_embeddings,
+            "doc_id",
+            "embedding",
+            threshold=semantic_tau,
+        ).select(F.col("id").alias(id_col))
+        kept = kept.join(flagged, id_col, "left_anti")
+    n_decontam = (
+        kept.count()
+        if benchmark is not None
+        or (corpus_embeddings is not None and benchmark_embeddings is not None)
+        else n_neardup
+    )
 
     # 3c. PII redaction — codegen regexp rewrite in the same projection
     if redact_pii:

@@ -218,3 +218,31 @@ def test_pipeline_surprisal_gate_drops_novel_doc(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.json(str(tmp_path / "s")).collect()}
     assert 99 not in kept
     assert s.n_after_quality == 30
+
+
+def test_pipeline_semantic_decontam(spark, tmp_path):
+    good = "This document has plenty of ordinary words to survive quality. " * 3
+    docs = spark.createDataFrame(
+        [(1, good + "alpha", "a"), (2, good + "beta", "a"), (3, good + "gamma", "a")],
+        "doc_id bigint, text string, source string",
+    )
+    corpus_emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.98, 0.1]), (3, [0.0, 1.0])],
+        "doc_id bigint, embedding array<double>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(900, [1.0, 0.0])], "doc_id bigint, embedding array<double>"
+    )
+    s = prepare_pretraining_shards(
+        docs,
+        str(tmp_path / "s"),
+        neardup_threshold=0.99,
+        redact_pii=False,
+        corpus_embeddings=corpus_emb,
+        benchmark_embeddings=bench_emb,
+        semantic_tau=0.95,
+    )
+    kept = {r["doc_id"] for r in spark.read.json(str(tmp_path / "s")).collect()}
+    # docs 1 and 2 embed too close to the benchmark vector; 3 is orthogonal
+    assert kept == {3}
+    assert s.n_after_decontam == 1
