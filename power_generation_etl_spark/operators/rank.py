@@ -86,6 +86,53 @@ def with_global_rank(
     return out.drop("_rk_pid", "_rk_off")
 
 
+def with_global_dense_rank(
+    df: DataFrame,
+    order: list[Column],
+    rank_col: str = "rank",
+) -> tuple[DataFrame, int]:
+    """`df` + 1-based `rank_col` equal to `dense_rank() OVER (ORDER BY
+    *order)` — same two-pass range-partitioned shape as
+    `with_global_rank`, but rows with equal keys share a rank, so the
+    caller gets an order-isomorphic DENSE re-keying of the key domain
+    without a `distinct()` + rank + join-back round-trip (three
+    shuffles collapse to one range exchange). Correct because Spark's
+    RangePartitioner maps a key to its partition as a pure function of
+    the key, so equal keys never straddle a partition boundary and the
+    per-partition `countDistinct` prefix sums are exact. Returns
+    (ranked df, domain size = number of distinct keys)."""
+    spark = df.sparkSession
+    base = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_rk_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["_rk_pid"], r["n"])
+        for r in base.groupBy("_rk_pid")
+        .agg(F.count_distinct(F.struct(*order)).alias("n"))
+        .collect()
+    )
+    total, rows = 0, []
+    for pid, n in counts:
+        rows.append((pid, total))
+        total += n
+    offsets = spark.createDataFrame(rows or [(0, 0)], "_rk_pid int, _rk_off bigint")
+    if not rows:
+        offsets = offsets.where(F.lit(False))
+    w_local = Window.partitionBy("_rk_pid").orderBy(*order)
+    out = (
+        base.join(F.broadcast(offsets), "_rk_pid")
+        .withColumn(
+            rank_col,
+            (F.dense_rank().over(w_local) + F.col("_rk_off")).cast("bigint"),
+        )
+        .drop("_rk_pid", "_rk_off")
+    )
+    return out, total
+
+
 def with_running_sum(
     df: DataFrame,
     order: list[Column],

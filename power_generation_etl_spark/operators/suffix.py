@@ -3,44 +3,85 @@ the doubling formulation of Larsson-Sadakane) — the classic
 variable-length complement to the fixed-L ExactSubstr screen
 (`corpus.py::exact_substring_spans`): a corpus-wide lexicographic
 order of every within-document token suffix, built in O(log maxlen)
-rounds of joins + distributed dense ranks.
+rounds with NO self-joins.
 
 Per round with span ``delta``: pair each position's current rank with
-the rank ``delta`` positions ahead (end-of-suffix = rank 0, sorting
-first), then dense-rank the (r, r2) pairs corpus-wide. After
-``delta >= max_doc_tokens`` the rank order equals full token-wise
-suffix order. Every global ranking runs through
-`operators/rank.py::with_global_rank` over the DISTINCT key set —
-two-pass range-partitioned row_number, never a single-partition
-window; per-round lineage is cut with localCheckpoint (the
+the rank ``delta`` positions ahead via ``lead(r, delta)`` over a
+per-document window (end-of-suffix = rank 0, sorting first), then
+re-key the (r, r2) pairs corpus-wide. Re-keying alternates between
+
+* an **arithmetic combine** ``r*(B+1) + r2`` (B = current rank bound)
+  — order- and equality-isomorphic to the pair, zero shuffles — used
+  whenever ``(B+1)^2 < 2^63`` (B < ~3e9, i.e. every round after a
+  densification at any realistic per-densify domain), and
+* a **global dense rank** (`rank.py::with_global_dense_rank`, a
+  two-pass range-partitioned dense_rank — never a single-partition
+  window, no distinct+join-back) that resets the bound to the key
+  domain size.
+
+After ``delta >= max_doc_tokens`` the key order equals full token-wise
+suffix order. Per-round lineage is cut with localCheckpoint (the
 `graph.py` iterative-operator pattern).
 
-Scale notes (100 TB): suffixes are per-document, so the pair join is
-a (doc_id, pos) equi-join that never crosses documents, and the round
-count is ceil(log2(max DOC length)) — independent of corpus size
-(20 rounds for 1M-token documents). Each round shuffles
-position-scale (doc, pos, rank) triples — the O(n log maxlen) total
-that makes suffix-array construction heavier than the L-gram digest
-screen, which is why ExactSubstr is the dedup workhorse and the
-suffix array the variable-length analysis tool.
+LCP (for `longest_repeated_substrings`) never materializes suffixes:
+adjacent-pair LCP is exact from the INIT-token window arrays for
+every pair that mismatches inside its first INIT tokens (the
+overwhelming majority), and the residual "hard" pairs — first INIT
+tokens fully equal, both suffixes longer than INIT — are resolved by
+a binary descent over the retained per-round rank tables: equal
+span-``d`` keys at the pair's current offsets certify
+``least(d, rem_a, rem_b)`` more matching tokens, so add and advance;
+after the span-INIT level the residue is < INIT and one bounded
+window-array compare finishes. O(log maxlen) equi-joins whose pair
+side is only the hard set; a 1M-token document costs the same
+per-position work as a 100-token one.
+
+Scale notes (100 TB): the pairing step is a per-document window
+(``lead`` over partitionBy(doc_id)), so nothing ever crosses
+documents, and the round count is ceil(log2(max DOC length / INIT)) —
+independent of corpus size (16 rounds for 1M-token documents at
+INIT=16). Each round shuffles position-scale (doc, pos, rank) triples
+at most once — the O(n log maxlen) total that makes suffix-array
+construction heavier than the L-gram digest screen, which is why
+ExactSubstr is the dedup workhorse and the suffix array the
+variable-length analysis tool. The hard-pair descent degrades
+gracefully: a pathological corpus (one token repeated everywhere)
+makes every adjacent pair hard, and the descent is then plain
+position-scale equi-joins — never super-linear.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .rank import with_global_rank
+from .rank import with_global_dense_rank, with_global_rank
+
+# Round-0 string-prefix width: one window of INIT-1 leads replaces
+# log2(INIT) doubling rounds (each of which costs a position-scale
+# shuffle or two), and bounds the LCP tail-compare below. 16 measured
+# faster than 8 at sf0.1 (one fewer doubling round; the extra leads
+# ride the same per-doc sort).
+_INIT = 16
+
+# Arithmetic combine r*(B+1)+r2 is exact in int64 iff (B+1)^2 < 2^63;
+# above this bound the round densifies instead. A densify resets the
+# bound to the distinct-key count, so rounds alternate
+# combine/densify until the corpus itself exceeds ~3e9 distinct keys
+# per densify — at which point every round densifies (graceful, still
+# O(1) shuffles/round).
+_COMBINE_MAX_BOUND = 3_000_000_000
 
 
-def suffix_array(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, pos, sa_rank) for every within-document token suffix:
-    sa_rank is the 1-based position in the corpus-wide lexicographic
-    order of suffixes (token-wise comparison, end-of-suffix before any
-    token; ties between byte-identical suffixes — duplicate documents —
-    break by (doc_id, pos), making the order total and the output
-    deterministic)."""
+def _base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, _w, _len): 1-based token positions from
+    lowercased whitespace tokenization, the suffix's first
+    min(INIT, remaining) tokens as ``_w`` (leads past the document
+    end are null and filtered, so size(_w) = min(INIT, remaining)),
+    and the document token count. Checkpointed once and shared by
+    round 0, the LCP compares, and the preview join — O(n·INIT)
+    total, linear."""
     spark = df.sparkSession
     ex = (
         df.where(F.col(text_col).isNotNull())
@@ -51,59 +92,113 @@ def suffix_array(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.posexplode(F.split(F.lower(F.col("_t")), r"\s+")).alias("p0", "t"),
         )
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "t")
-        .localCheckpoint()
     )
-    row = ex.agg(F.max("pos").alias("m")).collect()[0]
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    wd = Window.partitionBy("doc_id")
+    return ex.select(
+        "doc_id",
+        "pos",
+        F.filter(
+            F.array(F.col("t"), *[F.lead("t", j).over(wl) for j in range(1, _INIT)]),
+            lambda x: x.isNotNull(),
+        ).alias("_w"),
+        F.max("pos").over(wd).alias("_len"),
+    ).localCheckpoint()
+
+
+def _rank_levels(base: DataFrame) -> tuple[int, list[tuple[int, DataFrame]]]:
+    """Prefix-doubling rank tables over the base positions.
+
+    Returns (maxlen, levels) where levels is the ascending list of
+    (span, ranks) with ranks = (doc_id, pos, r): r is an
+    order-isomorphic int64 key of the suffix's first
+    min(span, remaining) tokens (end-of-suffix sorting first; equal
+    keys iff equal truncated token sequences — dense after a densify
+    round, sparse after an arithmetic combine, equality/order
+    semantics identical). The last level's span >= maxlen, so its key
+    order equals full suffix order (up to ties between byte-identical
+    suffixes). Every table is localCheckpointed — the LCP descent
+    joins against them after construction.
+    """
+    row = base.agg(F.max("_len").alias("m")).collect()[0]
     maxlen = row["m"] or 0
-    if maxlen == 0:  # empty corpus
-        return spark.createDataFrame([], "doc_id bigint, pos int, sa_rank bigint")
+    if maxlen == 0:
+        return 0, []
     # Round 0: dense rank of each suffix's first INIT tokens, joined
     # with ' '. Because tokens contain no whitespace and ' ' orders
     # below every token character, string order on the joined form
-    # equals token-wise order with end-of-suffix first (concat_ws
-    # skips the null leads of tail windows, so short suffixes join
-    # only their remaining tokens and sort as prefixes — first). One
-    # window of leads replaces log2(INIT) doubling rounds.
-    init = 8
+    # equals token-wise order with end-of-suffix first (short
+    # suffixes join only their remaining tokens and sort as
+    # prefixes — first). One window of leads replaces log2(INIT)
+    # doubling rounds, and the dense rank attaches in place — no
+    # distinct + join-back.
+    ranked, bound = with_global_dense_rank(
+        base.select("doc_id", "pos", F.array_join("_w", " ").alias("_p0")),
+        [F.col("_p0")],
+        rank_col="r",
+    )
+    ranks = ranked.select("doc_id", "pos", "r").localCheckpoint()
+    span = _INIT
+    levels = [(span, ranks)]
     wl = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("t", j).over(wl) for j in range(1, init)]
-    pref = ex.select(
-        "doc_id", "pos", F.concat_ws(" ", F.col("t"), *leads).alias("p0")
-    )
-    keys0 = with_global_rank(
-        pref.select("p0").distinct(), [F.col("p0")], rank_col="r"
-    )
-    ranks = (
-        pref.join(keys0, "p0").select("doc_id", "pos", "r").localCheckpoint()
-    )
-    delta = init
-    while delta < maxlen:
-        ahead = ranks.select(
-            "doc_id", (F.col("pos") - delta).alias("pos"), F.col("r").alias("_r2")
-        )
-        paired = (
-            ranks.join(ahead, ["doc_id", "pos"], "left")
-            .select(
+    while span < maxlen:
+        r2 = F.coalesce(F.lead("r", span).over(wl), F.lit(0))  # end sorts first
+        if bound < _COMBINE_MAX_BOUND:
+            # lexicographic (r, r2) == numeric r*(bound+1)+r2: order-
+            # and equality-preserving, exact in int64, zero shuffles
+            # beyond the window's doc_id exchange.
+            ranks = ranks.select(
                 "doc_id",
                 "pos",
-                "r",
-                F.coalesce("_r2", F.lit(0)).alias("r2"),  # end sorts first
+                (F.col("r") * F.lit(bound + 1) + r2).alias("r"),
+            ).localCheckpoint()
+            bound = (bound + 1) * (bound + 1) - 1
+        else:
+            ranked, bound = with_global_dense_rank(
+                ranks.select("doc_id", "pos", "r", r2.alias("_r2")),
+                [F.col("r"), F.col("_r2")],
+                rank_col="_nr",
             )
-        )
-        keys = with_global_rank(
-            paired.select("r", "r2").distinct(),
-            [F.col("r"), F.col("r2")],
-            rank_col="nr",
-        )
-        ranks = (
-            paired.join(keys, ["r", "r2"])
-            .select("doc_id", "pos", F.col("nr").alias("r"))
-            .localCheckpoint()
-        )
-        delta *= 2
+            ranks = ranked.select(
+                "doc_id", "pos", F.col("_nr").alias("r")
+            ).localCheckpoint()
+        span *= 2
+        levels.append((span, ranks))
+    return maxlen, levels
+
+
+def _empty_sa(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "doc_id bigint, pos int, sa_rank bigint")
+
+
+def suffix_array(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, sa_rank) for every within-document token suffix:
+    sa_rank is the 1-based position in the corpus-wide lexicographic
+    order of suffixes (token-wise comparison, end-of-suffix before any
+    token; ties between byte-identical suffixes — duplicate documents —
+    break by (doc_id, pos), making the order total and the output
+    deterministic)."""
+    base = _base(df, id_col, text_col)
+    maxlen, levels = _rank_levels(base)
+    if maxlen == 0:  # empty corpus
+        return _empty_sa(df.sparkSession)
     return with_global_rank(
-        ranks, [F.col("r"), F.col("doc_id"), F.col("pos")], rank_col="sa_rank"
+        levels[-1][1], [F.col("r"), F.col("doc_id"), F.col("pos")], rank_col="sa_rank"
     ).select("doc_id", "pos", F.col("sa_rank").cast("bigint").alias("sa_rank"))
+
+
+def _zip_lcp(wa: Column, wb: Column) -> Column:
+    """Matching-prefix length of two bounded token windows: position
+    of the first inequality (zip_with pads the shorter array with
+    nulls, and eqNullSafe(token, null) is false, so the shorter size
+    bounds the count), else min(size) when every compared slot
+    matches."""
+    eqs = F.zip_with(wa, wb, lambda x, y: x.eqNullSafe(y))
+    first_false = F.array_position(eqs, F.lit(False))
+    return F.coalesce(
+        F.nullif(first_false, F.lit(0)) - 1,
+        F.least(F.size(wa), F.size(wb)),
+    )
 
 
 def longest_repeated_substrings(
@@ -115,59 +210,179 @@ def longest_repeated_substrings(
     maximum LCP over adjacent pairs finds the longest repeat without
     comparing all O(n²) suffix pairs.
 
-    LCP of an adjacent pair is computed in one codegen-free pass over
-    the pair's token arrays: zip_with null-safe equality, first-false
-    position (O(suffix length) per pair, and only adjacent pairs are
-    joined — O(n) pairs total). Pairing suffixes by consecutive
-    sa_rank is an equi-join on rank, not a window. Output:
-    (lcp, doc_a, pos_a, doc_b, pos_b, repeat_preview) ordered by
-    (lcp desc, doc_a, pos_a), preview = first min(lcp, 8) tokens of
-    the repeated substring.
+    Pairing suffixes by consecutive sa_rank is an equi-join on rank,
+    not a window; the pair rows carry both sides' INIT-token windows
+    and document lengths from `_base`, so the common case — a
+    mismatch inside the first INIT tokens, or full equality of a
+    short suffix — resolves with one in-row array compare and ZERO
+    further joins. Only "hard" pairs (first INIT tokens fully equal,
+    both remainders > INIT, i.e. LCP may exceed INIT) enter the
+    binary descent over the doubling rank tables (module docstring):
+    equal span-``d`` keys at the pair's current offsets certify
+    ``least(d, rem)`` more matching tokens — add and advance; after
+    the span-INIT level the residue is < INIT and one more bounded
+    window compare finishes. No full suffix is ever materialized (the
+    round-5 formulation sliced the complete token array per position:
+    O(Σ len²) tokens in flight, fatal for long documents).
+
+    Output: (lcp, doc_a, pos_a, doc_b, pos_b, repeat_preview) ordered
+    by (lcp desc, doc_a, pos_a), preview = first min(lcp, 8) tokens
+    of the repeated substring (joined back for the top-k rows only).
     """
-    sa = suffix_array(df, id_col, text_col)
-    toks = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.col(text_col)), r"\s+").alias("_tk"),
-    )
-    suf = sa.join(toks, "doc_id").select(
+    spark = df.sparkSession
+    base = _base(df, id_col, text_col)
+    maxlen, levels = _rank_levels(base)
+    if maxlen == 0:  # empty corpus
+        return spark.createDataFrame(
+            [],
+            "lcp int, doc_a bigint, pos_a int, doc_b bigint, pos_b int,"
+            " repeat_preview string",
+        )
+    sa = with_global_rank(
+        levels[-1][1], [F.col("r"), F.col("doc_id"), F.col("pos")], rank_col="sa_rank"
+    ).join(base, ["doc_id", "pos"])
+    left = sa.select(
         "sa_rank",
-        "doc_id",
-        "pos",
-        F.slice(
-            F.col("_tk"), F.col("pos"), F.size("_tk") - F.col("pos") + 1
-        ).alias("_suf"),
-    )
-    left = suf.select(
-        F.col("sa_rank"),
         F.col("doc_id").alias("doc_a"),
         F.col("pos").alias("pos_a"),
-        F.col("_suf").alias("_sa"),
+        F.col("_w").alias("_wa"),
+        F.col("_len").alias("_la"),
     )
-    right = suf.select(
+    right = sa.select(
         (F.col("sa_rank") - 1).alias("sa_rank"),
         F.col("doc_id").alias("doc_b"),
         F.col("pos").alias("pos_b"),
-        F.col("_suf").alias("_sb"),
+        F.col("_w").alias("_wb"),
+        F.col("_len").alias("_lb"),
     )
-    pairs = left.join(right, "sa_rank")
-    eqs = F.zip_with("_sa", "_sb", lambda x, y: x.eqNullSafe(y))
-    first_false = F.array_position(eqs, F.lit(False))
-    lcp = F.coalesce(
-        F.nullif(first_false, F.lit(0)) - 1,
-        F.least(F.size("_sa"), F.size("_sb")),
-    ).cast("int")
+    pairs = (
+        left.join(right, "sa_rank")
+        .withColumn("_zip", _zip_lcp(F.col("_wa"), F.col("_wb")).cast("int"))
+        .localCheckpoint()
+    )
+    # _zip == min(INIT, rem_a, rem_b) exactly when every compared slot
+    # matched; that is the FINAL lcp unless both suffixes extend past
+    # the compared window — i.e. both remainders strictly exceed INIT.
+    hard_cond = (
+        (F.col("_zip") == _INIT)
+        & (F.col("_la") - F.col("pos_a") + 1 > _INIT)
+        & (F.col("_lb") - F.col("pos_b") + 1 > _INIT)
+    )
+    easy = pairs.where(~hard_cond).select(
+        F.col("_zip").alias("lcp"), "doc_a", "pos_a", "doc_b", "pos_b"
+    )
+    hard = pairs.where(hard_cond).select(
+        F.col("sa_rank").alias("_pid"),
+        "doc_a",
+        "pos_a",
+        "doc_b",
+        "pos_b",
+        "_la",
+        "_lb",
+        F.lit(0).alias("lcp"),
+    )
+    # Binary descent, largest span first, over the hard pairs only.
+    # Each level: two inner equi-joins of the (small) hard set against
+    # the level's checkpointed rank table at the pairs' current
+    # offsets — an offset past the document end simply finds no rank
+    # row and the pair recombines with add=0. Invariant: after the
+    # span-d level the undiscovered LCP residue is < d, so the
+    # post-loop residue is < INIT.
+    for span, ranks in reversed(levels):
+        stepped = hard.select(
+            "_pid",
+            "doc_a",
+            (F.col("pos_a") + F.col("lcp")).alias("_oa"),
+            "doc_b",
+            (F.col("pos_b") + F.col("lcp")).alias("_ob"),
+            "_la",
+            "_lb",
+        )
+        ra = ranks.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("pos").alias("_oa"),
+            F.col("r").alias("_ra"),
+        )
+        rb = ranks.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("pos").alias("_ob"),
+            F.col("r").alias("_rb"),
+        )
+        matched = (
+            stepped.join(ra, ["doc_a", "_oa"])
+            .join(rb, ["doc_b", "_ob"])
+            .where(F.col("_ra") == F.col("_rb"))
+            .select(
+                "_pid",
+                F.least(
+                    F.lit(span),
+                    F.col("_la") - F.col("_oa") + 1,
+                    F.col("_lb") - F.col("_ob") + 1,
+                ).alias("_add"),
+            )
+        )
+        hard = (
+            hard.join(matched, "_pid", "left")
+            .withColumn("lcp", F.col("lcp") + F.coalesce("_add", F.lit(0)))
+            .drop("_add")
+        )
+    # Residue < INIT: one window-array compare at the final offsets
+    # (inner joins — an offset past a document end means the residue
+    # is 0 and the pair recombines unchanged).
+    tailed = hard.select(
+        "_pid",
+        "doc_a",
+        (F.col("pos_a") + F.col("lcp")).alias("_oa"),
+        "doc_b",
+        (F.col("pos_b") + F.col("lcp")).alias("_ob"),
+    )
+    wa = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("_oa"), F.col("_w").alias("_wa2")
+    )
+    wb = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("_ob"), F.col("_w").alias("_wb2")
+    )
+    residues = (
+        tailed.join(wa, ["doc_a", "_oa"])
+        .join(wb, ["doc_b", "_ob"])
+        .select("_pid", _zip_lcp(F.col("_wa2"), F.col("_wb2")).alias("_res"))
+    )
+    hard_done = (
+        hard.join(residues, "_pid", "left")
+        .select(
+            (F.col("lcp") + F.coalesce("_res", F.lit(0))).cast("int").alias("lcp"),
+            "doc_a",
+            "pos_a",
+            "doc_b",
+            "pos_b",
+        )
+    )
+    scored = easy.unionByName(hard_done)
+    topk = (
+        scored.where(F.col("lcp") >= 1)
+        .orderBy(F.col("lcp").desc(), "doc_a", "pos_a")
+        .limit(top)
+    )
+    # Preview joined back for the top-k rows only (k window rows in
+    # flight, never the corpus): the INIT-token window at pos_a covers
+    # the <= 8-token preview. The broadcast side is bounded by the
+    # LIMIT above, not sf-proportional.
+    prev = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("_w").alias("_wp"),
+    )
     return (
-        pairs.select(
-            lcp.alias("lcp"),
+        prev.join(F.broadcast(topk), ["doc_a", "pos_a"])
+        .select(
+            "lcp",
             "doc_a",
             "pos_a",
             "doc_b",
             "pos_b",
             F.array_join(
-                F.slice(F.col("_sa"), 1, F.least(lcp, F.lit(8))), " "
+                F.slice(F.col("_wp"), 1, F.least(F.col("lcp"), F.lit(8))), " "
             ).alias("repeat_preview"),
         )
-        .where(F.col("lcp") >= 1)
         .orderBy(F.col("lcp").desc(), "doc_a", "pos_a")
-        .limit(top)
     )
