@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import cut as _cut
+
 
 def segment_chars(word):
     """`'abc' -> '  a  b  c  '`: DOUBLE-space-delimited
@@ -99,7 +101,7 @@ def _train(df: DataFrame, text_col: str, rounds: int, final_seg: bool):
         .agg(F.count(F.lit(1)).alias("f"))
     )
     seg = wf.select("w", "f", segment_chars(F.col("w")).alias("seg"))
-    seg = seg.localCheckpoint()
+    seg = seg.transform(_cut)
     merges = []
     for r in range(1, rounds + 1):
         top = (
@@ -115,7 +117,7 @@ def _train(df: DataFrame, text_col: str, rounds: int, final_seg: bool):
         if r < rounds or final_seg:
             seg = seg.select(
                 "w", "f", apply_merge(F.col("seg"), gram).alias("seg")
-            ).localCheckpoint()
+            ).transform(_cut)
     return merges, seg
 
 

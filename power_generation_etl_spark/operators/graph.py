@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import cut as _cut
+
 
 def connected_components(
     edges: DataFrame,
@@ -46,10 +48,10 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint()
+    ).distinct().transform(_cut)
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint()
+    ).transform(_cut)
     for _ in range(max_iters):
         nbr_min = (
             sym.join(
@@ -67,7 +69,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .transform(_cut)
         )
         changed = (
             new_labels.select("id", F.col("label").alias("nl"))
@@ -109,7 +111,7 @@ def connected_components_star(
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
-        .localCheckpoint()
+        .transform(_cut)
     )
     # canonical undirected edges, self-loops dropped
     e = (
@@ -119,7 +121,7 @@ def connected_components_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(_cut)
     )
 
     def _canon(df: DataFrame) -> DataFrame:
@@ -150,7 +152,7 @@ def connected_components_star(
             d.join(mv, "u")
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .unionByName(mv.select(F.col("u").alias("a"), F.col("m").alias("b")))
-        ).localCheckpoint()
+        ).transform(_cut)
         changed = ss.exceptAll(e).limit(1).count() + e.exceptAll(ss).limit(1).count()
         e = ss
         if changed == 0:
@@ -203,13 +205,13 @@ def pagerank(
         e.select(F.col("u").alias("id"))
         .unionByName(e.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .transform(_cut)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("bigint"))
     outd = e.groupBy("u").agg(F.sum("w").alias("out_w"))
-    ew = e.join(outd, "u").localCheckpoint()  # (u, v, w, out_w)
+    ew = e.join(outd, "u").transform(_cut)  # (u, v, w, out_w)
     base = ((100 - damping_pct) * (scale // n)) // 100
     ranks = nodes.withColumn("rank_scaled", F.lit(scale // n).cast("bigint"))
     for _ in range(iters):
@@ -233,7 +235,7 @@ def pagerank(
                     )
                 ).cast("bigint").alias("rank_scaled"),
             )
-            .localCheckpoint()
+            .transform(_cut)
         )
     return ranks
 
@@ -357,7 +359,7 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     o = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("x"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("y"),
-    ).localCheckpoint()
+    ).transform(_cut)
     e1 = o.select(F.col("x"), F.col("y").alias("w1"))
     e2 = o.select(F.col("x"), F.col("y").alias("w2"))
     wedges = e1.join(e2, "x").where(F.col("w1") != F.col("w2"))
@@ -401,7 +403,7 @@ def kcore(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(_cut)
     )
     converged = False
     for _ in range(max_rounds):
@@ -411,11 +413,11 @@ def kcore(
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        keep = deg.where(F.col("c") >= k).select("id").localCheckpoint()
+        keep = deg.where(F.col("c") >= k).select("id").transform(_cut)
         e2 = (
             e.join(keep.select(F.col("id").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("id").alias("b")), "b", "left_semi")
-            .localCheckpoint()
+            .transform(_cut)
         )
         if e2.count() == e.count():
             e = e2
@@ -468,9 +470,9 @@ def label_propagation(
     adj = (
         e.select(F.col("a").alias("id"), F.col("b").alias("nb"))
         .unionByName(e.select(F.col("b").alias("id"), F.col("a").alias("nb")))
-        .localCheckpoint()
+        .transform(_cut)
     )
-    nodes = adj.select("id").distinct().localCheckpoint()
+    nodes = adj.select("id").distinct().transform(_cut)
     labels = nodes.withColumn("lab", F.col("id"))
     for _ in range(rounds):
         mode = (
@@ -490,6 +492,6 @@ def label_propagation(
             .select(
                 "id", F.coalesce(F.col("new_lab"), F.col("lab")).alias("lab")
             )
-            .localCheckpoint()
+            .transform(_cut)
         )
     return labels

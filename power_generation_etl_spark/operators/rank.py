@@ -10,22 +10,26 @@ rank over a range-partitioned sort:
 1. `repartitionByRange(order)` + `sortWithinPartitions(order)` — the
    cluster-wide sort Spark already does for `orderBy`, data stays
    spread across N partitions;
-2. a tiny per-partition row-count aggregate (N rows, N = shuffle
-   partitions) collected and prefix-summed on the driver — bounded
-   driver state, like the k-means centroid constants;
-3. `row_number()` *partitioned by* the range-partition id, plus the
-   broadcast-joined exclusive offset = the exact global rank.
+2. a tiny per-partition aggregate (N rows, N = shuffle partitions)
+   collected and prefix-summed on the driver — bounded driver state,
+   like the k-means centroid constants;
+3. a window *partitioned by* the range-partition id, plus the
+   broadcast-joined exclusive offset = the exact global value.
 
 The per-row ordering must be a total order (include a unique tie-break
 key) so the result is deterministic and engine-identical — the same
 requirement every oracle-checked window query here already meets.
 
-The sorted base is `localCheckpoint`ed once so the count pass and the
-rank pass see the *same materialized* range partitioning (range
-boundaries come from sampling; two independent evaluations of the same
-lineage are deterministic in practice, but the checkpoint makes it a
-guarantee and pays for itself by not re-sorting in pass 2). At real
-cluster scale the same pattern runs with `persist(DISK_ONLY)`.
+The sorted base is materialized once (`lineage.cut` — localCheckpoint
+locally, persist/reliable-checkpoint on clusters) so the count pass
+and the rank pass see the *same materialized* range partitioning
+(range boundaries come from sampling; two independent evaluations of
+the same lineage are deterministic in practice, but the cut makes it
+a guarantee and pays for itself by not re-sorting in pass 2).
+
+All three variants (`row_number`, `dense_rank`, running sum) share the
+same scaffolding (`_two_pass`), differing only in the per-partition
+aggregate and the partition-local window expression.
 
 `ntile` then needs no second sort: with `q = total div n`,
 `r = total mod n`, SQL ntile gives the first `r` buckets `q+1` rows —
@@ -34,9 +38,54 @@ pure integer arithmetic on (rank, total).
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from ..lineage import cut
+
+
+def _two_pass(
+    df: DataFrame,
+    order: list[Column],
+    part_agg: Column,
+    local_expr: Callable[[Window], Column],
+    out_col: str,
+) -> tuple[DataFrame, int]:
+    """Shared two-pass machinery: range-partition + sort `df` on
+    `order`, materialize, collect `part_agg` per partition (≤
+    shuffle-partition rows of driver state), exclusive-prefix-sum into
+    a broadcast offset table, and attach ``local_expr(window) +
+    offset`` as `out_col`. Returns (result, total) where total is the
+    corpus-wide sum of the per-partition aggregate."""
+    spark = df.sparkSession
+    base = cut(
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_rk_pid", F.spark_partition_id())
+    )
+    counts = sorted(
+        (r["_rk_pid"], r["n"])
+        for r in base.groupBy("_rk_pid").agg(part_agg.alias("n")).collect()
+    )
+    total, rows = 0, []
+    for pid, n in counts:
+        rows.append((pid, total))
+        total += n or 0
+    offsets = spark.createDataFrame(rows or [(0, 0)], "_rk_pid int, _rk_off bigint")
+    if not rows:
+        offsets = offsets.where(F.lit(False))
+    w_local = Window.partitionBy("_rk_pid").orderBy(*order)
+    out = (
+        base.join(F.broadcast(offsets), "_rk_pid")
+        .withColumn(
+            out_col, (local_expr(w_local) + F.col("_rk_off")).cast("bigint")
+        )
+        .drop("_rk_pid", "_rk_off")
+    )
+    return out, total
 
 
 def with_global_rank(
@@ -51,39 +100,16 @@ def with_global_rank(
     the total row count as `total_col` (needed by ntile/percent_rank
     derivations) — it rides along on the same tiny broadcast join, no
     extra pass over the data."""
-    spark = df.sparkSession
-    base = (
-        df.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("_rk_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    # Per-partition row counts: one tiny job, <= shuffle-partition rows
-    # collected to the driver (the same bounded-by-cluster-constant
-    # driver state as the k-means centroid pattern). Exclusive prefix
-    # sums become the broadcast offset table — no unpartitioned window
-    # anywhere, so the ranked plan itself is fully distributed.
-    counts = sorted(
-        (r["_rk_pid"], r["n"])
-        for r in base.groupBy("_rk_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    )
-    total, rows = 0, []
-    for pid, n in counts:
-        rows.append((pid, total))
-        total += n
-    offsets = spark.createDataFrame(
-        rows or [(0, 0)], "_rk_pid int, _rk_off bigint"
-    )
-    if not rows:
-        offsets = offsets.where(F.lit(False))
-    w_local = Window.partitionBy("_rk_pid").orderBy(*order)
-    out = base.join(F.broadcast(offsets), "_rk_pid").withColumn(
+    out, total = _two_pass(
+        df,
+        order,
+        F.count(F.lit(1)),
+        lambda w: F.row_number().over(w),
         rank_col,
-        (F.row_number().over(w_local) + F.col("_rk_off")).cast("bigint"),
     )
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(total).cast("bigint"))
-    return out.drop("_rk_pid", "_rk_off")
+    return out
 
 
 def with_global_dense_rank(
@@ -101,36 +127,13 @@ def with_global_dense_rank(
     the key, so equal keys never straddle a partition boundary and the
     per-partition `countDistinct` prefix sums are exact. Returns
     (ranked df, domain size = number of distinct keys)."""
-    spark = df.sparkSession
-    base = (
-        df.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("_rk_pid", F.spark_partition_id())
-        .localCheckpoint()
+    return _two_pass(
+        df,
+        order,
+        F.count_distinct(F.struct(*order)),
+        lambda w: F.dense_rank().over(w),
+        rank_col,
     )
-    counts = sorted(
-        (r["_rk_pid"], r["n"])
-        for r in base.groupBy("_rk_pid")
-        .agg(F.count_distinct(F.struct(*order)).alias("n"))
-        .collect()
-    )
-    total, rows = 0, []
-    for pid, n in counts:
-        rows.append((pid, total))
-        total += n
-    offsets = spark.createDataFrame(rows or [(0, 0)], "_rk_pid int, _rk_off bigint")
-    if not rows:
-        offsets = offsets.where(F.lit(False))
-    w_local = Window.partitionBy("_rk_pid").orderBy(*order)
-    out = (
-        base.join(F.broadcast(offsets), "_rk_pid")
-        .withColumn(
-            rank_col,
-            (F.dense_rank().over(w_local) + F.col("_rk_off")).cast("bigint"),
-        )
-        .drop("_rk_pid", "_rk_off")
-    )
-    return out, total
 
 
 def with_running_sum(
@@ -141,49 +144,22 @@ def with_running_sum(
 ) -> DataFrame:
     """`df` + `sum(value) OVER (ORDER BY *order ROWS UNBOUNDED
     PRECEDING)` — the global prefix sum, computed without a
-    single-partition window. Same two-pass shape as `with_global_rank`:
-    range-partitioned sort, per-partition value totals collected and
-    exclusive-prefix-summed on the driver (≤ shuffle-partition rows),
-    then a partition-local cumulative window + broadcast offset.
-    `order` must be a total order; `value` must be integer-typed
-    (bigint) so the driver-side prefix sums are exact — float prefix
-    sums would depend on partition boundaries."""
-    spark = df.sparkSession
-    base = (
-        df.withColumn("_rk_v", value.cast("bigint"))
-        .repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("_rk_pid", F.spark_partition_id())
-        .localCheckpoint()
+    single-partition window. Same two-pass shape: per-partition value
+    totals prefix-summed on the driver, then a partition-local
+    cumulative window + broadcast offset. `order` must be a total
+    order; `value` must be integer-typed (bigint) so the driver-side
+    prefix sums are exact — float prefix sums would depend on
+    partition boundaries."""
+    out, _total = _two_pass(
+        df.withColumn("_rk_v", value.cast("bigint")),
+        order,
+        F.sum("_rk_v").cast("bigint"),
+        lambda w: F.sum("_rk_v").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+        out_col,
     )
-    counts = sorted(
-        (r["_rk_pid"], r["s"])
-        for r in base.groupBy("_rk_pid")
-        .agg(F.sum("_rk_v").cast("bigint").alias("s"))
-        .collect()
-    )
-    total, rows = 0, []
-    for pid, s in counts:
-        rows.append((pid, total))
-        total += s or 0
-    offsets = spark.createDataFrame(
-        rows or [(0, 0)], "_rk_pid int, _rk_off bigint"
-    )
-    if not rows:
-        offsets = offsets.where(F.lit(False))
-    w_local = (
-        Window.partitionBy("_rk_pid")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        base.join(F.broadcast(offsets), "_rk_pid")
-        .withColumn(
-            out_col,
-            (F.sum("_rk_v").over(w_local) + F.col("_rk_off")).cast("bigint"),
-        )
-        .drop("_rk_pid", "_rk_off", "_rk_v")
-    )
+    return out.drop("_rk_v")
 
 
 def _idiv(a: Column, b: Column) -> Column:
@@ -204,7 +180,7 @@ def ntile_of_rank(rank: Column, total: Column, n: int) -> Column:
     nn = F.lit(n).cast("bigint")
     q = _idiv(total, nn)
     r = total % nn
-    cut = r * (q + 1)
+    cut_at = r * (q + 1)
     head = _idiv(rank - 1, q + 1) + 1
-    tail = r + _idiv(rank - 1 - cut, F.greatest(q, F.lit(1))) + 1
-    return F.when(rank <= cut, head).otherwise(tail).cast("bigint")
+    tail = r + _idiv(rank - 1 - cut_at, F.greatest(q, F.lit(1))) + 1
+    return F.when(rank <= cut_at, head).otherwise(tail).cast("bigint")

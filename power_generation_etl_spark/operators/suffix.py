@@ -20,8 +20,18 @@ re-key the (r, r2) pairs corpus-wide. Re-keying alternates between
   domain size.
 
 After ``delta >= max_doc_tokens`` the key order equals full token-wise
-suffix order. Per-round lineage is cut with localCheckpoint (the
-`graph.py` iterative-operator pattern).
+suffix order. Per-round lineage is cut with `lineage.cut` (pluggable:
+localCheckpoint locally, persist/reliable-checkpoint on clusters).
+
+**Shared products**: `suffix_array` and `longest_repeated_substrings`
+both need the tokenized base and the doubling rank tables, and a
+session typically runs both on the same corpus. `_products` memoizes
+(base, maxlen, levels, sa) per source plan — keyed by
+`DataFrame.semanticHash()` + `sameSemantics()`, which is exact (two
+reads of the same parquet path compare equal; different paths or
+different literal data never do) — so the second operator pays zero
+build cost. LRU-capped at 2 corpora; disable with
+``SPARK_ETL_SUFFIX_CACHE=0``.
 
 LCP (for `longest_repeated_substrings`) never materializes suffixes:
 adjacent-pair LCP is exact from the INIT-token window arrays for
@@ -32,9 +42,13 @@ a binary descent over the retained per-round rank tables: equal
 span-``d`` keys at the pair's current offsets certify
 ``least(d, rem_a, rem_b)`` more matching tokens, so add and advance;
 after the span-INIT level the residue is < INIT and one bounded
-window-array compare finishes. O(log maxlen) equi-joins whose pair
-side is only the hard set; a 1M-token document costs the same
-per-position work as a 100-token one.
+window-array compare finishes. The descent is skipped entirely when
+the hard set is empty (one bounded count against the checkpointed
+pairs), and each level streams the level's rank table ONCE: the two
+sides of a pair are exploded into (pair, side) probe rows, matched in
+a single equi-join, and recombined with a tiny groupBy — h pairs cost
+2h probe rows, never two full scans. A 1M-token document costs the
+same per-position work as a 100-token one.
 
 Scale notes (100 TB): the pairing step is a per-document window
 (``lead`` over partitionBy(doc_id)), so nothing ever crosses
@@ -48,14 +62,24 @@ variable-length analysis tool. The hard-pair descent degrades
 gracefully: a pathological corpus (one token repeated everywhere)
 makes every adjacent pair hard, and the descent is then plain
 position-scale equi-joins — never super-linear.
+
+Tokenization precondition: round 0 compares suffixes as
+' '-joined strings, which equals token-wise order because tokens
+contain no character that sorts at-or-below ' ' (0x20) — whitespace
+is consumed by the split and the remaining C0 control characters
+(0x00-0x08, 0x0E-0x1F) are stripped during tokenization, so every
+retained token character is > 0x20.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..lineage import cut
 from .rank import with_global_dense_rank, with_global_rank
 
 # Round-0 string-prefix width: one window of INIT-1 leads replaces
@@ -73,40 +97,60 @@ _INIT = 16
 # O(1) shuffles/round).
 _COMBINE_MAX_BOUND = 3_000_000_000
 
+# Non-whitespace C0 control characters: stripped before tokenization
+# so every token character sorts strictly above ' ' (module
+# docstring). \t \n \x0B \f \r are left for the \s+ split to consume.
+_CTRL_RE = r"[\x00-\x08\x0e-\x1f]"
 
-def _base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+
+def _src(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical source projection — also the memo-cache key plan."""
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+
+
+def _base(src: DataFrame) -> DataFrame:
     """(doc_id, pos, _w, _len): 1-based token positions from
-    lowercased whitespace tokenization, the suffix's first
-    min(INIT, remaining) tokens as ``_w`` (leads past the document
-    end are null and filtered, so size(_w) = min(INIT, remaining)),
-    and the document token count. Checkpointed once and shared by
-    round 0, the LCP compares, and the preview join — O(n·INIT)
-    total, linear."""
-    spark = df.sparkSession
+    lowercased whitespace tokenization (control chars stripped, see
+    module docstring), the suffix's first min(INIT, remaining) tokens
+    as ``_w`` (leads past the document end are null and filtered, so
+    size(_w) = min(INIT, remaining)), and the document token count.
+    Materialized once and shared by round 0, the LCP compares, and the
+    preview join — O(n·INIT) total, linear."""
+    spark = src.sparkSession
     ex = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        src.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
-            F.posexplode(F.split(F.lower(F.col("_t")), r"\s+")).alias("p0", "t"),
+            F.posexplode(
+                F.split(
+                    F.regexp_replace(F.lower(F.col("_t")), _CTRL_RE, ""), r"\s+"
+                )
+            ).alias("p0", "t"),
         )
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "t")
     )
     wl = Window.partitionBy("doc_id").orderBy("pos")
     wd = Window.partitionBy("doc_id")
-    return ex.select(
-        "doc_id",
-        "pos",
-        F.filter(
-            F.array(F.col("t"), *[F.lead("t", j).over(wl) for j in range(1, _INIT)]),
-            lambda x: x.isNotNull(),
-        ).alias("_w"),
-        F.max("pos").over(wd).alias("_len"),
-    ).localCheckpoint()
+    return cut(
+        ex.select(
+            "doc_id",
+            "pos",
+            F.filter(
+                F.array(
+                    F.col("t"), *[F.lead("t", j).over(wl) for j in range(1, _INIT)]
+                ),
+                lambda x: x.isNotNull(),
+            ).alias("_w"),
+            F.max("pos").over(wd).alias("_len"),
+        )
+    )
 
 
-def _rank_levels(base: DataFrame) -> tuple[int, list[tuple[int, DataFrame]]]:
+def _rank_levels(
+    base: DataFrame, keep_levels: bool = True
+) -> tuple[int, list[tuple[int, DataFrame]]]:
     """Prefix-doubling rank tables over the base positions.
 
     Returns (maxlen, levels) where levels is the ascending list of
@@ -117,19 +161,23 @@ def _rank_levels(base: DataFrame) -> tuple[int, list[tuple[int, DataFrame]]]:
     round, sparse after an arithmetic combine, equality/order
     semantics identical). The last level's span >= maxlen, so its key
     order equals full suffix order (up to ties between byte-identical
-    suffixes). Every table is localCheckpointed — the LCP descent
-    joins against them after construction.
+    suffixes). Every table is materialized via `lineage.cut`.
+
+    ``keep_levels=False`` returns only the FINAL level — the
+    suffix-array-only path; intermediate tables drop their Python
+    refs so the ContextCleaner can free their blocks. The LCP descent
+    (`longest_repeated_substrings`) needs the full list.
     """
     row = base.agg(F.max("_len").alias("m")).collect()[0]
     maxlen = row["m"] or 0
     if maxlen == 0:
         return 0, []
     # Round 0: dense rank of each suffix's first INIT tokens, joined
-    # with ' '. Because tokens contain no whitespace and ' ' orders
-    # below every token character, string order on the joined form
-    # equals token-wise order with end-of-suffix first (short
-    # suffixes join only their remaining tokens and sort as
-    # prefixes — first). One window of leads replaces log2(INIT)
+    # with ' '. Because tokens contain no whitespace or non-whitespace
+    # control chars, every token character is > ' ', so string order
+    # on the joined form equals token-wise order with end-of-suffix
+    # first (short suffixes join only their remaining tokens and sort
+    # as prefixes — first). One window of leads replaces log2(INIT)
     # doubling rounds, and the dense rank attaches in place — no
     # distinct + join-back.
     ranked, bound = with_global_dense_rank(
@@ -137,7 +185,7 @@ def _rank_levels(base: DataFrame) -> tuple[int, list[tuple[int, DataFrame]]]:
         [F.col("_p0")],
         rank_col="r",
     )
-    ranks = ranked.select("doc_id", "pos", "r").localCheckpoint()
+    ranks = cut(ranked.select("doc_id", "pos", "r"))
     span = _INIT
     levels = [(span, ranks)]
     wl = Window.partitionBy("doc_id").orderBy("pos")
@@ -147,11 +195,13 @@ def _rank_levels(base: DataFrame) -> tuple[int, list[tuple[int, DataFrame]]]:
             # lexicographic (r, r2) == numeric r*(bound+1)+r2: order-
             # and equality-preserving, exact in int64, zero shuffles
             # beyond the window's doc_id exchange.
-            ranks = ranks.select(
-                "doc_id",
-                "pos",
-                (F.col("r") * F.lit(bound + 1) + r2).alias("r"),
-            ).localCheckpoint()
+            ranks = cut(
+                ranks.select(
+                    "doc_id",
+                    "pos",
+                    (F.col("r") * F.lit(bound + 1) + r2).alias("r"),
+                )
+            )
             bound = (bound + 1) * (bound + 1) - 1
         else:
             ranked, bound = with_global_dense_rank(
@@ -159,12 +209,66 @@ def _rank_levels(base: DataFrame) -> tuple[int, list[tuple[int, DataFrame]]]:
                 [F.col("r"), F.col("_r2")],
                 rank_col="_nr",
             )
-            ranks = ranked.select(
-                "doc_id", "pos", F.col("_nr").alias("r")
-            ).localCheckpoint()
+            ranks = cut(ranked.select("doc_id", "pos", F.col("_nr").alias("r")))
         span *= 2
         levels.append((span, ranks))
+        if not keep_levels:
+            del levels[:-1]
     return maxlen, levels
+
+
+# Memoized per-corpus products, shared between `suffix_array` and
+# `longest_repeated_substrings` in one session: the build (tokenize +
+# O(log maxlen) doubling rounds + the global-rank count pass) is the
+# dominant cost of both operators, and the key — semanticHash +
+# sameSemantics on the canonical source projection — is exact, never
+# falsely equal (verified: same-path parquet reads compare equal,
+# different paths / different LocalRelation data compare unequal).
+# Entries hold materialized tables pinned in executor storage, so the
+# cache is LRU-capped; evicted entries lose their Python refs and the
+# ContextCleaner reclaims the blocks.
+_CACHE: list[tuple[int, DataFrame, tuple]] = []
+_CACHE_MAX = 2
+
+
+def _cache_enabled() -> bool:
+    return os.environ.get("SPARK_ETL_SUFFIX_CACHE", "1") != "0"
+
+
+def _products(
+    df: DataFrame, id_col: str, text_col: str, need_levels: bool
+) -> tuple[DataFrame, int, list[tuple[int, DataFrame]], DataFrame | None]:
+    """(base, maxlen, levels, sa) for the corpus, memo-cached.
+
+    ``sa`` is the globally ranked final level — (doc_id, pos, r,
+    sa_rank) — whose two-pass count stage has already run; None for an
+    empty corpus. When the cache is enabled all levels are retained
+    (the next operator may need them); when disabled, ``need_levels``
+    controls retention per ADVICE (the SA-only path holds just the
+    final table).
+    """
+    src = _src(df, id_col, text_col)
+    use_cache = _cache_enabled()
+    if use_cache:
+        h = src.semanticHash()
+        for i, (hh, sdf, prod) in enumerate(_CACHE):
+            if hh == h and src.sameSemantics(sdf):
+                _CACHE.append(_CACHE.pop(i))  # LRU bump
+                return prod
+    base = _base(src)
+    maxlen, levels = _rank_levels(base, keep_levels=need_levels or use_cache)
+    sa = None
+    if maxlen:
+        sa = with_global_rank(
+            levels[-1][1],
+            [F.col("r"), F.col("doc_id"), F.col("pos")],
+            rank_col="sa_rank",
+        )
+    prod = (base, maxlen, levels, sa)
+    if use_cache:
+        _CACHE.append((h, src, prod))
+        del _CACHE[:-_CACHE_MAX]
+    return prod
 
 
 def _empty_sa(spark: SparkSession) -> DataFrame:
@@ -178,13 +282,12 @@ def suffix_array(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token; ties between byte-identical suffixes — duplicate documents —
     break by (doc_id, pos), making the order total and the output
     deterministic)."""
-    base = _base(df, id_col, text_col)
-    maxlen, levels = _rank_levels(base)
+    _base_df, maxlen, _levels, sa = _products(df, id_col, text_col, need_levels=False)
     if maxlen == 0:  # empty corpus
         return _empty_sa(df.sparkSession)
-    return with_global_rank(
-        levels[-1][1], [F.col("r"), F.col("doc_id"), F.col("pos")], rank_col="sa_rank"
-    ).select("doc_id", "pos", F.col("sa_rank").cast("bigint").alias("sa_rank"))
+    return sa.select(
+        "doc_id", "pos", F.col("sa_rank").cast("bigint").alias("sa_rank")
+    )
 
 
 def _zip_lcp(wa: Column, wb: Column) -> Column:
@@ -198,6 +301,101 @@ def _zip_lcp(wa: Column, wb: Column) -> Column:
     return F.coalesce(
         F.nullif(first_false, F.lit(0)) - 1,
         F.least(F.size(wa), F.size(wb)),
+    )
+
+
+def _descend_hard(
+    hard: DataFrame,
+    levels: list[tuple[int, DataFrame]],
+    base: DataFrame,
+) -> DataFrame:
+    """Resolve hard pairs' LCP by binary descent over the rank levels.
+
+    Largest span first. Each level streams its (checkpointed) rank
+    table ONCE: the pair's two current offsets become two probe rows
+    (pair id, doc, offset, remaining), one equi-join attaches the rank
+    at each probe (an offset past the document end finds no row), and
+    a groupBy over the 2h probe rows keeps pairs where BOTH probes
+    landed with EQUAL ranks — certifying ``least(span, rem_a, rem_b)``
+    more matching tokens. Invariant: after the span-d level the
+    undiscovered residue is < d, so the post-loop residue is < INIT
+    and one bounded window-array compare finishes. The hard set is
+    re-materialized per level (h rows — tiny) so every join plan stays
+    shallow and AQE sees exact sizes.
+    """
+    for span, ranks in reversed(levels):
+        probes = hard.select(
+            "_pid",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc"),
+                        (F.col("pos_a") + F.col("lcp")).alias("off"),
+                        (F.col("_la") - F.col("pos_a") - F.col("lcp") + 1).alias(
+                            "rem"
+                        ),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc"),
+                        (F.col("pos_b") + F.col("lcp")).alias("off"),
+                        (F.col("_lb") - F.col("pos_b") - F.col("lcp") + 1).alias(
+                            "rem"
+                        ),
+                    ),
+                )
+            ).alias("_s"),
+        ).select("_pid", "_s.doc", "_s.off", "_s.rem")
+        r = ranks.select(
+            F.col("doc_id").alias("doc"), F.col("pos").alias("off"), "r"
+        )
+        matched = (
+            probes.join(r, ["doc", "off"])
+            .groupBy("_pid")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min("r").alias("_r0"),
+                F.max("r").alias("_r1"),
+                F.min("rem").alias("_rem"),
+            )
+            .where((F.col("_n") == 2) & (F.col("_r0") == F.col("_r1")))
+            .select("_pid", F.least(F.lit(span), F.col("_rem")).alias("_add"))
+        )
+        hard = cut(
+            hard.join(matched, "_pid", "left")
+            .withColumn("lcp", F.col("lcp") + F.coalesce("_add", F.lit(0)))
+            .drop("_add")
+        )
+    # Residue < INIT: one window-array compare at the final offsets
+    # (inner joins — an offset past a document end means the residue
+    # is 0 and the pair recombines unchanged).
+    tailed = hard.select(
+        "_pid",
+        "doc_a",
+        (F.col("pos_a") + F.col("lcp")).alias("_oa"),
+        "doc_b",
+        (F.col("pos_b") + F.col("lcp")).alias("_ob"),
+    )
+    wa = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("_oa"),
+        F.col("_w").alias("_wa2"),
+    )
+    wb = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("_ob"),
+        F.col("_w").alias("_wb2"),
+    )
+    residues = (
+        tailed.join(wa, ["doc_a", "_oa"])
+        .join(wb, ["doc_b", "_ob"])
+        .select("_pid", _zip_lcp(F.col("_wa2"), F.col("_wb2")).alias("_res"))
+    )
+    return hard.join(residues, "_pid", "left").select(
+        (F.col("lcp") + F.coalesce("_res", F.lit(0))).cast("int").alias("lcp"),
+        "doc_a",
+        "pos_a",
+        "doc_b",
+        "pos_b",
     )
 
 
@@ -217,48 +415,43 @@ def longest_repeated_substrings(
     short suffix — resolves with one in-row array compare and ZERO
     further joins. Only "hard" pairs (first INIT tokens fully equal,
     both remainders > INIT, i.e. LCP may exceed INIT) enter the
-    binary descent over the doubling rank tables (module docstring):
-    equal span-``d`` keys at the pair's current offsets certify
-    ``least(d, rem)`` more matching tokens — add and advance; after
-    the span-INIT level the residue is < INIT and one more bounded
-    window compare finishes. No full suffix is ever materialized (the
-    round-5 formulation sliced the complete token array per position:
-    O(Σ len²) tokens in flight, fatal for long documents).
+    binary descent over the doubling rank tables (`_descend_hard`);
+    when the corpus has none, the descent is skipped outright. No
+    full suffix is ever materialized (the round-5 formulation sliced
+    the complete token array per position: O(Σ len²) tokens in
+    flight, fatal for long documents).
 
     Output: (lcp, doc_a, pos_a, doc_b, pos_b, repeat_preview) ordered
     by (lcp desc, doc_a, pos_a), preview = first min(lcp, 8) tokens
     of the repeated substring (joined back for the top-k rows only).
     """
     spark = df.sparkSession
-    base = _base(df, id_col, text_col)
-    maxlen, levels = _rank_levels(base)
+    base, maxlen, levels, sa = _products(df, id_col, text_col, need_levels=True)
     if maxlen == 0:  # empty corpus
         return spark.createDataFrame(
             [],
             "lcp int, doc_a bigint, pos_a int, doc_b bigint, pos_b int,"
             " repeat_preview string",
         )
-    sa = with_global_rank(
-        levels[-1][1], [F.col("r"), F.col("doc_id"), F.col("pos")], rank_col="sa_rank"
-    ).join(base, ["doc_id", "pos"])
-    left = sa.select(
+    sab = sa.join(base, ["doc_id", "pos"])
+    left = sab.select(
         "sa_rank",
         F.col("doc_id").alias("doc_a"),
         F.col("pos").alias("pos_a"),
         F.col("_w").alias("_wa"),
         F.col("_len").alias("_la"),
     )
-    right = sa.select(
+    right = sab.select(
         (F.col("sa_rank") - 1).alias("sa_rank"),
         F.col("doc_id").alias("doc_b"),
         F.col("pos").alias("pos_b"),
         F.col("_w").alias("_wb"),
         F.col("_len").alias("_lb"),
     )
-    pairs = (
-        left.join(right, "sa_rank")
-        .withColumn("_zip", _zip_lcp(F.col("_wa"), F.col("_wb")).cast("int"))
-        .localCheckpoint()
+    pairs = cut(
+        left.join(right, "sa_rank").withColumn(
+            "_zip", _zip_lcp(F.col("_wa"), F.col("_wb")).cast("int")
+        )
     )
     # _zip == min(INIT, rem_a, rem_b) exactly when every compared slot
     # matched; that is the FINAL lcp unless both suffixes extend past
@@ -271,93 +464,25 @@ def longest_repeated_substrings(
     easy = pairs.where(~hard_cond).select(
         F.col("_zip").alias("lcp"), "doc_a", "pos_a", "doc_b", "pos_b"
     )
-    hard = pairs.where(hard_cond).select(
-        F.col("sa_rank").alias("_pid"),
-        "doc_a",
-        "pos_a",
-        "doc_b",
-        "pos_b",
-        "_la",
-        "_lb",
-        F.lit(0).alias("lcp"),
-    )
-    # Binary descent, largest span first, over the hard pairs only.
-    # Each level: two inner equi-joins of the (small) hard set against
-    # the level's checkpointed rank table at the pairs' current
-    # offsets — an offset past the document end simply finds no rank
-    # row and the pair recombines with add=0. Invariant: after the
-    # span-d level the undiscovered LCP residue is < d, so the
-    # post-loop residue is < INIT.
-    for span, ranks in reversed(levels):
-        stepped = hard.select(
-            "_pid",
-            "doc_a",
-            (F.col("pos_a") + F.col("lcp")).alias("_oa"),
-            "doc_b",
-            (F.col("pos_b") + F.col("lcp")).alias("_ob"),
-            "_la",
-            "_lb",
-        )
-        ra = ranks.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("pos").alias("_oa"),
-            F.col("r").alias("_ra"),
-        )
-        rb = ranks.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("pos").alias("_ob"),
-            F.col("r").alias("_rb"),
-        )
-        matched = (
-            stepped.join(ra, ["doc_a", "_oa"])
-            .join(rb, ["doc_b", "_ob"])
-            .where(F.col("_ra") == F.col("_rb"))
-            .select(
-                "_pid",
-                F.least(
-                    F.lit(span),
-                    F.col("_la") - F.col("_oa") + 1,
-                    F.col("_lb") - F.col("_ob") + 1,
-                ).alias("_add"),
+    # Early exit: `pairs` is materialized, so this count is one cheap
+    # bounded job — a corpus with no >INIT repeat (the common real-web
+    # case after dedup) skips the descent's O(log maxlen) joins.
+    if pairs.where(hard_cond).limit(1).count() == 0:
+        scored = easy
+    else:
+        hard = cut(
+            pairs.where(hard_cond).select(
+                F.col("sa_rank").alias("_pid"),
+                "doc_a",
+                "pos_a",
+                "doc_b",
+                "pos_b",
+                "_la",
+                "_lb",
+                F.lit(0).alias("lcp"),
             )
         )
-        hard = (
-            hard.join(matched, "_pid", "left")
-            .withColumn("lcp", F.col("lcp") + F.coalesce("_add", F.lit(0)))
-            .drop("_add")
-        )
-    # Residue < INIT: one window-array compare at the final offsets
-    # (inner joins — an offset past a document end means the residue
-    # is 0 and the pair recombines unchanged).
-    tailed = hard.select(
-        "_pid",
-        "doc_a",
-        (F.col("pos_a") + F.col("lcp")).alias("_oa"),
-        "doc_b",
-        (F.col("pos_b") + F.col("lcp")).alias("_ob"),
-    )
-    wa = base.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("_oa"), F.col("_w").alias("_wa2")
-    )
-    wb = base.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("_ob"), F.col("_w").alias("_wb2")
-    )
-    residues = (
-        tailed.join(wa, ["doc_a", "_oa"])
-        .join(wb, ["doc_b", "_ob"])
-        .select("_pid", _zip_lcp(F.col("_wa2"), F.col("_wb2")).alias("_res"))
-    )
-    hard_done = (
-        hard.join(residues, "_pid", "left")
-        .select(
-            (F.col("lcp") + F.coalesce("_res", F.lit(0))).cast("int").alias("lcp"),
-            "doc_a",
-            "pos_a",
-            "doc_b",
-            "pos_b",
-        )
-    )
-    scored = easy.unionByName(hard_done)
+        scored = easy.unionByName(_descend_hard(hard, levels, base))
     topk = (
         scored.where(F.col("lcp") >= 1)
         .orderBy(F.col("lcp").desc(), "doc_a", "pos_a")
