@@ -133,6 +133,17 @@ def _single_partition_exchanges(phys: str) -> tuple[int, int]:
     return total, suspicious
 
 
+def single_partition_exchanges(df: DataFrame) -> tuple[int, int]:
+    """Public form of `_single_partition_exchanges` over a DataFrame —
+    (total, suspicious) ``Exchange SinglePartition`` counts in its
+    physical plan. Suspicious = not feeding a global (keyless)
+    aggregate; the catalog gate in tests/test_queries_oracle.py fails
+    any non-allowlisted query with a suspicious count."""
+    return _single_partition_exchanges(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 def check_plan(df: DataFrame) -> PlanReport:
     """Lint a DataFrame's plan for 100 TB hazards."""
     rep = PlanReport()

@@ -280,6 +280,66 @@ _FUZZY_MAX_LEV = 2
 _FUZZY_LIMIT = 100
 
 
+def _fuzzy_name_domain_max() -> int:
+    """Distinct-name-count bound for the |names|² broadcast cross.
+
+    Part names draw from a FIXED vocabulary (64 distinct at every sf
+    here; TPC-H's is a bounded color-word product), so the cross over
+    the distinct-name domain is normally the cheap exact plan. But the
+    domain is data-derived, not schema-guaranteed — a catalog whose
+    name vocabulary grows with the catalog would turn the cross into
+    an sf-proportional broadcast feeding an |names|² compare. Above
+    this bound `fuzzy_part_name_pairs` switches to the brand ×
+    length-band blocked equi-join (same results: output pairs must
+    share p_brand anyway, and lev<=2 implies |len(a)-len(b)|<=2).
+    Env-overridable so tests can force the fallback on small data.
+    """
+    import os
+
+    return int(os.environ.get("SPARK_ETL_FUZZY_NAME_DOMAIN_MAX", "8192"))
+
+
+def _fuzzy_blocked_name_pairs(p: DataFrame) -> DataFrame:
+    """Ordered same-brand name pairs within Levenshtein _FUZZY_MAX_LEV,
+    computed per distinct (brand, name) with a length-band equi-join —
+    the guarded fallback when the name domain is too large to cross.
+
+    lev(a, b) <= k implies |len(a) - len(b)| <= k, so side A explodes
+    into the 2k+1 partner lengths it can match and the join key is
+    (brand, partner length): a plain shuffled equi-join that scales
+    out across brands and length buckets — no broadcast of a derived
+    sf-proportional table, no nested-loop join. Each ordered pair
+    meets exactly once (target lengths are distinct), so no dedup is
+    needed; the 3-arg levenshtein early-stops above the bound and
+    returns -1, excluded by the 0 <= lev guard.
+    """
+    dbn = p.select("p_brand", "p_name").distinct()
+    a = dbn.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.sequence(
+                F.length("p_name") - _FUZZY_MAX_LEV,
+                F.length("p_name") + _FUZZY_MAX_LEV,
+            )
+        ).alias("_blen"),
+    )
+    b = dbn.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+        F.length("p_name").alias("_blen"),
+    )
+    return (
+        a.join(b, ["brand", "_blen"])
+        .withColumn(
+            "lev",
+            F.levenshtein("name_a", "name_b", _FUZZY_MAX_LEV + 1).cast("int"),
+        )
+        .where((F.col("lev") >= 0) & (F.col("lev") <= _FUZZY_MAX_LEV))
+        .select("brand", "name_a", "name_b", "lev")
+    )
+
+
 @_register(
     "fuzzy_part_name_pairs",
     f"""
@@ -295,22 +355,6 @@ _FUZZY_LIMIT = 100
 )
 def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = T(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    # Edit distance runs on the DISTINCT NAME DOMAIN, not on part
-    # pairs: |names|² bounded-levenshtein evaluations (the vocabulary
-    # is fixed — 4k pairs here vs 8M part pairs, measured ~6s → <1s at
-    # sf0.1), then two equi-joins expand qualifying name pairs back to
-    # (brand-blocked) part pairs. The 3-arg levenshtein early-stops
-    # above the bound and returns -1, excluded by the 0 <= lev guard.
-    dn = p.select("p_name").distinct()
-    npairs = (
-        dn.select(F.col("p_name").alias("name_a"))
-        .crossJoin(F.broadcast(dn.select(F.col("p_name").alias("name_b"))))
-        .withColumn(
-            "lev",
-            F.levenshtein("name_a", "name_b", _FUZZY_MAX_LEV + 1).cast("int"),
-        )
-        .where((F.col("lev") >= 0) & (F.col("lev") <= _FUZZY_MAX_LEV))
-    )
     a = p.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
@@ -321,10 +365,36 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
         F.col("p_brand").alias("brand"),
     )
+    # Edit distance runs on the DISTINCT NAME DOMAIN, not on part
+    # pairs (64 names vs 8M part pairs at sf0.1, measured ~6s → <1s),
+    # then equi-joins expand qualifying name pairs back to
+    # (brand-blocked) part pairs. The |names|² broadcast cross is
+    # GUARDED by an actual domain count: above the bound it falls back
+    # to the brand × length-band blocked equi-join, which never
+    # broadcasts a derived sf-proportional table
+    # (`_fuzzy_blocked_name_pairs`). The 3-arg levenshtein early-stops
+    # above the bound and returns -1, excluded by the 0 <= lev guard.
+    dn = p.select("p_name").distinct()
+    if dn.count() <= _fuzzy_name_domain_max():
+        npairs = (
+            dn.select(F.col("p_name").alias("name_a"))
+            .crossJoin(F.broadcast(dn.select(F.col("p_name").alias("name_b"))))
+            .withColumn(
+                "lev",
+                F.levenshtein("name_a", "name_b", _FUZZY_MAX_LEV + 1).cast("int"),
+            )
+            .where((F.col("lev") >= 0) & (F.col("lev") <= _FUZZY_MAX_LEV))
+        )
+        expanded = a.join(F.broadcast(npairs), "name_a").join(
+            b, ["brand", "name_b"]
+        )
+    else:
+        bpairs = _fuzzy_blocked_name_pairs(p)
+        expanded = a.join(bpairs, ["brand", "name_a"]).join(
+            b, ["brand", "name_b"]
+        )
     return (
-        a.join(F.broadcast(npairs), "name_a")
-        .join(b, ["brand", "name_b"])
-        .where(F.col("key_a") < F.col("key_b"))
+        expanded.where(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", "name_a", "name_b", "lev")
         .orderBy("lev", "key_a", "key_b")
         .limit(_FUZZY_LIMIT)

@@ -102,7 +102,10 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
         "embedding_int8_quant",
         "daily_spine_gapfill",
         "rolling_7d_unique_users",
-        "fuzzy_part_name_pairs",  # |distinct names|² domain cross, broadcast
+        "fuzzy_part_name_pairs",  # name-domain cross ONLY under the counted
+        # guard (<= SPARK_ETL_FUZZY_NAME_DOMAIN_MAX distinct names);
+        # above it the plan is a blocked equi-join with no BNLJ —
+        # covered by test_fuzzy_blocked_fallback_matches_cross_path
         "lang_distribution_drift",  # two single-row total crosses
         "chi_square_type_weekday",  # 1-row N total + 1-row dof crosses
         "kmv_user_overlap",  # three 1-row sketch-stat crosses
@@ -152,6 +155,39 @@ def test_no_rowscale_global_window(name, spark, sf_dir):
     if name in _GLOBAL_WINDOW_OK:
         return  # documented small-by-construction global windows
     assert n_global == 0, f"{name} has {n_global} unpartitioned Window node(s)"
+
+
+# Queries allowed a non-aggregate Exchange SinglePartition: each is a
+# global sort/window whose INPUT is cardinality-bounded by construction
+# (the same bounded domains as _GLOBAL_WINDOW_OK — days, distinct doc
+# lengths, nation-pair edges, distinct cent values), so the single task
+# sees a constant-size input at any scale factor.
+_SINGLE_PARTITION_OK = {
+    "cumulative_unique_users",
+    "pareto_docs_frontier",
+    "khop_trade_nations",
+    "ks_click_vs_error",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_suspicious_single_partition_exchange(name, spark, sf_dir):
+    """Catalog gate for `Exchange SinglePartition` (every row through
+    ONE task): the benign form — the final step of a keyless global
+    aggregate, whose input is one row per upstream partition — is
+    always allowed; any other producer (repartition(1), global sort to
+    one partition, coalesce-to-one) fails unless the query is in the
+    documented bounded-input allowlist above. Keeps a future
+    repartition(1) from landing silently."""
+    from power_generation_etl_spark.plancheck import single_partition_exchanges
+
+    _total, suspicious = single_partition_exchanges(QUERIES[name](spark, sf_dir))
+    if name in _SINGLE_PARTITION_OK:
+        return  # documented bounded-input global sorts/windows
+    assert suspicious == 0, (
+        f"{name} has {suspicious} Exchange SinglePartition node(s) not "
+        "feeding a global aggregate"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -199,6 +199,22 @@ class TestAnalyticsBreadth:
         for r in rows:
             assert r["lev"] <= 2 and r["key_a"] < r["key_b"]
 
+    def test_fuzzy_blocked_fallback_matches_cross_path(
+        self, spark, sf_dir, monkeypatch
+    ):
+        """Forcing the distinct-name-domain guard below the actual
+        domain size switches fuzzy_part_name_pairs to the brand ×
+        length-band blocked equi-join; the results must be identical
+        and the fallback plan must contain NO nested-loop join (the
+        BNLJ allowlist entry covers only the under-threshold branch)."""
+        primary = QUERIES["fuzzy_part_name_pairs"](spark, sf_dir).collect()
+        monkeypatch.setenv("SPARK_ETL_FUZZY_NAME_DOMAIN_MAX", "1")
+        fallback_df = QUERIES["fuzzy_part_name_pairs"](spark, sf_dir)
+        plan = fallback_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert fallback_df.collect() == primary
+
     def test_latest_snapshot_one_row_per_customer(self, spark, sf_dir):
         df = QUERIES["latest_order_snapshot"](spark, sf_dir)
         assert df.count() == df.select("o_custkey").distinct().count()
