@@ -20,12 +20,20 @@ wins (worker-side import-try):
 
 Audio decodes for real too: RIFF/WAV PCM via the stdlib `wave` codec
 (rate / channels / duration / RMS / peak); compressed audio containers
-yield null features. Video frame sampling demuxes three container
+yield null features. Video frame sampling demuxes four container
 families for real — RIFF/AVI (pure-python chunk walk over the `movi`
-frame chunks), YUV4MPEG2 (fixed-size raw frame split from the stream
-header), and raw MJPEG (SOI/EOI marker split) — emitting exactly the
-per-frame payloads a sampler hands to a downstream decoder; mp4/mkv
-fall back to the byte-slicing stub (those need ffmpeg).
+frame chunks), mp4/mov (ISO BMFF box walk: the stsz/stsc/stco sample
+tables give exact per-frame byte ranges inside mdat — container demux
+needs no ffmpeg), YUV4MPEG2 (fixed-size raw frame split from the
+stream header), and raw MJPEG (SOI/EOI marker split) — emitting
+exactly the per-frame payloads a sampler hands to a downstream
+decoder. `probe_video_metadata` additionally parses container
+metadata (duration / codec id / dimensions / frame count) for
+mp4/mov, mkv/webm (EBML walk), AVI, and Y4M with zero dependencies.
+The remaining STUBS, deliberately: decoding compressed frame PAYLOADS
+into pixels (needs a codec), and mkv frame extraction (EBML block
+lacing) — unknown video containers fall back to the byte-slicing stub
+so the explode shape stays exercised everywhere.
 """
 
 from __future__ import annotations
@@ -444,14 +452,16 @@ def _mjpeg_frames(content: bytes) -> list[bytes] | None:
 
 
 def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame sampling over binary video columns. Three real demux
+    """Frame sampling over binary video columns. Four real demux
     tiers, best match wins: RIFF/AVI chunk walk (`##dc`/`##db` frame
-    payloads), YUV4MPEG2 fixed-size frame split, and raw-MJPEG SOI/EOI
-    marker split — all pure stdlib, emitting exactly the per-frame
-    payloads a downstream decoder consumes. Other containers (mp4/mkv
-    need ffmpeg) fall back to the byte-slicing stub so the explode
-    shape (1 row in → n rows out, wide binary payload) stays exercised
-    everywhere."""
+    payloads), mp4/mov sample-table demux (`_mp4_video_samples` —
+    stsz/stsc/stco byte ranges, no codec), YUV4MPEG2 fixed-size frame
+    split, and raw-MJPEG SOI/EOI marker split — all pure stdlib,
+    emitting exactly the per-frame payloads a downstream decoder
+    consumes. Remaining containers (mkv frame extraction needs EBML
+    block-lacing work) fall back to the byte-slicing stub so the
+    explode shape (1 row in → n rows out, wide binary payload) stays
+    exercised everywhere."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -459,7 +469,10 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
                 frames = (
-                    _avi_frames(blob) or _y4m_frames(blob) or _mjpeg_frames(blob)
+                    _avi_frames(blob)
+                    or _mp4_video_samples(blob)
+                    or _y4m_frames(blob)
+                    or _mjpeg_frames(blob)
                 )
                 if frames:
                     k = min(n_frames, len(frames))
@@ -797,3 +810,389 @@ def extract_audio_fingerprint(df: DataFrame) -> DataFrame:
 
     narrow = df.filter(F.col("kind") == "audio").select("media_id", "content")
     return narrow.mapInPandas(extract, AUDIO_FP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ISO BMFF (mp4/mov) container demux + EBML (mkv/webm) metadata probe —
+# pure stdlib. Demultiplexing is NOT codec decode: the mp4 sample
+# tables (stsz/stsc/stco) give exact per-frame byte ranges inside
+# mdat, so frame payload extraction needs no ffmpeg; only decoding the
+# extracted payloads into pixels does (that tier stays stubbed and
+# documented). mkv frame extraction (EBML block lacing) remains out of
+# scope; its metadata — duration, codec id, dimensions — parses for
+# real below.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_boxes(buf: bytes, pos: int, end: int):
+    """Yield (type, payload_start, payload_end) for the ISO BMFF boxes
+    in buf[pos:end]. Handles 64-bit largesize (size==1) and
+    to-end-of-file (size==0) encodings; stops on any malformed size."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr:
+            return
+        yield btype, pos + hdr, min(pos + size, end)
+        pos += size
+
+
+def _mp4_find(buf: bytes, pos: int, end: int, *path: bytes):
+    """(payload_start, payload_end) of the first box matching the
+    nested `path` of box types, or None."""
+    for btype, s, e in _mp4_boxes(buf, pos, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return s, e
+            return _mp4_find(buf, s, e, *path[1:])
+    return None
+
+
+def _mp4_video_trak(buf: bytes, moov_s: int, moov_e: int):
+    """(trak_start, trak_end) of the first video-handler track."""
+    for btype, s, e in _mp4_boxes(buf, moov_s, moov_e):
+        if btype != b"trak":
+            continue
+        hd = _mp4_find(buf, s, e, b"mdia", b"hdlr")
+        # handler type at payload offset 8 (version/flags + pre_defined)
+        if hd and buf[hd[0] + 8 : hd[0] + 12] == b"vide":
+            return s, e
+    return None
+
+
+def _mp4_sample_tables(buf: bytes, trak_s: int, trak_e: int):
+    """(codec_fourcc, sizes, chunk_offsets, stsc_runs) from the video
+    track's sample table box, or None if any table is missing."""
+    stbl = _mp4_find(buf, trak_s, trak_e, b"mdia", b"minf", b"stbl")
+    if not stbl:
+        return None
+    tables = {t: (s, e) for t, s, e in _mp4_boxes(buf, *stbl)}
+    codec = None
+    if b"stsd" in tables:
+        s, e = tables[b"stsd"]
+        if e - s >= 16:
+            codec = buf[s + 12 : s + 16].decode("ascii", "replace")
+    if not {b"stsz", b"stsc"} <= tables.keys():
+        return None
+    s, e = tables[b"stsz"]
+    fixed, count = struct.unpack(">II", buf[s + 4 : s + 12])
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        sizes = list(
+            struct.unpack(f">{count}I", buf[s + 12 : s + 12 + 4 * count])
+        )
+    s, e = tables[b"stsc"]
+    (n_runs,) = struct.unpack(">I", buf[s + 4 : s + 8])
+    runs = [
+        struct.unpack(">III", buf[s + 8 + 12 * i : s + 20 + 12 * i])
+        for i in range(n_runs)
+    ]
+    if b"stco" in tables:
+        s, e = tables[b"stco"]
+        (n,) = struct.unpack(">I", buf[s + 4 : s + 8])
+        offs = list(struct.unpack(f">{n}I", buf[s + 8 : s + 8 + 4 * n]))
+    elif b"co64" in tables:
+        s, e = tables[b"co64"]
+        (n,) = struct.unpack(">I", buf[s + 4 : s + 8])
+        offs = list(struct.unpack(f">{n}Q", buf[s + 8 : s + 8 + 8 * n]))
+    else:
+        return None
+    return codec, sizes, offs, runs
+
+
+def _mp4_video_samples(content: bytes) -> list[bytes] | None:
+    """Demux the video track's sample (frame) payloads from an mp4/mov:
+    walk moov → video trak → stbl, then resolve each sample's exact
+    byte range from the stsz sizes, stsc sample-to-chunk runs, and
+    stco/co64 chunk offsets. Returns None if the bytes are not ISO
+    BMFF or the tables are absent/malformed."""
+    try:
+        top = list(_mp4_boxes(content, 0, len(content)))
+        types = {t for t, _, _ in top}
+        if b"moov" not in types or not ({b"ftyp", b"mdat"} & types):
+            return None
+        moov = next((s, e) for t, s, e in top if t == b"moov")
+        trak = _mp4_video_trak(content, *moov)
+        if not trak:
+            return None
+        tabs = _mp4_sample_tables(content, *trak)
+        if not tabs:
+            return None
+        _codec, sizes, offs, runs = tabs
+        frames: list[bytes] = []
+        si = 0
+        for ri, (first, per, _desc) in enumerate(runs):
+            last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offs)
+            for c in range(first, last + 1):
+                if c < 1 or c > len(offs):
+                    return None
+                off = offs[c - 1]
+                for _ in range(per):
+                    if si >= len(sizes):
+                        break
+                    frames.append(content[off : off + sizes[si]])
+                    off += sizes[si]
+                    si += 1
+        return frames or None
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _mp4_metadata(content: bytes) -> dict | None:
+    """Container-level metadata from an mp4/mov: presentation duration
+    (mvhd timescale units → ms), video-track dimensions (tkhd 16.16
+    fixed), codec fourcc (stsd entry), and the sample count."""
+    try:
+        top = list(_mp4_boxes(content, 0, len(content)))
+        types = {t for t, _, _ in top}
+        if b"moov" not in types or not ({b"ftyp", b"mdat"} & types):
+            return None
+        moov = next((s, e) for t, s, e in top if t == b"moov")
+        out: dict = {"container": "mp4"}
+        mv = _mp4_find(content, *moov, b"mvhd")
+        if mv:
+            ver = content[mv[0]]
+            if ver == 1:
+                ts, dur = struct.unpack(">IQ", content[mv[0] + 20 : mv[0] + 32])
+            else:
+                ts, dur = struct.unpack(">II", content[mv[0] + 12 : mv[0] + 20])
+            if ts:
+                out["duration_ms"] = dur * 1000 // ts
+        trak = _mp4_video_trak(content, *moov)
+        if trak:
+            tk = _mp4_find(content, *trak, b"tkhd")
+            if tk:
+                w, h = struct.unpack(">II", content[tk[1] - 8 : tk[1]])
+                out["width"], out["height"] = w >> 16, h >> 16
+            tabs = _mp4_sample_tables(content, *trak)
+            if tabs:
+                out["codec"] = tabs[0]
+                out["n_frames"] = len(tabs[1])
+        return out
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+# --- EBML (Matroska/WebM) -------------------------------------------------
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+_EBML_SEGMENT = 0x18538067
+_EBML_INFO = 0x1549A966
+_EBML_TIMESCALE = 0x2AD7B1
+_EBML_DURATION = 0x4489
+_EBML_TRACKS = 0x1654AE6B
+_EBML_TRACKENTRY = 0xAE
+_EBML_TRACKTYPE = 0x83
+_EBML_CODECID = 0x86
+_EBML_VIDEO = 0xE0
+_EBML_PIXELW = 0xB0
+_EBML_PIXELH = 0xBA
+
+
+def _ebml_vint(buf: bytes, pos: int, keep_marker: bool) -> tuple[int, int, int]:
+    """(value, next_pos, n_bytes) of the EBML variable-length integer
+    at pos. Element IDs keep the length-marker bit (matching the
+    conventional hex constants above); sizes clear it."""
+    b0 = buf[pos]
+    if b0 == 0:
+        raise ValueError("EBML vint with >8-byte length")
+    n = 8 - b0.bit_length() + 1
+    val = b0 if keep_marker else b0 & (0xFF >> n)
+    for i in range(1, n):
+        val = (val << 8) | buf[pos + i]
+    return val, pos + n, n
+
+
+def _ebml_children(buf: bytes, pos: int, end: int):
+    """Yield (element_id, payload_start, payload_end); an unknown-size
+    element (all size bits set — the common Segment encoding) extends
+    to the enclosing end."""
+    while pos < end:
+        eid, p, _ = _ebml_vint(buf, pos, True)
+        size, p2, n = _ebml_vint(buf, p, False)
+        if size == (1 << (7 * n)) - 1:  # unknown size
+            size = end - p2
+        yield eid, p2, min(p2 + size, end)
+        pos = p2 + size
+
+
+def _ebml_uint(buf: bytes, s: int, e: int) -> int:
+    return int.from_bytes(buf[s:e], "big")
+
+
+def _mkv_metadata(content: bytes) -> dict | None:
+    """Container-level metadata from a Matroska/WebM file: duration
+    (segment Duration × TimecodeScale ns → ms), the first video
+    track's codec id and pixel dimensions. Frame extraction (block
+    lacing) is deliberately out of scope — this is the metadata tier."""
+    if not content.startswith(_EBML_MAGIC):
+        return None
+    try:
+        out: dict = {"container": "mkv"}
+        scale, duration = 1_000_000, None
+        for eid, s, e in _ebml_children(content, 0, len(content)):
+            if eid != _EBML_SEGMENT:
+                continue
+            for cid, cs, ce in _ebml_children(content, s, e):
+                if cid == _EBML_INFO:
+                    for iid, is_, ie in _ebml_children(content, cs, ce):
+                        if iid == _EBML_TIMESCALE:
+                            scale = _ebml_uint(content, is_, ie)
+                        elif iid == _EBML_DURATION:
+                            fmt = ">f" if ie - is_ == 4 else ">d"
+                            (duration,) = struct.unpack(
+                                fmt, content[is_:ie]
+                            )
+                elif cid == _EBML_TRACKS:
+                    for tid, ts, te in _ebml_children(content, cs, ce):
+                        if tid != _EBML_TRACKENTRY or "codec" in out:
+                            continue
+                        is_video, codec, w, h = False, None, None, None
+                        for fid, fs, fe in _ebml_children(content, ts, te):
+                            if fid == _EBML_TRACKTYPE:
+                                is_video = _ebml_uint(content, fs, fe) == 1
+                            elif fid == _EBML_CODECID:
+                                codec = content[fs:fe].decode("ascii", "replace")
+                            elif fid == _EBML_VIDEO:
+                                for vid, vs, ve in _ebml_children(
+                                    content, fs, fe
+                                ):
+                                    if vid == _EBML_PIXELW:
+                                        w = _ebml_uint(content, vs, ve)
+                                    elif vid == _EBML_PIXELH:
+                                        h = _ebml_uint(content, vs, ve)
+                        if is_video:
+                            out["codec"] = codec
+                            if w:
+                                out["width"] = w
+                            if h:
+                                out["height"] = h
+        if duration is not None:
+            out["duration_ms"] = int(duration * scale / 1_000_000)
+        return out
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _avi_metadata(content: bytes) -> dict | None:
+    """avih main-header metadata from a RIFF/AVI: frame period,
+    total frames, dimensions."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        return None
+    try:
+        for t, s, e in _riff_chunks(content, 12, len(content)):
+            if t != b"LIST" or content[s : s + 4] != b"hdrl":
+                continue
+            for t2, s2, e2 in _riff_chunks(content, s + 4, e):
+                if t2 == b"avih" and e2 - s2 >= 40:
+                    usec, _mb, _pad, _fl, total = struct.unpack(
+                        "<IIIII", content[s2 : s2 + 20]
+                    )
+                    w, h = struct.unpack("<II", content[s2 + 32 : s2 + 40])
+                    out = {"container": "avi", "n_frames": total}
+                    if w:
+                        out["width"] = w
+                    if h:
+                        out["height"] = h
+                    if usec and total:
+                        out["duration_ms"] = usec * total // 1000
+                    return out
+        return {"container": "avi"}
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        t = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        yield t, pos + 8, min(pos + 8 + size, end)
+        pos += 8 + size + (size & 1)
+
+
+def _y4m_metadata(content: bytes) -> dict | None:
+    if not content.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        header, _, _rest = content.partition(b"\n")
+        w = h = None
+        fn, fd = 0, 1
+        for tok in header.split(b" ")[1:]:
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"F" and b":" in tok:
+                fn, fd = (int(x) for x in tok[1:].split(b":"))
+        n = content.count(b"FRAME")
+        out: dict = {"container": "y4m", "codec": "rawvideo", "n_frames": n}
+        if w:
+            out["width"] = w
+        if h:
+            out["height"] = h
+        if fn:
+            out["duration_ms"] = n * fd * 1000 // fn
+        return out
+    except ValueError:
+        return None
+
+
+VIDEO_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),  # null: unknown
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+    ]
+)
+
+
+def probe_video_metadata(df: DataFrame) -> DataFrame:
+    """Container-metadata probe over binary video columns — the
+    partition-pruning / quality-filter front door of a multimodal
+    pipeline (drop zero-duration clips, route by codec, bucket by
+    resolution) that needs NO codec: mp4/mov (ISO BMFF box walk),
+    mkv/webm (EBML walk), RIFF/AVI (avih), YUV4MPEG2 (stream header).
+    Unknown containers yield a row with null fields, so the output is
+    total over the input and joins back 1:1 on media_id."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_PROBE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                meta = (
+                    _mp4_metadata(blob)
+                    or _mkv_metadata(blob)
+                    or _avi_metadata(blob)
+                    or _y4m_metadata(blob)
+                    or {}
+                )
+                rows.append(
+                    (
+                        media_id,
+                        meta.get("container"),
+                        meta.get("codec"),
+                        meta.get("width"),
+                        meta.get("height"),
+                        meta.get("duration_ms"),
+                        meta.get("n_frames"),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    narrow = df.filter(F.col("kind") == "video").select("media_id", "content")
+    return narrow.mapInPandas(probe, VIDEO_PROBE_SCHEMA)

@@ -1,0 +1,183 @@
+"""mp4/mov sample-table demux + mp4/mkv/avi/y4m metadata probe: the
+containers are synthesized in-test byte-for-byte (minimal valid ISO
+BMFF box tree / EBML element tree), so the tests assert real parsing
+against known ground truth with no codec or fixture files."""
+
+from __future__ import annotations
+
+import struct
+
+from power_generation_etl_spark.operators.multimodal import (
+    VIDEO_PROBE_SCHEMA,
+    _mkv_metadata,
+    _mp4_metadata,
+    _mp4_video_samples,
+    probe_video_metadata,
+    sample_video_frames,
+)
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _make_mp4(frames: list[bytes], *, two_chunks: bool = False) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + mdat(frames) + moov with a video
+    trak whose stsz/stsc/stco tables map the frames exactly. With
+    two_chunks, the frames split across two chunks with distinct
+    stsc runs (exercises the run expansion)."""
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = _box(b"mdat", b"".join(frames))
+    data_off = len(ftyp) + 8  # first frame byte inside mdat
+
+    stsz = _box(
+        b"stsz",
+        struct.pack(">III", 0, 0, len(frames))
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    if two_chunks:
+        # chunk 1: first frame; chunk 2: the rest
+        stsc = _box(
+            b"stsc",
+            struct.pack(">II", 0, 2)
+            + struct.pack(">III", 1, 1, 1)
+            + struct.pack(">III", 2, len(frames) - 1, 1),
+        )
+        stco = _box(
+            b"stco",
+            struct.pack(">II", 0, 2)
+            + struct.pack(">II", data_off, data_off + len(frames[0])),
+        )
+    else:
+        stsc = _box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, len(frames), 1))
+        stco = _box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", data_off))
+    stsd = _box(
+        b"stsd",
+        struct.pack(">II", 0, 1) + struct.pack(">I", 16) + b"mp4v" + b"\x00" * 4,
+    )
+    stbl = _box(b"stbl", stsd + stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12)
+    mdia = _box(b"mdia", hdlr + minf)
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">I", 0)  # version/flags
+        + b"\x00" * 16  # ctime/mtime/track_id/reserved
+        + struct.pack(">I", 2000)  # duration
+        + b"\x00" * 16  # reserved/layer/alt/volume/reserved
+        + b"\x00" * 36  # matrix
+        + struct.pack(">II", 320 << 16, 240 << 16),  # 16.16 fixed w/h
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">I", 0)
+        + b"\x00" * 8  # ctime/mtime
+        + struct.pack(">II", 1000, 2000)  # timescale, duration -> 2000 ms
+        + b"\x00" * 80,
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _ebml_el(eid: bytes, payload: bytes) -> bytes:
+    n = len(payload)
+    size = bytes([0x80 | n]) if n < 0x7F else struct.pack(">H", 0x4000 | n)
+    return eid + size + payload
+
+
+def _make_mkv() -> bytes:
+    info = _ebml_el(
+        b"\x15\x49\xa9\x66",
+        _ebml_el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + _ebml_el(b"\x44\x89", struct.pack(">f", 1500.0)),
+    )
+    video = _ebml_el(
+        b"\xe0",
+        _ebml_el(b"\xb0", (640).to_bytes(2, "big"))
+        + _ebml_el(b"\xba", (360).to_bytes(2, "big")),
+    )
+    track = _ebml_el(
+        b"\xae",
+        _ebml_el(b"\x83", b"\x01")
+        + _ebml_el(b"\x86", b"V_MPEG4/ISO/AVC")
+        + video,
+    )
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", track)
+    segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks)
+    return _ebml_el(b"\x1a\x45\xdf\xa3", b"") + segment
+
+
+_FRAMES = [b"frame-zero!!", b"f1-payload", b"frame--2", b"last-frame-3"]
+
+
+class TestMp4Demux:
+    def test_sample_table_roundtrip(self):
+        assert _mp4_video_samples(_make_mp4(_FRAMES)) == _FRAMES
+
+    def test_two_chunk_roundtrip(self):
+        assert _mp4_video_samples(_make_mp4(_FRAMES, two_chunks=True)) == _FRAMES
+
+    def test_metadata(self):
+        meta = _mp4_metadata(_make_mp4(_FRAMES))
+        assert meta == {
+            "container": "mp4",
+            "duration_ms": 2000,
+            "width": 320,
+            "height": 240,
+            "codec": "mp4v",
+            "n_frames": 4,
+        }
+
+    def test_not_mp4(self):
+        assert _mp4_video_samples(b"RIFF....AVI not an mp4") is None
+        assert _mp4_video_samples(b"") is None
+        # truncated box header / garbage sizes must not raise
+        assert _mp4_video_samples(b"\x00\x00\x00\x08ftyp"[:6]) is None
+
+    def test_truncated_tables_return_none(self):
+        blob = _make_mp4(_FRAMES)
+        assert _mp4_video_samples(blob[: len(blob) - 40]) is None
+
+
+class TestMkvMetadata:
+    def test_metadata(self):
+        meta = _mkv_metadata(_make_mkv())
+        assert meta == {
+            "container": "mkv",
+            "duration_ms": 1500,
+            "width": 640,
+            "height": 360,
+            "codec": "V_MPEG4/ISO/AVC",
+        }
+
+    def test_not_mkv(self):
+        assert _mkv_metadata(b"not an ebml stream") is None
+
+
+class TestSparkPlumbing:
+    def _media_df(self, spark, blobs):
+        return spark.createDataFrame(
+            [(i, "video", None, b, None, None, None) for i, b in enumerate(blobs)],
+            "media_id bigint, kind string, mime string, content binary,"
+            " width int, height int, duration_ms bigint",
+        )
+
+    def test_mp4_tier_in_frame_sampler(self, spark):
+        df = self._media_df(spark, [_make_mp4(_FRAMES)])
+        got = sample_video_frames(df, n_frames=2).collect()
+        # evenly spaced incl. frame 0 over the 4 demuxed samples
+        assert [bytes(r["frame_bytes"]) for r in got] == [_FRAMES[0], _FRAMES[2]]
+
+    def test_probe_total_over_input(self, spark):
+        df = self._media_df(
+            spark, [_make_mp4(_FRAMES), _make_mkv(), b"???unknown???"]
+        )
+        out = probe_video_metadata(df)
+        assert out.schema == VIDEO_PROBE_SCHEMA
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert len(rows) == 3  # total: unknown containers keep their row
+        assert rows[0]["container"] == "mp4" and rows[0]["n_frames"] == 4
+        assert rows[1]["container"] == "mkv" and rows[1]["codec"] == "V_MPEG4/ISO/AVC"
+        assert rows[1]["duration_ms"] == 1500
+        assert rows[2]["container"] is None
