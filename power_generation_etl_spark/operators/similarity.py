@@ -23,6 +23,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import cut as _cut
+from ..memo import PlanMemo
+
 
 def as_double_array(col: Column) -> Column:
     return col.cast("array<double>")
@@ -302,13 +305,36 @@ def kmeans_train(
     kernel='expr' (default) keeps the oracle-reproducible sequential-fold
     distance; kernel='arrow' assigns cells through the vectorized numpy
     kernel (`assign_cell_fast`) — the production path for big corpora,
-    identical assignments except on exact distance ties."""
+    identical assignments except on exact distance ties.
+
+    Trainings are MEMOIZED per (corpus plan, k, iters, kernel) via
+    `memo.PlanMemo` — a session that builds several indexes over the
+    same corpus with the same hyper-parameters (e.g. the raw and
+    residual IVF-PQ variants share their coarse quantizer) trains once;
+    the training is deterministic, so memoization is invisible to the
+    oracles. Callers get a fresh copy (mutation-safe)."""
+    src = df.select(
+        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
+    )
+    cents = _KMEANS_MEMO.get_or_build(
+        (k, iters, kernel), src, lambda: _kmeans_train_impl(src, k, iters, kernel)
+    )
+    return [(i, list(c)) for i, c in cents]
+
+
+# cap 8: an IVF-PQ build inserts 1 coarse + m=4 subspace trainings; the
+# residual twin must still find the coarse quantizer behind them.
+_KMEANS_MEMO = PlanMemo("kmeans_train", cap=8)
+
+
+def _kmeans_train_impl(
+    src: DataFrame, k: int, iters: int, kernel: str
+) -> list[tuple[int, list[float]]]:
     # Materialize the (id, vec) projection once: every Lloyd's round is
     # a fresh job, and without this each one re-scans and re-casts the
-    # source (at scale: persist to MEMORY_AND_DISK instead).
-    base = df.select(
-        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
-    ).localCheckpoint()
+    # source (at scale: persist to MEMORY_AND_DISK instead —
+    # lineage.cut's persist mode).
+    base = _cut(src)
     v = F.col("_v")
     seeds = base.orderBy("_id").limit(k).select(v.alias("e")).collect()
     cents = [(i, [float(x) for x in r["e"]]) for i, r in enumerate(seeds)]
@@ -674,7 +700,7 @@ def semdedup(
     assigner = assign_cell_fast if kernel == "arrow" else assign_cell
     assigned = df.select(
         F.col(id_col).alias("id"), v.alias("vec"), assigner(v, cents).alias("cell")
-    ).localCheckpoint()  # feeds three subtrees: counts + both join sides
+    ).transform(_cut)  # feeds three subtrees: counts + both join sides
     npar = spark.sparkContext.defaultParallelism
     left = assigned.repartition(npar, "cell")
     right = assigned.select(
@@ -807,7 +833,7 @@ def ivfpq_topk(
     # projected table feeds m×iters training scans — materialize once.
     train_df = enc_src.select(
         F.col(id_col).alias("_id"), enc_vec.alias("_enc")
-    ).localCheckpoint()
+    ).transform(_cut)
     books = pq_train(train_df, "_id", "_enc", m=m, k_sub=k_sub, iters=iters)
     if not books:
         idt = dict(df.dtypes).get(id_col, "bigint")

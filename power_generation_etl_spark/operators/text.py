@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..lineage import cut as _cut
+
 # Per-language stopword lists for the heuristic language ID: top
 # function words, whitespace-tokenized. Counting stays a single-scan
 # Column expression whatever the list size (tokenize once per language,
@@ -448,7 +450,7 @@ def repetition_stats(df, id_col: str, text_col: str):
     g = toks
     for j in range(1, 5):
         g = g.withColumn(f"w{j}", F.lead("w", j).over(w))
-    g = g.localCheckpoint()
+    g = g.transform(_cut)
 
     tstat = g.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -551,7 +553,7 @@ def dsir_importance_weights(
             "is_t",
             (portable_hash32(F.concat_ws(" ", "w", "w1")) % n_buckets).alias("b"),
         )
-        .localCheckpoint()  # feeds bucket totals AND per-doc counts
+        .transform(_cut)  # feeds bucket totals AND per-doc counts
     )
     totals = (
         bg.groupBy("b")

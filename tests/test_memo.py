@@ -1,0 +1,81 @@
+"""PlanMemo semantics: exact keying (plan + params), LRU eviction,
+env kill-switch, and the concrete cross-operator sharing it exists
+for (shingle tables, k-means trainings)."""
+
+from __future__ import annotations
+
+from power_generation_etl_spark.memo import PlanMemo
+
+
+class TestPlanMemo:
+    def test_hit_requires_same_plan_and_key(self, spark, sf_dir):
+        m = PlanMemo("t", cap=4)
+        a = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        b = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        builds = []
+        p1 = m.get_or_build((3,), a, lambda: builds.append(1) or "prod-a3")
+        p2 = m.get_or_build((3,), b, lambda: builds.append(1) or "rebuilt")
+        assert p1 == p2 == "prod-a3" and len(builds) == 1  # same plan+key: hit
+        p3 = m.get_or_build((4,), a, lambda: builds.append(1) or "prod-a4")
+        assert p3 == "prod-a4" and len(builds) == 2  # same plan, new key: miss
+
+    def test_local_relations_never_hit(self, spark):
+        # createDataFrame literal plans never compare sameSemantics —
+        # harmless rebuilds, never a stale hit.
+        m = PlanMemo("t")
+        a = spark.createDataFrame([(1, "x")], "id long, t string")
+        b = spark.createDataFrame([(1, "x")], "id long, t string")
+        m.get_or_build((), a, lambda: "first")
+        assert m.get_or_build((), b, lambda: "second") == "second"
+
+    def test_lru_eviction_and_bump(self, spark, sf_dir):
+        m = PlanMemo("t", cap=2)
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        m.get_or_build((1,), src, lambda: "p1")
+        m.get_or_build((2,), src, lambda: "p2")
+        m.get_or_build((1,), src, lambda: "never")  # bump (1,) to MRU
+        m.get_or_build((3,), src, lambda: "p3")  # evicts (2,)
+        assert m.get_or_build((1,), src, lambda: "rebuilt-1") == "p1"
+        assert m.get_or_build((2,), src, lambda: "rebuilt-2") == "rebuilt-2"
+
+    def test_env_kill_switch(self, spark, sf_dir, monkeypatch):
+        monkeypatch.setenv("SPARK_ETL_PRODUCT_CACHE", "0")
+        m = PlanMemo("t")
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assert m.get_or_build((), src, lambda: "a") == "a"
+        assert m.get_or_build((), src, lambda: "b") == "b"
+        assert not m._slots
+
+
+class TestOperatorSharing:
+    def test_shingle_table_shared_across_reads(self, spark, sf_dir):
+        from power_generation_etl_spark.operators import minhash as mh
+
+        t1 = mh.shingle_table(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text", 3
+        )
+        t2 = mh.shingle_table(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text", 3
+        )
+        assert t1 is t2  # one materialized table, seven consumers
+        t4 = mh.shingle_table(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text", 4
+        )
+        assert t4 is not t1  # n participates in the key
+
+    def test_kmeans_training_shared_and_copy_safe(self, spark, sf_dir):
+        from power_generation_etl_spark.operators import similarity as sim
+
+        e = f"{sf_dir}/embeddings.parquet"
+        c1 = sim.kmeans_train(
+            spark.read.parquet(e), "vec_id", "embedding", k=4, iters=1
+        )
+        c2 = sim.kmeans_train(
+            spark.read.parquet(e), "vec_id", "embedding", k=4, iters=1
+        )
+        assert c1 == c2
+        c1[0][1][0] = 1e9  # mutating a caller's copy ...
+        c3 = sim.kmeans_train(
+            spark.read.parquet(e), "vec_id", "embedding", k=4, iters=1
+        )
+        assert c3 == c2  # ... never corrupts the cached training
