@@ -73,13 +73,12 @@ retained token character is > 0x20.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..lineage import cut
+from ..memo import PlanMemo
 from .rank import with_global_dense_rank, with_global_rank
 
 # Round-0 string-prefix width: one window of INIT-1 leads replaces
@@ -220,19 +219,10 @@ def _rank_levels(
 # Memoized per-corpus products, shared between `suffix_array` and
 # `longest_repeated_substrings` in one session: the build (tokenize +
 # O(log maxlen) doubling rounds + the global-rank count pass) is the
-# dominant cost of both operators, and the key — semanticHash +
-# sameSemantics on the canonical source projection — is exact, never
-# falsely equal (verified: same-path parquet reads compare equal,
-# different paths / different LocalRelation data compare unequal).
-# Entries hold materialized tables pinned in executor storage, so the
-# cache is LRU-capped; evicted entries lose their Python refs and the
-# ContextCleaner reclaims the blocks.
-_CACHE: list[tuple[int, DataFrame, tuple]] = []
-_CACHE_MAX = 2
-
-
-def _cache_enabled() -> bool:
-    return os.environ.get("SPARK_ETL_SUFFIX_CACHE", "1") != "0"
+# dominant cost of both operators. Same PlanMemo machinery as the
+# shingle-table and k-means memos, under the suffix family's own env
+# switch (SPARK_ETL_SUFFIX_CACHE). LRU-2: two corpora in flight.
+_PRODUCTS_MEMO = PlanMemo("suffix_products", cap=2, env="SPARK_ETL_SUFFIX_CACHE")
 
 
 def _products(
@@ -248,27 +238,22 @@ def _products(
     final table).
     """
     src = _src(df, id_col, text_col)
-    use_cache = _cache_enabled()
-    if use_cache:
-        h = src.semanticHash()
-        for i, (hh, sdf, prod) in enumerate(_CACHE):
-            if hh == h and src.sameSemantics(sdf):
-                _CACHE.append(_CACHE.pop(i))  # LRU bump
-                return prod
-    base = _base(src)
-    maxlen, levels = _rank_levels(base, keep_levels=need_levels or use_cache)
-    sa = None
-    if maxlen:
-        sa = with_global_rank(
-            levels[-1][1],
-            [F.col("r"), F.col("doc_id"), F.col("pos")],
-            rank_col="sa_rank",
+
+    def build() -> tuple:
+        base = _base(src)
+        maxlen, levels = _rank_levels(
+            base, keep_levels=need_levels or _PRODUCTS_MEMO.enabled()
         )
-    prod = (base, maxlen, levels, sa)
-    if use_cache:
-        _CACHE.append((h, src, prod))
-        del _CACHE[:-_CACHE_MAX]
-    return prod
+        sa = None
+        if maxlen:
+            sa = with_global_rank(
+                levels[-1][1],
+                [F.col("r"), F.col("doc_id"), F.col("pos")],
+                rank_col="sa_rank",
+            )
+        return base, maxlen, levels, sa
+
+    return _PRODUCTS_MEMO.get_or_build((), src, build)
 
 
 def _empty_sa(spark: SparkSession) -> DataFrame:
