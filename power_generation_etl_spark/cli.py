@@ -258,6 +258,14 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("output", help="output parquet path")
     sd.add_argument("--threshold", type=int, default=0, help="keep when logit > t")
 
+    pm = sub.add_parser(
+        "probe-media",
+        help="codec-free video container metadata (mp4/mkv/avi/y4m: "
+        "container, codec, dimensions, duration, frame count) -> parquet",
+    )
+    pm.add_argument("media_parquet", help="media parquet (media_id, kind, content)")
+    pm.add_argument("output", help="output parquet path")
+
     lv = sub.add_parser("list-versions", help="archived snapshots of a table")
     lv.add_argument("table")
     rs = sub.add_parser("restore-table", help="roll a table back to a snapshot")
@@ -585,6 +593,23 @@ def _dispatch(args, spark, eng: Engine) -> int:
         kept = out.where(F.col("label") == "keep").count()
         total = out.count()
         print(f"scored {total} docs: keep={kept} drop={total - kept} → {args.output}")
+    elif args.cmd == "probe-media":
+        from power_generation_etl_spark.operators.multimodal import (
+            probe_video_metadata,
+        )
+
+        media = spark.read.parquet(args.media_parquet)
+        probe_video_metadata(media).write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        by = {
+            r["container"] or "(unknown)": r["n"]
+            for r in out.groupBy("container")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(by.values())
+        summary = ", ".join(f"{k}={v}" for k, v in sorted(by.items()))
+        print(f"probed {total} videos: {summary} → {args.output}")
     elif args.cmd == "list-versions":
         vs = eng.store.versions(args.table)
         for v in vs:

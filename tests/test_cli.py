@@ -481,3 +481,26 @@ def test_train_bpe_empty_and_degenerate_corpus(tmp_path, spark, capsys):
     assert merges.count() == 0
     assert _run(tmp_path, "bpe-encode", str(src), str(out)) == 0
     assert "3 words -> 3 symbols" in capsys.readouterr().out
+
+
+def test_probe_media_verb(spark, tmp_path, capsys):
+    from tests.test_video_containers import _FRAMES, _make_mkv, _make_mp4
+
+    src = str(tmp_path / "media.parquet")
+    out = str(tmp_path / "probe.parquet")
+    spark.createDataFrame(
+        [
+            (1, "video", None, _make_mp4(_FRAMES), None, None, None),
+            (2, "video", None, _make_mkv(), None, None, None),
+            (3, "video", None, b"mystery-bytes", None, None, None),
+            (4, "audio", None, b"not probed", None, None, None),
+        ],
+        "media_id bigint, kind string, mime string, content binary,"
+        " width int, height int, duration_ms bigint",
+    ).write.parquet(src)
+    assert cli.main(["--warehouse", str(tmp_path / "wh"), "probe-media", src, out]) == 0
+    printed = capsys.readouterr().out
+    assert "probed 3 videos" in printed and "mp4=1" in printed and "mkv=1" in printed
+    rows = {r["media_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["codec"] == "mp4v" and rows[2]["width"] == 640
+    assert rows[3]["container"] is None and 4 not in rows
