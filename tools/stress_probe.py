@@ -34,6 +34,12 @@ HEAVY = [
     "doc_rarity_scores",
     "lang_id_confusion",
     "chunk_dedup_stats",
+    # suffix family: the dup-heavy corpus is LRS's documented worst
+    # case — long shared prefixes make ~every adjacent suffix pair
+    # "hard", driving the binary descent at position scale (the
+    # graceful-degradation path, still plain equi-joins per level).
+    "suffix_array_topk",
+    "longest_repeated_substrings",
 ]
 
 
