@@ -14,12 +14,17 @@ decision, not an algorithm decision:
   an executor loss makes those blocks unrecoverable — with dynamic
   allocation or spot instances a 16-round suffix-array build can die
   at round 15.
-* ``persist`` — ``persist(MEMORY_AND_DISK)`` + an eager ``count()``:
-  lineage is kept, so a lost block recomputes from the (bounded,
-  already-cut-upstream) parent; spills to local disk under memory
-  pressure. The per-round plan still references its parent, so round
-  counts must stay bounded (they are: every iterative operator here is
-  fixed-round or log-round).
+* ``persist`` — ``persist(DISK_ONLY)`` + an eager ``count()``: lineage
+  is kept, so a lost block recomputes from the (bounded,
+  already-cut-upstream) parent — the retained lineage, not the storage
+  tier, is what makes the mode recoverable. DISK_ONLY deliberately:
+  long catalog sessions accumulate hundreds of cut tables faster than
+  the ContextCleaner reclaims them, and deserialized in-heap blocks
+  (MEMORY_AND_DISK) OOM'd an 8 GiB driver 104 queries into the
+  173-query battery; on-disk blocks cost a read but bound heap usage.
+  The per-round plan still references its parent, so round counts must
+  stay bounded (they are: every iterative operator here is fixed-round
+  or log-round).
 * ``checkpoint`` — ``DataFrame.checkpoint()``: a RELIABLE checkpoint
   to ``spark.sparkContext.getCheckpointDir`` (HDFS/S3 on a real
   cluster). Survives any executor loss; costs a write+read of the
@@ -59,7 +64,7 @@ def cut(df: DataFrame) -> DataFrame:
     """
     m = mode()
     if m == "persist":
-        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.persist(StorageLevel.DISK_ONLY)
         out.count()  # materialize eagerly, like localCheckpoint(eager=True)
         return out
     if m == "checkpoint":

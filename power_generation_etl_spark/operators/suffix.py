@@ -298,11 +298,16 @@ def _descend_hard(
 
     Largest span first. Each level streams its (checkpointed) rank
     table ONCE: the pair's two current offsets become two probe rows
-    (pair id, doc, offset, remaining), one equi-join attaches the rank
-    at each probe (an offset past the document end finds no row), and
-    a groupBy over the 2h probe rows keeps pairs where BOTH probes
-    landed with EQUAL ranks — certifying ``least(span, rem_a, rem_b)``
-    more matching tokens. Invariant: after the span-d level the
+    (pair id, doc, offset, remaining) carrying the full pair state, one
+    LEFT equi-join attaches the rank at each probe (an offset past the
+    document end finds no row → null rank), and a groupBy over the 2h
+    probe rows reconstructs each pair, advancing its LCP by
+    ``least(span, rem_a, rem_b)`` exactly when BOTH probes landed with
+    EQUAL ranks. No join back against the hard set — each level's plan
+    references the previous level ONCE, keeping the retained lineage
+    LINEAR in the level count (a hard ⟕ f(hard) join-back doubles the
+    plan per level: exponential plan text under the lineage-keeping
+    persist cut mode). Invariant: after the span-d level the
     undiscovered residue is < d, so the post-loop residue is < INIT
     and one bounded window-array compare finishes. The hard set is
     re-materialized per level (h rows — tiny) so every join plan stays
@@ -311,6 +316,13 @@ def _descend_hard(
     for span, ranks in reversed(levels):
         probes = hard.select(
             "_pid",
+            "doc_a",
+            "pos_a",
+            "doc_b",
+            "pos_b",
+            "_la",
+            "_lb",
+            "lcp",
             F.explode(
                 F.array(
                     F.struct(
@@ -329,26 +341,36 @@ def _descend_hard(
                     ),
                 )
             ).alias("_s"),
-        ).select("_pid", "_s.doc", "_s.off", "_s.rem")
+        ).select(
+            "_pid", "doc_a", "pos_a", "doc_b", "pos_b", "_la", "_lb", "lcp",
+            "_s.doc", "_s.off", "_s.rem",
+        )
         r = ranks.select(
             F.col("doc_id").alias("doc"), F.col("pos").alias("off"), "r"
         )
-        matched = (
-            probes.join(r, ["doc", "off"])
+        # LEFT join keeps both probe rows of every pair (an offset past
+        # the document end finds no rank row → null r), so one groupBy
+        # reconstructs the pair WITHOUT joining back against `hard` —
+        # each level's plan references the previous level exactly ONCE.
+        # (The earlier hard ⟕ f(hard) join-back doubled the retained
+        # lineage per level: exponential plan text that OOM'd AQE's
+        # plan stringifier under the lineage-keeping persist mode.)
+        advanced = F.when(
+            (F.count("r") == 2) & (F.min("r") == F.max("r")),
+            F.least(F.lit(span), F.min("rem")),
+        ).otherwise(F.lit(0))
+        hard = cut(
+            probes.join(r, ["doc", "off"], "left")
             .groupBy("_pid")
             .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.min("r").alias("_r0"),
-                F.max("r").alias("_r1"),
-                F.min("rem").alias("_rem"),
+                F.first("doc_a").alias("doc_a"),
+                F.first("pos_a").alias("pos_a"),
+                F.first("doc_b").alias("doc_b"),
+                F.first("pos_b").alias("pos_b"),
+                F.first("_la").alias("_la"),
+                F.first("_lb").alias("_lb"),
+                (F.first("lcp") + advanced).alias("lcp"),
             )
-            .where((F.col("_n") == 2) & (F.col("_r0") == F.col("_r1")))
-            .select("_pid", F.least(F.lit(span), F.col("_rem")).alias("_add"))
-        )
-        hard = cut(
-            hard.join(matched, "_pid", "left")
-            .withColumn("lcp", F.col("lcp") + F.coalesce("_add", F.lit(0)))
-            .drop("_add")
         )
     # Residue < INIT: one window-array compare at the final offsets
     # (inner joins — an offset past a document end means the residue
