@@ -17,8 +17,26 @@ different paths and different `createDataFrame` literal data never do,
 so a stale hit cannot happen; the worst case is a harmless rebuild
 (e.g. LocalRelations never match, so unit-test corpora always build
 fresh). Entries pin materialized blocks in executor storage, so each
-memo is LRU-capped; evicted entries drop their Python refs and the
-ContextCleaner reclaims the blocks.
+memo is LRU-capped.
+
+Lifecycle hardening (round 8):
+
+* **Session guard** — slots remember the owning SparkContext
+  (applicationId, startTime). A hit additionally requires the probing
+  DataFrame to come from the SAME live context; slots from a stopped/
+  replaced session are evicted instead of returned, so a process that
+  stops and recreates its SparkSession can never receive a product
+  whose blocks belong to a dead context.
+* **Deterministic release** — the RDD ids persisted DURING a build
+  (localCheckpoint blocks, persist(DISK_ONLY) tables, and any
+  intermediate `lineage.cut` a trainer leaves behind) are snapshotted
+  via ``JavaSparkContext.getPersistentRDDs`` and stored with the slot.
+  LRU eviction (and `clear()`) unpersists them immediately rather than
+  waiting for Python GC + the ContextCleaner, so long multi-corpus
+  sessions bound their executor storage deterministically. Eviction is
+  only safe because catalog queries fully materialize their results
+  before the next query runs (no dangling lazy consumer of an evicted
+  product); that is the documented contract.
 
 Caveat (documented, not detectable from the plan): overwriting a
 parquet path IN-SESSION and re-deriving products from it would hit the
@@ -36,6 +54,30 @@ from pyspark.sql import DataFrame
 _DEFAULT_ENV = "SPARK_ETL_PRODUCT_CACHE"
 
 
+def _session_token(df: DataFrame) -> tuple | None:
+    """Stable identity of the live SparkContext behind `df`, or None
+    if the context is stopped/unreachable. (applicationId, startTime)
+    survives Python-wrapper churn (two `getOrCreate()` wrappers of one
+    JVM session compare equal) while distinguishing a recreated
+    context in the same process."""
+    try:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc is None:  # stopped context
+            return None
+        return (sc.applicationId, sc.startTime)
+    except Exception:
+        return None
+
+
+def _persistent_rdd_ids(df: DataFrame) -> set[int]:
+    """Ids of currently persisted RDDs (localCheckpoint + persist)."""
+    try:
+        jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+    except Exception:
+        return set()
+
+
 class PlanMemo:
     """LRU memo of products derived from a source DataFrame plan."""
 
@@ -43,11 +85,34 @@ class PlanMemo:
         self.name = name
         self.cap = cap
         self.env = env
-        self._slots: list[tuple[tuple, DataFrame, Any]] = []
+        # (key_hash, src_df, product, session_token, rdd_ids)
+        self._slots: list[tuple[tuple, DataFrame, Any, tuple | None, set[int]]] = []
 
     def enabled(self) -> bool:
         return os.environ.get(self.env, "1") != "0"
 
+    # -- lifecycle -----------------------------------------------------
+    def _release(self, sdf: DataFrame, rdd_ids: set[int]) -> None:
+        """Unpersist the RDDs a build left pinned. Non-blocking; any
+        failure (dead context) just falls back to ContextCleaner GC."""
+        if not rdd_ids:
+            return
+        try:
+            jmap = sdf.sparkSession.sparkContext._jsc.getPersistentRDDs()
+            for rid in rdd_ids:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+        except Exception:
+            pass
+
+    def clear(self) -> None:
+        """Drop every slot, releasing its storage."""
+        for _, sdf, _, _, rids in self._slots:
+            self._release(sdf, rids)
+        self._slots = []
+
+    # -- lookup --------------------------------------------------------
     def get_or_build(
         self, key: tuple, src: DataFrame, build: Callable[[], Any]
     ) -> Any:
@@ -56,12 +121,24 @@ class PlanMemo:
         shapes the product (shingle n, k-means k/iters/kernel, ...)."""
         if not self.enabled():
             return build()
+        tok = _session_token(src)
+        if tok is None:  # unreadable context: don't cache, just build
+            return build()
+        # Evict slots from dead/replaced sessions first — their blocks
+        # belong to a stopped SparkContext and must never be returned.
+        live = [s for s in self._slots if s[3] == tok]
+        if len(live) != len(self._slots):
+            self._slots = live
         h = (key, src.semanticHash())
-        for i, (kh, sdf, prod) in enumerate(self._slots):
+        for i, (kh, sdf, prod, _t, _r) in enumerate(self._slots):
             if kh == h and src.sameSemantics(sdf):
                 self._slots.append(self._slots.pop(i))  # LRU bump
                 return prod
+        before = _persistent_rdd_ids(src)
         prod = build()
-        self._slots.append((h, src, prod))
+        new_ids = _persistent_rdd_ids(src) - before
+        self._slots.append((h, src, prod, tok, new_ids))
+        for _, sdf, _, _, rids in self._slots[: -self.cap]:
+            self._release(sdf, rids)
         del self._slots[: -self.cap]
         return prod

@@ -452,16 +452,16 @@ def _mjpeg_frames(content: bytes) -> list[bytes] | None:
 
 
 def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame sampling over binary video columns. Four real demux
+    """Frame sampling over binary video columns. Five real demux
     tiers, best match wins: RIFF/AVI chunk walk (`##dc`/`##db` frame
     payloads), mp4/mov sample-table demux (`_mp4_video_samples` —
-    stsz/stsc/stco byte ranges, no codec), YUV4MPEG2 fixed-size frame
-    split, and raw-MJPEG SOI/EOI marker split — all pure stdlib,
-    emitting exactly the per-frame payloads a downstream decoder
-    consumes. Remaining containers (mkv frame extraction needs EBML
-    block-lacing work) fall back to the byte-slicing stub so the
-    explode shape (1 row in → n rows out, wide binary payload) stays
-    exercised everywhere."""
+    stsz/stsc/stco byte ranges, no codec), Matroska/WebM block demux
+    (`_mkv_frames` — EBML cluster walk with all four lacing modes),
+    YUV4MPEG2 fixed-size frame split, and raw-MJPEG SOI/EOI marker
+    split — all pure stdlib, emitting exactly the per-frame payloads a
+    downstream decoder consumes. Unknown containers fall back to the
+    byte-slicing stub so the explode shape (1 row in → n rows out,
+    wide binary payload) stays exercised everywhere."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -471,6 +471,7 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 frames = (
                     _avi_frames(blob)
                     or _mp4_video_samples(blob)
+                    or _mkv_frames(blob)
                     or _y4m_frames(blob)
                     or _mjpeg_frames(blob)
                 )
@@ -885,6 +886,11 @@ def _mp4_sample_tables(buf: bytes, trak_s: int, trak_e: int):
     s, e = tables[b"stsz"]
     fixed, count = struct.unpack(">II", buf[s + 4 : s + 12])
     if fixed:
+        # Sanity bound on untrusted bytes: `count` samples of `fixed`
+        # bytes each must fit in the file, else a crafted header could
+        # declare count≈2^32 and allocate a multi-GB list per row.
+        if count > len(buf) or fixed * count > len(buf):
+            return None
         sizes = [fixed] * count
     else:
         sizes = list(
@@ -996,6 +1002,11 @@ _EBML_CODECID = 0x86
 _EBML_VIDEO = 0xE0
 _EBML_PIXELW = 0xB0
 _EBML_PIXELH = 0xBA
+_EBML_TRACKNUM = 0xD7
+_EBML_CLUSTER = 0x1F43B675
+_EBML_SIMPLEBLOCK = 0xA3
+_EBML_BLOCKGROUP = 0xA0
+_EBML_BLOCK = 0xA1
 
 
 def _ebml_vint(buf: bytes, pos: int, keep_marker: bool) -> tuple[int, int, int]:
@@ -1032,8 +1043,9 @@ def _ebml_uint(buf: bytes, s: int, e: int) -> int:
 def _mkv_metadata(content: bytes) -> dict | None:
     """Container-level metadata from a Matroska/WebM file: duration
     (segment Duration × TimecodeScale ns → ms), the first video
-    track's codec id and pixel dimensions. Frame extraction (block
-    lacing) is deliberately out of scope — this is the metadata tier."""
+    track's codec id and pixel dimensions. Frame extraction lives in
+    `_mkv_frames` (EBML block-lacing demux); this tier never touches
+    cluster payloads so it stays cheap for pure metadata scans."""
     if not content.startswith(_EBML_MAGIC):
         return None
     try:
@@ -1047,7 +1059,9 @@ def _mkv_metadata(content: bytes) -> dict | None:
                     for iid, is_, ie in _ebml_children(content, cs, ce):
                         if iid == _EBML_TIMESCALE:
                             scale = _ebml_uint(content, is_, ie)
-                        elif iid == _EBML_DURATION:
+                        elif iid == _EBML_DURATION and ie - is_ in (4, 8):
+                            # any other size: skip the duration rather
+                            # than letting struct.error abort the probe
                             fmt = ">f" if ie - is_ == 4 else ">d"
                             (duration,) = struct.unpack(
                                 fmt, content[is_:ie]
@@ -1079,6 +1093,129 @@ def _mkv_metadata(content: bytes) -> dict | None:
         if duration is not None:
             out["duration_ms"] = int(duration * scale / 1_000_000)
         return out
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _mkv_video_tracknum(content: bytes) -> int | None:
+    """TrackNumber of the first video TrackEntry, or None."""
+    for eid, s, e in _ebml_children(content, 0, len(content)):
+        if eid != _EBML_SEGMENT:
+            continue
+        for cid, cs, ce in _ebml_children(content, s, e):
+            if cid != _EBML_TRACKS:
+                continue
+            for tid, ts, te in _ebml_children(content, cs, ce):
+                if tid != _EBML_TRACKENTRY:
+                    continue
+                num, is_video = None, False
+                for fid, fs, fe in _ebml_children(content, ts, te):
+                    if fid == _EBML_TRACKNUM:
+                        num = _ebml_uint(content, fs, fe)
+                    elif fid == _EBML_TRACKTYPE:
+                        is_video = _ebml_uint(content, fs, fe) == 1
+                if is_video and num:
+                    return num
+    return None
+
+
+def _mkv_block_frames(
+    buf: bytes, s: int, e: int
+) -> tuple[int, list[bytes]] | None:
+    """(track_number, frame payloads) of one (Simple)Block whose
+    payload occupies buf[s:e), undoing all four Matroska lacing modes:
+
+    * no lacing (flag bits 0b00) — the rest of the block is one frame;
+    * Xiph (0b01) — per-frame sizes as 255-terminated byte sums for
+      the first n-1 frames, last frame = remainder;
+    * fixed-size (0b10) — remainder split into n equal frames;
+    * EBML (0b11) — first size an unsigned vint, each subsequent size
+      a signed-vint DELTA from the previous (signed = raw − (2^(7·len−1)
+      − 1)), last frame = remainder.
+
+    Returns None on malformed lacing (sizes overrun the block)."""
+    track, p, _ = _ebml_vint(buf, s, False)
+    p += 3  # int16 relative timecode + flags byte
+    if p > e:
+        return None
+    flags = buf[p - 1]
+    lacing = (flags >> 1) & 0x3
+    if lacing == 0:
+        return track, [buf[p:e]]
+    if p >= e:
+        return None
+    nframes = buf[p] + 1
+    p += 1
+    sizes: list[int] = []
+    if lacing == 1:  # Xiph
+        for _ in range(nframes - 1):
+            sz = 0
+            while p < e:
+                b = buf[p]
+                p += 1
+                sz += b
+                if b < 255:
+                    break
+            else:
+                return None
+            sizes.append(sz)
+    elif lacing == 3:  # EBML
+        if nframes > 1:
+            sz, p, _ = _ebml_vint(buf, p, False)
+            sizes.append(sz)
+            for _ in range(nframes - 2):
+                raw, p, n = _ebml_vint(buf, p, False)
+                sz += raw - ((1 << (7 * n - 1)) - 1)
+                sizes.append(sz)
+    else:  # fixed-size
+        rem = e - p
+        if nframes <= 0 or rem % nframes:
+            return None
+        sizes = [rem // nframes] * (nframes - 1)
+    if any(sz < 0 for sz in sizes) or p + sum(sizes) > e:
+        return None
+    frames: list[bytes] = []
+    for sz in sizes:
+        frames.append(buf[p : p + sz])
+        p += sz
+    frames.append(buf[p:e])  # last frame = remainder
+    return track, frames
+
+
+def _mkv_frames(content: bytes) -> list[bytes] | None:
+    """Demux the first video track's frame payloads from a Matroska/
+    WebM file: EBML-walk Segment → Cluster → SimpleBlock / BlockGroup→
+    Block, filter blocks to the video TrackNumber, and undo lacing via
+    `_mkv_block_frames`. Pure stdlib, no codec — emits the per-frame
+    payloads a downstream decoder consumes, closing the last container
+    demux gap (mp4/mov, avi, y4m, mjpeg were already real)."""
+    if not content.startswith(_EBML_MAGIC):
+        return None
+    try:
+        vtrack = _mkv_video_tracknum(content)
+        if not vtrack:
+            return None
+        frames: list[bytes] = []
+        for eid, s, e in _ebml_children(content, 0, len(content)):
+            if eid != _EBML_SEGMENT:
+                continue
+            for cid, cs, ce in _ebml_children(content, s, e):
+                if cid != _EBML_CLUSTER:
+                    continue
+                for bid, bs, be in _ebml_children(content, cs, ce):
+                    if bid == _EBML_SIMPLEBLOCK:
+                        parsed = _mkv_block_frames(content, bs, be)
+                    elif bid == _EBML_BLOCKGROUP:
+                        parsed = None
+                        for gid, gs, ge in _ebml_children(content, bs, be):
+                            if gid == _EBML_BLOCK:
+                                parsed = _mkv_block_frames(content, gs, ge)
+                                break
+                    else:
+                        continue
+                    if parsed and parsed[0] == vtrack:
+                        frames.extend(parsed[1])
+        return frames or None
     except (struct.error, IndexError, ValueError):
         return None
 
@@ -1126,14 +1263,41 @@ def _y4m_metadata(content: bytes) -> dict | None:
         header, _, _rest = content.partition(b"\n")
         w = h = None
         fn, fd = 0, 1
+        chroma = b"420"
         for tok in header.split(b" ")[1:]:
             if tok[:1] == b"W":
                 w = int(tok[1:])
             elif tok[:1] == b"H":
                 h = int(tok[1:])
+            elif tok[:1] == b"C":
+                chroma = tok[1:]
             elif tok[:1] == b"F" and b":" in tok:
                 fn, fd = (int(x) for x in tok[1:].split(b":"))
-        n = content.count(b"FRAME")
+        # Count frames by walking computed frame boundaries (header +
+        # w*h*planes payload per FRAME marker), exactly like
+        # `_y4m_frames` — a substring count of b"FRAME" would also hit
+        # the marker bytes INSIDE raw YUV plane payloads and inflate
+        # n_frames / duration_ms.
+        n = 0
+        if w and h:
+            if chroma.startswith(b"420"):
+                fsize = w * h * 3 // 2
+            elif chroma.startswith(b"422"):
+                fsize = w * h * 2
+            elif chroma.startswith(b"444"):
+                fsize = w * h * 3
+            elif chroma.startswith(b"mono"):
+                fsize = w * h
+            else:
+                fsize = None
+            if fsize is not None:
+                pos, total = len(header) + 1, len(content)
+                while pos + 5 <= total and content[pos : pos + 5] == b"FRAME":
+                    fnl = content.find(b"\x0a", pos)
+                    if fnl < 0 or fnl + 1 + fsize > total:
+                        break
+                    n += 1
+                    pos = fnl + 1 + fsize
         out: dict = {"container": "y4m", "codec": "rawvideo", "n_frames": n}
         if w:
             out["width"] = w

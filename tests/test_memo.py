@@ -47,6 +47,68 @@ class TestPlanMemo:
         assert not m._slots
 
 
+def _persisted_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+class TestLifecycle:
+    """Round-8 hardening: eviction unpersists a product's blocks
+    immediately (not lazily via GC + ContextCleaner), and slots from a
+    dead/replaced SparkContext are never returned."""
+
+    def test_eviction_releases_storage(self, spark, sf_dir):
+        from power_generation_etl_spark import lineage
+
+        m = PlanMemo("t", cap=1)
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        before = _persisted_ids(spark)
+        m.get_or_build((1,), src, lambda: lineage.cut(src.select("doc_id")))
+        first_ids = _persisted_ids(spark) - before
+        assert first_ids  # the build pinned at least one RDD
+        m.get_or_build((2,), src, lambda: lineage.cut(src.select("lang")))
+        # cap=1: entry (1,) was evicted and its blocks unpersisted NOW
+        assert not (first_ids & _persisted_ids(spark))
+
+    def test_clear_releases_storage(self, spark, sf_dir):
+        from power_generation_etl_spark import lineage
+
+        m = PlanMemo("t", cap=4)
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        before = _persisted_ids(spark)
+        m.get_or_build((1,), src, lambda: lineage.cut(src.select("doc_id")))
+        new_ids = _persisted_ids(spark) - before
+        assert new_ids
+        m.clear()
+        assert not m._slots
+        assert not (new_ids & _persisted_ids(spark))
+
+    def test_hit_survives_and_keeps_storage(self, spark, sf_dir):
+        from power_generation_etl_spark import lineage
+
+        m = PlanMemo("t", cap=2)
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        before = _persisted_ids(spark)
+        p1 = m.get_or_build((1,), src, lambda: lineage.cut(src.select("doc_id")))
+        new_ids = _persisted_ids(spark) - before
+        p2 = m.get_or_build((1,), src, lambda: "never")
+        assert p2 is p1
+        assert new_ids <= _persisted_ids(spark)  # hit: blocks stay pinned
+        m.clear()
+
+    def test_foreign_session_slot_not_returned(self, spark, sf_dir):
+        # Simulate a slot cached under a PREVIOUS SparkContext by
+        # mangling its stored session token: the probe must rebuild
+        # and the dead slot must be evicted, never returned.
+        m = PlanMemo("t", cap=4)
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        m.get_or_build((1,), src, lambda: "live-product")
+        kh, sdf, prod, _tok, rids = m._slots[0]
+        m._slots[0] = (kh, sdf, prod, ("dead-app-id", 0), rids)
+        assert m.get_or_build((1,), src, lambda: "rebuilt") == "rebuilt"
+        assert len(m._slots) == 1  # dead slot evicted, fresh one cached
+
+
 class TestOperatorSharing:
     def test_shingle_table_shared_across_reads(self, spark, sf_dir):
         from power_generation_etl_spark.operators import minhash as mh

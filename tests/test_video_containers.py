@@ -9,9 +9,11 @@ import struct
 
 from power_generation_etl_spark.operators.multimodal import (
     VIDEO_PROBE_SCHEMA,
+    _mkv_frames,
     _mkv_metadata,
     _mp4_metadata,
     _mp4_video_samples,
+    _y4m_metadata,
     probe_video_metadata,
     sample_video_frames,
 )
@@ -21,7 +23,9 @@ def _box(btype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload) + 8) + btype + payload
 
 
-def _make_mp4(frames: list[bytes], *, two_chunks: bool = False) -> bytes:
+def _make_mp4(
+    frames: list[bytes], *, two_chunks: bool = False, stsz_override: bytes | None = None
+) -> bytes:
     """Minimal valid ISO BMFF: ftyp + mdat(frames) + moov with a video
     trak whose stsz/stsc/stco tables map the frames exactly. With
     two_chunks, the frames split across two chunks with distinct
@@ -32,7 +36,9 @@ def _make_mp4(frames: list[bytes], *, two_chunks: bool = False) -> bytes:
 
     stsz = _box(
         b"stsz",
-        struct.pack(">III", 0, 0, len(frames))
+        stsz_override
+        if stsz_override is not None
+        else struct.pack(">III", 0, 0, len(frames))
         + b"".join(struct.pack(">I", len(f)) for f in frames),
     )
     if two_chunks:
@@ -86,7 +92,7 @@ def _ebml_el(eid: bytes, payload: bytes) -> bytes:
     return eid + size + payload
 
 
-def _make_mkv() -> bytes:
+def _make_mkv(clusters: bytes = b"") -> bytes:
     info = _ebml_el(
         b"\x15\x49\xa9\x66",
         _ebml_el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
@@ -99,13 +105,112 @@ def _make_mkv() -> bytes:
     )
     track = _ebml_el(
         b"\xae",
-        _ebml_el(b"\x83", b"\x01")
+        _ebml_el(b"\xd7", b"\x01")  # TrackNumber = 1
+        + _ebml_el(b"\x83", b"\x01")
         + _ebml_el(b"\x86", b"V_MPEG4/ISO/AVC")
         + video,
     )
-    tracks = _ebml_el(b"\x16\x54\xae\x6b", track)
-    segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks)
+    audio = _ebml_el(
+        b"\xae",
+        _ebml_el(b"\xd7", b"\x02") + _ebml_el(b"\x83", b"\x02"),
+    )
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", track + audio)
+    segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks + clusters)
     return _ebml_el(b"\x1a\x45\xdf\xa3", b"") + segment
+
+
+def _xiph_size(n: int) -> bytes:
+    return bytes([255] * (n // 255) + [n % 255])
+
+
+def _simpleblock(track: int, frames: list[bytes], lacing: str) -> bytes:
+    """SimpleBlock payload: track vint + int16 timecode + flags +
+    lace headers + frame payloads, per the Matroska block structure."""
+    head = bytes([0x80 | track]) + struct.pack(">h", 0)
+    if lacing == "none":
+        assert len(frames) == 1
+        return _ebml_el(b"\xa3", head + bytes([0x80]) + frames[0])
+    body = bytes([len(frames) - 1])
+    if lacing == "xiph":
+        flags = 0x82
+        body += b"".join(_xiph_size(len(f)) for f in frames[:-1])
+    elif lacing == "fixed":
+        flags = 0x84
+        assert len({len(f) for f in frames}) == 1
+    elif lacing == "ebml":
+        flags = 0x86
+        if len(frames) > 1:
+            body += bytes([0x80 | len(frames[0])])  # first size, vint
+            prev = len(frames[0])
+            for f in frames[1:-1]:
+                # 1-byte signed vint delta: raw = delta + 63
+                body += bytes([0x80 | (len(f) - prev + 63)])
+                prev = len(f)
+    return _ebml_el(b"\xa3", head + bytes([flags]) + body + b"".join(frames))
+
+
+_LACED = [b"aaaa-frame-0", b"b1", b"cc-frame-2-is-longer"]
+
+
+class TestMkvDemux:
+    def test_no_lacing(self):
+        cl = _ebml_el(b"\x1f\x43\xb6\x75", _simpleblock(1, [b"only-frame"], "none"))
+        assert _mkv_frames(_make_mkv(cl)) == [b"only-frame"]
+
+    def test_xiph_lacing(self):
+        cl = _ebml_el(b"\x1f\x43\xb6\x75", _simpleblock(1, _LACED, "xiph"))
+        assert _mkv_frames(_make_mkv(cl)) == _LACED
+
+    def test_xiph_255_boundary(self):
+        frames = [b"x" * 255, b"y" * 510, b"tail"]
+        cl = _ebml_el(b"\x1f\x43\xb6\x75", _simpleblock(1, frames, "xiph"))
+        assert _mkv_frames(_make_mkv(cl)) == frames
+
+    def test_ebml_lacing(self):
+        cl = _ebml_el(b"\x1f\x43\xb6\x75", _simpleblock(1, _LACED, "ebml"))
+        assert _mkv_frames(_make_mkv(cl)) == _LACED
+
+    def test_fixed_lacing(self):
+        frames = [b"12345678", b"abcdefgh", b"ABCDEFGH"]
+        cl = _ebml_el(b"\x1f\x43\xb6\x75", _simpleblock(1, frames, "fixed"))
+        assert _mkv_frames(_make_mkv(cl)) == frames
+
+    def test_blockgroup_and_multi_cluster(self):
+        bg = _ebml_el(
+            b"\xa0",
+            _ebml_el(b"\xa1", bytes([0x81]) + struct.pack(">h", 0) + b"\x00" + b"grouped"),
+        )
+        cl1 = _ebml_el(b"\x1f\x43\xb6\x75", _simpleblock(1, [b"first"], "none"))
+        cl2 = _ebml_el(b"\x1f\x43\xb6\x75", bg)
+        assert _mkv_frames(_make_mkv(cl1 + cl2)) == [b"first", b"grouped"]
+
+    def test_non_video_track_filtered(self):
+        cl = _ebml_el(
+            b"\x1f\x43\xb6\x75",
+            _simpleblock(2, [b"audio-bytes"], "none")
+            + _simpleblock(1, [b"video-bytes"], "none"),
+        )
+        assert _mkv_frames(_make_mkv(cl)) == [b"video-bytes"]
+
+    def test_no_clusters_or_not_mkv(self):
+        assert _mkv_frames(_make_mkv()) is None
+        assert _mkv_frames(b"not an ebml stream") is None
+
+    def test_truncated_does_not_raise(self):
+        cl = _ebml_el(b"\x1f\x43\xb6\x75", _simpleblock(1, _LACED, "xiph"))
+        blob = _make_mkv(cl)
+        for cutoff in (len(blob) - 5, len(blob) - 20, 30, 7):
+            _mkv_frames(blob[:cutoff])  # must not raise
+
+    def test_mkv_tier_in_frame_sampler(self, spark):
+        cl = _ebml_el(b"\x1f\x43\xb6\x75", _simpleblock(1, _LACED, "ebml"))
+        df = spark.createDataFrame(
+            [(0, "video", None, _make_mkv(cl), None, None, None)],
+            "media_id bigint, kind string, mime string, content binary,"
+            " width int, height int, duration_ms bigint",
+        )
+        got = sample_video_frames(df, n_frames=3).collect()
+        assert [bytes(r["frame_bytes"]) for r in got] == _LACED
 
 
 _FRAMES = [b"frame-zero!!", b"f1-payload", b"frame--2", b"last-frame-3"]
@@ -153,6 +258,60 @@ class TestMkvMetadata:
 
     def test_not_mkv(self):
         assert _mkv_metadata(b"not an ebml stream") is None
+
+
+class TestUntrustedBytesHardening:
+    """Probes/demuxers run over UNTRUSTED binary columns — crafted or
+    corrupt headers must fail closed (None), never allocate
+    proportionally to header-declared counts, and never raise."""
+
+    def test_stsz_count_bomb_rejected(self):
+        # fixed-size stsz declaring ~2^32 samples: a naive
+        # `[fixed] * count` would allocate a multi-GB list per row.
+        bomb = struct.pack(">III", 0, 1, 0xFFFF0000)
+        blob = _make_mp4(_FRAMES, stsz_override=bomb)
+        assert _mp4_video_samples(blob) is None
+        assert _mp4_metadata(blob) is None or "n_frames" not in _mp4_metadata(blob)
+
+    def test_stsz_fixed_size_legit(self):
+        # a LEGIT fixed-size table (4 samples of 12 bytes) still demuxes
+        frames = [b"aaaabbbbcccc", b"ddddeeeeffff", b"gggghhhhiiii", b"jjjjkkkkllll"]
+        fixed = struct.pack(">III", 0, 12, 4)
+        assert _mp4_video_samples(_make_mp4(frames, stsz_override=fixed)) == frames
+
+    def test_y4m_frame_marker_in_payload_not_counted(self):
+        # 4x2 mono frames (8 bytes each) whose PAYLOAD contains the
+        # ASCII marker b"FRAME" — a substring count would report 4.
+        payload = b"FRAMExyz"
+        blob = (
+            b"YUV4MPEG2 W4 H2 F25:1 Cmono\n"
+            + b"FRAME\n" + payload
+            + b"FRAME\n" + b"01234567"
+        )
+        meta = _y4m_metadata(blob)
+        assert meta["n_frames"] == 2
+        assert meta["duration_ms"] == 2 * 1000 // 25
+
+    def test_mkv_odd_duration_size_skipped_not_fatal(self):
+        # Duration element of 3 bytes (neither float32 nor float64):
+        # the probe must keep the rest of the metadata, not return None.
+        info = _ebml_el(
+            b"\x15\x49\xa9\x66",
+            _ebml_el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+            + _ebml_el(b"\x44\x89", b"\x01\x02\x03"),
+        )
+        track = _ebml_el(
+            b"\xae",
+            _ebml_el(b"\xd7", b"\x01")
+            + _ebml_el(b"\x83", b"\x01")
+            + _ebml_el(b"\x86", b"V_VP9"),
+        )
+        tracks = _ebml_el(b"\x16\x54\xae\x6b", track)
+        segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks)
+        meta = _mkv_metadata(_ebml_el(b"\x1a\x45\xdf\xa3", b"") + segment)
+        assert meta is not None
+        assert meta["codec"] == "V_VP9"
+        assert "duration_ms" not in meta
 
 
 class TestSparkPlumbing:
