@@ -572,27 +572,53 @@ def pq_train(
     """Train per-subspace PQ codebooks (Jégou et al., "Product
     Quantization for Nearest Neighbor Search"): split each vector into
     ``m`` contiguous subvectors and run the deterministic Lloyd's
-    trainer (`kmeans_train` — lowest-id seeds, 6-dp-rounded centroids,
-    lowest-cell tie-breaks) independently per subspace. Driver state is
+    trainer (lowest-id seeds, 6-dp-rounded centroids, lowest-cell
+    tie-breaks) independently per subspace. Driver state is
     m × k_sub × (dim/m) floats; each training pass is the same
-    linear-cost assignment/update loop as IVF."""
+    linear-cost assignment/update loop as IVF.
+
+    The FULL codebook set is MEMOIZED per (training-input plan, m,
+    k_sub, iters) — keyed on the UNCUT (id, enc) projection so two
+    invocations over the same corpus (including the residual twin's
+    second bench run) compare `sameSemantics`; the lineage cut that
+    feeds the m×iters training scans happens inside the builder, where
+    it can't poison the key with a never-equal LogicalRDD. Callers get
+    a fresh copy (mutation-safe)."""
     df = df.where(F.col(vec_col).isNotNull())
-    probe = df.select(vec_col).head()
+    src = df.select(
+        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_enc")
+    )
+    books = _PQ_MEMO.get_or_build(
+        (m, k_sub, iters), src, lambda: _pq_train_impl(src, m, k_sub, iters)
+    )
+    return [[(i, list(c)) for i, c in b] for b in books]
+
+
+# cap 4: raw + residual codebooks for two corpora in flight.
+_PQ_MEMO = PlanMemo("pq_books", cap=4)
+
+
+def _pq_train_impl(
+    src: DataFrame, m: int, k_sub: int, iters: int
+) -> list[list[tuple[int, list[float]]]]:
+    probe = src.select("_enc").head()
     if probe is None:
         return []
     dim = len(probe[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    # Materialize the projection once: it feeds m×iters training scans.
+    base = _cut(src)
     books = []
     for j in range(m):
-        sliced = df.select(
-            F.col(id_col),
-            F.slice(as_double_array(F.col(vec_col)), j * sub + 1, sub).alias(
-                "_s"
-            ),
+        sliced = base.select(
+            F.col("_id"), F.slice(F.col("_enc"), j * sub + 1, sub).alias("_v")
         )
-        books.append(kmeans_train(sliced, id_col, "_s", k=k_sub, iters=iters))
+        # _kmeans_train_impl directly: the books are memoized as a
+        # unit above, so routing each subspace through _KMEANS_MEMO
+        # would only insert never-hittable LogicalRDD-keyed slots.
+        books.append(_kmeans_train_impl(sliced, k_sub, iters, "expr"))
     return books
 
 
@@ -829,11 +855,11 @@ def ivfpq_topk(
         enc_vec = v
         enc_src = df
         cell_col = cell
-    # Train PQ on what it will encode (raw vectors or residuals); the
-    # projected table feeds m×iters training scans — materialize once.
-    train_df = enc_src.select(
-        F.col(id_col).alias("_id"), enc_vec.alias("_enc")
-    ).transform(_cut)
+    # Train PQ on what it will encode (raw vectors or residuals).
+    # UNCUT on purpose: pq_train memoizes the codebooks on this plan
+    # (and materializes it inside the builder), so the raw and
+    # residual variants — and re-runs — share trainings per corpus.
+    train_df = enc_src.select(F.col(id_col).alias("_id"), enc_vec.alias("_enc"))
     books = pq_train(train_df, "_id", "_enc", m=m, k_sub=k_sub, iters=iters)
     if not books:
         idt = dict(df.dtypes).get(id_col, "bigint")

@@ -125,6 +125,39 @@ class TestOperatorSharing:
         )
         assert t4 is not t1  # n participates in the key
 
+    def test_ann_family_coarse_quantizer_shared(self, spark, sf_dir, monkeypatch):
+        """BENCH evidence (r7 ADVICE): the ivfpq variants must TRAIN
+        the shared coarse quantizer once per session, not once per
+        query — the residual twin's only new trainings are its 4
+        residual-encoded PQ subspace codebooks, and a re-run of either
+        query trains nothing. (ivf_kmeans_topk deliberately does NOT
+        share: its train_iters=3 trajectory is unrolled in its oracle,
+        the ivfpq coarse runs iters=2 — different model, different
+        key.)"""
+        from power_generation_etl_spark.operators import similarity as sim
+        from power_generation_etl_spark.plans import QUERIES
+
+        sim._KMEANS_MEMO.clear()
+        sim._PQ_MEMO.clear()
+        builds: list[tuple] = []
+        orig = sim._kmeans_train_impl
+
+        def counting(src, k, iters, kernel):
+            builds.append((k, iters, kernel))
+            return orig(src, k, iters, kernel)
+
+        monkeypatch.setattr(sim, "_kmeans_train_impl", counting)
+        QUERIES["ivfpq_adc_topk"](spark, sf_dir).collect()
+        n_adc = len(builds)
+        assert n_adc == 5  # 1 coarse + m=4 subspace codebooks
+        QUERIES["ivfpq_residual_topk"](spark, sf_dir).collect()
+        assert len(builds) - n_adc == 4  # coarse HIT; only residual books new
+        QUERIES["ivfpq_residual_topk"](spark, sf_dir).collect()
+        QUERIES["ivfpq_adc_topk"](spark, sf_dir).collect()
+        assert len(builds) - n_adc == 4  # re-runs train NOTHING
+        sim._KMEANS_MEMO.clear()
+        sim._PQ_MEMO.clear()
+
     def test_kmeans_training_shared_and_copy_safe(self, spark, sf_dir):
         from power_generation_etl_spark.operators import similarity as sim
 
