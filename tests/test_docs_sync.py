@@ -1,0 +1,62 @@
+"""Docs ↔ catalog sync: the README's stated catalog size, COVERAGE.md's
+count claims, and every query name COVERAGE/README cite must match the
+live registry — so documentation can't silently drift from the code
+again (r5-r7 each caught one stale count/typo by hand)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from power_generation_etl_spark.plans import ORACLES, QUERIES
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _read(name: str) -> str:
+    return (ROOT / name).read_text(encoding="utf-8")
+
+
+def test_registry_internally_consistent():
+    assert len(QUERIES) == len(ORACLES)
+    assert set(QUERIES) == set(ORACLES)
+    assert list(QUERIES) == list(ORACLES)  # harness pairs them by order
+
+
+def test_readme_counts_match_registry():
+    text = _read("README.md")
+    claims = [int(x) for x in re.findall(r"registers\s+(\d+)\s+catalog\s+queries", text)]
+    claims += [int(x) for x in re.findall(r"Every one of the\s+(\d+)\s+has a DuckDB", text)]
+    assert claims, "README no longer states the catalog size — keep the claim"
+    for c in claims:
+        assert c == len(QUERIES), f"README claims {c} queries, registry has {len(QUERIES)}"
+
+
+def test_coverage_counts_match_registry():
+    text = _read("COVERAGE.md")
+    for a, b in re.findall(r"(\d+)/(\d+)\s+oracle", text):
+        assert int(a) == int(b) == len(QUERIES)
+    for x in re.findall(r"\((\d+)\s+plans each\)", text):
+        assert int(x) == len(QUERIES)
+
+
+def test_cited_query_names_exist():
+    """Every `query `name`` / `oracle `name`` citation in COVERAGE.md
+    must reference a registered catalog entry (catches renames)."""
+    text = _read("COVERAGE.md")
+    cited = set(re.findall(r"(?:query|oracle|queries)\s+`([a-z][a-z0-9_]+)`", text))
+    stale = sorted(n for n in cited if n not in QUERIES)
+    assert not stale, f"COVERAGE.md cites unregistered queries: {stale}"
+
+
+def test_core_sample_is_a_cross_section():
+    """The fixed driver-sample core must stay registered and at its
+    documented size; the rotating remainder covers the rest."""
+    from power_generation_etl_spark.plans import _CORE
+
+    assert 25 <= len(_CORE) <= 35  # fixed slice, rest rotates into 50
+    assert len(set(_CORE)) == len(_CORE)
+    missing = [n for n in _CORE if n not in QUERIES]
+    assert not missing
+    # the core leads the registry so first-N samplers always hit it
+    assert list(QUERIES)[: len(_CORE)] == _CORE

@@ -1,0 +1,158 @@
+"""Extended scale points for the catalog's two steepest queries
+(r7 verdict #2): `prefix_jaccard_pairs` (alpha=0.7 between sf0.01 and
+sf0.1) and `lpa_communities` (alpha=0.5). The driver only ships
+sf<=0.1, so this tool MATERIALIZES derived 2x and 4x corpora from the
+sf0.1 snapshot — the goal is to see whether the 0.01->0.1 exponent
+flattens (fixed-cost amortization) or keeps climbing (super-linear
+candidate growth) as data actually grows.
+
+Derivation (only the tables the two queries read):
+
+* documents: each extra copy keeps the sf0.1 vocabulary, doc count,
+  and length distribution but TOKEN-SHUFFLES every document with a
+  copy-and-doc-seeded hash sort. Cloned text would be wrong for a
+  near-dup probe — identical posting lists quadruple candidate pairs
+  per shingle and measure a pathology, not scaling; shuffled trigrams
+  land in fresh posting lists, approximating the fresh-docs corpus the
+  generator would emit at a larger SF.
+* lineitem: key-shifted disjoint copies (l_partkey / l_suppkey /
+  l_orderkey offset past the originals' max) — LPA's workload is
+  rounds x edges, and a disjoint union is exactly 2x/4x edges with the
+  same degree distribution.
+
+Timings: min of REPS same-session runs per (query, sf), after a
+warm-up query — consistent with tools/scaling_probe.py methodology.
+Appends a section to SCALING_MEASURED.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from power_generation_etl_spark.session import get_spark  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = "/root/testdata/sf0.1"
+DERIVED = os.path.join(ROOT, ".probe_sf")
+TARGETS = ["prefix_jaccard_pairs", "lpa_communities"]
+REPS = 2
+
+
+def _shuffled_docs(spark, base_docs: str, copy_no: int):
+    """A token-shuffled, id-offset copy of the documents table."""
+    d = spark.read.parquet(base_docs)
+    max_id = d.agg(F.max("doc_id")).first()[0] or 0
+    toks = F.split(F.col("text"), r"\s+")
+    keyed = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.crc32(
+                F.concat_ws("#", t, F.col("doc_id").cast("string"), F.lit(str(copy_no)))
+            ).alias("k"),
+            t.alias("t"),
+        ),
+    )
+    shuffled = F.array_join(
+        F.transform(F.array_sort(keyed), lambda s: s["t"]), " "
+    )
+    return d.select(
+        (F.col("doc_id") + F.lit(copy_no * (max_id + 1))).alias("doc_id"),
+        shuffled.alias("text"),
+        *[c for c in d.columns if c not in ("doc_id", "text")],
+    ).select(*d.columns)
+
+
+def _shifted_lineitem(spark, base_li: str, copy_no: int):
+    li = spark.read.parquet(base_li)
+    keys = ["l_orderkey", "l_partkey", "l_suppkey"]
+    maxes = li.agg(*[F.max(k).alias(k) for k in keys]).first().asDict()
+
+    def col(c):
+        if c in maxes:
+            return (F.col(c) + F.lit(copy_no * (maxes[c] + 1))).alias(c)
+        return F.col(c)
+
+    return li.select(*[col(c) for c in li.columns])
+
+
+def materialize(spark, mult: int) -> str:
+    out = os.path.join(DERIVED, f"sf0.{mult}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = [spark.read.parquet(f"{BASE}/documents.parquet")]
+    lis = [spark.read.parquet(f"{BASE}/lineitem.parquet")]
+    for i in range(1, mult):
+        docs.append(_shuffled_docs(spark, f"{BASE}/documents.parquet", i))
+        lis.append(_shifted_lineitem(spark, f"{BASE}/lineitem.parquet", i))
+    d = docs[0]
+    for x in docs[1:]:
+        d = d.unionByName(x)
+    li = lis[0]
+    for x in lis[1:]:
+        li = li.unionByName(x)
+    d.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    li.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out
+
+
+def main() -> int:
+    spark = get_spark("scale_point")
+    from power_generation_etl_spark.plans import QUERIES
+
+    dirs = {0.1: BASE, 0.2: materialize(spark, 2), 0.4: materialize(spark, 4)}
+    # warm-up: JIT/codegen paid before any timed run
+    QUERIES["pricing_summary"](spark, BASE).collect()
+
+    rows = []
+    for q in TARGETS:
+        times = {}
+        for sf, d in dirs.items():
+            best = None
+            for _ in range(REPS):
+                t0 = time.monotonic()
+                QUERIES[q](spark, d).collect()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            times[sf] = best
+            print(f"{q} @ sf{sf}: {best:.2f}s", flush=True)
+        import math
+
+        a12 = math.log(times[0.2] / times[0.1]) / math.log(2)
+        a24 = math.log(times[0.4] / times[0.2]) / math.log(2)
+        rows.append((q, times[0.1], times[0.2], times[0.4], a12, a24))
+
+    lines = [
+        "",
+        "## Extended points for the two steepest queries (derived 2x/4x corpora)",
+        "",
+        "Generated by `python tools/scale_point.py`: sf0.2/sf0.4 are",
+        "derived from the sf0.1 snapshot (token-shuffled fresh documents /",
+        "key-shifted disjoint lineitem copies — see the tool docstring for",
+        "why clones would mis-measure a near-dup probe). min of"
+        f" {REPS} same-session runs.",
+        "",
+        "| query | sf0.1 s | sf0.2 s | sf0.4 s | alpha(0.1->0.2) | alpha(0.2->0.4) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for q, t1, t2, t4, a12, a24 in rows:
+        lines.append(
+            f"| {q} | {t1:.2f} | {t2:.2f} | {t4:.2f} | {a12:.1f} | {a24:.1f} |"
+        )
+    with open(os.path.join(ROOT, "SCALING_MEASURED.md"), "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
