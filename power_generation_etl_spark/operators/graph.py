@@ -32,7 +32,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import lineage
 from ..lineage import cut as _cut
+
+
+def _copartition(df: DataFrame, key: str) -> DataFrame:
+    """Pre-partition an iteration-INVARIANT table (adjacency, weighted
+    edges) by its per-round join key BEFORE the lineage cut.
+
+    Under the lineage-keeping cut modes (`persist` / reliable
+    `checkpoint` — the cluster-deployment modes) the materialized table
+    reports this hash partitioning, so every round's equi-join
+    re-exchanges only the small per-round side (labels / ranks, |V|
+    rows) and never the edge-scale table (2|E| rows) — the dominant
+    per-round shuffle at 100 TB. Verified by plan assert in
+    tests/test_graph_audio.py. Under `local` (localCheckpoint) Spark
+    drops outputPartitioning across the RDD scan boundary (probed on
+    4.1: Scan ExistingRDD reports unknown partitioning), so the
+    per-round exchange happens regardless and the extra up-front
+    shuffle would be pure cost — skip it."""
+    if lineage.mode() == "local":
+        return df
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, key
+    )
 
 
 def connected_components(
@@ -46,9 +69,12 @@ def connected_components(
     component. Deterministic — independent of partitioning and of the
     number of rounds run past convergence."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().transform(_cut)
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .transform(lambda d: _copartition(d, "b"))
+        .transform(_cut)
+    )
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).transform(_cut)
@@ -211,7 +237,9 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("bigint"))
     outd = e.groupBy("u").agg(F.sum("w").alias("out_w"))
-    ew = e.join(outd, "u").transform(_cut)  # (u, v, w, out_w)
+    # (u, v, w, out_w); statically co-partitioned on the per-round
+    # join key under cluster cut modes
+    ew = e.join(outd, "u").transform(lambda d: _copartition(d, "u")).transform(_cut)
     base = ((100 - damping_pct) * (scale // n)) // 100
     ranks = nodes.withColumn("rank_scaled", F.lit(scale // n).cast("bigint"))
     for _ in range(iters):
@@ -470,6 +498,7 @@ def label_propagation(
     adj = (
         e.select(F.col("a").alias("id"), F.col("b").alias("nb"))
         .unionByName(e.select(F.col("b").alias("id"), F.col("a").alias("nb")))
+        .transform(lambda d: _copartition(d, "nb"))
         .transform(_cut)
     )
     nodes = adj.select("id").distinct().transform(_cut)

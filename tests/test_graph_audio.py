@@ -314,3 +314,54 @@ class TestAudioFingerprint:
         df = spark.createDataFrame(rows, MEDIA_SCHEMA)
         r = extract_audio_fingerprint(df).collect()[0]
         assert r["afp64"] is None
+
+
+class TestCopartition:
+    """Iteration-invariant tables (LPA adjacency, PageRank weighted
+    edges) are pre-partitioned by their per-round join key under the
+    cluster lineage-cut modes, so each round exchanges only the |V|
+    label/rank side, never the 2|E| table."""
+
+    def test_cluster_mode_elides_edge_side_exchange(self, spark, monkeypatch):
+        from pyspark.sql import functions as F
+
+        from power_generation_etl_spark import lineage
+        from power_generation_etl_spark.operators.graph import _copartition
+
+        monkeypatch.setenv("SPARK_ETL_LINEAGE_CUT", "persist")
+        adj = spark.range(500).select(
+            (F.col("id") % 50).alias("nb"), F.col("id")
+        )
+        pre = lineage.cut(_copartition(adj, "nb"))
+        labels = spark.range(50).select(
+            F.col("id").alias("nb"), F.lit(1).alias("lab")
+        )
+        try:
+            plan = (
+                pre.join(labels.hint("merge"), "nb")
+                .select("id")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            ens = [
+                ln
+                for ln in plan.splitlines()
+                if "ENSURE_REQUIREMENTS" in ln and "hashpartitioning(nb" in ln
+            ]
+            # only the labels side needs an exchange; the cached
+            # adjacency reports its static hash partitioning
+            assert len(ens) == 1, plan
+        finally:
+            pre.unpersist()
+
+    def test_local_mode_is_noop(self, spark, monkeypatch):
+        # localCheckpoint drops outputPartitioning across the RDD scan
+        # boundary, so the up-front shuffle would be pure cost
+        monkeypatch.setenv("SPARK_ETL_LINEAGE_CUT", "local")
+        from pyspark.sql import functions as F
+
+        from power_generation_etl_spark.operators.graph import _copartition
+
+        adj = spark.range(10).select((F.col("id") % 3).alias("nb"), "id")
+        assert _copartition(adj, "nb") is adj

@@ -48,13 +48,41 @@ def _rank_result(spark):
     return sorted((r["k"], r["id"], r["r"]) for r in out.collect())
 
 
+def _lpa_result(spark):
+    from power_generation_etl_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "u bigint, v bigint",
+    )
+    return sorted(
+        (r["id"], r["lab"])
+        for r in label_propagation(edges, "u", "v", rounds=3).collect()
+    )
+
+
+def _pagerank_result(spark):
+    from power_generation_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)], "src bigint, dst bigint"
+    )
+    return sorted(
+        (r["id"], r["rank_scaled"])
+        for r in pagerank(edges, iters=3).collect()
+    )
+
+
 class TestLineageModes:
     def test_invalid_mode_rejected(self, monkeypatch):
         monkeypatch.setenv("SPARK_ETL_LINEAGE_CUT", "bogus")
         with pytest.raises(ValueError):
             lineage.mode()
 
-    @pytest.mark.parametrize("fixture", [_cc_result, _lrs_result, _rank_result])
+    @pytest.mark.parametrize(
+        "fixture",
+        [_cc_result, _lrs_result, _rank_result, _lpa_result, _pagerank_result],
+    )
     def test_modes_identical(self, spark, monkeypatch, fixture):
         # suffix products must not be reused across modes — the point
         # is to rebuild under each strategy.
