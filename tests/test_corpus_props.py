@@ -4,6 +4,10 @@ robustness."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # randomized property battery; run with -m "slow or not slow"
+
 import math
 
 from hypothesis import HealthCheck, given, settings

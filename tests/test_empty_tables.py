@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # whole-catalog empty-input sweep; run with -m "slow or not slow"
+
 from power_generation_etl_spark.plans import QUERIES
 
 TABLES = [

@@ -13,6 +13,8 @@ import random
 
 import duckdb
 import pytest
+
+pytestmark = pytest.mark.slow  # three-engine hash-parity fuzz; run with -m "slow or not slow"
 from pyspark.sql import functions as F
 
 from power_generation_etl_spark.operators import scoring as sc

@@ -3,6 +3,10 @@ near-dup dedup -> language tag -> packing -> JSONL shards."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end shard pipeline; run with -m "slow or not slow"
+
 from pyspark.sql import functions as F
 
 from power_generation_etl_spark.pipelines.pretrain import prepare_pretraining_shards

@@ -20,6 +20,9 @@ def duck(sf_dir):
     con.close()
 
 
+@pytest.mark.slow  # duplicated by tools/check_correctness.py, which the
+# driver and the pre-round checklist run at sf0.01; the plan-gate tests
+# below stay in the fast tier.
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = QUERIES[name](spark, sf_dir)
@@ -75,27 +78,12 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_catalog_plan_hygiene(name, spark, sf_dir):
-    """Whole-catalog plan guardrail: no catalog query may compile to a
-    row-at-a-time Python eval (BatchEvalPython), an Arrow Python eval
-    (the catalog defaults to the portable expression kernels), or a
-    shuffle cartesian product. BroadcastNestedLoopJoin is allowed only
-    where it is the documented plan: the O(n²) exact all-pairs twin
-    (inequality join), the single-row broadcast crosses (TF-IDF's
-    corpus count, the quantile threshold, the quantization scale), and
-    the date-spine grid (days × event kinds, both broadcast-size by
-    construction)."""
-    plan = (
-        QUERIES[name](spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "BatchEvalPython" not in plan, f"{name} runs row-wise Python"
-    assert "ArrowEvalPython" not in plan, f"{name} runs a pandas UDF"
-    assert "CartesianProduct" not in plan, f"{name} has a shuffle cartesian"
-    if name not in {
+# BroadcastNestedLoopJoin is allowed only where it is the documented
+# plan: the O(n²) exact all-pairs twin (inequality join), the
+# single-row broadcast crosses (TF-IDF's corpus count, the quantile
+# threshold, the quantization scale), and the date-spine grid (days ×
+# event kinds, both broadcast-size by construction).
+_BNLJ_OK = {
         "cosine_allpairs_neardup",
         "tfidf_top_terms",
         "doc_token_threshold_filter",
@@ -114,8 +102,7 @@ def test_catalog_plan_hygiene(name, spark, sf_dir):
         "ewma_daily_value",  # same spine grid as locf_daily_value
         "session_duration_stats",  # 1-row p90 rank-selection cross
         "semantic_decontam_embeddings",  # limit-bounded benchmark cross
-    }:
-        assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"
+}
 
 
 # Queries allowed an unpartitioned (global-order) Window: each one's
@@ -134,27 +121,6 @@ _GLOBAL_WINDOW_OK = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_rowscale_global_window(name, spark, sf_dir):
-    """Unpartitioned windows move every row to ONE task (WindowExec's
-    'No Partition Defined' warning) — fatal over row-scale input on a
-    real cluster. Walk the optimized logical plan and reject any
-    Window node with an empty partitionSpec outside the documented
-    small-input allowlist."""
-    import json as _json
-
-    nodes = _json.loads(
-        QUERIES[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toJSON()
-    )
-    n_global = sum(
-        1
-        for nd in nodes
-        if nd.get("class", "").endswith(".Window")
-        and nd.get("partitionSpec") == []
-    )
-    if name in _GLOBAL_WINDOW_OK:
-        return  # documented small-by-construction global windows
-    assert n_global == 0, f"{name} has {n_global} unpartitioned Window node(s)"
 
 
 # Queries allowed a non-aggregate Exchange SinglePartition: each is a
@@ -170,36 +136,70 @@ _SINGLE_PARTITION_OK = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_suspicious_single_partition_exchange(name, spark, sf_dir):
-    """Catalog gate for `Exchange SinglePartition` (every row through
-    ONE task): the benign form — the final step of a keyless global
-    aggregate, whose input is one row per upstream partition — is
-    always allowed; any other producer (repartition(1), global sort to
-    one partition, coalesce-to-one) fails unless the query is in the
-    documented bounded-input allowlist above. Keeps a future
-    repartition(1) from landing silently."""
-    from power_generation_etl_spark.plancheck import single_partition_exchanges
 
-    _total, suspicious = single_partition_exchanges(QUERIES[name](spark, sf_dir))
-    if name in _SINGLE_PARTITION_OK:
-        return  # documented bounded-input global sorts/windows
-    assert suspicious == 0, (
-        f"{name} has {suspicious} Exchange SinglePartition node(s) not "
-        "feeding a global aggregate"
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_catalog_plan_gates(name, spark, sf_dir):
+    """ALL whole-catalog plan guardrails in one sweep — the query is
+    built and its physical plan compiled ONCE per catalog entry (the
+    four formerly-separate gates each rebuilt all 173 plans, 4x the
+    suite cost for identical coverage):
+
+    1. hygiene — no row-wise Python eval (BatchEvalPython), no Arrow
+       Python eval (the catalog defaults to portable expression
+       kernels), no shuffle cartesian, and BroadcastNestedLoopJoin
+       only in the documented `_BNLJ_OK` plans;
+    2. no row-scale global window — unpartitioned windows move every
+       row to ONE task (WindowExec's 'No Partition Defined' warning),
+       fatal on a real cluster; optimized-plan Window nodes with an
+       empty partitionSpec fail outside `_GLOBAL_WINDOW_OK`;
+    3. no suspicious Exchange SinglePartition — the benign form (final
+       step of a keyless global aggregate, one input row per upstream
+       partition) is always allowed; any other producer
+       (repartition(1), global sort, coalesce-to-one) fails outside
+       `_SINGLE_PARTITION_OK`, so a future repartition(1) cannot land
+       silently;
+    4. no sf-proportional broadcast hint — a hint on customer/supplier/
+       part/orders/lineitem/events/documents/embeddings without an
+       aggregate/limit bound overrides AQE's size check and is an OOM
+       at large sf, not a slow plan.
+    """
+    import json as _json
+
+    from power_generation_etl_spark.plancheck import (
+        bigtable_broadcasts,
+        single_partition_exchanges,
     )
 
+    df = QUERIES[name](spark, sf_dir)
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_bigtable_broadcast(name, spark, sf_dir):
-    """No catalog query may hard-broadcast a scale-factor-proportional
-    base table (customer/supplier/part/orders/lineitem/events/
-    documents/embeddings) without an aggregate/limit bounding it: the
-    hint overrides AQE's size check, so at large sf it is an OOM, not
-    a slow plan. Constant-cardinality dims (nation, region) and
-    aggregated sub-results may keep their hints; AQE promotes any
-    genuinely small side at runtime anyway."""
-    from power_generation_etl_spark.plancheck import bigtable_broadcasts
+    # gate 1: hygiene over the compiled physical plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{name} runs row-wise Python"
+    assert "ArrowEvalPython" not in plan, f"{name} runs a pandas UDF"
+    assert "CartesianProduct" not in plan, f"{name} has a shuffle cartesian"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"
 
-    offenders = bigtable_broadcasts(QUERIES[name](spark, sf_dir))
+    # gate 2: row-scale global windows (optimized logical plan)
+    nodes = _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    n_global = sum(
+        1
+        for nd in nodes
+        if nd.get("class", "").endswith(".Window")
+        and nd.get("partitionSpec") == []
+    )
+    if name not in _GLOBAL_WINDOW_OK:
+        assert n_global == 0, f"{name} has {n_global} unpartitioned Window node(s)"
+
+    # gate 3: suspicious single-partition exchanges
+    _total, suspicious = single_partition_exchanges(df)
+    if name not in _SINGLE_PARTITION_OK:
+        assert suspicious == 0, (
+            f"{name} has {suspicious} Exchange SinglePartition node(s) not "
+            "feeding a global aggregate"
+        )
+
+    # gate 4: sf-proportional broadcast hints
+    offenders = bigtable_broadcasts(df)
     assert not offenders, f"{name} broadcast-hints sf-proportional {offenders}"

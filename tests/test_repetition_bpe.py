@@ -2,6 +2,7 @@
 (operators/text.py::repetition_stats) and the BPE pair-count stage
 (plans/llm_queries.py::bpe_pair_stage core)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from power_generation_etl_spark.operators import text as tx
@@ -165,6 +166,7 @@ def _py_bpe(texts, rounds):
     return merges, segs
 
 
+@pytest.mark.slow  # randomized differential battery; run with -m "slow or not slow"
 class TestBpeDifferentialFuzz:
     def test_random_corpora_match_reference_bpe(self, spark):
         import random

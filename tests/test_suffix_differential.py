@@ -13,6 +13,8 @@ import re
 
 import pytest
 
+pytestmark = pytest.mark.slow  # brute-force differential battery; run with -m "slow or not slow"
+
 from power_generation_etl_spark.operators.suffix import (
     longest_repeated_substrings,
     suffix_array,

@@ -9,6 +9,10 @@ implementations fails with the offending record."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # validator model fuzz; run with -m "slow or not slow"
+
 import json
 import random
 import re
