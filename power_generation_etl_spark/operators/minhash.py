@@ -408,6 +408,7 @@ def prefix_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via AllPairs prefix filtering (Bayardo et
     al., WWW'07; Chaudhuri et al.) — the database-literature candidate
@@ -439,6 +440,23 @@ def prefix_jaccard_pairs(
     boilerplate shingles dominates posting volume, the prefix variant
     is the one that stays sub-quadratic without the lossy
     `doc_freq_cap` escape hatch.
+
+    ``df_cap`` — the rarity-threshold knob for corpora where even
+    prefix posting lists grow with corpus size (measured on derived
+    2×/4× uniform corpora: candidate volume Σ|prefix posting|² goes
+    quadratic, tools/scale_point.py → SCALING_MEASURED.md). When set,
+    shingles with document frequency > df_cap generate NO candidates
+    (they still count in exact verification, so reported similarities
+    stay exact). Recall contract — same shape as
+    `exact_jaccard_pairs(doc_freq_cap=...)`: a qualifying pair is
+    missed only if EVERY shingle in both prefixes is more frequent
+    than the cap; at threshold t a size-m doc's prefix holds
+    ⌈(1−t)·m⌉+1 shingles ORDERED RAREST-FIRST, so on heavy-tailed
+    corpora a miss requires the document's rarest (1−t)·m shingles to
+    ALL be boilerplate. Candidate cost is then bounded by
+    |shingles|·df_cap² regardless of corpus size — linear in N for a
+    fixed cap. Unset (None) keeps the zero-recall-loss exact AllPairs
+    behavior.
     """
     from pyspark.sql.window import Window
 
@@ -457,6 +475,10 @@ def prefix_jaccard_pairs(
         )
         .select("doc_id", "s")
     )
+    if df_cap is not None:
+        pref = pref.join(
+            dfreq.where(F.col("df") <= df_cap).select("s"), "s", "left_semi"
+        )
     npar = _par(df)
     a = pref.select(F.col("doc_id").alias("id_a"), "s").repartition(npar, "s")
     b = pref.select(F.col("doc_id").alias("id_b"), "s").repartition(npar, "s")

@@ -76,6 +76,64 @@ class TestNearDup:
             )
             assert pref == exact, f"divergence at threshold {t}"
 
+    def test_prefix_df_cap_rarity_knob(self, spark):
+        """The df_cap rarity knob (added after the derived-corpus probe
+        measured quadratic candidate growth on uniform corpora —
+        SCALING_MEASURED.md): a generous cap changes nothing; a tight
+        cap still finds pairs whose prefixes contain ANY shingle at or
+        under the cap (rarest-first ordering makes that the common
+        case) and only drops pairs whose entire prefixes are
+        boilerplate — the documented recall contract."""
+        boiler = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [
+                # near-dup pair sharing a RARE tail (unique shingles)
+                (1, boiler + " zebra quartz umbrella"),
+                (2, boiler + " zebra quartz umbrella extra"),
+                # boilerplate-only docs: every shingle df == 4
+                (3, boiler),
+                (4, boiler),
+            ],
+            "doc_id bigint, text string",
+        )
+        uncapped = sorted(
+            tuple(r)
+            for r in mh.prefix_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5
+            ).collect()
+        )
+        generous = sorted(
+            tuple(r)
+            for r in mh.prefix_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5, df_cap=1000
+            ).collect()
+        )
+        assert generous == uncapped and len(uncapped) >= 2
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in mh.prefix_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5, df_cap=3
+            ).collect()
+        }
+        # the rare-tail pair survives (its prefix holds df<=2 shingles);
+        # the boilerplate-only (3,4) pair is the documented miss
+        assert (1, 2) in capped
+        assert (3, 4) not in capped
+        # reported similarity stays EXACT (verification is uncapped)
+        sim12_uncapped = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in mh.prefix_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5
+            ).collect()
+        }[(1, 2)]
+        sim12_capped = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in mh.prefix_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5, df_cap=3
+            ).collect()
+        }[(1, 2)]
+        assert sim12_capped == sim12_uncapped
+
     def test_shingles_edgecases(self, spark):
         df = spark.createDataFrame(
             [(1, "one two"), (2, "a b c d"), (3, "")], ["id", "t"]
