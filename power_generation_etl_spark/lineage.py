@@ -56,6 +56,30 @@ def mode() -> str:
     return m
 
 
+def cut_index(df: DataFrame) -> DataFrame:
+    """Materialize a REUSED INDEX PRODUCT — a table probed by many
+    later fine-grained jobs (the suffix family's tokenized base and
+    doubling rank levels).
+
+    local → localCheckpoint (same as `cut`). persist → RELIABLE
+    checkpoint, deliberately: under persist each level's retained plan
+    nests the previous level, so level k is an O(k)-deep tree and the
+    LCP descent's per-level probe jobs re-analyze O(levels²) plan
+    nodes on the driver — measured 69s vs 12.6s for the sf0.1
+    `longest_repeated_substrings` (SCALING_MEASURED.md, r8). A
+    reliable checkpoint truncates the plan while STRENGTHENING
+    recoverability (survives any executor loss, not just
+    recompute-on-loss), so the persist mode's deployment contract is
+    preserved for these products. checkpoint → checkpoint (unchanged).
+    """
+    if mode() == "persist":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-etl-ckpt-"))
+        return df.checkpoint(eager=True)
+    return cut(df)
+
+
 def cut(df: DataFrame) -> DataFrame:
     """Materialize `df` and return a DataFrame safe to iterate on.
 

@@ -77,7 +77,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..lineage import cut
+from ..lineage import cut, cut_index
 from ..memo import PlanMemo
 from .rank import with_global_dense_rank, with_global_rank
 
@@ -132,7 +132,9 @@ def _base(src: DataFrame) -> DataFrame:
     )
     wl = Window.partitionBy("doc_id").orderBy("pos")
     wd = Window.partitionBy("doc_id")
-    return cut(
+    # cut_index, not cut: the base is probed by round 0, the LCP
+    # residue compares, and the preview join — a reused index product.
+    return cut_index(
         ex.select(
             "doc_id",
             "pos",
@@ -160,7 +162,8 @@ def _rank_levels(
     round, sparse after an arithmetic combine, equality/order
     semantics identical). The last level's span >= maxlen, so its key
     order equals full suffix order (up to ties between byte-identical
-    suffixes). Every table is materialized via `lineage.cut`.
+    suffixes). Every table is materialized via `lineage.cut_index`
+    (reliable checkpoint under the persist mode — see lineage.py).
 
     ``keep_levels=False`` returns only the FINAL level — the
     suffix-array-only path; intermediate tables drop their Python
@@ -184,7 +187,7 @@ def _rank_levels(
         [F.col("_p0")],
         rank_col="r",
     )
-    ranks = cut(ranked.select("doc_id", "pos", "r"))
+    ranks = cut_index(ranked.select("doc_id", "pos", "r"))
     span = _INIT
     levels = [(span, ranks)]
     wl = Window.partitionBy("doc_id").orderBy("pos")
@@ -194,7 +197,7 @@ def _rank_levels(
             # lexicographic (r, r2) == numeric r*(bound+1)+r2: order-
             # and equality-preserving, exact in int64, zero shuffles
             # beyond the window's doc_id exchange.
-            ranks = cut(
+            ranks = cut_index(
                 ranks.select(
                     "doc_id",
                     "pos",
@@ -208,7 +211,7 @@ def _rank_levels(
                 [F.col("r"), F.col("_r2")],
                 rank_col="_nr",
             )
-            ranks = cut(ranked.select("doc_id", "pos", F.col("_nr").alias("r")))
+            ranks = cut_index(ranked.select("doc_id", "pos", F.col("_nr").alias("r")))
         span *= 2
         levels.append((span, ranks))
         if not keep_levels:
