@@ -219,6 +219,261 @@ def _bmp_gray_pixels(content: bytes):
     return np.vstack(rows)
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (SOF0) decode — pure stdlib + numpy, no codec library.
+# Closes the "compressed-pixel decode" tier for the dominant
+# training-corpus image format: marker walk, DQT/DHT/SOF0/SOS/DRI,
+# Huffman entropy decode with byte de-stuffing and restart markers,
+# dequantize, 8x8 IDCT (separable DCT-III basis, numpy matmul), and
+# luma-plane assembly with arbitrary (h,v) sampling factors. Output is
+# the LUMA plane as H×W float64 — exactly the 601 luma the other gray
+# tiers produce (JPEG's Y channel IS ITU-R 601 luma). Progressive
+# (SOF2), arithmetic-coded, and lossless JPEGs return None (not
+# baseline); corrupt/truncated streams return None, never raise.
+# ---------------------------------------------------------------------------
+
+# zigzag order: index in the scan -> position in the natural 8x8 grid
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_basis():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c[0, :] *= 1 / np.sqrt(2)
+    return c * 0.5  # rows: u (frequency), cols: x (spatial)
+
+
+def _jpeg_build_huff(bits: list[int], vals: bytes) -> dict:
+    """(code_length, code) -> symbol, per JPEG Annex C canonical codes."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    __slots__ = ("d", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.d):
+            raise EOFError
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """JPEG F.2.2.1 EXTEND: map the t-bit magnitude to a signed diff."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_entropy_segments(buf: bytes, pos: int) -> tuple[list[bytes], int]:
+    """De-stuffed entropy segments (split at restart markers) starting
+    at `pos`, plus the position of the terminating marker."""
+    segs, cur = [], bytearray()
+    n = len(buf)
+    while pos < n:
+        b = buf[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = buf[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed FF
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # any real marker ends the scan
+            break
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def _jpeg_gray_pixels(content: bytes):
+    """Decode a baseline (SOF0) JPEG's luma plane to H×W float64, or
+    None if the bytes are not a decodable baseline JPEG."""
+    import numpy as np
+
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, np.ndarray] = {}
+        huff_dc: dict[int, dict] = {}
+        huff_ac: dict[int, dict] = {}
+        comps = None  # list of (cid, h, v, tq)
+        hh = ww = 0
+        restart_interval = 0
+        pos = 2
+        n = len(content)
+        while pos + 4 <= n:
+            if content[pos] != 0xFF:
+                return None
+            marker = content[pos + 1]
+            if marker == 0xD9:  # EOI before SOS: nothing to decode
+                return None
+            (seglen,) = struct.unpack_from(">H", content, pos + 2)
+            seg = content[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    i += 1
+                    if pq:  # 16-bit table
+                        vals = struct.unpack_from(f">{64}H", seg, i)
+                        i += 128
+                    else:
+                        vals = seg[i : i + 64]
+                        i += 64
+                    t = np.zeros(64)
+                    for zz, v in enumerate(vals):
+                        t[_JPEG_ZIGZAG[zz]] = v
+                    qt[tq] = t.reshape(8, 8)
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0xF
+                    bits = list(seg[i + 1 : i + 17])
+                    nv = sum(bits)
+                    vals = seg[i + 17 : i + 17 + nv]
+                    (huff_ac if tc else huff_dc)[th] = _jpeg_build_huff(bits, vals)
+                    i += 17 + nv
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, hh, ww, nc = struct.unpack_from(">BHHB", seg, 0)
+                if prec != 8 or not hh or not ww:
+                    return None
+                comps = [
+                    (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0xF,
+                     seg[8 + 3 * c])
+                    for c in range(nc)
+                ]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # not baseline sequential Huffman
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan = []  # (comp index, dc table, ac table)
+                for c in range(ns):
+                    cid, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                    ci = next(
+                        i for i, cc in enumerate(comps) if cc[0] == cid
+                    )
+                    scan.append((ci, tda >> 4, tda & 0xF))
+                pos = pos + 2 + seglen
+                break
+            pos = pos + 2 + seglen
+        else:
+            return None
+        if comps is None:
+            return None
+
+        segs, _end = _jpeg_entropy_segments(content, pos)
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-ww // (8 * hmax))
+        mcus_y = -(-hh // (8 * vmax))
+        # per-component plane buffers (only the luma plane is kept)
+        y_ci = scan[0][0]
+        yh, yv = comps[y_ci][1], comps[y_ci][2]
+        yplane = np.zeros((mcus_y * yv * 8, mcus_x * yh * 8))
+        basis = _jpeg_idct_basis()
+        preds = [0] * len(comps)
+        reader = _JpegBits(segs[0])
+        seg_i = 0
+        n_mcus = mcus_x * mcus_y
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    return None
+                reader = _JpegBits(segs[seg_i])
+                preds = [0] * len(comps)
+            my, mx = divmod(m, mcus_x)
+            for ci, tdc, tac in scan:
+                _cid, ch, cv, tq = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        # DC
+                        t = reader.decode_huff(huff_dc[tdc])
+                        diff = _jpeg_extend(reader.receive(t), t)
+                        preds[ci] += diff
+                        coef = np.zeros(64)
+                        coef[0] = preds[ci]
+                        # AC run-length
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(huff_ac[tac])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                reader.receive(s), s
+                            )
+                            k += 1
+                        if ci == y_ci:
+                            block = coef.reshape(8, 8) * qt[tq]
+                            px = basis.T @ block @ basis + 128.0
+                            r0 = (my * cv + by) * 8
+                            c0 = (mx * ch + bx) * 8
+                            yplane[r0 : r0 + 8, c0 : c0 + 8] = px
+        # upsample the luma plane to full resolution if Y is subsampled
+        if yh != hmax:
+            yplane = np.repeat(yplane, hmax // yh, axis=1)
+        if yv != vmax:
+            yplane = np.repeat(yplane, vmax // yv, axis=0)
+        return np.clip(yplane[:hh, :ww], 0.0, 255.0)
+    except (struct.error, IndexError, ValueError, EOFError, KeyError,
+            StopIteration, ZeroDivisionError):
+        return None
+
+
 def _decode_image(content: bytes) -> tuple[float | None, float | None]:
     """Grayscale mean/std of the decoded image. Tier 1: PIL when
     available. Tier 2: built-in pure-python PNG/BMP decode. Tier 3: the
@@ -235,11 +490,17 @@ def _decode_image(content: bytes) -> tuple[float | None, float | None]:
             return float(arr.mean()), float(arr.std())
         except Exception:
             return None, None
-    if content.startswith(_PNG_SIG) or content[:2] == b"BM":
+    if (
+        content.startswith(_PNG_SIG)
+        or content[:2] == b"BM"
+        or content[:2] == b"\xff\xd8"
+    ):
         try:
             gray = _png_gray_pixels(content)
             if gray is None:
                 gray = _bmp_gray_pixels(content)
+            if gray is None:
+                gray = _jpeg_gray_pixels(content)
             if gray is None:
                 return None, None
             return float(gray.mean()), float(gray.std())
@@ -538,6 +799,8 @@ def _gray_image(content: bytes):
         gray = _png_gray_pixels(content)
         if gray is None:
             gray = _bmp_gray_pixels(content)
+        if gray is None:
+            gray = _jpeg_gray_pixels(content)
         return gray
     except Exception:
         return None
