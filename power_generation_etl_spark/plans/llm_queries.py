@@ -1064,6 +1064,69 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.prefix_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+# The df_cap rarity knob (r8: added after derived-corpus probes showed
+# candidate volume going quadratic on uniform corpora). Unlike the
+# uncapped entry — whose oracle is the FULL-index truth, because the
+# prefix filter is lossless there — the capped variant changes WHICH
+# pairs are found, so its oracle mirrors the capped candidate
+# generation itself: df-ranked prefixes, cap filter, candidate join,
+# exact verification. The prefix-length arithmetic runs in DOUBLE on
+# both engines (DuckDB's bare 0.4999 literal would be DECIMAL —
+# exact-decimal ceil diverges from Spark's IEEE-double ceil at integer
+# boundaries).
+_PREFIX_DF_CAP = 4  # bites at every shipped sf (max df: 7 @0.01, 25 @0.1)
+
+
+def _prefix_capped_oracle(threshold: float = 0.5, cap: int = _PREFIX_DF_CAP) -> str:
+    t_eff = threshold - 1e-4
+    return f"""
+    WITH {_SH_CTES},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+    pref AS (
+      SELECT doc_id, s FROM (
+        SELECT sh.doc_id, sh.s, dfreq.df, cnt.n,
+               row_number() OVER (
+                 PARTITION BY sh.doc_id ORDER BY dfreq.df, sh.s
+               ) AS r
+        FROM sh JOIN dfreq USING (s) JOIN cnt USING (doc_id)
+      )
+      WHERE r <= n - CAST(ceil(CAST({t_eff} AS DOUBLE) * n) AS BIGINT) + 1
+        AND df <= {cap}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT id_a, id_b, count(*) AS c
+      FROM cands
+      JOIN sh sa ON sa.doc_id = cands.id_a
+      JOIN sh sb ON sb.doc_id = cands.id_b AND sb.s = sa.s
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c * 1.0 / (ca.n + cb.n - c), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON inter.id_a = ca.doc_id
+    JOIN cnt cb ON inter.id_b = cb.doc_id
+    WHERE round(c * 1.0 / (ca.n + cb.n - c), 4) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@_register("prefix_jaccard_capped", _prefix_capped_oracle())
+def prefix_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df_cap'd AllPairs variant — the linear-in-N plan for
+    corpora whose shingle frequencies grow with corpus size (uniform /
+    synthetic text; SCALING_MEASURED.md measures the uncapped form at
+    alpha~2 there). Shingles above the cap generate no candidates;
+    verification similarity stays exact."""
+    d = T(spark, sf_dir, "documents")
+    return mh.prefix_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, df_cap=_PREFIX_DF_CAP
+    )
+
+
 @_register(
     "label_centroid_profile",
     """
