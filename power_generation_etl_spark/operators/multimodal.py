@@ -220,16 +220,19 @@ def _bmp_gray_pixels(content: bytes):
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (SOF0) decode — pure stdlib + numpy, no codec library.
-# Closes the "compressed-pixel decode" tier for the dominant
-# training-corpus image format: marker walk, DQT/DHT/SOF0/SOS/DRI,
+# JPEG decode — pure stdlib + numpy, no codec library. Closes the
+# "compressed-pixel decode" tier for the dominant training-corpus
+# image format: marker walk (DQT 8/16-bit, DHT, SOF0/1/2, SOS, DRI),
 # Huffman entropy decode with byte de-stuffing and restart markers,
-# dequantize, 8x8 IDCT (separable DCT-III basis, numpy matmul), and
-# luma-plane assembly with arbitrary (h,v) sampling factors. Output is
-# the LUMA plane as H×W float64 — exactly the 601 luma the other gray
-# tiers produce (JPEG's Y channel IS ITU-R 601 luma). Progressive
-# (SOF2), arithmetic-coded, and lossless JPEGs return None (not
-# baseline); corrupt/truncated streams return None, never raise.
+# BASELINE and PROGRESSIVE modes (spectral selection + successive
+# approximation: DC/AC first and refinement scans, EOB runs) unified
+# over per-block coefficient arrays, then dequantize + 8x8 IDCT
+# (separable orthonormal DCT basis, one numpy einsum) and luma-plane
+# assembly with arbitrary (h,v) sampling factors. Output is the LUMA
+# plane as H×W float64 — exactly the 601 luma the other gray tiers
+# produce (JPEG's Y channel IS ITU-R 601 luma). Arithmetic-coded,
+# lossless, and hierarchical variants return None; corrupt/truncated
+# streams return None, never raise.
 # ---------------------------------------------------------------------------
 
 # zigzag order: index in the scan -> position in the natural 8x8 grid
@@ -329,9 +332,93 @@ def _jpeg_entropy_segments(buf: bytes, pos: int) -> tuple[list[bytes], int]:
     return segs, pos
 
 
+def _jpeg_dc_first(reader, dtab, blk, pred, al):
+    t = reader.decode_huff(dtab)
+    pred += _jpeg_extend(reader.receive(t), t)
+    blk[0] = pred * (1 << al)  # point transform: value << Al, sign kept
+    return pred
+
+
+def _jpeg_ac_first(reader, atab, blk, ss, se, al, eobrun):
+    """AC spectral-selection first pass (Ah=0) with EOB-run support;
+    also exactly the baseline AC decode when (ss,se,al)=(1,63,0)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(atab)
+        r, t = rs >> 4, rs & 0xF
+        if t == 0:
+            if r != 15:  # EOBn (baseline EOB is r=0 -> run 0)
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.receive(t), t) * (1 << al)
+            k += 1
+    return eobrun
+
+
+def _jpeg_ac_refine(reader, atab, blk, ss, se, al, eobrun):
+    """AC successive-approximation refinement (Ah>0), ITU T.81 G.1.2.3
+    (the libjpeg decode_mcu_AC_refine structure): newly-visible coefs
+    arrive as ±1<<Al; every already-nonzero coef in the traversed band
+    consumes one correction bit that ORs in the Al-th magnitude bit
+    (two's-complement OR matches the encoder's arithmetic shifts)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(atab)
+            r, t = rs >> 4, rs & 0xF
+            if t == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                val = 0  # ZRL: pass over 16 zero-history coefs
+            else:
+                if t != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = _JPEG_ZIGZAG[k]
+                if blk[z] != 0:
+                    if reader.read_bit() and not (blk[z] & p1):
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            blk[z] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits through the band tail
+            z = _JPEG_ZIGZAG[k]
+            if blk[z] != 0 and reader.read_bit() and not (blk[z] & p1):
+                blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _jpeg_gray_pixels(content: bytes):
-    """Decode a baseline (SOF0) JPEG's luma plane to H×W float64, or
-    None if the bytes are not a decodable baseline JPEG."""
+    """Decode a JPEG's luma plane to H×W float64 — baseline (SOF0) and
+    progressive (SOF2: spectral selection + successive approximation,
+    DC/AC first and refinement scans, EOB runs, restart markers) — or
+    None if the bytes are not a decodable DCT Huffman JPEG. All scans
+    accumulate into per-block coefficient arrays; dequantization and
+    the IDCT run once at the end, so the two modes share one pixel
+    path. Arithmetic-coded / lossless / hierarchical variants and
+    corrupt streams return None, never raise."""
     import numpy as np
 
     if len(content) < 4 or content[:2] != b"\xff\xd8":
@@ -343,14 +430,17 @@ def _jpeg_gray_pixels(content: bytes):
         comps = None  # list of (cid, h, v, tq)
         hh = ww = 0
         restart_interval = 0
+        coefs = None  # per-comp (BY, BX, 64) int32, natural order
+        eobruns = None
         pos = 2
         n = len(content)
+        saw_scan = False
         while pos + 4 <= n:
             if content[pos] != 0xFF:
                 return None
             marker = content[pos + 1]
-            if marker == 0xD9:  # EOI before SOS: nothing to decode
-                return None
+            if marker == 0xD9:  # EOI
+                break
             (seglen,) = struct.unpack_from(">H", content, pos + 2)
             seg = content[pos + 4 : pos + 2 + seglen]
             if marker == 0xDB:  # DQT
@@ -367,7 +457,7 @@ def _jpeg_gray_pixels(content: bytes):
                     t = np.zeros(64)
                     for zz, v in enumerate(vals):
                         t[_JPEG_ZIGZAG[zz]] = v
-                    qt[tq] = t.reshape(8, 8)
+                    qt[tq] = t
             elif marker == 0xC4:  # DHT
                 i = 0
                 while i < len(seg):
@@ -377,7 +467,8 @@ def _jpeg_gray_pixels(content: bytes):
                     vals = seg[i + 17 : i + 17 + nv]
                     (huff_ac if tc else huff_dc)[th] = _jpeg_build_huff(bits, vals)
                     i += 17 + nv
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+                progressive = marker == 0xC2
                 prec, hh, ww, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or not hh or not ww:
                     return None
@@ -386,84 +477,126 @@ def _jpeg_gray_pixels(content: bytes):
                      seg[8 + 3 * c])
                     for c in range(nc)
                 ]
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # not baseline sequential Huffman
+                return None  # lossless / arithmetic / hierarchical
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", seg, 0)
-            elif marker == 0xDA:  # SOS
+            elif marker == 0xDA:  # SOS — decode this scan, then keep parsing
+                if comps is None:
+                    return None
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-ww // (8 * hmax))
+                mcus_y = -(-hh // (8 * vmax))
+                if coefs is None:
+                    coefs = [
+                        np.zeros((mcus_y * v, mcus_x * h, 64), np.int32)
+                        for _, h, v, _ in comps
+                    ]
                 ns = seg[0]
-                scan = []  # (comp index, dc table, ac table)
+                scan = []  # (comp index, dc table id, ac table id)
                 for c in range(ns):
                     cid, tda = seg[1 + 2 * c], seg[2 + 2 * c]
-                    ci = next(
-                        i for i, cc in enumerate(comps) if cc[0] == cid
-                    )
+                    ci = next(i for i, cc in enumerate(comps) if cc[0] == cid)
                     scan.append((ci, tda >> 4, tda & 0xF))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0xF
+                if not progressive:
+                    ss, se, ah, al = 0, 63, 0, 0
+                else:
+                    # T.81 scan-header validity: DC scans are the
+                    # 0..0 band; AC scans are single-component bands
+                    # inside 1..63; refinement lowers Al by one.
+                    if (ss == 0) != (se == 0):
+                        return None
+                    if se > 63 or ss > se:
+                        return None
+                    if ss > 0 and len(scan) != 1:
+                        return None
+                    if ah and ah != al + 1:
+                        return None
                 pos = pos + 2 + seglen
-                break
+                segs, pos = _jpeg_entropy_segments(content, pos)
+                saw_scan = True
+                preds = [0] * len(comps)
+                eob = 0
+                reader = _JpegBits(segs[0])
+                seg_i = 0
+
+                def unit(ci, by, bx, tdc, tac):
+                    nonlocal eob
+                    blk = coefs[ci][by, bx]
+                    if ss == 0:  # DC (or baseline full-band) scan
+                        if ah == 0:
+                            preds[ci] = _jpeg_dc_first(
+                                reader, huff_dc[tdc], blk, preds[ci], al
+                            )
+                        elif reader.read_bit():  # DC refinement
+                            blk[0] |= 1 << al
+                    if se > 0 and ss == 0 and not progressive:
+                        eob = _jpeg_ac_first(
+                            reader, huff_ac[tac], blk, 1, 63, 0, 0
+                        )
+                    elif ss > 0:
+                        if ah == 0:
+                            eob = _jpeg_ac_first(
+                                reader, huff_ac[tac], blk, ss, se, al, eob
+                            )
+                        else:
+                            eob = _jpeg_ac_refine(
+                                reader, huff_ac[tac], blk, ss, se, al, eob
+                            )
+
+                if len(scan) > 1 or (not progressive):
+                    # interleaved: MCU = (h×v) blocks per component
+                    n_units = mcus_x * mcus_y
+                    for m in range(n_units):
+                        if restart_interval and m and m % restart_interval == 0:
+                            seg_i += 1
+                            reader = _JpegBits(segs[seg_i])
+                            preds = [0] * len(comps)
+                            eob = 0
+                        my, mx = divmod(m, mcus_x)
+                        for ci, tdc, tac in scan:
+                            _cid, ch, cv, _tq = comps[ci]
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    unit(ci, my * cv + by, mx * ch + bx,
+                                         tdc, tac)
+                else:
+                    # non-interleaved: raster over the REAL block grid
+                    ci, tdc, tac = scan[0]
+                    _cid, ch, cv, _tq = comps[ci]
+                    comp_w = -(-ww * ch // hmax)
+                    comp_h = -(-hh * cv // vmax)
+                    bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+                    for m in range(bw * bh):
+                        if restart_interval and m and m % restart_interval == 0:
+                            seg_i += 1
+                            reader = _JpegBits(segs[seg_i])
+                            preds = [0] * len(comps)
+                            eob = 0
+                        by, bx = divmod(m, bw)
+                        unit(ci, by, bx, tdc, tac)
+                continue
             pos = pos + 2 + seglen
-        else:
-            return None
-        if comps is None:
+        if not saw_scan or coefs is None:
             return None
 
-        segs, _end = _jpeg_entropy_segments(content, pos)
+        # dequantize + IDCT the luma component only
+        y_ci = 0
+        _cid, yh, yv, ytq = comps[y_ci]
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
-        mcus_x = -(-ww // (8 * hmax))
-        mcus_y = -(-hh // (8 * vmax))
-        # per-component plane buffers (only the luma plane is kept)
-        y_ci = scan[0][0]
-        yh, yv = comps[y_ci][1], comps[y_ci][2]
-        yplane = np.zeros((mcus_y * yv * 8, mcus_x * yh * 8))
+        q = qt[ytq]  # natural-order 64-vector
+        blocks = coefs[y_ci].astype(np.float64) * q[None, None, :]
+        by_n, bx_n = blocks.shape[0], blocks.shape[1]
+        b88 = blocks.reshape(by_n, bx_n, 8, 8)
         basis = _jpeg_idct_basis()
-        preds = [0] * len(comps)
-        reader = _JpegBits(segs[0])
-        seg_i = 0
-        n_mcus = mcus_x * mcus_y
-        for m in range(n_mcus):
-            if restart_interval and m and m % restart_interval == 0:
-                seg_i += 1
-                if seg_i >= len(segs):
-                    return None
-                reader = _JpegBits(segs[seg_i])
-                preds = [0] * len(comps)
-            my, mx = divmod(m, mcus_x)
-            for ci, tdc, tac in scan:
-                _cid, ch, cv, tq = comps[ci]
-                for by in range(cv):
-                    for bx in range(ch):
-                        # DC
-                        t = reader.decode_huff(huff_dc[tdc])
-                        diff = _jpeg_extend(reader.receive(t), t)
-                        preds[ci] += diff
-                        coef = np.zeros(64)
-                        coef[0] = preds[ci]
-                        # AC run-length
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_huff(huff_ac[tac])
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                return None
-                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
-                                reader.receive(s), s
-                            )
-                            k += 1
-                        if ci == y_ci:
-                            block = coef.reshape(8, 8) * qt[tq]
-                            px = basis.T @ block @ basis + 128.0
-                            r0 = (my * cv + by) * 8
-                            c0 = (mx * ch + bx) * 8
-                            yplane[r0 : r0 + 8, c0 : c0 + 8] = px
-        # upsample the luma plane to full resolution if Y is subsampled
+        px = np.einsum("ua,yxuv,vb->yxab", basis, b88, basis) + 128.0
+        yplane = px.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
         if yh != hmax:
             yplane = np.repeat(yplane, hmax // yh, axis=1)
         if yv != vmax:

@@ -273,6 +273,171 @@ def encode_color_jpeg_420(rgb: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _quantized_blocks(img):
+    """Raster-order list of zigzag-ordered quantized coefficient lists
+    (the shared input of every progressive scan)."""
+    padded = _pad_to(img.astype(float), 8, 8)
+    dct = _jpeg_idct_basis()
+    blocks = []
+    for r0 in range(0, padded.shape[0], 8):
+        for c0 in range(0, padded.shape[1], 8):
+            coef = dct @ (padded[r0 : r0 + 8, c0 : c0 + 8] - 128.0) @ dct.T
+            qz = np.round(coef / _QY).astype(int)
+            blocks.append([int(qz.flat[_ZZ[i]]) for i in range(64)])
+    return blocks
+
+
+def _mshift(v, al):
+    """JPEG point transform for AC: magnitude shift, sign kept."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgScanWriter:
+    """One AC scan's EOB-run + correction-bit buffering (libjpeg's
+    emit_eobrun / BR-buffer structure)."""
+
+    def __init__(self, bw, ac_tab):
+        self.bw, self.ac = bw, ac_tab
+        self.eobrun, self.br = 0, []
+
+    def flush_eobrun(self):
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            length, code = self.ac[nbits << 4]
+            self.bw.write(code, length)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.br:
+            self.bw.write(b, 1)
+        self.br = []
+
+
+# Progressive AC scans emit EOBn symbols (0x10..0xE0) that the
+# standard BASELINE Annex-K table does not contain — real progressive
+# encoders ship custom DHTs. The test encoder uses a flat table: every
+# 8-bit symbol as a 9-bit canonical code (valid: 256 < 2^9 code space),
+# which also exercises the decoder on longer-than-baseline codes.
+_AC_PROG = ([0] * 8 + [255, 1] + [0] * 6, bytes(range(256)))
+
+
+def encode_gray_progressive(img, scans=None):
+    """Minimal progressive (SOF2) grayscale JPEG with the libjpeg-style
+    default scan script: DC first at Al=1, AC bands at Al=2, two AC
+    refinement passes, DC refinement. AC scans use a custom flat
+    Huffman table (like real progressive encoders, which always ship
+    scan-specific DHTs with EOBn symbols)."""
+    if scans is None:
+        scans = [
+            (0, 0, 0, 1),
+            (1, 5, 0, 2),
+            (6, 63, 0, 2),
+            (1, 63, 2, 1),
+            (1, 63, 1, 0),
+            (0, 0, 1, 0),
+        ]
+    h, w = img.shape
+    blocks = _quantized_blocks(img)
+    dc_tab, ac_tab = _enc_table(*_DC_LUM), _enc_table(*_AC_PROG)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0, _QY)
+    out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _dht(0, 0, *_DC_LUM)
+    out += _dht(1, 0, *_AC_PROG)
+    for ss, se, ah, al in scans:
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        bw = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first: diffs of (dc >> al), floor shift
+            pred = 0
+            for blk in blocks:
+                v = blk[0] >> al
+                diff = v - pred
+                pred = v
+                t = _category(diff)
+                length, code = dc_tab[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        elif ss == 0:  # DC refinement: one bit per block
+            for blk in blocks:
+                bw.write((blk[0] >> al) & 1, 1)
+        elif ah == 0:  # AC first pass over the band
+            ps = _ProgScanWriter(bw, ac_tab)
+            for blk in blocks:
+                shifted = [_mshift(blk[k], al) for k in range(ss, se + 1)]
+                if not any(shifted):
+                    ps.eobrun += 1
+                    if ps.eobrun == 0x7FFF:
+                        ps.flush_eobrun()
+                    continue
+                ps.flush_eobrun()
+                r = 0
+                last_nz = max(i for i, v in enumerate(shifted) if v)
+                for i, v in enumerate(shifted):
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        length, code = ac_tab[0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                    s = _category(v)
+                    length, code = ac_tab[(r << 4) | s]
+                    bw.write(code, length)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                    if i == last_nz:
+                        break
+                if last_nz < len(shifted) - 1:
+                    ps.eobrun += 1
+            ps.flush_eobrun()
+        else:  # AC refinement (Ah = Al + 1), libjpeg encode_mcu_AC_refine
+            ps = _ProgScanWriter(bw, ac_tab)
+            for blk in blocks:
+                absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+                signs = [blk[k] > 0 for k in range(ss, se + 1)]
+                newly = [i for i, a in enumerate(absv) if a == 1]
+                last_new = newly[-1] if newly else -1
+                r, br = 0, []
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        r += 1
+                        continue
+                    # ZRL flush happens at EVERY nonzero (history or
+                    # new) while >15 zeros are pending, but only up to
+                    # the last newly-visible coef — beyond it the tail
+                    # folds into the EOB run.
+                    while r > 15 and i <= last_new:
+                        ps.flush_eobrun()
+                        length, code = ac_tab[0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                        for b in br:
+                            bw.write(b, 1)
+                        br = []
+                    if a > 1:  # history coefficient: buffer correction bit
+                        br.append(a & 1)
+                        continue
+                    # newly visible ±1 at this Al
+                    ps.flush_eobrun()
+                    length, code = ac_tab[(r << 4) | 1]
+                    bw.write(code, length)
+                    bw.write(1 if signs[i] else 0, 1)
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    ps.eobrun += 1
+                    ps.br.extend(br)
+                    if ps.eobrun == 0x7FFF:
+                        ps.flush_eobrun()
+            ps.flush_eobrun()
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _psnr(a, b):
     mse = float(((a - b) ** 2).mean())
     return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
@@ -318,6 +483,67 @@ class TestJpegRoundTrip:
         assert _psnr(y, got) > 28, _psnr(y, got)
 
 
+class TestJpegProgressive:
+    """Progressive (SOF2) decode: every scan script must reconstruct
+    EXACTLY the same pixels as the baseline encoding of the same
+    quantized coefficients — spectral selection and successive
+    approximation are a transmission reordering, not a different
+    image."""
+
+    def test_default_scan_script_matches_baseline(self):
+        img = _test_image()
+        base = _jpeg_gray_pixels(encode_gray_jpeg(img))
+        prog = _jpeg_gray_pixels(encode_gray_progressive(img))
+        assert prog is not None
+        assert np.array_equal(base, prog)
+
+    def test_spectral_selection_only(self):
+        img = _test_image(48, 40)
+        base = _jpeg_gray_pixels(encode_gray_jpeg(img))
+        prog = _jpeg_gray_pixels(
+            encode_gray_progressive(
+                img, scans=[(0, 0, 0, 0), (1, 20, 0, 0), (21, 63, 0, 0)]
+            )
+        )
+        assert prog is not None and np.array_equal(base, prog)
+
+    def test_deep_successive_approximation(self):
+        img = _test_image(40, 40)
+        scans = [
+            (0, 0, 0, 3),
+            (1, 63, 0, 3),
+            (1, 63, 3, 2),
+            (1, 63, 2, 1),
+            (1, 63, 1, 0),
+            (0, 0, 3, 2),
+            (0, 0, 2, 1),
+            (0, 0, 1, 0),
+        ]
+        base = _jpeg_gray_pixels(encode_gray_jpeg(img))
+        prog = _jpeg_gray_pixels(encode_gray_progressive(img, scans=scans))
+        assert prog is not None and np.array_equal(base, prog)
+
+    def test_sparse_noise_exercises_zrl_and_eobruns(self):
+        # seeded noise quantizes to scattered nonzeros: long zero runs
+        # (ZRL), EOB runs across blocks, refinement correction bits
+        rng = np.random.RandomState(7)
+        img = np.clip(128 + 40 * rng.randn(56, 64), 0, 255)
+        base = _jpeg_gray_pixels(encode_gray_jpeg(img))
+        prog = _jpeg_gray_pixels(encode_gray_progressive(img))
+        assert prog is not None and np.array_equal(base, prog)
+
+    def test_non_mcu_aligned(self):
+        img = _test_image(33, 41)
+        base = _jpeg_gray_pixels(encode_gray_jpeg(img))
+        prog = _jpeg_gray_pixels(encode_gray_progressive(img))
+        assert prog is not None and np.array_equal(base, prog)
+
+    def test_truncated_progressive_does_not_raise(self):
+        blob = encode_gray_progressive(_test_image())
+        for cut in (30, len(blob) // 3, len(blob) // 2, len(blob) - 4):
+            _jpeg_gray_pixels(blob[:cut])  # must not raise
+
+
 class TestJpegRobustness:
     def test_not_jpeg_and_truncated(self):
         assert _jpeg_gray_pixels(b"") is None
@@ -326,7 +552,9 @@ class TestJpegRobustness:
         for cut in (3, 20, len(blob) // 2, len(blob) - 3):
             _jpeg_gray_pixels(blob[:cut])  # must not raise
 
-    def test_progressive_rejected(self):
+    def test_invalid_progressive_scan_rejected(self):
+        # a baseline stream rebranded SOF2 carries an Ss=0,Se=63 scan —
+        # illegal in progressive (DC band must be 0..0): fail closed
         blob = bytearray(encode_gray_jpeg(_test_image()))
         i = blob.find(b"\xff\xc0")
         blob[i + 1] = 0xC2  # rebrand SOF0 as progressive
