@@ -438,6 +438,127 @@ def encode_gray_progressive(img, scans=None):
     return bytes(out)
 
 
+def encode_color_progressive_420(rgb):
+    """Progressive 4:2:0 color JPEG: one INTERLEAVED DC scan (Al=1),
+    per-component non-interleaved AC band scans, one interleaved DC
+    refinement — exercises the decoder's interleaved-progressive path
+    AND non-interleaved scans over a subsampled component's REAL block
+    grid (smaller than the MCU-padded allocation)."""
+    h, w = rgb.shape[:2]
+    rgbf = _pad_to(rgb.astype(float), 16, 16)
+    r, g, b = rgbf[..., 0], rgbf[..., 1], rgbf[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
+    cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+    dct = _jpeg_idct_basis()
+
+    def qblocks(plane, q):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        out = {}
+        for by in range(bh):
+            for bx in range(bw):
+                coef = dct @ (plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ dct.T
+                qz = np.round(coef / q).astype(int)
+                out[(by, bx)] = [int(qz.flat[_ZZ[i]]) for i in range(64)]
+        return out, bh, bw
+
+    yb, ybh, ybw = qblocks(y, _QY)
+    cbb, cbh, cbw = qblocks(cb, _QC)
+    crb, _, _ = qblocks(cr, _QC)
+    mcus_y, mcus_x = ybh // 2, ybw // 2
+    dcl = _enc_table(*_DC_LUM)
+    dcc = _enc_table(*_DC_CHR)
+    acp = _enc_table(*_AC_PROG)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0, _QY) + _dqt(1, _QC)
+    out += _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _dht(0, 0, *_DC_LUM) + _dht(0, 1, *_DC_CHR)
+    out += _dht(1, 0, *_AC_PROG) + _dht(1, 1, *_AC_PROG)
+
+    def dc_emit(bw_, tab, v, pred, al):
+        diff = (v >> al) - pred
+        t = _category(diff)
+        length, code = tab[t]
+        bw_.write(code, length)
+        if t:
+            bw_.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return v >> al
+
+    # scan 1: interleaved DC first, Al=1
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01]))
+    bw_ = _BitWriter()
+    preds = {0: 0, 1: 0, 2: 0}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(2):
+                for bx in range(2):
+                    preds[0] = dc_emit(bw_, dcl, yb[(my * 2 + by, mx * 2 + bx)][0], preds[0], 1)
+            preds[1] = dc_emit(bw_, dcc, cbb[(my, mx)][0], preds[1], 1)
+            preds[2] = dc_emit(bw_, dcc, crb[(my, mx)][0], preds[2], 1)
+    out += bw_.flush()
+
+    # scans 2-4: per-component AC 1..63 first pass at Al=0, over the
+    # REAL (unpadded-to-MCU) block grid of each component
+    def ac_scan(cid, blocks, real_bh, real_bw):
+        nonlocal out
+        out += _seg(0xDA, bytes([1, cid, (0 << 4) | (0 if cid == 1 else 1), 1, 63, 0]))
+        w2 = _BitWriter()
+        ps = _ProgScanWriter(w2, acp)
+        for m in range(real_bh * real_bw):
+            by, bx = divmod(m, real_bw)
+            blk = blocks[(by, bx)]
+            shifted = blk[1:64]
+            if not any(shifted):
+                ps.eobrun += 1
+                continue
+            ps.flush_eobrun()
+            rr = 0
+            last_nz = max(i for i, v in enumerate(shifted) if v)
+            for i, v in enumerate(shifted):
+                if v == 0:
+                    rr += 1
+                    continue
+                while rr > 15:
+                    length, code = acp[0xF0]
+                    w2.write(code, length)
+                    rr -= 16
+                t = _category(v)
+                length, code = acp[(rr << 4) | t]
+                w2.write(code, length)
+                w2.write(v if v >= 0 else v + (1 << t) - 1, t)
+                rr = 0
+                if i == last_nz:
+                    break
+            if last_nz < len(shifted) - 1:
+                ps.eobrun += 1
+        ps.flush_eobrun()
+        out += w2.flush()
+
+    ac_scan(1, yb, -(-h // 8), -(-w // 8))  # Y real grid (2x sampling: comp dims = image dims)
+    ac_scan(2, cbb, -(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8))
+    ac_scan(3, crb, -(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8))
+
+    # scan 5: interleaved DC refinement (Ah=1, Al=0)
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10]))
+    w3 = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(2):
+                for bx in range(2):
+                    w3.write(yb[(my * 2 + by, mx * 2 + bx)][0] & 1, 1)
+            w3.write(cbb[(my, mx)][0] & 1, 1)
+            w3.write(crb[(my, mx)][0] & 1, 1)
+    out += w3.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _psnr(a, b):
     mse = float(((a - b) ** 2).mean())
     return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
@@ -537,6 +658,17 @@ class TestJpegProgressive:
         base = _jpeg_gray_pixels(encode_gray_jpeg(img))
         prog = _jpeg_gray_pixels(encode_gray_progressive(img))
         assert prog is not None and np.array_equal(base, prog)
+
+    def test_color_progressive_interleaved_dc_and_subsampled_grids(self):
+        # interleaved progressive DC scan + non-interleaved AC scans
+        # over the REAL per-component block grids (Y grid smaller than
+        # its MCU-padded allocation at 40x56: 5x7 blocks vs 6x8)
+        base_img = _test_image(40, 56)
+        rgb = np.stack([base_img, base_img[::-1], np.full_like(base_img, 128)], axis=-1)
+        base = _jpeg_gray_pixels(encode_color_jpeg_420(rgb))
+        prog = _jpeg_gray_pixels(encode_color_progressive_420(rgb))
+        assert prog is not None
+        assert np.array_equal(base, prog)
 
     def test_truncated_progressive_does_not_raise(self):
         blob = encode_gray_progressive(_test_image())
