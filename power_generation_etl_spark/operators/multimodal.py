@@ -672,11 +672,54 @@ def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
     return narrow.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
+def _wav_g711(content: bytes):
+    """G.711 µ-law / A-law WAV decode (format tags 7 / 6) — the
+    telephony/speech-corpus encodings the stdlib `wave` module rejects.
+    Manual RIFF fmt/data chunk walk + the standard logarithmic
+    expansion (pure integer arithmetic, 16-bit domain: µ-law peaks at
+    ±32124, A-law at ±32256), normalized to [-1, 1]. None for any
+    other format tag."""
+    import numpy as np
+
+    fmt = data = None
+    for tag, s, e in _riff_chunks(content, 12, len(content)):
+        if tag == b"fmt " and e - s >= 16:
+            fmt = content[s:e]
+        elif tag == b"data":
+            data = content[s:e]
+    if fmt is None or data is None:
+        return None
+    ftag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    if ftag not in (6, 7) or not nch or not rate:
+        return None
+    u = np.frombuffer(data, np.uint8)
+    if ftag == 7:  # µ-law
+        c = (~u) & 0xFF
+        sign = (c & 0x80) != 0
+        exp = (c >> 4) & 7
+        mant = c & 0x0F
+        x = ((((mant.astype(np.int64) << 3) + 0x84) << exp) - 0x84).astype(
+            np.float64
+        )
+    else:  # A-law — NB: the (post-XOR) sign bit SET means POSITIVE,
+        # the opposite of µ-law's complemented convention
+        c = u ^ 0x55
+        sign = (c & 0x80) == 0
+        exp = (c >> 4) & 7
+        mant = (c & 0x0F).astype(np.int64)
+        x = np.where(
+            exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0)
+        ).astype(np.float64)
+    x = np.where(sign, -x, x) / 32768.0
+    return rate, nch, x
+
+
 def _wav_pcm(content: bytes):
-    """Decode RIFF/WAV PCM with the stdlib `wave` codec into
-    (sample_rate, n_channels, samples) — samples as float64 normalized
-    to [-1, 1], channels interleaved. None for non-WAV or unsupported
-    encodings (compressed WAV, 24-bit)."""
+    """Decode RIFF/WAV into (sample_rate, n_channels, samples) —
+    samples as float64 normalized to [-1, 1], channels interleaved.
+    Tier 1: the stdlib `wave` codec (PCM 8/16/32-bit). Tier 2: the
+    G.711 µ-law/A-law expander (`_wav_g711`). None for non-WAV or
+    remaining encodings (ADPCM, float, 24-bit)."""
     import wave
 
     import numpy as np
@@ -689,7 +732,10 @@ def _wav_pcm(content: bytes):
             n = w.getnframes()
             raw = w.readframes(n)
     except (wave.Error, EOFError):
-        return None
+        try:
+            return _wav_g711(content)
+        except (struct.error, IndexError, ValueError):
+            return None
     if sw == 1:  # unsigned 8-bit
         x = np.frombuffer(raw, np.uint8).astype(np.float64)
         x = (x - 128.0) / 128.0
