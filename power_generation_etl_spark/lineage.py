@@ -20,8 +20,9 @@ decision, not an algorithm decision:
   tier, is what makes the mode recoverable. DISK_ONLY deliberately:
   long catalog sessions accumulate hundreds of cut tables faster than
   the ContextCleaner reclaims them, and deserialized in-heap blocks
-  (MEMORY_AND_DISK) OOM'd an 8 GiB driver 104 queries into the
-  173-query battery; on-disk blocks cost a read but bound heap usage.
+  (MEMORY_AND_DISK) OOM'd an 8 GiB driver 104 queries into a full
+  catalog battery (r7, 173 queries at the time); on-disk blocks cost
+  a read but bound heap usage.
   The per-round plan still references its parent, so round counts must
   stay bounded (they are: every iterative operator here is fixed-round
   or log-round).
@@ -39,8 +40,10 @@ because a lineage cut is semantically the identity.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
+import threading
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
@@ -56,27 +59,115 @@ def mode() -> str:
     return m
 
 
+def _local_master(df: DataFrame) -> bool:
+    """True when the session runs single-machine (master local[N]) —
+    there, a driver-local temp dir IS visible to every "executor"
+    thread, so it is a valid reliable-checkpoint target. On any other
+    master the same path would be per-node-private storage."""
+    try:
+        return df.sparkSession.sparkContext.master.startswith("local")
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Pin scopes: precise attribution of the blocks a build pins.
+#
+# `memo.PlanMemo.get_or_build` used to attribute persisted RDDs to a
+# build by diffing the GLOBAL getPersistentRDDs() map around the whole
+# build — which captured anything persisted concurrently (another
+# thread, a NESTED memoized build, unrelated caching) and later
+# eagerly unpersisted it out from under its real owner. Instead, every
+# `cut`/`cut_index` call now registers the RDD ids IT created into the
+# innermost active pin scope: the diff window shrinks from "the whole
+# build" to "one materialization", runs under a module lock so
+# concurrent cuts can't cross-attribute, and nested scopes (a memoized
+# build inside a memoized build) each collect only their own cuts.
+# Non-cut persists from other threads inside that narrow locked window
+# remain theoretically attributable — the catalog is single-threaded,
+# and the worst case for persist-backed blocks is a recompute (lineage
+# retained), never data loss.
+# ---------------------------------------------------------------------------
+_PIN_SCOPES: list[set[int]] = []
+_PIN_LOCK = threading.Lock()
+
+
+@contextlib.contextmanager
+def pin_scope():
+    """Collect the RDD ids pinned by `cut`/`cut_index` calls made while
+    the scope is the innermost active one. Yields the (mutating) set."""
+    ids: set[int] = set()
+    _PIN_SCOPES.append(ids)
+    try:
+        yield ids
+    finally:
+        _PIN_SCOPES.remove(ids)
+
+
+def _persistent_ids(df: DataFrame) -> set[int]:
+    try:
+        jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+    except Exception:
+        return set()
+
+
+def _materialize_registered(df: DataFrame, materialize) -> DataFrame:
+    """Run one lineage-cut materialization, registering any newly
+    persisted RDD ids into the innermost pin scope (no-op when no
+    scope is active — zero overhead outside memoized builds)."""
+    if not _PIN_SCOPES:
+        return materialize(df)
+    with _PIN_LOCK:
+        before = _persistent_ids(df)
+        out = materialize(df)
+        new = _persistent_ids(df) - before
+    _PIN_SCOPES[-1].update(new)
+    return out
+
+
 def cut_index(df: DataFrame) -> DataFrame:
     """Materialize a REUSED INDEX PRODUCT — a table probed by many
     later fine-grained jobs (the suffix family's tokenized base and
     doubling rank levels).
 
     local → localCheckpoint (same as `cut`). persist → RELIABLE
-    checkpoint, deliberately: under persist each level's retained plan
-    nests the previous level, so level k is an O(k)-deep tree and the
-    LCP descent's per-level probe jobs re-analyze O(levels²) plan
-    nodes on the driver — measured 69s vs 12.6s for the sf0.1
-    `longest_repeated_substrings` (SCALING_MEASURED.md, r8). A
-    reliable checkpoint truncates the plan while STRENGTHENING
-    recoverability (survives any executor loss, not just
-    recompute-on-loss), so the persist mode's deployment contract is
-    preserved for these products. checkpoint → checkpoint (unchanged).
+    checkpoint when one is actually available, because under persist
+    each level's retained plan nests the previous level, so level k is
+    an O(k)-deep tree and the LCP descent's per-level probe jobs
+    re-analyze O(levels²) plan nodes on the driver — measured 69s vs
+    12.6s for the sf0.1 `longest_repeated_substrings`
+    (SCALING_MEASURED.md, r8). A reliable checkpoint truncates the
+    plan while STRENGTHENING recoverability (survives any executor
+    loss, not just recompute-on-loss).
+
+    "Available" respects persist mode's deployment contract — persist
+    is the mode that promises to need NO shared cluster storage:
+
+    * a checkpoint dir is already configured → use it (the deployment
+      opted into shared storage; `setCheckpointDir("hdfs://…")` at
+      bootstrap).
+    * no dir, master is local[N] → a driver temp dir is genuinely
+      shared (one machine), so configure one and checkpoint.
+    * no dir, real cluster → **fall back to plain `cut` (persist +
+      count)**. A driver-local mkdtemp here would make executors write
+      checkpoint partitions to their own private /tmp and later
+      cross-node reads fail — invisible on local[N], fatal in the
+      deployments persist targets. The cost of the fallback is the
+      documented O(levels²) driver-side plan re-analysis for
+      suffix-family index products (results stay correct, levels are
+      log-bounded); deployments that want the fast path configure
+      shared checkpoint storage at bootstrap.
+
+    checkpoint mode → reliable checkpoint (unchanged).
     """
     if mode() == "persist":
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
+        if sc.getCheckpointDir() is None and _local_master(df):
             sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-etl-ckpt-"))
-        return df.checkpoint(eager=True)
+        if sc.getCheckpointDir() is not None:
+            return _materialize_registered(df, lambda d: d.checkpoint(eager=True))
+        return cut(df)
     return cut(df)
 
 
@@ -88,15 +179,26 @@ def cut(df: DataFrame) -> DataFrame:
     """
     m = mode()
     if m == "persist":
-        out = df.persist(StorageLevel.DISK_ONLY)
-        out.count()  # materialize eagerly, like localCheckpoint(eager=True)
-        return out
+        def _persist(d: DataFrame) -> DataFrame:
+            out = d.persist(StorageLevel.DISK_ONLY)
+            out.count()  # materialize eagerly, like localCheckpoint(eager=True)
+            return out
+
+        return _materialize_registered(df, _persist)
     if m == "checkpoint":
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
-            # Local fallback so the mode is testable without cluster
-            # storage; real deployments call setCheckpointDir("hdfs://...")
-            # or ("s3://...") during session bootstrap.
+            if not _local_master(df):
+                raise RuntimeError(
+                    f"{_ENV}=checkpoint on a non-local master requires a "
+                    "SHARED checkpoint directory: call spark.sparkContext."
+                    "setCheckpointDir('hdfs://…' or 's3://…') during "
+                    "session bootstrap. (A driver-local temp dir would "
+                    "leave each executor's checkpoint partitions on its "
+                    "own node — unreadable from the rest of the cluster.)"
+                )
+            # local[N] fallback so the mode is testable without cluster
+            # storage: on one machine a driver temp dir IS shared.
             sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-etl-ckpt-"))
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+        return _materialize_registered(df, lambda d: d.checkpoint(eager=True))
+    return _materialize_registered(df, lambda d: d.localCheckpoint())

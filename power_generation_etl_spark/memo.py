@@ -27,16 +27,24 @@ Lifecycle hardening (round 8):
   replaced session are evicted instead of returned, so a process that
   stops and recreates its SparkSession can never receive a product
   whose blocks belong to a dead context.
-* **Deterministic release** — the RDD ids persisted DURING a build
+* **Deterministic release** — the RDD ids a build pins
   (localCheckpoint blocks, persist(DISK_ONLY) tables, and any
-  intermediate `lineage.cut` a trainer leaves behind) are snapshotted
-  via ``JavaSparkContext.getPersistentRDDs`` and stored with the slot.
-  LRU eviction (and `clear()`) unpersists them immediately rather than
-  waiting for Python GC + the ContextCleaner, so long multi-corpus
-  sessions bound their executor storage deterministically. Eviction is
-  only safe because catalog queries fully materialize their results
+  intermediate `lineage.cut` a trainer leaves behind) are collected
+  with a `lineage.pin_scope`: each `cut`/`cut_index` call registers
+  the ids IT created into the innermost active scope (r9; previously a
+  global getPersistentRDDs before/after diff around the whole build,
+  which mis-attributed anything persisted concurrently — another
+  thread, a NESTED memoized build, unrelated caching — and eagerly
+  unpersisted it out from under its live owner; for localCheckpointed
+  RDDs that is unrecoverable data loss, not a recompute). Nested
+  get_or_build calls open nested scopes, so each slot owns exactly its
+  own cuts. LRU eviction (and `clear()`) unpersists a slot's own ids
+  immediately rather than waiting for Python GC + the ContextCleaner,
+  so long multi-corpus sessions bound their executor storage
+  deterministically. Eviction is safe because (a) attribution is now
+  exclusive and (b) catalog queries fully materialize their results
   before the next query runs (no dangling lazy consumer of an evicted
-  product); that is the documented contract.
+  product); (b) remains the documented contract.
 
 Caveat (documented, not detectable from the plan): overwriting a
 parquet path IN-SESSION and re-deriving products from it would hit the
@@ -50,6 +58,8 @@ import os
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
+
+from power_generation_etl_spark import lineage
 
 _DEFAULT_ENV = "SPARK_ETL_PRODUCT_CACHE"
 
@@ -67,15 +77,6 @@ def _session_token(df: DataFrame) -> tuple | None:
         return (sc.applicationId, sc.startTime)
     except Exception:
         return None
-
-
-def _persistent_rdd_ids(df: DataFrame) -> set[int]:
-    """Ids of currently persisted RDDs (localCheckpoint + persist)."""
-    try:
-        jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
-        return {int(k) for k in jmap.keySet().toArray()}
-    except Exception:
-        return set()
 
 
 class PlanMemo:
@@ -134,10 +135,9 @@ class PlanMemo:
             if kh == h and src.sameSemantics(sdf):
                 self._slots.append(self._slots.pop(i))  # LRU bump
                 return prod
-        before = _persistent_rdd_ids(src)
-        prod = build()
-        new_ids = _persistent_rdd_ids(src) - before
-        self._slots.append((h, src, prod, tok, new_ids))
+        with lineage.pin_scope() as pinned:
+            prod = build()
+        self._slots.append((h, src, prod, tok, set(pinned)))
         for _, sdf, _, _, rids in self._slots[: -self.cap]:
             self._release(sdf, rids)
         del self._slots[: -self.cap]

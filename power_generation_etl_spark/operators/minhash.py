@@ -21,7 +21,9 @@ Scale design notes (the point of these operators is 100 TB corpora):
 
 from __future__ import annotations
 
+import os
 import random
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -30,6 +32,50 @@ from ..lineage import cut as _cut
 from ..memo import PlanMemo
 
 MERSENNE_61 = (1 << 61) - 1
+
+# Candidate-volume ceiling for the AllPairs guard (prefix_jaccard_pairs).
+# The estimator Σ_s p_s·(p_s−1) (p_s = prefix posting length) equals the
+# candidate join's pre-distinct output size. Measured on the shipped
+# corpora: 1.7e4 @sf0.001, 1.7e4 @sf0.01, 8.6e5 @sf0.1, ~1.6e7 on the 4×
+# derived uniform corpus — all comfortably below this default, so every
+# shipped SF (and the tools/scale_point.py probes) runs the exact,
+# zero-recall-loss plan. Cluster deployments with real parallelism
+# should raise it (env SPARK_ETL_ALLPAIRS_MAX_CANDIDATES) roughly
+# linearly with executor count.
+DEFAULT_ALLPAIRS_MAX_CANDIDATES = 50_000_000
+_ALLPAIRS_ENV = "SPARK_ETL_ALLPAIRS_MAX_CANDIDATES"
+
+
+def _resolve_max_candidates(max_candidates: int | None) -> int | None:
+    """Effective candidate bound: an explicit argument wins; <= 0
+    disables the guard entirely; None defers to the env override, then
+    the default."""
+    if max_candidates is not None:
+        return max_candidates if max_candidates > 0 else None
+    env = os.environ.get(_ALLPAIRS_ENV)
+    if env is not None:
+        v = int(env)
+        return v if v > 0 else None
+    return DEFAULT_ALLPAIRS_MAX_CANDIDATES
+
+
+def _choose_df_cap(per_df: list[tuple[int, int]], bound: int) -> int | None:
+    """Given `(df, volume)` rows — candidate volume Σ p·(p−1) summed
+    per document-frequency bucket — pick the largest df_cap whose
+    cumulative volume (df ascending) stays within `bound`. None means
+    no cap needed (total fits). The floor is cap=1: df=1 shingles have
+    at most one prefix posting, so they generate zero candidate pairs
+    and are always free to keep."""
+    total = sum(v for _, v in per_df)
+    if total <= bound:
+        return None
+    cap, acc = 1, 0
+    for dfv, vol in sorted(per_df):
+        if acc + vol > bound:
+            break
+        acc += vol
+        cap = dfv
+    return max(cap, 1)
 
 
 def portable_hash32(s: Column) -> Column:
@@ -409,6 +455,7 @@ def prefix_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     df_cap: int | None = None,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via AllPairs prefix filtering (Bayardo et
     al., WWW'07; Chaudhuri et al.) — the database-literature candidate
@@ -456,7 +503,27 @@ def prefix_jaccard_pairs(
     ALL be boilerplate. Candidate cost is then bounded by
     |shingles|·df_cap² regardless of corpus size — linear in N for a
     fixed cap. Unset (None) keeps the zero-recall-loss exact AllPairs
-    behavior.
+    behavior — subject to the runtime guard below.
+
+    ``max_candidates`` — the RUNTIME GUARD (r9; closes the one scale
+    hazard the derived-corpus probes measured: on uniform corpora the
+    exact plan's candidate volume is effectively quadratic in N).
+    Before emitting candidates, one tiny aggregation over the
+    already-built prefix table computes the exact pre-distinct
+    candidate-join volume Σ_s p_s·(p_s−1) bucketed by shingle document
+    frequency. If the total exceeds the bound (default
+    `DEFAULT_ALLPAIRS_MAX_CANDIDATES`, env
+    ``SPARK_ETL_ALLPAIRS_MAX_CANDIDATES``, argument wins; <= 0
+    disables), the guard auto-engages the SMALLEST recall sacrifice
+    that fits: the largest df_cap whose cumulative (rarest-first)
+    candidate volume stays within the bound — the rare-head postings
+    that carry near-dup signal are kept and only the boilerplate tail
+    is cut, with the same recall contract as an explicit ``df_cap``.
+    Engagement emits a `UserWarning` naming the measured volume and
+    chosen cap. Below the bound, behavior is the untouched
+    zero-recall-loss exact AllPairs plan (equality pytest-asserted).
+    An explicit ``df_cap`` skips the guard — the caller already
+    bounded the plan.
     """
     from pyspark.sql.window import Window
 
@@ -473,12 +540,40 @@ def prefix_jaccard_pairs(
             F.col("r")
             <= F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + 1
         )
-        .select("doc_id", "s")
+        .select("doc_id", "s", "df")
     )
+    bound = _resolve_max_candidates(max_candidates)
     if df_cap is not None:
-        pref = pref.join(
-            dfreq.where(F.col("df") <= df_cap).select("s"), "s", "left_semi"
+        pref = pref.where(F.col("df") <= df_cap)
+    elif bound is not None:
+        # Runtime guard: the prefix table is reused by the estimator
+        # job AND the candidate join, so cut it once (window + joins
+        # don't recompute). The estimator is exact, not a sketch: per
+        # df bucket, Σ p·(p−1) over prefix posting lengths p is the
+        # candidate join's pre-distinct output size.
+        pref = _cut(pref)
+        per_df = (
+            pref.groupBy("s", "df")
+            .agg(F.count(F.lit(1)).alias("p"))
+            .groupBy("df")
+            .agg(F.sum(F.col("p") * (F.col("p") - 1)).alias("vol"))
+            .collect()
         )
+        rows = [(r["df"], int(r["vol"])) for r in per_df]
+        auto_cap = _choose_df_cap(rows, bound)
+        if auto_cap is not None:
+            total = sum(v for _, v in rows)
+            warnings.warn(
+                f"prefix_jaccard_pairs: estimated candidate volume "
+                f"{total} exceeds max_candidates={bound}; auto-engaging "
+                f"df_cap={auto_cap} (rarest-first postings kept, "
+                f"boilerplate tail cut — recall contract as an explicit "
+                f"df_cap). Raise {_ALLPAIRS_ENV} to keep the exact plan.",
+                UserWarning,
+                stacklevel=2,
+            )
+            pref = pref.where(F.col("df") <= auto_cap)
+    pref = pref.select("doc_id", "s")
     npar = _par(df)
     a = pref.select(F.col("doc_id").alias("id_a"), "s").repartition(npar, "s")
     b = pref.select(F.col("doc_id").alias("id_b"), "s").repartition(npar, "s")

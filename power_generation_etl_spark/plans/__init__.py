@@ -1,4 +1,3 @@
-import glob as _glob
 import os as _os
 
 from power_generation_etl_spark.plans.queries import ORACLES, QUERIES
@@ -21,15 +20,21 @@ from power_generation_etl_spark.plans import tpch_queries  # noqa: F401
 #     reference-parity relational core plus at least one representative
 #     of every operator family — that gets driver verification every
 #     round.
-#   * The remaining ~144 entries keep their registration order but are
-#     ROTATED by (50 - len(_CORE)) positions per round (round number = count of
-#     committed CORRECTNESS_r*.json artifacts at the repo root), so a
-#     DIFFERENT 21-query slice fills the driver's back half of the
-#     50-sample each round and every catalog entry cycles through
-#     external verification within ~6 rounds instead of relying on
-#     local oracle runs forever. The rotation is deterministic within
-#     a round and changes nothing about which queries exist or their
-#     results — all 173 stay green in the full local battery.
+#   * The remaining ~145 entries keep their registration order but are
+#     ROTATED by (50 - len(_CORE)) positions per round, so a DIFFERENT
+#     21-query slice fills the driver's back half of the 50-sample each
+#     round and every catalog entry cycles through external
+#     verification within ~7 rounds instead of relying on local oracle
+#     runs forever. The round number comes from the COMMITTED,
+#     version-controlled `ROUND` file at the repo root (bumped once per
+#     build round as part of the round's first commit) — an explicit,
+#     hermetic input: the ordering is identical for any checkout of the
+#     same commit, independent of untracked artifacts or package
+#     layout. A missing/unparseable ROUND file degrades to round 1 — a
+#     stable, valid ordering. The rotation is deterministic within a
+#     round and changes nothing about which queries exist or their
+#     results — all stay green in the full local battery
+#     (tools/check_correctness.py runs the complete catalog).
 # Names here must exist; the assertion catches renames at import time.
 # ---------------------------------------------------------------------------
 _CORE = [
@@ -81,11 +86,16 @@ _REPO_ROOT = _os.path.dirname(
 
 
 def _round_no() -> int:
-    """Current build round, derived from the committed per-round
-    correctness artifacts (r N leaves CORRECTNESS_r{N}.json behind).
-    Missing artifacts (fresh checkout elsewhere) degrade to round 1 —
-    a stable, valid ordering."""
-    return 1 + len(_glob.glob(_os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
+    """Current build round, read from the committed `ROUND` file at
+    the repo root (see the module docstring for why this must be an
+    explicit versioned input rather than derived from artifacts).
+    Missing/unreadable file degrades to round 1 — a stable, valid
+    ordering for fresh or partial checkouts."""
+    try:
+        with open(_os.path.join(_REPO_ROOT, "ROUND")) as f:
+            return max(1, int(f.read().strip()))
+    except (OSError, ValueError):
+        return 1
 
 
 def _reorder(d: dict) -> dict:

@@ -49,6 +49,38 @@ def test_cited_query_names_exist():
     assert not stale, f"COVERAGE.md cites unregistered queries: {stale}"
 
 
+def test_scaling_battery_catalog_size_current():
+    """SCALING_MEASURED.md's per-lineage-mode battery section must
+    state the CURRENT catalog size (the battery is re-run at HEAD each
+    time the catalog grows); historical anecdotes elsewhere are
+    explicitly marked with the round they were measured in."""
+    text = _read("SCALING_MEASURED.md")
+    claims = [int(x) for x in re.findall(r"same\s+(\d+)-query\s+catalog", text)]
+    assert claims, "battery section no longer states the catalog size"
+    for c in claims:
+        assert c == len(QUERIES), f"battery section claims {c}, registry {len(QUERIES)}"
+
+
+def test_round_is_committed_and_hermetic():
+    """Rotation round comes from the committed ROUND file — an
+    explicit versioned input — not from untracked artifacts. The
+    rotating back-21 of the first-50 sample must advance each round
+    (disjoint slices round-over-round until the remainder wraps)."""
+    from power_generation_etl_spark.plans import _CORE, _round_no
+
+    committed = int(_read("ROUND").strip())
+    assert _round_no() == committed >= 9
+
+    # QUERIES is already rotated to this round's offset, so this
+    # round's driver back-slice is rest[:step]; last round's slice sits
+    # cyclically one step earlier, i.e. rest[-step:]. They must be
+    # disjoint (guaranteed while len(rest) >= 2*step).
+    rest = [k for k in QUERIES if k not in _CORE]
+    step = 50 - len(_CORE)
+    assert len(rest) >= 2 * step
+    assert set(rest[:step]).isdisjoint(rest[-step:])
+
+
 def test_core_sample_is_a_cross_section():
     """The fixed driver-sample core must stay registered and at its
     documented size; the rotating remainder covers the rest."""

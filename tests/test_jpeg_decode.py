@@ -732,3 +732,65 @@ class TestJpegTierWiring:
         # near-identical images: small Hamming distance between dHashes
         ham = bin((hashes[0] ^ hashes[1]) & ((1 << 64) - 1)).count("1")
         assert ham <= 8, ham
+
+
+class TestGoldenRealEncoder:
+    """Independent oracle (r9, closes the r8 ADVICE gap): every other
+    test here round-trips against the encoder written in THIS file, so
+    symmetric encoder/decoder bugs (mirrored zigzag, transposed IDCT,
+    inverted sign conventions) would cancel out. These fixtures were
+    produced by a real libjpeg-based encoder (CPython test-suite
+    images, see tests/fixtures/real_jpeg/README.md) with a lossless
+    PPM pixel dump of the same image as ground truth."""
+
+    @staticmethod
+    def _fixture(name: str) -> bytes:
+        import pathlib
+
+        return (
+            pathlib.Path(__file__).parent / "fixtures" / "real_jpeg" / name
+        ).read_bytes()
+
+    @staticmethod
+    def _ppm_luma() -> np.ndarray:
+        import re
+
+        raw = TestGoldenRealEncoder._fixture("python.ppm")
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", raw)
+        w, h, _mx = map(int, m.groups())
+        arr = (
+            np.frombuffer(raw[m.end() : m.end() + w * h * 3], np.uint8)
+            .reshape(h, w, 3)
+            .astype(np.float64)
+        )
+        # ITU-R 601 luma — same weights as every gray tier in the repo
+        return (arr[..., 0] * 299 + arr[..., 1] * 587 + arr[..., 2] * 114) / 1000
+
+    def test_real_jpeg_matches_lossless_truth(self):
+        truth = self._ppm_luma()
+        gray = _jpeg_gray_pixels(self._fixture("python.jpg"))
+        assert gray is not None and gray.shape == truth.shape == (16, 16)
+        diff = gray - truth
+        mse = float((diff**2).mean())
+        psnr = 10 * np.log10(255.0**2 / mse)
+        # measured 39.7 dB; a mirrored zigzag / transposed IDCT /
+        # flipped sign convention lands far below 20 dB
+        assert psnr > 35.0, psnr
+        assert float(np.abs(diff).mean()) < 3.0
+        assert abs(float(gray.mean()) - float(truth.mean())) < 1.0
+        assert abs(float(gray.std()) - float(truth.std())) < 1.5
+
+    def test_jfif_and_raw_variants_decode_identically(self):
+        # python-raw.jpg is the same encoding minus the JFIF APP0 —
+        # the decoder must not depend on the APP0 marker
+        a = _jpeg_gray_pixels(self._fixture("python.jpg"))
+        b = _jpeg_gray_pixels(self._fixture("python-raw.jpg"))
+        assert a is not None and b is not None
+        assert np.array_equal(a, b)
+
+    def test_golden_scalar_vectors(self):
+        # frozen scalar goldens so a silent future regression of the
+        # decode path (not just a symmetric flip) trips loudly
+        gray = _jpeg_gray_pixels(self._fixture("python.jpg"))
+        assert round(float(gray.mean()), 2) == 97.12
+        assert round(float(gray.std()), 2) == 86.05

@@ -92,3 +92,50 @@ class TestLineageModes:
             monkeypatch.setenv("SPARK_ETL_LINEAGE_CUT", m)
             results[m] = fixture(spark)
         assert results["local"] == results["persist"] == results["checkpoint"]
+
+
+class TestClusterStorageContract:
+    """persist mode promises to need NO shared cluster storage; a
+    driver-local temp checkpoint dir on a real (non-local) master would
+    silently break that (executors write to their own /tmp). These
+    tests simulate the non-local case by patching `_local_master` and
+    the context's reported checkpoint dir."""
+
+    def _pretend_cluster(self, spark, monkeypatch):
+        monkeypatch.setattr(lineage, "_local_master", lambda df: False)
+        # instance attribute shadows the method — no real dir mutation
+        monkeypatch.setattr(
+            spark.sparkContext, "getCheckpointDir", lambda: None
+        )
+
+    def test_persist_cut_index_falls_back_to_persist(self, spark, monkeypatch):
+        monkeypatch.setenv("SPARK_ETL_LINEAGE_CUT", "persist")
+        self._pretend_cluster(spark, monkeypatch)
+        df = spark.range(10).select((F.col("id") * 2).alias("x"))
+        out = lineage.cut_index(df)
+        # fell back to persist+count: storage pinned DISK_ONLY, no
+        # reliable checkpoint was attempted (which would have needed a
+        # dir and thrown), and values are intact
+        assert out.storageLevel.useDisk and not out.storageLevel.useMemory
+        assert sorted(r["x"] for r in out.collect()) == list(range(0, 20, 2))
+        out.unpersist()
+
+    def test_persist_cut_index_uses_preconfigured_dir(
+        self, spark, tmp_path, monkeypatch
+    ):
+        monkeypatch.setenv("SPARK_ETL_LINEAGE_CUT", "persist")
+        monkeypatch.setattr(lineage, "_local_master", lambda df: False)
+        # deployment opted into shared storage → reliable checkpoint OK
+        if spark.sparkContext.getCheckpointDir() is None:
+            spark.sparkContext.setCheckpointDir(str(tmp_path))
+        df = spark.range(5)
+        out = lineage.cut_index(df)
+        assert sorted(r["id"] for r in out.collect()) == list(range(5))
+
+    def test_checkpoint_mode_requires_shared_dir_on_cluster(
+        self, spark, monkeypatch
+    ):
+        monkeypatch.setenv("SPARK_ETL_LINEAGE_CUT", "checkpoint")
+        self._pretend_cluster(spark, monkeypatch)
+        with pytest.raises(RuntimeError, match="setCheckpointDir"):
+            lineage.cut(spark.range(3))

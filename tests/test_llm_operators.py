@@ -134,6 +134,96 @@ class TestNearDup:
         }[(1, 2)]
         assert sim12_capped == sim12_uncapped
 
+    def test_allpairs_guard_exact_below_bound(self, docs):
+        """The r9 runtime guard: with a generous bound the plan is the
+        untouched zero-recall-loss exact AllPairs output, and no
+        warning fires."""
+        import warnings as w
+
+        exact = sorted(
+            tuple(r)
+            for r in mh.exact_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5
+            ).collect()
+        )
+        with w.catch_warnings():
+            w.simplefilter("error")  # any UserWarning → test failure
+            guarded = sorted(
+                tuple(r)
+                for r in mh.prefix_jaccard_pairs(
+                    docs, "doc_id", "text", threshold=0.5,
+                    max_candidates=10**9,
+                ).collect()
+            )
+        assert guarded == exact
+
+    def test_allpairs_guard_engages_on_uniform_corpus(self, spark):
+        """Forcing a tiny bound on a uniform corpus (every shingle
+        frequent — the measured-quadratic shape) must auto-engage a
+        df_cap with a UserWarning, and the result must equal the
+        explicit-df_cap run at the cap the pure chooser picks."""
+        import pytest as pt
+
+        # uniform: 8 docs, all sharing heavy boilerplate + tiny tails
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [(i, f"{base} tail{i % 4} t{i % 2}") for i in range(8)],
+            "doc_id bigint, text string",
+        )
+        with pt.warns(UserWarning, match="auto-engaging df_cap"):
+            guarded = sorted(
+                tuple(r)
+                for r in mh.prefix_jaccard_pairs(
+                    docs, "doc_id", "text", threshold=0.5, max_candidates=3
+                ).collect()
+            )
+        # reconstruct the cap the guard chose and check equivalence
+        # with the explicit knob (the guard is exactly "auto df_cap")
+        sh = mh.shingle_table(docs, "doc_id", "text", 3)
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        t_eff = 0.5 - 1e-4
+        wdw = Window.partitionBy("doc_id").orderBy("df", "s")
+        pref = (
+            sh.join(dfreq, "s")
+            .withColumn("r", F.row_number().over(wdw))
+            .join(counts, "doc_id")
+            .where(
+                F.col("r")
+                <= F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + 1
+            )
+        )
+        rows = [
+            (r["df"], int(r["vol"]))
+            for r in pref.groupBy("s", "df")
+            .agg(F.count(F.lit(1)).alias("p"))
+            .groupBy("df")
+            .agg(F.sum(F.col("p") * (F.col("p") - 1)).alias("vol"))
+            .collect()
+        ]
+        cap = mh._choose_df_cap(rows, 3)
+        assert cap is not None  # the bound genuinely binds here
+        explicit = sorted(
+            tuple(r)
+            for r in mh.prefix_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5, df_cap=cap
+            ).collect()
+        )
+        assert guarded == explicit
+
+    def test_allpairs_cap_chooser(self):
+        """_choose_df_cap: largest cap whose cumulative rarest-first
+        volume fits; None when the total fits; floor at 1."""
+        per_df = [(1, 0), (2, 10), (3, 30), (7, 100)]
+        assert mh._choose_df_cap(per_df, 1000) is None  # total fits
+        assert mh._choose_df_cap(per_df, 40) == 3  # 0+10+30 <= 40
+        assert mh._choose_df_cap(per_df, 39) == 2  # 3-bucket busts it
+        assert mh._choose_df_cap(per_df, 5) == 1  # only df=1 fits
+        assert mh._choose_df_cap([(2, 99)], 5) == 1  # floor
+
     def test_shingles_edgecases(self, spark):
         df = spark.createDataFrame(
             [(1, "one two"), (2, "a b c d"), (3, "")], ["id", "t"]
@@ -808,6 +898,75 @@ class TestY4mMjpegDemux:
             key=lambda r: r["frame_index"],
         )
         assert [bytes(r["frame_bytes"]) for r in out] == [frames[0], frames[2]]
+
+
+class TestVideoFrameRealDecode:
+    """r9: demux → REAL pixel decode end-to-end. MJPEG / AVI-MJPEG
+    frames are complete JPEGs, so `extract_video_frame_features` must
+    emit the SAME luma statistics the stills decoder produces on the
+    identical JPEG bytes — the codec stub is confined to inter-frame
+    codecs."""
+
+    @staticmethod
+    def _three_jpegs():
+        import numpy as np
+
+        from tests.test_jpeg_decode import encode_gray_jpeg
+
+        imgs = []
+        for k in range(3):
+            y, x = np.mgrid[0:16, 0:16]
+            imgs.append(((x * (k + 3) + y * (11 - k)) % 256).astype(np.float64))
+        return [encode_gray_jpeg(img) for img in imgs]
+
+    def _expected(self, jpeg_bytes):
+        gray = mm._gray_image(jpeg_bytes)
+        assert gray is not None
+        return round(float(gray.mean()), 4), round(float(gray.std()), 4)
+
+    def test_mjpeg_frames_match_stills_decoder(self, spark):
+        jpegs = self._three_jpegs()
+        blob = b"".join(jpegs)
+        df = spark.createDataFrame(
+            [(7, "video", "video/x-motion-jpeg", blob, None, None, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        out = sorted(
+            mm.extract_video_frame_features(df, n_frames=3).collect(),
+            key=lambda r: r["frame_index"],
+        )
+        assert len(out) == 3
+        for r, jb in zip(out, jpegs):
+            exp_mean, exp_std = self._expected(jb)
+            assert r["luma_mean"] == exp_mean
+            assert r["luma_std"] == exp_std
+            assert r["luma_std"] > 0  # real pixels, not a digest stub
+            assert r["n_bytes"] == len(jb)
+
+    def test_avi_mjpeg_frames_match_stills_decoder(self, spark):
+        jpegs = self._three_jpegs()
+        avi = _encode_avi(jpegs)
+        df = spark.createDataFrame(
+            [(8, "video", "video/avi", avi, None, None, None)], mm.MEDIA_SCHEMA
+        )
+        out = sorted(
+            mm.extract_video_frame_features(df, n_frames=3).collect(),
+            key=lambda r: r["frame_index"],
+        )
+        assert [
+            (r["luma_mean"], r["luma_std"]) for r in out
+        ] == [self._expected(jb) for jb in jpegs]
+
+    def test_interframe_codec_yields_null_features(self, spark):
+        # unknown payloads (the byte-slicing fallback) → null features,
+        # never fabricated stats
+        df = spark.createDataFrame(
+            [(9, "video", "video/mp4", b"\x00mp4 " * 100, None, None, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        out = mm.extract_video_frame_features(df, n_frames=4).collect()
+        assert len(out) == 4
+        assert all(r["luma_mean"] is None and r["luma_std"] is None for r in out)
 
 
 def test_containment_catches_embedded_doc(spark):

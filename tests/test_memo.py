@@ -109,6 +109,63 @@ class TestLifecycle:
         assert len(m._slots) == 1  # dead slot evicted, fresh one cached
 
 
+class TestAttribution:
+    """Round-9 hardening (r8 ADVICE): a slot owns exactly the RDD ids
+    its OWN build's lineage cuts pinned — never blocks persisted
+    concurrently by someone else, never a nested memoized build's."""
+
+    def test_unrelated_concurrent_persist_survives_eviction(
+        self, spark, sf_dir
+    ):
+        from power_generation_etl_spark import lineage
+
+        m = PlanMemo("t", cap=1)
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bystander = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang"
+        )
+
+        def build():
+            # someone else caches a table mid-build (NOT via lineage.cut)
+            bystander.persist()
+            bystander.count()
+            return lineage.cut(src.select("doc_id"))
+
+        m.get_or_build((1,), src, build)
+        m.get_or_build((2,), src, lambda: lineage.cut(src.select("lang")))
+        # slot (1,) was evicted — its own cut blocks released — but the
+        # bystander's cache must still be alive and readable
+        assert bystander.storageLevel.useMemory or bystander.storageLevel.useDisk
+        assert bystander.count() > 0
+        bystander.unpersist()
+        m.clear()
+
+    def test_nested_build_owns_its_own_blocks(self, spark, sf_dir):
+        from power_generation_etl_spark import lineage
+
+        outer = PlanMemo("outer", cap=1)
+        inner = PlanMemo("inner", cap=4)
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def build_outer():
+            shared = inner.get_or_build(
+                ("tok",), src, lambda: lineage.cut(src.select("doc_id"))
+            )
+            return lineage.cut(shared.select("doc_id"))
+
+        outer.get_or_build((1,), src, build_outer)
+        inner_ids = inner._slots[0][4]
+        assert inner_ids  # the nested build pinned blocks in ITS slot
+        assert not (inner_ids & outer._slots[0][4])  # ... not the outer's
+        # evicting the OUTER slot must leave the nested product usable
+        outer.get_or_build((2,), src, lambda: lineage.cut(src.select("lang")))
+        nested_prod = inner.get_or_build(("tok",), src, lambda: "rebuilt")
+        assert nested_prod != "rebuilt"  # still a hit
+        assert nested_prod.count() > 0  # blocks intact
+        inner.clear()
+        outer.clear()
+
+
 class TestOperatorSharing:
     def test_shingle_table_shared_across_reads(self, spark, sf_dir):
         from power_generation_etl_spark.operators import minhash as mh

@@ -292,6 +292,26 @@ class TestUntrustedBytesHardening:
         assert meta["n_frames"] == 2
         assert meta["duration_ms"] == 2 * 1000 // 25
 
+    def test_y4m_c411_counted_like_420(self):
+        # C411 (DV): 12 bpp like 4:2:0 — 4x2 frames are 12 bytes
+        blob = (
+            b"YUV4MPEG2 W4 H2 F30:1 C411\n"
+            + b"FRAME\n" + bytes(12)
+            + b"FRAME\n" + bytes(range(12))
+        )
+        meta = _y4m_metadata(blob)
+        assert meta["n_frames"] == 2
+        assert meta["duration_ms"] == 2 * 1000 // 30
+
+    def test_y4m_unknown_colourspace_yields_null_not_zero(self):
+        # an unwalkable colourspace must NOT claim "0 frames" (reads
+        # as an empty clip to quality filters) — n_frames stays null
+        blob = b"YUV4MPEG2 W4 H2 F25:1 Cxyz9\n" + b"FRAME\n" + bytes(12)
+        meta = _y4m_metadata(blob)
+        assert meta["container"] == "y4m"
+        assert meta["n_frames"] is None
+        assert "duration_ms" not in meta
+
     def test_mkv_odd_duration_size_skipped_not_fatal(self):
         # Duration element of 3 bytes (neither float32 nor float64):
         # the probe must keep the rest of the metadata, not return None.

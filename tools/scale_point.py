@@ -19,6 +19,12 @@ Derivation (only the tables the two queries read):
   l_orderkey offset past the originals' max) — LPA's workload is
   rounds x edges, and a disjoint union is exactly 2x/4x edges with the
   same degree distribution.
+* embeddings (r9, for the ANN training family): id-offset copies with
+  a per-copy CIRCULAR DIMENSION SHIFT of the vector (distribution and
+  norms preserved, vectors distinct from the originals). k-means /
+  PQ training cost is value-independent (N·k·iters·d mults either
+  way), but shifted copies also keep the probe honest for the
+  scan/top-k stages where duplicate vectors would create mass ties.
 
 Timings: min of REPS same-session runs per (query, sf), after a
 warm-up query — consistent with tools/scaling_probe.py methodology.
@@ -41,7 +47,15 @@ from power_generation_etl_spark.session import get_spark  # noqa: E402
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASE = "/root/testdata/sf0.1"
 DERIVED = os.path.join(ROOT, ".probe_sf")
-TARGETS = ["prefix_jaccard_pairs", "lpa_communities"]
+# r7: the two steepest relational/text entries. r9: + the ANN training
+# family, whose claimed fixed-cost flatness (alpha~0 at 0.01->0.1) had
+# never been tested past sf0.1. Override with argv[1:] (query names).
+TARGETS = [
+    "prefix_jaccard_pairs",
+    "lpa_communities",
+    "ivf_kmeans_topk",
+    "pq_adc_topk",
+]
 REPS = 2
 
 
@@ -69,6 +83,24 @@ def _shuffled_docs(spark, base_docs: str, copy_no: int):
     ).select(*d.columns)
 
 
+def _shifted_embeddings(spark, base_emb: str, copy_no: int):
+    """An id-offset copy with the vector circularly shifted by copy_no
+    dimensions — same distribution/norms, distinct vectors."""
+    e = spark.read.parquet(base_emb)
+    max_id = e.agg(F.max("vec_id")).first()[0] or 0
+    dim = F.size("embedding")
+    k = F.lit(copy_no) % dim
+    shifted = F.concat(
+        F.slice(F.col("embedding"), k + 1, dim - k),
+        F.slice(F.col("embedding"), 1, k),
+    )
+    return e.select(
+        (F.col("vec_id") + F.lit(copy_no * (max_id + 1))).alias("vec_id"),
+        shifted.alias("embedding"),
+        *[c for c in e.columns if c not in ("vec_id", "embedding")],
+    ).select(*e.columns)
+
+
 def _shifted_lineitem(spark, base_li: str, copy_no: int):
     li = spark.read.parquet(base_li)
     keys = ["l_orderkey", "l_partkey", "l_suppkey"]
@@ -84,23 +116,33 @@ def _shifted_lineitem(spark, base_li: str, copy_no: int):
 
 def materialize(spark, mult: int) -> str:
     out = os.path.join(DERIVED, f"sf0.{mult}")
-    if os.path.exists(os.path.join(out, "_DONE")):
+    # r8 caches predate the embeddings derivation — require all tables
+    if os.path.exists(os.path.join(out, "_DONE")) and all(
+        os.path.exists(os.path.join(out, f"{t}.parquet"))
+        for t in ("documents", "lineitem", "embeddings")
+    ):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     docs = [spark.read.parquet(f"{BASE}/documents.parquet")]
     lis = [spark.read.parquet(f"{BASE}/lineitem.parquet")]
+    embs = [spark.read.parquet(f"{BASE}/embeddings.parquet")]
     for i in range(1, mult):
         docs.append(_shuffled_docs(spark, f"{BASE}/documents.parquet", i))
         lis.append(_shifted_lineitem(spark, f"{BASE}/lineitem.parquet", i))
+        embs.append(_shifted_embeddings(spark, f"{BASE}/embeddings.parquet", i))
     d = docs[0]
     for x in docs[1:]:
         d = d.unionByName(x)
     li = lis[0]
     for x in lis[1:]:
         li = li.unionByName(x)
+    em = embs[0]
+    for x in embs[1:]:
+        em = em.unionByName(x)
     d.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     li.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    em.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     open(os.path.join(out, "_DONE"), "w").close()
     return out
 
@@ -109,12 +151,16 @@ def main() -> int:
     spark = get_spark("scale_point")
     from power_generation_etl_spark.plans import QUERIES
 
+    targets = sys.argv[1:] or TARGETS
+    for q in targets:
+        assert q in QUERIES, f"unknown query {q!r}"
+
     dirs = {0.1: BASE, 0.2: materialize(spark, 2), 0.4: materialize(spark, 4)}
     # warm-up: JIT/codegen paid before any timed run
     QUERIES["pricing_summary"](spark, BASE).collect()
 
     rows = []
-    for q in TARGETS:
+    for q in targets:
         times = {}
         for sf, d in dirs.items():
             best = None
@@ -133,13 +179,13 @@ def main() -> int:
 
     lines = [
         "",
-        "## Extended points for the two steepest queries (derived 2x/4x corpora)",
+        f"## Extended 2x/4x points: {', '.join(targets)}",
         "",
         "Generated by `python tools/scale_point.py`: sf0.2/sf0.4 are",
         "derived from the sf0.1 snapshot (token-shuffled fresh documents /",
-        "key-shifted disjoint lineitem copies — see the tool docstring for",
-        "why clones would mis-measure a near-dup probe). min of"
-        f" {REPS} same-session runs.",
+        "key-shifted disjoint lineitem copies / dimension-shifted embedding",
+        "copies — see the tool docstring for why clones would mis-measure",
+        f"a near-dup probe). min of {REPS} same-session runs.",
         "",
         "| query | sf0.1 s | sf0.2 s | sf0.4 s | alpha(0.1->0.2) | alpha(0.2->0.4) |",
         "|---|---|---|---|---|---|",
