@@ -83,25 +83,43 @@ def _local_master(df: DataFrame) -> bool:
 # build" to "one materialization", runs under a module lock so
 # concurrent cuts can't cross-attribute, and nested scopes (a memoized
 # build inside a memoized build) each collect only their own cuts.
-# Non-cut persists from other threads inside that narrow locked window
-# remain theoretically attributable — the catalog is single-threaded,
-# and the worst case for persist-backed blocks is a recompute (lineage
-# retained), never data loss.
+# The scope stack is THREAD-LOCAL: a cut on thread B must never
+# register into thread A's open scope (A's eviction would then
+# unpersist B's live blocks — the exact cross-attribution bug this
+# design removes). Non-cut persists from the same thread inside the
+# narrow locked diff window remain theoretically attributable — the
+# catalog is single-threaded per session, and the worst case for
+# persist-backed blocks is a recompute (lineage retained), never data
+# loss.
 # ---------------------------------------------------------------------------
-_PIN_SCOPES: list[set[int]] = []
+_PIN_TLS = threading.local()
 _PIN_LOCK = threading.Lock()
+
+
+def _scopes() -> list[set[int]]:
+    stack = getattr(_PIN_TLS, "stack", None)
+    if stack is None:
+        stack = _PIN_TLS.stack = []
+    return stack
 
 
 @contextlib.contextmanager
 def pin_scope():
     """Collect the RDD ids pinned by `cut`/`cut_index` calls made while
-    the scope is the innermost active one. Yields the (mutating) set."""
+    the scope is this thread's innermost active one. Yields the
+    (mutating) set."""
     ids: set[int] = set()
-    _PIN_SCOPES.append(ids)
+    stack = _scopes()
+    stack.append(ids)
     try:
         yield ids
     finally:
-        _PIN_SCOPES.remove(ids)
+        # pop by IDENTITY, never equality: two empty scopes compare
+        # equal, and list.remove would pop the wrong (outer) one
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i] is ids:
+                del stack[i]
+                break
 
 
 def _persistent_ids(df: DataFrame) -> set[int]:
@@ -114,15 +132,19 @@ def _persistent_ids(df: DataFrame) -> set[int]:
 
 def _materialize_registered(df: DataFrame, materialize) -> DataFrame:
     """Run one lineage-cut materialization, registering any newly
-    persisted RDD ids into the innermost pin scope (no-op when no
-    scope is active — zero overhead outside memoized builds)."""
-    if not _PIN_SCOPES:
-        return materialize(df)
+    persisted RDD ids into THIS THREAD's innermost pin scope (no-op
+    when no scope is active — zero overhead outside memoized builds)."""
+    stack = _scopes()
+    if not stack:
+        # still serialize with scoped cuts: an unscoped cut's new RDD
+        # ids must not land inside another thread's open diff window
+        with _PIN_LOCK:
+            return materialize(df)
     with _PIN_LOCK:
         before = _persistent_ids(df)
         out = materialize(df)
         new = _persistent_ids(df) - before
-    _PIN_SCOPES[-1].update(new)
+    stack[-1].update(new)
     return out
 
 

@@ -38,7 +38,9 @@ Lifecycle hardening (round 8):
   unpersisted it out from under its live owner; for localCheckpointed
   RDDs that is unrecoverable data loss, not a recompute). Nested
   get_or_build calls open nested scopes, so each slot owns exactly its
-  own cuts. LRU eviction (and `clear()`) unpersists a slot's own ids
+  own cuts; the scope stack is thread-local and popped by identity
+  (two empty scopes compare equal — equality-pop would orphan the
+  outer scope). LRU eviction (and `clear()`) unpersists a slot's own ids
   immediately rather than waiting for Python GC + the ContextCleaner,
   so long multi-corpus sessions bound their executor storage
   deterministically. Eviction is safe because (a) attribution is now

@@ -54,7 +54,14 @@ def _resolve_max_candidates(max_candidates: int | None) -> int | None:
         return max_candidates if max_candidates > 0 else None
     env = os.environ.get(_ALLPAIRS_ENV)
     if env is not None:
-        v = int(env)
+        try:
+            v = int(float(env))  # accept "5e7" / "50000000"
+        except ValueError:
+            raise ValueError(
+                f"{_ALLPAIRS_ENV}={env!r} is not a number; set a "
+                "candidate-count bound like 50000000 (or <=0 to disable "
+                "the guard)"
+            ) from None
         return v if v > 0 else None
     return DEFAULT_ALLPAIRS_MAX_CANDIDATES
 
@@ -523,7 +530,10 @@ def prefix_jaccard_pairs(
     chosen cap. Below the bound, behavior is the untouched
     zero-recall-loss exact AllPairs plan (equality pytest-asserted).
     An explicit ``df_cap`` skips the guard — the caller already
-    bounded the plan.
+    bounded the plan. Note the guard makes construction EAGER by one
+    aggregation job (the estimator must run before the candidate plan
+    is shaped); pass ``max_candidates=0`` for a fully lazy plan when
+    the corpus is known to be heavy-tailed.
     """
     from pyspark.sql.window import Window
 
@@ -546,12 +556,16 @@ def prefix_jaccard_pairs(
     if df_cap is not None:
         pref = pref.where(F.col("df") <= df_cap)
     elif bound is not None:
-        # Runtime guard: the prefix table is reused by the estimator
-        # job AND the candidate join, so cut it once (window + joins
-        # don't recompute). The estimator is exact, not a sketch: per
-        # df bucket, Σ p·(p−1) over prefix posting lengths p is the
+        # Runtime guard: one aggregation job over the (lazy) prefix
+        # plan. Deliberately NOT materialized: a cut here would pin an
+        # unowned localCheckpoint table per call (storage accumulation
+        # in long sessions) and replace the window/join subtree in the
+        # returned plan with an opaque RDD scan, blinding the catalog's
+        # plan-lint gates. The shingle table underneath is memo-cut, so
+        # the recompute for the candidate join is one window + two
+        # cheap joins. The estimator is exact, not a sketch: per df
+        # bucket, Σ p·(p−1) over prefix posting lengths p is the
         # candidate join's pre-distinct output size.
-        pref = _cut(pref)
         per_df = (
             pref.groupBy("s", "df")
             .agg(F.count(F.lit(1)).alias("p"))

@@ -910,29 +910,33 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                frames = (
-                    _avi_frames(blob)
-                    or _mp4_video_samples(blob)
-                    or _mkv_frames(blob)
-                    or _y4m_frames(blob)
-                    or _mjpeg_frames(blob)
-                )
-                if frames:
-                    k = min(n_frames, len(frames))
-                    # evenly spaced, always including the first frame
-                    idxs = [i * len(frames) // k for i in range(k)]
-                    for out_i, src_i in enumerate(idxs):
-                        rows.append((media_id, out_i, frames[src_i]))
-                else:
-                    step = max(1, len(blob) // n_frames)
-                    for i in range(n_frames):
-                        rows.append((media_id, i, blob[i * step : (i + 1) * step]))
+                for out_i, fb in _demux_sampled_frames(blob, n_frames):
+                    rows.append((media_id, out_i, fb))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields]
             )
 
     narrow = df.filter(F.col("kind") == "video").select("media_id", "content")
     return narrow.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+def _demux_sampled_frames(blob: bytes, n_frames: int) -> list[tuple[int, bytes]]:
+    """(frame_index, frame_bytes) for up to n_frames evenly spaced
+    frames — the shared demux core of `sample_video_frames` and
+    `extract_video_frame_features`."""
+    frames = (
+        _avi_frames(blob)
+        or _mp4_video_samples(blob)
+        or _mkv_frames(blob)
+        or _y4m_frames(blob)
+        or _mjpeg_frames(blob)
+    )
+    if frames:
+        k = min(n_frames, len(frames))
+        # evenly spaced, always including the first frame
+        return [(i, frames[i * len(frames) // k]) for i in range(k)]
+    step = max(1, len(blob) // n_frames)
+    return [(i, blob[i * step : (i + 1) * step]) for i in range(n_frames)]
 
 
 VIDEO_FRAME_FEATURES_SCHEMA = T.StructType(
@@ -956,36 +960,36 @@ def extract_video_frame_features(df: DataFrame, n_frames: int = 4) -> DataFrame:
     per-frame numbers equal the stills decoder on the same JPEG bytes.
     Frames of inter-frame codecs (h264 in mp4/mkv) have no
     self-contained pixel payload and yield null features — the codec
-    stub is now confined to exactly that case. The heavy binary column
-    is consumed inside one mapInPandas and only narrow features come
-    out, so nothing wide shuffles."""
+    stub is now confined to exactly that case. Demux AND decode run in
+    the SAME mapInPandas pass (`_demux_sampled_frames`, the core shared
+    with `sample_video_frames`), so the heavy binary column is read
+    once and only narrow per-frame scalars ever leave the Python
+    worker — no frame payload round-trips Python→JVM→Python."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in VIDEO_FRAME_FEATURES_SCHEMA.fields]
         for pdf in batches:
             rows = []
-            for media_id, idx, fb in zip(
-                pdf["media_id"], pdf["frame_index"], pdf["frame_bytes"]
-            ):
-                blob = bytes(fb) if fb is not None else b""
-                gray = _gray_image(blob)
-                if gray is not None and gray.size:
-                    rows.append(
-                        (
-                            media_id,
-                            idx,
-                            len(blob),
-                            round(float(gray.mean()), 4),
-                            round(float(gray.std()), 4),
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                for idx, fb in _demux_sampled_frames(blob, n_frames):
+                    gray = _gray_image(fb)
+                    if gray is not None and gray.size:
+                        rows.append(
+                            (
+                                media_id,
+                                idx,
+                                len(fb),
+                                round(float(gray.mean()), 4),
+                                round(float(gray.std()), 4),
+                            )
                         )
-                    )
-                else:
-                    rows.append((media_id, idx, len(blob), None, None))
+                    else:
+                        rows.append((media_id, idx, len(fb), None, None))
             yield pd.DataFrame(rows, columns=cols)
 
-    return sample_video_frames(df, n_frames=n_frames).mapInPandas(
-        feats, VIDEO_FRAME_FEATURES_SCHEMA
-    )
+    narrow = df.filter(F.col("kind") == "video").select("media_id", "content")
+    return narrow.mapInPandas(feats, VIDEO_FRAME_FEATURES_SCHEMA)
 
 
 def media_stats(df: DataFrame) -> DataFrame:

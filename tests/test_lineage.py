@@ -120,14 +120,20 @@ class TestClusterStorageContract:
         assert sorted(r["x"] for r in out.collect()) == list(range(0, 20, 2))
         out.unpersist()
 
-    def test_persist_cut_index_uses_preconfigured_dir(
-        self, spark, tmp_path, monkeypatch
-    ):
+    def test_persist_cut_index_uses_preconfigured_dir(self, spark, monkeypatch):
         monkeypatch.setenv("SPARK_ETL_LINEAGE_CUT", "persist")
         monkeypatch.setattr(lineage, "_local_master", lambda df: False)
-        # deployment opted into shared storage → reliable checkpoint OK
+        # deployment opted into shared storage → reliable checkpoint OK.
+        # If this session has no dir yet, configure one OUTSIDE pytest's
+        # tmp_path (which is cleaned up, and a SparkContext checkpoint
+        # dir cannot be unset — later checkpoints in this session would
+        # write into a deleted directory).
         if spark.sparkContext.getCheckpointDir() is None:
-            spark.sparkContext.setCheckpointDir(str(tmp_path))
+            import tempfile
+
+            spark.sparkContext.setCheckpointDir(
+                tempfile.mkdtemp(prefix="spark-etl-test-ckpt-")
+            )
         df = spark.range(5)
         out = lineage.cut_index(df)
         assert sorted(r["id"] for r in out.collect()) == list(range(5))

@@ -166,6 +166,45 @@ class TestAttribution:
         outer.clear()
 
 
+class TestPinScopeEdgeCases:
+    def test_empty_nested_scope_pops_itself_not_outer(self, spark, sf_dir):
+        """Two empty sets compare EQUAL, so a naive list.remove on scope
+        exit would pop the outer scope instead of the inner one; the
+        outer build's later cuts would then register into the orphaned
+        inner set and the outer exit would raise ValueError."""
+        from power_generation_etl_spark import lineage
+
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        with lineage.pin_scope() as outer:
+            with lineage.pin_scope() as inner:
+                pass  # nested build that makes NO cuts
+            lineage.cut(src.select("doc_id"))
+        assert outer  # the cut landed in the OUTER scope
+        assert not inner
+
+    def test_scopes_are_thread_local(self, spark, sf_dir):
+        """A cut on another thread must never register into this
+        thread's open scope — cross-thread attribution would let this
+        thread's eviction unpersist the other thread's live blocks."""
+        import threading
+
+        from power_generation_etl_spark import lineage
+
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        other_ids = []
+
+        def other_thread():
+            out = lineage.cut(src.select("lang"))
+            other_ids.append(out)
+
+        with lineage.pin_scope() as mine:
+            t = threading.Thread(target=other_thread)
+            t.start()
+            t.join()
+        assert not mine  # nothing from the other thread leaked in
+        assert other_ids[0].count() > 0  # and its product is alive
+
+
 class TestOperatorSharing:
     def test_shingle_table_shared_across_reads(self, spark, sf_dir):
         from power_generation_etl_spark.operators import minhash as mh
