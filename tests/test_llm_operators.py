@@ -417,6 +417,24 @@ class TestPQ:
         assert len(set(pq_top) & set(exact)) >= 2
         assert 0 in pq_top
 
+    def test_pq_batched_training_equals_sequential(self, spark, sf_dir):
+        """r9: the batched trainer (one exploded groupBy(j, cell) job
+        per Lloyd round for all m subspaces) must reproduce the
+        per-subspace sequential trajectory EXACTLY — same seeds, same
+        assignments, same 6-dp rounded centroids — on a real corpus
+        and at multiple (m, k_sub, iters) shapes."""
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+            F.col("embedding").isNotNull()
+        )
+        src = e.select(
+            F.col("vec_id").alias("_id"),
+            sim.as_double_array(F.col("embedding")).alias("_enc"),
+        )
+        for m, k_sub, iters in ((4, 8, 2), (2, 4, 3), (8, 3, 1)):
+            batched = sim._pq_train_impl(src, m, k_sub, iters)
+            sequential = sim._pq_train_sequential_impl(src, m, k_sub, iters)
+            assert batched == sequential, (m, k_sub, iters)
+
     def test_pq_empty_corpus(self, spark):
         empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
         out = sim.pq_topk(empty, "vec_id", "embedding", [0.0] * 64, k=5)

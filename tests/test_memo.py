@@ -224,33 +224,41 @@ class TestOperatorSharing:
     def test_ann_family_coarse_quantizer_shared(self, spark, sf_dir, monkeypatch):
         """BENCH evidence (r7 ADVICE): the ivfpq variants must TRAIN
         the shared coarse quantizer once per session, not once per
-        query — the residual twin's only new trainings are its 4
-        residual-encoded PQ subspace codebooks, and a re-run of either
-        query trains nothing. (ivf_kmeans_topk deliberately does NOT
-        share: its train_iters=3 trajectory is unrolled in its oracle,
-        the ivfpq coarse runs iters=2 — different model, different
-        key.)"""
+        query — the residual twin's only new training is its
+        residual-encoded PQ codebook set (ONE batched job chain since
+        r9), and a re-run of either query trains nothing.
+        (ivf_kmeans_topk deliberately does NOT share: its train_iters=3
+        trajectory is unrolled in its oracle, the ivfpq coarse runs
+        iters=2 — different model, different key.)"""
         from power_generation_etl_spark.operators import similarity as sim
         from power_generation_etl_spark.plans import QUERIES
 
         sim._KMEANS_MEMO.clear()
         sim._PQ_MEMO.clear()
-        builds: list[tuple] = []
-        orig = sim._kmeans_train_impl
+        kmeans_builds: list[tuple] = []
+        pq_builds: list[tuple] = []
+        orig_km = sim._kmeans_train_impl
+        orig_pq = sim._pq_train_impl
 
-        def counting(src, k, iters, kernel):
-            builds.append((k, iters, kernel))
-            return orig(src, k, iters, kernel)
+        def counting_km(src, k, iters, kernel):
+            kmeans_builds.append((k, iters, kernel))
+            return orig_km(src, k, iters, kernel)
 
-        monkeypatch.setattr(sim, "_kmeans_train_impl", counting)
+        def counting_pq(src, m, k_sub, iters):
+            pq_builds.append((m, k_sub, iters))
+            return orig_pq(src, m, k_sub, iters)
+
+        monkeypatch.setattr(sim, "_kmeans_train_impl", counting_km)
+        monkeypatch.setattr(sim, "_pq_train_impl", counting_pq)
         QUERIES["ivfpq_adc_topk"](spark, sf_dir).collect()
-        n_adc = len(builds)
-        assert n_adc == 5  # 1 coarse + m=4 subspace codebooks
+        assert len(kmeans_builds) == 1  # the coarse quantizer
+        assert len(pq_builds) == 1  # ONE batched training for all m books
         QUERIES["ivfpq_residual_topk"](spark, sf_dir).collect()
-        assert len(builds) - n_adc == 4  # coarse HIT; only residual books new
+        assert len(kmeans_builds) == 1  # coarse HIT
+        assert len(pq_builds) == 2  # only the residual book set is new
         QUERIES["ivfpq_residual_topk"](spark, sf_dir).collect()
         QUERIES["ivfpq_adc_topk"](spark, sf_dir).collect()
-        assert len(builds) - n_adc == 4  # re-runs train NOTHING
+        assert len(kmeans_builds) == 1 and len(pq_builds) == 2  # re-runs train NOTHING
         sim._KMEANS_MEMO.clear()
         sim._PQ_MEMO.clear()
 

@@ -94,6 +94,10 @@ HEADLINES = {
     "shortlist and exact re-rank are both TakeOrderedAndProject",
     "longest_repeated_substrings": "adjacent-rank equi-join (no window); "
     "LCP is one zip_with pass per O(n) pair",
+    "prefix_jaccard_pairs": "candidate join equi-keyed on shingle over "
+    "df-ranked PREFIX postings only (rarest-first window); the r9 runtime "
+    "guard has already bounded Σ p·(p−1) below the ceiling before this "
+    "plan is shaped; exact verification touches candidates only",
 }
 
 
