@@ -242,6 +242,7 @@ def exact_jaccard_pairs(
     threshold: float = 0.5,
     doc_freq_cap: int | None = None,
     metric: str = "jaccard",
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram similarity ≥ threshold, via an
     inverted shingle index (join on shingle, never a cross join). The
@@ -252,17 +253,64 @@ def exact_jaccard_pairs(
     metric='containment': |A∩B| / min(|A|,|B|) — the asymmetric screen
     that catches a short document embedded inside a long one, which
     Jaccard structurally misses (a 50-shingle doc fully contained in a
-    1000-shingle doc has Jaccard ≈ 0.05 but containment 1.0)."""
+    1000-shingle doc has Jaccard ≈ 0.05 but containment 1.0).
+
+    ``max_candidates`` — the same runtime guard as
+    `prefix_jaccard_pairs` (r9): the full inverted index has the
+    identical uniform-corpus hazard, candidate volume Σ df·(df−1)
+    quadratic in N when every shingle's document frequency grows with
+    the corpus. One tiny aggregation over the shingle frequencies
+    computes that volume per df bucket (no window needed here — the
+    estimator is a pure dfreq rollup); above the bound (default
+    `DEFAULT_ALLPAIRS_MAX_CANDIDATES`, env
+    ``SPARK_ETL_ALLPAIRS_MAX_CANDIDATES``, argument wins; <= 0
+    disables) the guard auto-engages the largest ``doc_freq_cap``
+    whose cumulative rarest-first volume fits, with a `UserWarning`.
+    The engaged behavior is exactly the documented `doc_freq_cap`
+    contract — hot shingles leave the index, so BOTH recall and
+    reported similarities follow the stop-shingle semantics (unlike
+    the prefix variant, whose verification stays exact). Below the
+    bound the plan is the untouched exact index. Measured volumes:
+    2.8e4 @sf0.01, 2.5e6 @sf0.1, ~4e7 @4× derived — all exact under
+    the default bound."""
     if metric not in ("jaccard", "containment"):
         raise ValueError("metric must be 'jaccard' or 'containment'")
     sh = shingle_table(df, id_col, text_col, n)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     posting = sh
-    if doc_freq_cap is not None:
+    effective_cap = doc_freq_cap
+    if effective_cap is None:
+        bound = _resolve_max_candidates(max_candidates)
+        if bound is not None:
+            per_df = (
+                sh.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .groupBy("df")
+                .agg(F.count(F.lit(1)).alias("ns"))
+                .collect()
+            )
+            rows = [
+                (int(r["df"]), int(r["ns"]) * int(r["df"]) * (int(r["df"]) - 1))
+                for r in per_df
+            ]
+            auto_cap = _choose_df_cap(rows, bound)
+            if auto_cap is not None:
+                total = sum(v for _, v in rows)
+                warnings.warn(
+                    f"exact_jaccard_pairs: estimated candidate volume "
+                    f"{total} exceeds max_candidates={bound}; "
+                    f"auto-engaging doc_freq_cap={auto_cap} (stop-shingle "
+                    f"semantics — hot shingles leave the index). Raise "
+                    f"{_ALLPAIRS_ENV} to keep the exact plan.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+                effective_cap = auto_cap
+    if effective_cap is not None:
         hot = (
             posting.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > doc_freq_cap)
+            .filter(F.col("df") > effective_cap)
             .select("s")
         )
         posting = posting.join(F.broadcast(hot), "s", "left_anti")

@@ -214,6 +214,66 @@ class TestNearDup:
         )
         assert guarded == explicit
 
+    def test_fullindex_guard_exact_below_bound(self, docs):
+        """The guard on the FULL inverted index: generous bound →
+        untouched exact output, no warning."""
+        import warnings as w
+
+        baseline = sorted(
+            tuple(r)
+            for r in mh.exact_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5, max_candidates=0
+            ).collect()
+        )
+        with w.catch_warnings():
+            w.simplefilter("error")
+            guarded = sorted(
+                tuple(r)
+                for r in mh.exact_jaccard_pairs(
+                    docs, "doc_id", "text", threshold=0.5,
+                    max_candidates=10**9,
+                ).collect()
+            )
+        assert guarded == baseline
+
+    def test_fullindex_guard_engages_with_stop_shingle_semantics(self, spark):
+        """Tiny bound on a uniform corpus → auto doc_freq_cap with a
+        warning, equal to the explicit knob at the chosen cap."""
+        import pytest as pt
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [(i, f"{base} tail{i % 4} t{i % 2}") for i in range(8)],
+            "doc_id bigint, text string",
+        )
+        with pt.warns(UserWarning, match="auto-engaging doc_freq_cap"):
+            guarded = sorted(
+                tuple(r)
+                for r in mh.exact_jaccard_pairs(
+                    docs, "doc_id", "text", threshold=0.5, max_candidates=3
+                ).collect()
+            )
+        sh = mh.shingle_table(docs, "doc_id", "text", 3)
+        from pyspark.sql import functions as F
+
+        rows = [
+            (int(r["df"]), int(r["ns"]) * int(r["df"]) * (int(r["df"]) - 1))
+            for r in sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .groupBy("df")
+            .agg(F.count(F.lit(1)).alias("ns"))
+            .collect()
+        ]
+        cap = mh._choose_df_cap(rows, 3)
+        assert cap is not None
+        explicit = sorted(
+            tuple(r)
+            for r in mh.exact_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5, doc_freq_cap=cap
+            ).collect()
+        )
+        assert guarded == explicit
+
     def test_allpairs_cap_chooser(self):
         """_choose_df_cap: largest cap whose cumulative rarest-first
         volume fits; None when the total fits; floor at 1."""
