@@ -284,6 +284,40 @@ class TestNearDup:
         assert mh._choose_df_cap(per_df, 5) == 1  # only df=1 fits
         assert mh._choose_df_cap([(2, 99)], 5) == 1  # floor
 
+    def test_allpairs_cap_chooser_properties(self):
+        """Property sweep of the pure chooser: when a cap is chosen it
+        is (a) within budget for the buckets it keeps (or the floor),
+        (b) MAXIMAL — the next-larger present df would bust the bound —
+        and (c) None exactly when the whole volume fits."""
+        from hypothesis import given
+        from hypothesis import strategies as st
+
+        bucket = st.tuples(
+            st.integers(min_value=1, max_value=50),
+            st.integers(min_value=0, max_value=10_000),
+        )
+
+        @given(
+            st.lists(bucket, max_size=12, unique_by=lambda b: b[0]),
+            st.integers(min_value=0, max_value=50_000),
+        )
+        def check(per_df, bound):
+            cap = mh._choose_df_cap(per_df, bound)
+            total = sum(v for _, v in per_df)
+            if cap is None:
+                assert total <= bound
+                return
+            assert total > bound
+            kept = sum(v for d, v in per_df if d <= cap)
+            larger = sorted(d for d, _ in per_df if d > cap)
+            if kept > bound:
+                assert cap == 1  # only via the floor
+            if larger:
+                nxt = sum(v for d, v in per_df if d <= larger[0])
+                assert nxt > bound or cap == 1  # maximality
+
+        check()
+
     def test_shingles_edgecases(self, spark):
         df = spark.createDataFrame(
             [(1, "one two"), (2, "a b c d"), (3, "")], ["id", "t"]
