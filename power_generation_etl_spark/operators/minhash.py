@@ -66,6 +66,52 @@ def _resolve_max_candidates(max_candidates: int | None) -> int | None:
     return DEFAULT_ALLPAIRS_MAX_CANDIDATES
 
 
+_VOLUME_MEMO = PlanMemo("guard_volume", cap=8)
+
+
+def _guard_volume_cap(
+    vol_df: DataFrame,
+    memo_key: tuple,
+    key_src: DataFrame,
+    bound: int,
+    op: str,
+    knob: str,
+    semantics: str,
+) -> int | None:
+    """Shared guard-engagement step for the near-dup candidate-volume
+    guards: collect the per-df (df, vol) buckets from `vol_df` — ONCE
+    per (memo_key, corpus plan) via PlanMemo, since the buckets are a
+    constant of the corpus and repeated catalog queries over one corpus
+    would otherwise re-run the estimator job each call — then pick the
+    largest fitting cap and warn if the bound binds. Returns the cap to
+    apply, or None to keep the exact plan."""
+    rows = _VOLUME_MEMO.get_or_build(
+        memo_key,
+        key_src,
+        lambda: [(int(r["df"]), int(r["vol"])) for r in vol_df.collect()],
+    )
+    cap = _choose_df_cap(rows, bound)
+    if cap is None:
+        return None
+    total = sum(v for _, v in rows)
+    empty_note = ""
+    if knob == "doc_freq_cap" and cap == 1:
+        empty_note = (
+            " NOTE: cap=1 removes every shingle shared by >=2 documents "
+            "from the index, so the result will be EMPTY — treat this as "
+            "'the guard degenerated the query', not 'no duplicates'."
+        )
+    warnings.warn(
+        f"{op}: exact candidate volume {total} exceeds "
+        f"max_candidates={bound}; auto-engaging {knob}={cap} "
+        f"({semantics}).{empty_note} Raise {_ALLPAIRS_ENV} to keep the "
+        f"exact plan.",
+        UserWarning,
+        stacklevel=3,
+    )
+    return cap
+
+
 def _choose_df_cap(per_df: list[tuple[int, int]], bound: int) -> int | None:
     """Given `(df, volume)` rows — candidate volume Σ p·(p−1) summed
     per document-frequency bucket — pick the largest df_cap whose
@@ -272,7 +318,9 @@ def exact_jaccard_pairs(
     the prefix variant, whose verification stays exact). Below the
     bound the plan is the untouched exact index. Measured volumes:
     2.8e4 @sf0.01, 2.5e6 @sf0.1, ~4e7 @4× derived — all exact under
-    the default bound."""
+    the default bound. Like the prefix variant, the guard makes
+    construction EAGER by one aggregation job (memoized per corpus per
+    session); pass ``max_candidates=0`` for a fully lazy plan."""
     if metric not in ("jaccard", "containment"):
         raise ValueError("metric must be 'jaccard' or 'containment'")
     sh = shingle_table(df, id_col, text_col, n)
@@ -282,30 +330,29 @@ def exact_jaccard_pairs(
     if effective_cap is None:
         bound = _resolve_max_candidates(max_candidates)
         if bound is not None:
-            per_df = (
+            vol_df = (
                 sh.groupBy("s")
                 .agg(F.count(F.lit(1)).alias("df"))
                 .groupBy("df")
-                .agg(F.count(F.lit(1)).alias("ns"))
-                .collect()
-            )
-            rows = [
-                (int(r["df"]), int(r["ns"]) * int(r["df"]) * (int(r["df"]) - 1))
-                for r in per_df
-            ]
-            auto_cap = _choose_df_cap(rows, bound)
-            if auto_cap is not None:
-                total = sum(v for _, v in rows)
-                warnings.warn(
-                    f"exact_jaccard_pairs: estimated candidate volume "
-                    f"{total} exceeds max_candidates={bound}; "
-                    f"auto-engaging doc_freq_cap={auto_cap} (stop-shingle "
-                    f"semantics — hot shingles leave the index). Raise "
-                    f"{_ALLPAIRS_ENV} to keep the exact plan.",
-                    UserWarning,
-                    stacklevel=2,
+                .agg(
+                    (
+                        F.count(F.lit(1)) * F.col("df") * (F.col("df") - 1)
+                    ).alias("vol")
                 )
-                effective_cap = auto_cap
+            )
+            effective_cap = _guard_volume_cap(
+                vol_df,
+                ("full", n),
+                df.select(
+                    F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+                ),
+                bound,
+                "exact_jaccard_pairs",
+                "doc_freq_cap",
+                "stop-shingle semantics — hot shingles leave the index, so "
+                "both recall and reported similarities follow the "
+                "doc_freq_cap contract",
+            )
     if effective_cap is not None:
         hot = (
             posting.groupBy("s")
@@ -614,26 +661,25 @@ def prefix_jaccard_pairs(
         # cheap joins. The estimator is exact, not a sketch: per df
         # bucket, Σ p·(p−1) over prefix posting lengths p is the
         # candidate join's pre-distinct output size.
-        per_df = (
+        vol_df = (
             pref.groupBy("s", "df")
             .agg(F.count(F.lit(1)).alias("p"))
             .groupBy("df")
             .agg(F.sum(F.col("p") * (F.col("p") - 1)).alias("vol"))
-            .collect()
         )
-        rows = [(r["df"], int(r["vol"])) for r in per_df]
-        auto_cap = _choose_df_cap(rows, bound)
+        auto_cap = _guard_volume_cap(
+            vol_df,
+            ("prefix", n, t_eff),
+            df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+            ),
+            bound,
+            "prefix_jaccard_pairs",
+            "df_cap",
+            "rarest-first postings kept, boilerplate tail cut — recall "
+            "contract as an explicit df_cap; verification stays exact",
+        )
         if auto_cap is not None:
-            total = sum(v for _, v in rows)
-            warnings.warn(
-                f"prefix_jaccard_pairs: estimated candidate volume "
-                f"{total} exceeds max_candidates={bound}; auto-engaging "
-                f"df_cap={auto_cap} (rarest-first postings kept, "
-                f"boilerplate tail cut — recall contract as an explicit "
-                f"df_cap). Raise {_ALLPAIRS_ENV} to keep the exact plan.",
-                UserWarning,
-                stacklevel=2,
-            )
             pref = pref.where(F.col("df") <= auto_cap)
     pref = pref.select("doc_id", "s")
     npar = _par(df)

@@ -246,7 +246,13 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    return mh.exact_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    # max_candidates pinned EXPLICITLY: catalog entries have exact
+    # DuckDB oracles, so their output must never depend on the
+    # SPARK_ETL_ALLPAIRS_MAX_CANDIDATES environment of whoever runs
+    # the compare. The default bound still guards the scale hazard.
+    return mh.exact_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_candidates=mh.DEFAULT_ALLPAIRS_MAX_CANDIDATES
+    )
 
 
 # Shared shingle CTEs (word 3-grams, distinct, lowercase \s+ split) —
@@ -651,7 +657,10 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def neardup_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    pairs = mh.exact_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    # max_candidates pinned: oracle-gated output must be env-independent
+    pairs = mh.exact_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_candidates=mh.DEFAULT_ALLPAIRS_MAX_CANDIDATES
+    )
     dups = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return (
         d.join(dups, "doc_id", "left_anti")
@@ -705,7 +714,10 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from power_generation_etl_spark.operators.graph import connected_components
 
     d = T(spark, sf_dir, "documents")
-    pairs = mh.exact_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    # max_candidates pinned: oracle-gated output must be env-independent
+    pairs = mh.exact_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_candidates=mh.DEFAULT_ALLPAIRS_MAX_CANDIDATES
+    )
     comps = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -1019,7 +1031,8 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return mh.exact_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.8, metric="containment"
+        d, "doc_id", "text", n=3, threshold=0.8, metric="containment",
+        max_candidates=mh.DEFAULT_ALLPAIRS_MAX_CANDIDATES,  # env-independent oracle output
     )
 
 
@@ -1061,7 +1074,9 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare head of each doc's shingle list enters candidate generation
     (zero recall loss, `operators/minhash.py::prefix_jaccard_pairs`)."""
     d = T(spark, sf_dir, "documents")
-    return mh.prefix_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return mh.prefix_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_candidates=mh.DEFAULT_ALLPAIRS_MAX_CANDIDATES
+    )  # pinned: env-independent oracle output
 
 
 # The df_cap rarity knob (r8: added after derived-corpus probes showed

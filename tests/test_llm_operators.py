@@ -237,8 +237,60 @@ class TestNearDup:
         assert guarded == baseline
 
     def test_fullindex_guard_engages_with_stop_shingle_semantics(self, spark):
-        """Tiny bound on a uniform corpus → auto doc_freq_cap with a
-        warning, equal to the explicit knob at the chosen cap."""
+        """A bound that lands MID-ladder (cap > 1, some pairs survive):
+        the guard must warn, equal the explicit doc_freq_cap at the
+        chosen cap, and still FIND the rare-shingle pair — i.e. the
+        engaged semantics are exercised non-trivially, not via an
+        everything-empty degenerate case."""
+        import pytest as pt
+
+        boiler = "alpha beta gamma delta epsilon"  # shared by ALL docs
+        rare = " ".join(f"u{i}" for i in range(12))  # shared by docs 1,2 only
+        rows_data = [(1, f"{boiler} {rare}"), (2, f"{boiler} {rare}")]
+        rows_data += [
+            (i, f"{boiler} junk{i}a junk{i}b junk{i}c") for i in range(3, 9)
+        ]
+        docs = spark.createDataFrame(rows_data, "doc_id bigint, text string")
+
+        # derive a bound that keeps every df=2 bucket but busts on the
+        # df=8 boilerplate bucket → cap lands strictly between
+        sh = mh.shingle_table(docs, "doc_id", "text", 3)
+        from pyspark.sql import functions as F
+
+        buckets = {
+            int(r["df"]): int(r["ns"]) * int(r["df"]) * (int(r["df"]) - 1)
+            for r in sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .groupBy("df")
+            .agg(F.count(F.lit(1)).alias("ns"))
+            .collect()
+        }
+        assert 2 in buckets and max(buckets) > 2  # the shape we built
+        bound = sum(v for d, v in buckets.items() if d <= 2)
+        cap = mh._choose_df_cap(sorted(buckets.items()), bound)
+        assert cap == 2  # mid-ladder, not the floor
+
+        with pt.warns(UserWarning, match="auto-engaging doc_freq_cap"):
+            guarded = sorted(
+                tuple(r)
+                for r in mh.exact_jaccard_pairs(
+                    docs, "doc_id", "text", threshold=0.3,
+                    max_candidates=bound,
+                ).collect()
+            )
+        explicit = sorted(
+            tuple(r)
+            for r in mh.exact_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.3, doc_freq_cap=cap
+            ).collect()
+        )
+        assert guarded == explicit
+        assert guarded, "the rare-shingle pair must survive the cap"
+        assert (1, 2) in {(r[0], r[1]) for r in guarded}
+
+    def test_fullindex_guard_floor_warns_empty(self, spark):
+        """At the cap=1 floor the full index can never produce a pair —
+        the warning must say so explicitly."""
         import pytest as pt
 
         base = "alpha beta gamma delta epsilon zeta eta theta"
@@ -246,33 +298,36 @@ class TestNearDup:
             [(i, f"{base} tail{i % 4} t{i % 2}") for i in range(8)],
             "doc_id bigint, text string",
         )
-        with pt.warns(UserWarning, match="auto-engaging doc_freq_cap"):
-            guarded = sorted(
-                tuple(r)
-                for r in mh.exact_jaccard_pairs(
-                    docs, "doc_id", "text", threshold=0.5, max_candidates=3
-                ).collect()
-            )
-        sh = mh.shingle_table(docs, "doc_id", "text", 3)
-        from pyspark.sql import functions as F
-
-        rows = [
-            (int(r["df"]), int(r["ns"]) * int(r["df"]) * (int(r["df"]) - 1))
-            for r in sh.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .groupBy("df")
-            .agg(F.count(F.lit(1)).alias("ns"))
-            .collect()
-        ]
-        cap = mh._choose_df_cap(rows, 3)
-        assert cap is not None
-        explicit = sorted(
-            tuple(r)
-            for r in mh.exact_jaccard_pairs(
-                docs, "doc_id", "text", threshold=0.5, doc_freq_cap=cap
+        with pt.warns(UserWarning, match="result will be EMPTY"):
+            out = mh.exact_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5, max_candidates=3
             ).collect()
+        assert out == []
+
+    def test_catalog_entries_immune_to_guard_env(self, spark, sf_dir, monkeypatch):
+        """Oracle-gated catalog entries pin max_candidates explicitly,
+        so a hostile SPARK_ETL_ALLPAIRS_MAX_CANDIDATES can never change
+        their output out from under the registered exact oracles."""
+        from power_generation_etl_spark.plans import QUERIES
+
+        baseline = sorted(
+            tuple(r) for r in QUERIES["ngram_jaccard_pairs"](spark, sf_dir).collect()
         )
-        assert guarded == explicit
+        monkeypatch.setenv("SPARK_ETL_ALLPAIRS_MAX_CANDIDATES", "1")
+        import warnings as w
+
+        with w.catch_warnings():
+            w.simplefilter("error")  # and no guard warning fires either
+            hostile = sorted(
+                tuple(r)
+                for r in QUERIES["ngram_jaccard_pairs"](spark, sf_dir).collect()
+            )
+            prefix = sorted(
+                tuple(r)
+                for r in QUERIES["prefix_jaccard_pairs"](spark, sf_dir).collect()
+            )
+        assert hostile == baseline
+        assert prefix == baseline  # same truth, both env-immune
 
     def test_allpairs_cap_chooser(self):
         """_choose_df_cap: largest cap whose cumulative rarest-first
