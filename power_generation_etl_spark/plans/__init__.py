@@ -8,6 +8,10 @@ from power_generation_etl_spark.plans import behavior_queries  # noqa: F401
 from power_generation_etl_spark.plans import scale_queries  # noqa: F401
 from power_generation_etl_spark.plans import approx_queries  # noqa: F401
 from power_generation_etl_spark.plans import tpch_queries  # noqa: F401
+from power_generation_etl_spark.plans import media_queries  # noqa: F401
+from power_generation_etl_spark.plans import streaming_queries  # noqa: F401
+from power_generation_etl_spark.plans import layout_queries  # noqa: F401
+from power_generation_etl_spark.plans import grouped_queries  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Catalog ordering: external correctness harnesses sample the FIRST N

@@ -1,0 +1,92 @@
+"""Grouped-map Pandas UDF (`applyInPandas`) under the exact oracle.
+
+The catalog already covers the other Python-kernel surfaces under
+oracles (mapInPandas — media decode; applyInPandasWithState — pytest
+streaming twins). This entry covers DataFrame.groupBy().applyInPandas:
+an order-sensitive per-group numpy kernel whose every output is an
+integer, so DuckDB can restate it exactly — the run-length statistic
+needs a gaps-and-islands double window in SQL, which is precisely the
+cross-check that the kernel's sequential logic is right.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from power_generation_etl_spark.operators.grouped import sequence_profile
+from power_generation_etl_spark.plans.queries import _register
+from power_generation_etl_spark.plans.temporal_queries import T_events_us
+
+
+@_register(
+    "user_event_profile",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    base AS (
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM c GROUP BY 1
+    ),
+    ranked AS (
+      SELECT user_id, cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY cents) AS r,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM c
+    ),
+    med AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN n % 2 = 1 AND r = (n + 1) // 2 THEN 2 * cents
+                           WHEN n % 2 = 0 AND (r = n // 2 OR r = n // 2 + 1)
+                           THEN cents END) AS BIGINT) AS median2x_cents
+      FROM ranked GROUP BY 1
+    ),
+    seq AS (
+      SELECT user_id, ts_us, event_id, cents,
+             CASE WHEN lag(cents) OVER w IS NULL
+                       OR cents <= lag(cents) OVER w THEN 1 ELSE 0 END AS brk
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    isl AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM seq
+    ),
+    runs AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2),
+    lur AS (
+      SELECT user_id, CAST(max(len) AS INTEGER) AS longest_up_run
+      FROM runs GROUP BY 1
+    )
+    SELECT base.user_id, base.n_events, base.sum_cents,
+           med.median2x_cents, lur.longest_up_run
+    FROM base
+    JOIN med USING (user_id)
+    JOIN lur USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequential profile via a grouped-map Pandas UDF
+    (`operators/grouped.py::sequence_profile`): event count, exact
+    floor-cents sum, doubled-integer median, and the longest strictly-
+    increasing cents run in (ts, event_id) order. One shuffle on
+    user_id; each group (≤ ~100 events/user in the synthetic data,
+    bounded per-user sequences in general) is profiled by a single
+    numpy kernel. The oracle restates the run statistic with a
+    gaps-and-islands double window — integer-exact on both engines."""
+    ev = T_events_us(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return sequence_profile(
+        cents, "user_id", ["ts_us", "event_id"], "cents"
+    ).orderBy("user_id")
