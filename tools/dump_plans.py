@@ -98,6 +98,17 @@ HEADLINES = {
     "df-ranked PREFIX postings only (rarest-first window); the r9 runtime "
     "guard has already bounded Σ p·(p−1) below the ceiling before this "
     "plan is shaped; exact verification touches candidates only",
+    "zorder_bucket_stats": "Morton key is pure shift/mask codegen over "
+    "driver-literal min/max (one 1-row stats job); then one map-side-"
+    "combined 64-group aggregate — no wide shuffle, no sort",
+    "image_decode_luma": "synthesis (md5→unhex→concat codegen) and decode "
+    "share ONE MapInPandas stage — the binary column is born and dies in "
+    "the Python worker; only narrow scalars reach the final order-by "
+    "exchange (plus a narrow pre-synthesis round-robin on single-file "
+    "inputs)",
+    "user_event_profile": "one (user_id) shuffle into FlatMapGroupsInPandas "
+    "over a 4-column narrow projection — bounded groups cross the Arrow "
+    "hop, nothing else",
 }
 
 
