@@ -44,6 +44,49 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+def ts_to_ntz(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an events-style timestamp column to TIMESTAMP_NTZ
+    holding the file's naive wall-clock, whatever dtype the session's
+    parquet reader produced:
+
+    * ``bigint`` (vanilla session + nanosAsLong): the int64 is the
+      naive wall-clock encoded as epoch-nanos. Rebuild as NTZ so
+      date_trunc / date_format are independent of the session
+      timezone: instant (ns→µs, integer div — double division would
+      lose precision at 1e18) → session wall-clock NTZ → shift back
+      from session tz to UTC wall-clock = the original naive value.
+    * ``timestamp_ntz`` (ntz-inferring sessions): already the naive
+      wall-clock — pass through.
+
+    Shared by the batch scan (T) and the streaming reader
+    (plans/streaming_queries.py) so the subtle idiom lives once.
+    """
+    if dict(df.dtypes).get(col) == "bigint":
+        ntz = F.timestamp_micros(F.expr(f"{col} div 1000")).cast(
+            "timestamp_ntz"
+        )
+        return df.withColumn(
+            col, F.convert_timezone(F.current_timezone(), F.lit("UTC"), ntz)
+        )
+    return df
+
+
+def ntz_epoch_us(col) -> "F.Column":
+    """Epoch-µs of a naive (NTZ) wall-clock pinned as UTC, via PURE
+    field arithmetic (unix_date/hour/minute/extract are all
+    timezone-free on NTZ). Never cast NTZ through an instant: near DST
+    transitions the session-zone interpretation of a shifted
+    wall-clock is ambiguous/nonexistent and the roundtrip can land an
+    hour off. extract(SECOND) carries the µs fraction as DECIMAL(8,6),
+    so `* 1000000` is exact."""
+    return (
+        F.unix_date(col.cast("date")).cast("bigint") * 86_400_000_000
+        + F.hour(col).cast("bigint") * 3_600_000_000
+        + F.minute(col).cast("bigint") * 60_000_000
+        + (F.extract(F.lit("SECOND"), col) * 1_000_000).cast("bigint")
+    )
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Parquet → vectorized columnar read with
     predicate pushdown + column pruning handled by Catalyst.
@@ -54,19 +97,7 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            # The raw int64 is the file's *naive* wall-clock encoded as
-            # epoch-nanos. Rebuild it as TIMESTAMP_NTZ so date_trunc /
-            # date_format are independent of the session timezone:
-            # instant(ns→µs, integer div — double division would lose
-            # precision at 1e18) → session wall-clock NTZ → shift back
-            # from session tz to UTC wall-clock = the original naive value.
-            ntz = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-            df = df.withColumn(
-                "ts", F.convert_timezone(F.current_timezone(), F.lit("UTC"), ntz)
-            )
-        return df
+        return ts_to_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

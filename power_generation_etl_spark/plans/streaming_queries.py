@@ -38,10 +38,14 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from power_generation_etl_spark.plans.queries import _register
+from power_generation_etl_spark.plans.queries import (
+    _register,
+    ntz_epoch_us,
+    ts_to_ntz,
+)
 
 _MEM_SEQ = itertools.count()
 
@@ -76,38 +80,16 @@ def _landing(src: str, n_links: int) -> str:
 
 def _stream_events(spark: SparkSession, sf_dir_or_path: str):
     """readStream over an events parquet path, normalizing `ts` to
-    TIMESTAMP_NTZ holding the file's naive wall-clock — the same
-    contract as the batch T() helper, independent of session timezone.
-    The streaming source needs an explicit schema, so probe it with a
-    static read: depending on session confs the TIMESTAMP(NANOS)
-    column arrives as epoch-ns bigint (vanilla + nanosAsLong) or as
-    TIMESTAMP_NTZ (ntz-inferring sessions)."""
+    TIMESTAMP_NTZ holding the file's naive wall-clock via the SAME
+    shared helper as the batch T() scan (`queries.ts_to_ntz`) —
+    independent of session timezone and of whether the session's
+    parquet reader produced epoch-ns bigint (vanilla + nanosAsLong) or
+    TIMESTAMP_NTZ (ntz-inferring sessions). The streaming source needs
+    an explicit schema, so probe it with a static read."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(sf_dir_or_path)
-    sdf = spark.readStream.schema(static.schema).parquet(sf_dir_or_path)
-    if dict(static.dtypes).get("ts") == "bigint":
-        # epoch-ns → µs instant (integer div — double division loses
-        # precision at 1e18) → session wall-clock NTZ → shift back to
-        # the UTC wall-clock = the file's naive value (T()'s idiom).
-        ntz = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        sdf = sdf.withColumn(
-            "ts", F.convert_timezone(F.current_timezone(), F.lit("UTC"), ntz)
-        )
-    return sdf
-
-
-def _ntz_epoch_us(col: Column) -> Column:
-    """Epoch-µs of a naive (NTZ) wall-clock pinned as UTC, via PURE
-    field arithmetic (unix_date/hour/minute/second are timezone-free
-    on NTZ) — the same idiom as temporal_queries.T_events_us. Never
-    cast NTZ through an instant: near DST transitions the session-zone
-    interpretation of a shifted wall-clock is ambiguous/nonexistent
-    and the shift+cast roundtrip can land an hour off."""
-    return (
-        F.unix_date(col.cast("date")).cast("bigint") * 86_400_000_000
-        + F.hour(col).cast("bigint") * 3_600_000_000
-        + F.minute(col).cast("bigint") * 60_000_000
-        + (F.extract(F.lit("SECOND"), col) * 1_000_000).cast("bigint")
+    return ts_to_ntz(
+        spark.readStream.schema(static.schema).parquet(sf_dir_or_path)
     )
 
 
@@ -154,18 +136,25 @@ def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         shutil.rmtree(landing, ignore_errors=True)
+    schema = "hour_us long, event_type string, n_events long"
     if not spark.catalog.tableExists(name):  # zero micro-batches ran
-        return spark.createDataFrame(
-            [], "hour_us long, event_type string, n_events long"
-        )
-    return (
+        return spark.createDataFrame([], schema)
+    # Localize the (bounded: hours × types) result and DROP the memory
+    # sink — otherwise every invocation in a long session (bench reps,
+    # oracle sweeps) pins another copy of the aggregation state.
+    rows = (
         spark.table(name)
         .select(
-            _ntz_epoch_us(F.col("w.start")).alias("hour_us"),
+            ntz_epoch_us(F.col("w.start")).alias("hour_us"),
             "event_type",
             "n_events",
         )
         .orderBy("hour_us", "event_type")
+        .collect()
+    )
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        [(r["hour_us"], r["event_type"], r["n_events"]) for r in rows], schema
     )
 
 
@@ -207,11 +196,20 @@ def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         shutil.rmtree(landing, ignore_errors=True)
+    schema = "event_type string, n_unique_events long"
     if not spark.catalog.tableExists(name):
-        return spark.createDataFrame([], "event_type string, n_unique_events long")
-    return (
+        return spark.createDataFrame([], schema)
+    # Aggregate the (row-scale) deduped sink down to per-type counts,
+    # then DROP it — the memory sink holds one row per unique event and
+    # would otherwise accumulate across every invocation in a session.
+    rows = (
         spark.table(name)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_events"))
         .orderBy("event_type")
+        .collect()
+    )
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        [(r["event_type"], r["n_unique_events"]) for r in rows], schema
     )

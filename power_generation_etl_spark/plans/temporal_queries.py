@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from power_generation_etl_spark.operators import temporal as tmp
-from power_generation_etl_spark.plans.queries import _register
+from power_generation_etl_spark.plans.queries import _register, ntz_epoch_us
 
 GAP_US = 30 * 60 * 1_000_000  # 30 min session gap / follow-up window
 
@@ -35,21 +35,10 @@ def T_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
     if dt == "timestamp_ntz":
         # Naive wall-clock (µs parquet). DuckDB's epoch_us treats the
-        # wall value as UTC. Derive the same epoch with PURE field
-        # arithmetic on the NTZ value — unix_date/hour/minute/extract
-        # are all timezone-free on NTZ — instead of casting through an
-        # instant, which would (a) resolve against the session timezone
-        # and (b) tempt a global `spark.sql.session.timeZone` mutation
-        # as a side effect of building a query. extract(SECOND) carries
-        # the µs fraction as DECIMAL(8,6), so `* 1000000` is exact.
-        ts = F.col("ts")
-        us = (
-            F.unix_date(ts.cast("date")).cast("bigint") * 86_400_000_000
-            + F.hour(ts).cast("bigint") * 3_600_000_000
-            + F.minute(ts).cast("bigint") * 60_000_000
-            + (F.expr("extract(SECOND FROM ts)") * 1_000_000).cast("bigint")
-        )
-        return df.withColumn("ts_us", us).drop("ts")
+        # wall value as UTC; the shared field-arithmetic helper derives
+        # the same epoch without ever casting through an instant (see
+        # its docstring for the DST hazard that rules the cast out).
+        return df.withColumn("ts_us", ntz_epoch_us(F.col("ts"))).drop("ts")
     return df.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
 
 

@@ -173,6 +173,18 @@ class TestStreamingPlumbing:
 
 
 class TestZorderEntry:
+    def test_oracle_norm_guards_degenerate_column(self):
+        """morton_key returns norm=0 when max<=min; the DuckDB mirror
+        must do the same instead of NULL-dividing into least(NULL,
+        65535)=65535 (top bucket)."""
+        import duckdb
+
+        from power_generation_etl_spark.plans.layout_queries import _NORM
+
+        expr = _NORM.format(col="7", mn="7.0", mx="7.0")
+        assert duckdb.connect().execute(f"SELECT {expr}").fetchone()[0] == 0
+
+
     def test_bucket_counts_cover_all_rows(self, spark, sf_dir):
         from power_generation_etl_spark.plans.layout_queries import (
             zorder_bucket_stats,
