@@ -1044,6 +1044,69 @@ def _gray_image(content: bytes):
         return None
 
 
+def resize_gray(gray, out_h: int, out_w: int):
+    """Deterministic grayscale resize — the explicit resize tier of the
+    multimodal family (dHash uses its own 8×9 block grid; this is the
+    general-purpose thumbnail op). Two exact kernels, no resampling
+    library: when the input dims are integer multiples of the output,
+    EXACT box average (each output pixel is the mean of its
+    fh×fw block — for a 2×2 block the value is an exact multiple of
+    0.25, so downstream integer recovery is lossless); otherwise
+    nearest-neighbor with top-left anchor (ys = floor(r·h/out_h)).
+    Deterministic on every path — a thumbnail feature that feeds dedup
+    or training must not depend on a resampling kernel's rounding."""
+    import numpy as np
+
+    h, w = gray.shape
+    if h >= out_h and w >= out_w and h % out_h == 0 and w % out_w == 0:
+        fh, fw = h // out_h, w // out_w
+        return gray.reshape(out_h, fh, out_w, fw).mean(axis=(1, 3))
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return gray[np.ix_(ys, xs)]
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.DoubleType()), True),  # row-major
+    ]
+)
+
+
+def extract_image_thumbnail(
+    df: DataFrame, out_h: int = 4, out_w: int = 4
+) -> DataFrame:
+    """Decode + resize in ONE mapInPandas stage: binary image columns →
+    (media_id, out_h, out_w, row-major thumbnail pixels). Undecodable
+    bytes yield a null pixel array, never a fabricated thumbnail. The
+    wide binary column dies inside the Arrow batch; only out_h·out_w
+    doubles per image leave the Python worker."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                gray = _gray_image(blob)
+                if gray is None or gray.shape[0] < 1 or gray.shape[1] < 1:
+                    rows.append((media_id, out_h, out_w, None))
+                else:
+                    px = resize_gray(gray, out_h, out_w)
+                    rows.append(
+                        (media_id, out_h, out_w,
+                         [float(v) for v in px.ravel()])
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in THUMBNAIL_SCHEMA.fields]
+            )
+
+    narrow = df.filter(F.col("kind") == "image").select("media_id", "content")
+    return narrow.mapInPandas(extract, THUMBNAIL_SCHEMA)
+
+
 def _dhash64(gray) -> int | None:
     """64-bit difference hash: block-mean downscale to an 8×9 grid, then
     one bit per horizontal gradient sign (grid[i,j+1] > grid[i,j]).

@@ -21,6 +21,11 @@ recompute directly from the same md5-derived bytes WITHOUT any codec:
 * video — a RIFF/AVI container with 1-3 BMP frames (count varies per
   doc): `_avi_frames` demux + `_gray_image` decode inside ONE
   mapInPandas pass; the oracle predicts every per-frame luma sum.
+* resize — the same BMPs decoded AND box-averaged to a 4×4 thumbnail
+  (`extract_image_thumbnail`); the POSITION-WEIGHTED checksum
+  Σ (4r+c)·pixel·4 is exact (2×2 box means are multiples of 0.25) and
+  layout-sensitive — wrong block→cell mapping or a dropped bottom-up
+  row flip breaks it where a plain mean cannot.
 
 Feature-extractor rounding (4dp mean, 6dp peak) is lossless here by
 construction: |error| ≤ 5e-5·64 = 3.2e-3 and 5e-7·32768 ≈ 0.016, both
@@ -383,4 +388,79 @@ def video_frames_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("luma_mean") * 64).cast("long").alias("luma_sum"),
         )
         .orderBy("doc_id", "frame_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# image_thumbnail_checksum — decode + RESIZE (box-average thumbnail)
+# ---------------------------------------------------------------------------
+
+# 0-based byte index (into the concatenated i0..i3 digests) of the
+# DECODED pixel feeding thumbnail cell (r, c) at offset (dy, dx): the
+# BMP stores rows bottom-up, so decoded row y reads stored row 7-y.
+_TIDX = "((7 - (2*r.r + dy.dy)) * 8 + 2*c.c + dx.dx)"
+_TBYTE = (
+    "CAST(('0x' || substr("
+    f"md5(text || 'i' || CAST({_TIDX} // 16 AS VARCHAR)), "
+    f"2*({_TIDX} % 16) + 1, 2)) AS BIGINT)"
+)
+
+
+@_register(
+    "image_thumbnail_checksum",
+    f"""
+    WITH g AS (
+      SELECT doc_id, (4*r.r + c.c) * {_TBYTE} AS t
+      FROM documents,
+           unnest(range(0, 4)) AS r(r), unnest(range(0, 4)) AS c(c),
+           unnest(range(0, 2)) AS dy(dy), unnest(range(0, 2)) AS dx(dx)
+      WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(4 AS INTEGER) AS out_h,
+           CAST(4 AS INTEGER) AS out_w,
+           CAST(sum(t) AS BIGINT) AS wsum4
+    FROM g
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def image_thumbnail_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE tier under the exact oracle: the same synthesized
+    8×8 BMPs as `image_decode_luma`, decoded AND box-averaged to a 4×4
+    thumbnail in one mapInPandas stage (`extract_image_thumbnail`).
+    The output is the position-weighted checksum Σ (4r+c)·pixel·4 — an
+    exact integer because each 2×2 box mean is a multiple of 0.25 —
+    which the oracle recomputes from the md5 bytes INCLUDING the
+    bottom-up→top-down row flip. Unlike a plain sum (which box
+    averaging preserves), the weighted form breaks if the resize maps
+    blocks to the wrong cells, mixes rows across blocks, or drops the
+    BMP orientation — layout bugs a mean/std feature can't see."""
+    d = _spread(
+        T(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    blob = F.concat(
+        F.lit(_BMP_HDR),
+        _digest_bytes_tripled(F.col("text"), [f"i{j}" for j in range(4)]),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        blob.alias("content"),
+    )
+    th = mm.extract_image_thumbnail(media, out_h=4, out_w=4)
+    wsum4 = F.expr(
+        "aggregate(zip_with(pixels, sequence(0, 15),"
+        " (p, i) -> p * CAST(i AS DOUBLE) * 4D), 0D, (a, x) -> a + x)"
+    )
+    return (
+        th.select(
+            F.col("media_id").alias("doc_id"),
+            "out_h",
+            "out_w",
+            F.round(wsum4).cast("long").alias("wsum4"),
+        )
+        .orderBy("doc_id")
     )

@@ -126,6 +126,41 @@ class TestSynthesizedContainers:
                 assert int(gray.sum()) == expect
 
 
+class TestResizeGray:
+    def test_box_average_exact(self):
+        import numpy as np
+
+        g = np.arange(16, dtype=np.float64).reshape(4, 4)
+        out = mm.resize_gray(g, 2, 2)
+        # each cell = mean of its 2×2 block
+        assert out.tolist() == [[2.5, 4.5], [10.5, 12.5]]
+
+    def test_nearest_neighbor_on_non_divisible(self):
+        import numpy as np
+
+        g = np.arange(25, dtype=np.float64).reshape(5, 5)
+        out = mm.resize_gray(g, 2, 2)
+        # ys = xs = [0, 2] → corners of the coarse grid
+        assert out.tolist() == [[0.0, 2.0], [10.0, 12.0]]
+
+    def test_upscale_falls_back_to_nearest(self):
+        import numpy as np
+
+        g = np.array([[1.0, 2.0], [3.0, 4.0]])
+        out = mm.resize_gray(g, 4, 4)
+        assert out.shape == (4, 4)
+        assert out[0, 0] == 1.0 and out[3, 3] == 4.0
+
+    def test_thumbnail_null_for_undecodable(self, spark):
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(b"not an image"))],
+            "media_id long, kind string, content binary",
+        )
+        row = mm.extract_image_thumbnail(media, 4, 4).head()
+        assert row["pixels"] is None
+        assert (row["out_h"], row["out_w"]) == (4, 4)
+
+
 class TestStreamingPlumbing:
     def test_landing_single_file(self, tmp_path):
         src = tmp_path / "one.parquet"
