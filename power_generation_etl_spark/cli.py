@@ -258,6 +258,20 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("output", help="output parquet path")
     sd.add_argument("--threshold", type=int, default=0, help="keep when logit > t")
 
+    pmf = sub.add_parser(
+        "prep-media",
+        help="media feature/curation pipeline: fused image "
+        "decode+dHash+thumbnail (one decode per blob), banded near-dup "
+        "drop, audio features, video metadata + frame features -> "
+        "per-modality parquet",
+    )
+    pmf.add_argument("media_parquet", help="media parquet (media_id, kind, content)")
+    pmf.add_argument("out_dir")
+    pmf.add_argument("--max-hamming", type=int, default=6)
+    pmf.add_argument("--bands", type=int, default=8)
+    pmf.add_argument("--thumb", type=int, default=4, help="thumbnail side (NxN)")
+    pmf.add_argument("--frames", type=int, default=4, help="sampled frames/video")
+
     pm = sub.add_parser(
         "probe-media",
         help="codec-free video container metadata (mp4/mkv/avi/y4m: "
@@ -593,6 +607,24 @@ def _dispatch(args, spark, eng: Engine) -> int:
         kept = out.where(F.col("label") == "keep").count()
         total = out.count()
         print(f"scored {total} docs: keep={kept} drop={total - kept} → {args.output}")
+    elif args.cmd == "prep-media":
+        import json as _json
+
+        from power_generation_etl_spark.pipelines.media import (
+            prepare_media_features,
+        )
+
+        media = spark.read.parquet(args.media_parquet)
+        s = prepare_media_features(
+            media,
+            args.out_dir,
+            max_hamming=args.max_hamming,
+            bands=args.bands,
+            thumb_h=args.thumb,
+            thumb_w=args.thumb,
+            n_frames=args.frames,
+        )
+        print(_json.dumps(s.as_dict()))
     elif args.cmd == "probe-media":
         from power_generation_etl_spark.operators.multimodal import (
             probe_video_metadata,
