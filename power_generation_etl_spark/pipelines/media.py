@@ -132,30 +132,44 @@ def prepare_media_features(
     n_input = media.count()
 
     # ---- images: fused single-decode bundle + banded near-dup -------
-    bundle = _image_bundle(media, thumb_h, thumb_w)
-    pairs = mm.dhash_neardup_pairs(
-        bundle.select("media_id", "dhash"),
-        max_hamming=max_hamming,
-        bands=bands,
-    )
-    pairs.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "image_neardup_pairs")
-    )
-    dropped = (
-        pairs.select(F.col("id_b").alias("media_id")).distinct()
-    )
-    feat = bundle.join(
-        dropped.withColumn("_drop", F.lit(True)), "media_id", "left"
-    ).withColumn("kept", F.col("_drop").isNull()).drop("_drop")
-    feat.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "image_features")
-    )
-    img_out = os.path.join(out_dir, "image_features")
+    # The one-decode contract is enforced by materializing the bundle
+    # BEFORE anything derives from it: without the persist, the pairs
+    # write, the feature join's left side, and the `dropped` subtree
+    # would each re-execute the mapInPandas decode (~3 decodes/blob —
+    # tripling the most expensive stage at the 100 TB target). DISK_ONLY
+    # per the session-wide persist policy (deserialized in-heap blocks
+    # outlive the ContextCleaner over long sessions).
+    from pyspark import StorageLevel
+
     spark = media.sparkSession
+    pairs_out = os.path.join(out_dir, "image_neardup_pairs")
+    img_out = os.path.join(out_dir, "image_features")
+    bundle = _image_bundle(media, thumb_h, thumb_w).persist(
+        StorageLevel.DISK_ONLY
+    )
+    try:
+        pairs = mm.dhash_neardup_pairs(
+            bundle.select("media_id", "dhash"),
+            max_hamming=max_hamming,
+            bands=bands,
+        )
+        pairs.write.mode("overwrite").parquet(pairs_out)
+        # Re-derive the drop set from the parquet just written — the
+        # in-memory `pairs` plan would re-run the candidate join (and,
+        # unpersisted, the decode) a second time.
+        dropped = (
+            spark.read.parquet(pairs_out)
+            .select(F.col("id_b").alias("media_id"))
+            .distinct()
+        )
+        feat = bundle.join(
+            dropped.withColumn("_drop", F.lit(True)), "media_id", "left"
+        ).withColumn("kept", F.col("_drop").isNull()).drop("_drop")
+        feat.write.mode("overwrite").parquet(img_out)
+    finally:
+        bundle.unpersist()
     n_images = spark.read.parquet(img_out).count()
-    n_pairs = spark.read.parquet(
-        os.path.join(out_dir, "image_neardup_pairs")
-    ).count()
+    n_pairs = spark.read.parquet(pairs_out).count()
     n_dropped = (
         spark.read.parquet(img_out).filter(~F.col("kept")).count()
     )

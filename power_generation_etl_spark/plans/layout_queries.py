@@ -43,9 +43,11 @@ def _sql_interleave(n0: str, n1: str, bits: int) -> str:
 # guard (mx <= mn → norm 0): without the CASE, DuckDB computes
 # 65536.0/0.0 = NULL and least(NULL, 65535) = 65535, silently putting
 # every row of a constant column in the TOP bucket while Spark puts
-# them in bucket 0.
+# them in bucket 0. The NULL arm mirrors morton_key's `mn is None`
+# branch (all-NULL column): `NULL <= NULL` is NULL, so without it the
+# CASE would fall through and yield NULL keys where Spark yields 0.
 _NORM = (
-    "CASE WHEN {mx} <= {mn} THEN 0 ELSE "
+    "CASE WHEN {mn} IS NULL OR {mx} <= {mn} THEN 0 ELSE "
     "least(CAST(floor((CAST({col} AS DOUBLE) - {mn}) * "
     f"({float(1 << _BITS)} / ({{mx}} - {{mn}}))) AS BIGINT), {(1 << _BITS) - 1})"
     " END"

@@ -141,18 +141,22 @@ def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], schema)
     # Localize the (bounded: hours × types) result and DROP the memory
     # sink — otherwise every invocation in a long session (bench reps,
-    # oracle sweeps) pins another copy of the aggregation state.
-    rows = (
-        spark.table(name)
-        .select(
-            ntz_epoch_us(F.col("w.start")).alias("hour_us"),
-            "event_type",
-            "n_events",
+    # oracle sweeps) pins another copy of the aggregation state. The
+    # drop sits in a finally: if the aggregation throws, the temp view
+    # (holding the full sink state) must not leak for the session.
+    try:
+        rows = (
+            spark.table(name)
+            .select(
+                ntz_epoch_us(F.col("w.start")).alias("hour_us"),
+                "event_type",
+                "n_events",
+            )
+            .orderBy("hour_us", "event_type")
+            .collect()
         )
-        .orderBy("hour_us", "event_type")
-        .collect()
-    )
-    spark.catalog.dropTempView(name)
+    finally:
+        spark.catalog.dropTempView(name)
     return spark.createDataFrame(
         [(r["hour_us"], r["event_type"], r["n_events"]) for r in rows], schema
     )
@@ -170,15 +174,29 @@ def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup under the oracle: the landing dir holds
     the SAME events file twice (hard links — no copy), the stream
-    applies dropDuplicates(event_id) in append mode, and the deduped
-    sink is aggregated batch-side. The dedup state is what's under
-    test — without it every per-type count doubles and the oracle's
-    plain counts mismatch. This is the catalog twin of the reference's
-    idempotent re-ingest contract (`operators/dedupe.py::
-    anti_join_new_rows` — reference src/database.py ON CONFLICT DO
-    NOTHING), restated as exactly-once streaming intake."""
-    name = _mem_name("stream_dedup")
+    applies dropDuplicates(event_id) in append mode, and each
+    micro-batch's deduped output is aggregated INSIDE foreachBatch into
+    a per-batch {event_type: count} dict — so the driver-side state is
+    O(batches × types), never O(rows) (the earlier memory-sink form
+    held one row per unique event). Keying by batch_id keeps the sink
+    idempotent: a retried batch overwrites its own counts instead of
+    double-adding. The dedup state is what's under test — without it
+    every per-type count doubles and the oracle's plain counts
+    mismatch. This is the catalog twin of the reference's idempotent
+    re-ingest contract (`operators/dedupe.py::anti_join_new_rows` —
+    reference src/database.py ON CONFLICT DO NOTHING), restated as
+    exactly-once streaming intake."""
     landing = _landing(f"{sf_dir}/events.parquet", 2)
+    per_batch: dict[int, dict[str, int]] = {}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        per_batch[int(batch_id)] = {
+            r["event_type"]: r["n"]
+            for r in batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
     try:
         deduped = (
             _stream_events(spark, landing)
@@ -187,8 +205,7 @@ def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (
             deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
+            .foreachBatch(_sink)
             .trigger(availableNow=True)
             .start()
         )
@@ -197,19 +214,8 @@ def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     schema = "event_type string, n_unique_events long"
-    if not spark.catalog.tableExists(name):
-        return spark.createDataFrame([], schema)
-    # Aggregate the (row-scale) deduped sink down to per-type counts,
-    # then DROP it — the memory sink holds one row per unique event and
-    # would otherwise accumulate across every invocation in a session.
-    rows = (
-        spark.table(name)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_unique_events"))
-        .orderBy("event_type")
-        .collect()
-    )
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(
-        [(r["event_type"], r["n_unique_events"]) for r in rows], schema
-    )
+    totals: dict[str, int] = {}
+    for counts in per_batch.values():
+        for et, n in counts.items():
+            totals[et] = totals.get(et, 0) + int(n)
+    return spark.createDataFrame(sorted(totals.items()), schema)
