@@ -19,13 +19,21 @@ indexes cannot.
 
 from __future__ import annotations
 
+import contextlib
+import itertools
 import os
 import shutil
+import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MONTH_COL = "_month"
+
+# How long a writer waits for a contended table lock before raising.
+# Generous default: a lock holder may be running a full merge shuffle.
+_LOCK_TIMEOUT_S = float(os.environ.get("SPARK_ETL_STORE_LOCK_TIMEOUT_S", "300"))
 
 
 class TableStore:
@@ -38,6 +46,70 @@ class TableStore:
         # deleting it — the poor-man's Delta/Iceberg snapshot log.
         self.versioned = versioned
         os.makedirs(root, exist_ok=True)
+        # Concurrent-writer safety (reference gets this from Postgres
+        # transactions, src/database.py:222-302). Every mutating path
+        # runs under a per-table advisory flock, so two engines/threads
+        # can never interleave archive-version claims, clobber each
+        # other's overwrite swap, or lose an update in a read-merge-
+        # write (merge_upsert re-reads the CURRENT table only after it
+        # holds the lock). flock over O_EXCL lockfiles because the
+        # kernel releases it when the holder dies — a crashed writer
+        # can never deadlock the store. Thread-local held-set makes the
+        # lock reentrant per thread (merge_upsert → overwrite).
+        # Single-host scope (local warehouse contract): flock does not
+        # coordinate across NFS clients — a multi-host deployment needs
+        # a real lakehouse transaction log (Delta/Iceberg).
+        self._held = threading.local()
+        self._tmp_seq = itertools.count()
+
+    def _lock_file(self, table: str) -> str:
+        d = os.path.join(self.root, ".locks")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{table}.lock")
+
+    @contextlib.contextmanager
+    def _table_lock(self, table: str, timeout: float | None = None):
+        """Exclusive per-table writer lock (reentrant within a thread)."""
+        held: set = getattr(self._held, "tables", None) or set()
+        self._held.tables = held
+        if table in held:
+            yield
+            return
+        import fcntl
+
+        deadline = time.monotonic() + (_LOCK_TIMEOUT_S if timeout is None else timeout)
+        fd = os.open(self._lock_file(table), os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except BlockingIOError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"timed out waiting for writer lock on table "
+                            f"{table!r} (held by another engine/thread; see "
+                            f"{self._lock_file(table)})"
+                        )
+                    time.sleep(0.05)
+            os.truncate(fd, 0)
+            os.write(fd, f"{os.getpid()}\n".encode())
+            held.add(table)
+            try:
+                yield
+            finally:
+                held.discard(table)
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+
+    def _tmp_path(self, table: str) -> str:
+        """Unique rewrite staging dir: a FIXED tmp name would let two
+        concurrent rewriters write into the same directory before
+        either takes the swap lock."""
+        return (
+            f"{self.path(table)}__tmp_{os.getpid()}_{next(self._tmp_seq)}__"
+        )
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -152,12 +224,13 @@ class TableStore:
         return df
 
     def append(self, table: str, df: DataFrame) -> None:
-        self.create(table, df.schema)  # persist logical schema on first write
-        df = self._with_month(df)
-        writer = df.write.mode("append")
-        if MONTH_COL in df.columns:
-            writer = writer.partitionBy(MONTH_COL)
-        writer.parquet(self.path(table))
+        with self._table_lock(table):
+            self.create(table, df.schema)  # persist logical schema on first write
+            df = self._with_month(df)
+            writer = df.write.mode("append")
+            if MONTH_COL in df.columns:
+                writer = writer.partitionBy(MONTH_COL)
+            writer.parquet(self.path(table))
 
     def _swap_in(self, table: str, tmp: str, force_archive: bool = False) -> None:
         """Complete a tmp-dir rewrite: carry the schema sidecar across
@@ -192,15 +265,18 @@ class TableStore:
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Replace table contents atomically-enough for local use: write
-        to a temp location, then swap. (On a real deployment this is a
-        Delta/Iceberg `REPLACE` — parquet has no transaction log.)"""
-        tmp = self.path(table) + "__tmp__"
-        df = self._with_month(df)
-        writer = df.write.mode("overwrite")
-        if MONTH_COL in df.columns:
-            writer = writer.partitionBy(MONTH_COL)
-        writer.parquet(tmp)
-        self._swap_in(table, tmp)
+        to a unique temp location, then swap under the table lock — two
+        contending overwrites serialize into two distinct archived
+        versions instead of a torn tmp dir. (On a real deployment this
+        is a Delta/Iceberg `REPLACE` — parquet has no transaction log.)"""
+        with self._table_lock(table):
+            tmp = self._tmp_path(table)
+            df = self._with_month(df)
+            writer = df.write.mode("overwrite")
+            if MONTH_COL in df.columns:
+                writer = writer.partitionBy(MONTH_COL)
+            writer.parquet(tmp)
+            self._swap_in(table, tmp)
 
     def truncate(self, table: str) -> int:
         """S11: destructive clear with pre-count
@@ -210,28 +286,29 @@ class TableStore:
         *exists*: data files go, the `_schema.json` sidecar is
         re-persisted so `exists()`/`read()` keep working on the empty
         table."""
-        schema_json = None
-        n = 0
-        if self.exists(table):
-            n = self.read(table).count()
-            # Preserve the setup-time sidecar verbatim: re-deriving the
-            # schema from a parquet read would drop non-null flags
-            # (parquet reads come back all-nullable) and silently drift
-            # a truncated table from a freshly created one.
-            sidecar = self._schema_file(table)
-            if os.path.exists(sidecar):
-                with open(sidecar) as f:
-                    schema_json = f.read()
-            else:
-                schema_json = self.read(table).schema.json()
-        p = self.path(table)
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-        if schema_json is not None:
-            os.makedirs(p, exist_ok=True)
-            with open(self._schema_file(table), "w") as f:
-                f.write(schema_json)
-        return n
+        with self._table_lock(table):
+            schema_json = None
+            n = 0
+            if self.exists(table):
+                n = self.read(table).count()
+                # Preserve the setup-time sidecar verbatim: re-deriving the
+                # schema from a parquet read would drop non-null flags
+                # (parquet reads come back all-nullable) and silently drift
+                # a truncated table from a freshly created one.
+                sidecar = self._schema_file(table)
+                if os.path.exists(sidecar):
+                    with open(sidecar) as f:
+                        schema_json = f.read()
+                else:
+                    schema_json = self.read(table).schema.json()
+            p = self.path(table)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            if schema_json is not None:
+                os.makedirs(p, exist_ok=True)
+                with open(self._schema_file(table), "w") as f:
+                    f.write(schema_json)
+            return n
 
     def count(self, table: str) -> int:
         return self.read(table).count() if self.exists(table) else 0
@@ -253,27 +330,28 @@ class TableStore:
         rewrite goes through the atomic `overwrite` swap, preserving the
         `_month` partition layout. Returns (files_before, files_after).
         """
-        before = self.file_count(table)
-        if before == 0:
-            return 0, 0
-        total_bytes = 0
-        for _dir, _sub, files in os.walk(self.path(table)):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total_bytes += os.path.getsize(os.path.join(_dir, f))
-        n_files = max(1, -(-total_bytes // (target_file_mb << 20)))  # ceil-div
-        df = self.spark.read.option("basePath", self.path(table)).parquet(
-            self.path(table)
-        )
-        if MONTH_COL in df.columns:
-            # repartition by the partition column: each output task holds
-            # whole months → one file per (task, month) pair, no shuffle
-            # fan-out across partitions.
-            df = df.repartition(int(n_files), MONTH_COL).drop(MONTH_COL)
-        else:
-            df = df.repartition(int(n_files))
-        self.overwrite(table, df)
-        return before, self.file_count(table)
+        with self._table_lock(table):
+            before = self.file_count(table)
+            if before == 0:
+                return 0, 0
+            total_bytes = 0
+            for _dir, _sub, files in os.walk(self.path(table)):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total_bytes += os.path.getsize(os.path.join(_dir, f))
+            n_files = max(1, -(-total_bytes // (target_file_mb << 20)))  # ceil-div
+            df = self.spark.read.option("basePath", self.path(table)).parquet(
+                self.path(table)
+            )
+            if MONTH_COL in df.columns:
+                # repartition by the partition column: each output task holds
+                # whole months → one file per (task, month) pair, no shuffle
+                # fan-out across partitions.
+                df = df.repartition(int(n_files), MONTH_COL).drop(MONTH_COL)
+            else:
+                df = df.repartition(int(n_files))
+            self.overwrite(table, df)
+            return before, self.file_count(table)
 
     def cluster(
         self,
@@ -308,6 +386,21 @@ class TableStore:
         returns (files_before, files_after). Periodic re-clustering is
         the OPTIMIZE analog for append-heavy tables (appends land
         unsorted until the next run)."""
+        with self._table_lock(table):
+            return self._cluster_locked(
+                table, sort_cols, target_file_mb, zorder, n_files,
+                zorder_equidepth,
+            )
+
+    def _cluster_locked(
+        self,
+        table: str,
+        sort_cols: list[str],
+        target_file_mb: int,
+        zorder: bool,
+        n_files: int | None,
+        zorder_equidepth: bool,
+    ) -> tuple[int, int]:
         before = self.file_count(table)
         if before == 0:
             return 0, 0
@@ -335,7 +428,7 @@ class TableStore:
         # sortWithinPartitions(MONTH_COL, ...) the child ordering already
         # satisfies the writer's required partition-column ordering, so
         # no extra sort is inserted and files come out sorted.
-        tmp = self.path(table) + "__tmp__"
+        tmp = self._tmp_path(table)
         out_cols = df.columns
         if zorder:
             df = df.withColumn(
@@ -575,14 +668,15 @@ class TableStore:
         user wants history; forgetting the flag on the restore call
         must not destroy the only copy of the current state). Nothing
         is ever destroyed until `vacuum`."""
-        src = os.path.join(self._versions_dir(table), f"v{version}")
-        if not os.path.isdir(src):
-            raise ValueError(f"no version {version} for table {table}")
-        tmp = self.path(table) + "__tmp__"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        shutil.copytree(src, tmp)
-        self._swap_in(table, tmp, force_archive=True)
+        with self._table_lock(table):
+            src = os.path.join(self._versions_dir(table), f"v{version}")
+            if not os.path.isdir(src):
+                raise ValueError(f"no version {version} for table {table}")
+            tmp = self._tmp_path(table)
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            shutil.copytree(src, tmp)
+            self._swap_in(table, tmp, force_archive=True)
 
     def vacuum(self, table: str, keep: int = 1) -> int:
         """Delete all but the newest `keep` archived versions; returns
@@ -590,11 +684,12 @@ class TableStore:
         storage cost of time travel."""
         if keep < 0:
             raise ValueError("keep must be >= 0")
-        vs = self.versions(table)
-        drop = vs[: max(0, len(vs) - keep)]
-        for v in drop:
-            shutil.rmtree(os.path.join(self._versions_dir(table), f"v{v}"))
-        return len(drop)
+        with self._table_lock(table):
+            vs = self.versions(table)
+            drop = vs[: max(0, len(vs) - keep)]
+            for v in drop:
+                shutil.rmtree(os.path.join(self._versions_dir(table), f"v{v}"))
+            return len(drop)
 
     def diff_versions(self, table: str, version: int) -> DataFrame:
         """Change-data-feed between an archived snapshot and the
@@ -627,9 +722,25 @@ class TableStore:
         the keys + one atomic overwrite (archived when versioning is
         on). At a 100 TB table the production form partition-prunes the
         rewrite to touched partitions (see refresh_views_incremental
-        for the month-pruned pattern)."""
+        for the month-pruned pattern).
+
+        Concurrency: the whole read→merge→overwrite runs under the
+        table's writer lock — two contending merge_upserts serialize,
+        the second re-reading the first's result, so both change sets
+        land (each archiving its own version when versioning is on)
+        and an interleaved read-modify-write can never lose an update."""
         if not keys:
             raise ValueError("keys must be non-empty")
+        with self._table_lock(table):
+            self._merge_upsert_locked(table, changes, keys, order_col)
+
+    def _merge_upsert_locked(
+        self,
+        table: str,
+        changes: DataFrame,
+        keys: list[str],
+        order_col: str,
+    ) -> None:
         current = self.read(table).withColumn("_src", F.lit(0))
         incoming = changes.withColumn("_src", F.lit(1))
         combined = current.unionByName(incoming)
