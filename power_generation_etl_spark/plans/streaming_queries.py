@@ -20,6 +20,16 @@ Determinism notes (why these shapes and not others):
   batch-side. Without the dedup state every count would double — the
   oracle's plain per-type counts fail; with it the first-occurrence
   set is exactly the distinct event set regardless of batch split.
+* `stream_late_data_rollup` (r10) is the one that puts WATERMARK
+  semantics themselves under the exact oracle: two ordered availableNow
+  runs against ONE checkpoint — round 1 feeds the "on-time" 90% of
+  events, round 2 feeds the held-back "late" 10% — with a 30-minute
+  watermark in APPEND mode. The oracle predicts from event times alone
+  exactly which late rows the watermark must drop (those whose window
+  closed at round-1's frontier) and which windows ever emit; a
+  watermark bug in either direction (late row leaked into a closed
+  window, on-time row dropped, window emitted early/never) breaks the
+  counts.
 
 Scale notes: both plans are the standard cluster shapes — file-source
 listing parallelizes per file; the windowed count is a streaming
@@ -42,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from power_generation_etl_spark.plans.queries import (
+    T,
     _register,
     ntz_epoch_us,
     ts_to_ntz,
@@ -219,3 +230,200 @@ def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for et, n in counts.items():
             totals[et] = totals.get(et, 0) + int(n)
     return spark.createDataFrame(sorted(totals.items()), schema)
+
+
+# Deterministic on-time/late split: ~10% of events (by a cross-engine
+# md5 hash of event_id) PLUS the final 24 hours of the dataset are held
+# back to the second streaming round. The tail matters: without it the
+# global max event time is (with ~90% probability) an on-time row, so
+# round 2 never advances the watermark and the "late row merges into a
+# still-open window that later emits" path would be structurally
+# unexercised — the pytest non-degeneracy check pins all three fates.
+_LATE_MOD = 10
+_WM_DELAY = "30 minutes"
+_WM_US = 1_800_000_000  # the delay, in µs, for the oracle's algebra
+_HOUR_US = 3_600_000_000
+_TAIL_US = 24 * 3_600_000_000  # round-2 holdback window
+
+# DuckDB twin of the Spark split flag below (the shared 32-bit md5
+# idiom: 8 hex chars, always positive, exact in BIGINT on both engines).
+_LATE_SQL = (
+    "(CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8) AS BIGINT) "
+    f"% {_LATE_MOD} = 0)"
+)
+
+
+def _late_flag():
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % _LATE_MOD
+        == 0
+    )
+
+
+def _link_into(landing: str, src_dir: str, prefix: str) -> None:
+    """Hard-link every data file of a Spark-written parquet dir into an
+    existing landing dir (the add-files-between-runs half of
+    `_landing`)."""
+    for k, f in enumerate(
+        sorted(
+            f
+            for f in os.listdir(src_dir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    ):
+        dst = os.path.join(landing, f"{prefix}_{k}.parquet")
+        try:
+            os.link(os.path.join(src_dir, f), dst)
+        except OSError:
+            shutil.copyfile(os.path.join(src_dir, f), dst)
+
+
+@_register(
+    "stream_late_data_rollup",
+    f"""
+    WITH e0 AS (
+      SELECT epoch_us(ts) AS t_us, event_type, {_LATE_SQL} AS hash_late
+      FROM events
+    ),
+    b0 AS (SELECT max(t_us) AS ma FROM e0),
+    e AS (
+      SELECT t_us, event_type,
+             (hash_late OR t_us > b0.ma - {_TAIL_US}) AS late
+      FROM e0, b0
+    ),
+    b AS (
+      SELECT max(CASE WHEN NOT late THEN t_us END) AS m1,
+             max(t_us) AS m
+      FROM e
+    ),
+    w AS (
+      SELECT (t_us // {_HOUR_US}) * {_HOUR_US} AS hour_us,
+             (t_us // {_HOUR_US}) * {_HOUR_US} + {_HOUR_US} AS end_us,
+             event_type, late
+      FROM e
+    )
+    SELECT hour_us, event_type, count(*) AS n_events
+    FROM w, b
+    WHERE (NOT late OR end_us > b.m1 - {_WM_US})
+      AND end_us <= b.m - {_WM_US}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_late_data_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark/late-data semantics under the exact oracle.
+
+    Protocol: events are split into an "on-time" set and a "late" set
+    (a deterministic ~10% hash sample PLUS the final 24 hours of the
+    dataset, so round 2 provably advances the watermark). Round 1 stages only
+    the on-time file in the landing dir and runs an APPEND-mode 1-hour
+    window × event_type count with `withWatermark(ts, 30 minutes)` to
+    completion (availableNow). Round 2 adds the late file to the SAME
+    landing dir and re-runs against the SAME checkpoint — Spark
+    restores the round-1 watermark (m1 − 30min, where m1 = max on-time
+    event time) and state, so:
+
+      * a late row whose window already closed (window_end ≤ m1 − 30min)
+        is DROPPED by the watermark — the rows the oracle's first
+        predicate excludes;
+      * a late row landing in a still-open window merges into state;
+      * a window ever EMITS (via foreachBatch, collected per batch)
+        only once its end ≤ final watermark (m − 30min, m = global max
+        event time); later windows stay in state forever — the rows the
+        oracle's second predicate excludes.
+
+    The DuckDB oracle recomputes all of it from raw event times, so a
+    leak (late row into a closed window), a false drop (on-time row
+    discarded), an early emission, or a lost state restore each breaks
+    the value hash. Emission happens in the post-data no-data batch
+    (`spark.sql.streaming.noDataMicroBatches.enabled`, default true).
+    Each round stages ONE file → one data micro-batch per round, so the
+    round boundary (the checkpointed watermark) is the only frontier —
+    verified no window-end ties it at any shipped SF (µs-grain max
+    event times vs hour-aligned window ends). Driver state is the
+    emitted window set (bounded: hours × types). Precondition: a
+    non-empty events table has ≥1 on-time row (holds by construction
+    at every shipped SF; the all-empty mirror yields empty on both
+    engines).
+
+    Scale notes: the aggregation state is keyed by (window, type) —
+    bounded by the key domain; the watermark is exactly what BOUNDS
+    state at 100 TB (closed windows evict instead of accumulating
+    forever, the reason COMPLETE mode can't scale past a small key
+    domain). File-source listing parallelizes per file; the count is a
+    streaming partial-agg + state-store merge."""
+    # withWatermark requires TIMESTAMP (an instant), not NTZ — pin the
+    # naive wall-clock AS UTC via pure field arithmetic + instant
+    # construction (ntz_epoch_us → timestamp_micros): no session-zone
+    # conversion anywhere, so the µs values match the oracle's
+    # epoch_us(ts) bit-for-bit under any TZ.
+    ev0 = T(spark, sf_dir, "events").select(
+        F.timestamp_micros(ntz_epoch_us(F.col("ts"))).alias("ts"),
+        "event_type",
+        _late_flag().alias("hash_late"),
+    )
+    # Driver scalar for the 24h-tail holdback (one columnar max; None
+    # on an empty corpus, where the flag is irrelevant anyway).
+    m_all = ev0.agg(F.max(F.unix_micros("ts"))).first()[0]
+    tail_thr = (m_all - _TAIL_US) if m_all is not None else 0
+    ev = ev0.withColumn(
+        "late",
+        F.col("hash_late") | (F.unix_micros("ts") > F.lit(tail_thr)),
+    )
+    stage = tempfile.mkdtemp(prefix="stream_late_stage_")
+    landing = tempfile.mkdtemp(prefix="stream_late_landing_")
+    ckpt = tempfile.mkdtemp(prefix="stream_late_ckpt_")
+    emitted: list = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        emitted.extend(
+            batch_df.select(
+                F.unix_micros(F.col("w.start")).alias("hour_us"),
+                "event_type",
+                "n_events",
+            ).collect()
+        )
+
+    def _run_round(schema) -> None:
+        agg = (
+            spark.readStream.schema(schema)
+            .parquet(landing)
+            .withWatermark("ts", _WM_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    try:
+        on_dir = os.path.join(stage, "on_time")
+        late_dir = os.path.join(stage, "late")
+        ev.filter(~F.col("late")).select("ts", "event_type").coalesce(
+            1
+        ).write.parquet(on_dir)
+        ev.filter(F.col("late")).select("ts", "event_type").coalesce(
+            1
+        ).write.parquet(late_dir)
+        schema = spark.read.parquet(on_dir).schema
+        _link_into(landing, on_dir, "round1")
+        _run_round(schema)  # round 1: on-time rows, fresh checkpoint
+        _link_into(landing, late_dir, "round2")
+        _run_round(schema)  # round 2: late rows, RESTORED watermark/state
+    finally:
+        for d in (stage, landing, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    schema_out = "hour_us long, event_type string, n_events long"
+    rows = sorted(
+        ((r["hour_us"], r["event_type"], r["n_events"]) for r in emitted),
+    )
+    return spark.createDataFrame(rows, schema_out)

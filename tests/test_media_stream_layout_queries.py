@@ -239,3 +239,57 @@ class TestZorderEntry:
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+class TestLateDataWatermark:
+    """r10 `stream_late_data_rollup`: the DuckDB oracle checks the
+    exact counts; these assertions pin what the oracle can't see —
+    that the two-round protocol is NON-DEGENERATE at the shipped SFs
+    (the watermark really dropped some late rows, really admitted
+    others, and some windows stayed open forever), so the entry can't
+    silently rot into "all late rows survive" or "round 2 was empty"."""
+
+    def test_two_round_feed_exercises_all_three_fates(self, spark, sf_dir):
+        from power_generation_etl_spark.plans.queries import T, ntz_epoch_us
+
+        res = sq.stream_late_data_rollup(spark, sf_dir)
+        emitted = {
+            (r["hour_us"], r["event_type"]): r["n_events"]
+            for r in res.collect()
+        }
+        assert emitted, "no windows emitted at the shipped SF"
+
+        H, D = sq._HOUR_US, sq._WM_US
+        ev = T(spark, sf_dir, "events").select(
+            ntz_epoch_us(F.col("ts")).alias("t_us"),
+            "event_type",
+            sq._late_flag().alias("hash_late"),
+        )
+        raw = ev.collect()
+        m = max(r["t_us"] for r in raw)
+        rows = [
+            {
+                "t_us": r["t_us"],
+                "late": r["hash_late"] or r["t_us"] > m - sq._TAIL_US,
+            }
+            for r in raw
+        ]
+        m1 = max(r["t_us"] for r in rows if not r["late"])
+        survives = lambda r: (not r["late"]) or (
+            (r["t_us"] // H) * H + H > m1 - D
+        )
+        emits = lambda r: (r["t_us"] // H) * H + H <= m - D
+        n_late_dropped = sum(1 for r in rows if r["late"] and not survives(r))
+        n_late_kept_emitted = sum(
+            1 for r in rows if r["late"] and survives(r) and emits(r)
+        )
+        n_never_emitted = sum(1 for r in rows if survives(r) and not emits(r))
+        # all three fates occur — the scenario actually tests something
+        assert n_late_dropped > 0
+        assert n_never_emitted > 0
+        # total conservation: emitted counts == surviving ∩ emitted rows
+        expect = sum(1 for r in rows if survives(r) and emits(r))
+        assert sum(emitted.values()) == expect
+        # the late-kept path is exercised whenever any late row falls in
+        # an emitted open window (true at sf0.001/0.01/0.1 by data)
+        assert n_late_kept_emitted > 0
