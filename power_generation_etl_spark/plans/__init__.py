@@ -25,19 +25,29 @@ from power_generation_etl_spark.plans import lakehouse_queries  # noqa: F401
 #     reference-parity relational core plus at least one representative
 #     of every operator family — that gets driver verification every
 #     round.
-#   * The remaining ~145 entries keep their registration order but are
-#     ROTATED by (50 - len(_CORE)) positions per round, so a DIFFERENT
-#     21-query slice fills the driver's back half of the 50-sample each
-#     round and every catalog entry cycles through external
-#     verification within ~7 rounds instead of relying on local oracle
-#     runs forever. The round number comes from the COMMITTED,
-#     version-controlled `ROUND` file at the repo root (bumped once per
-#     build round as part of the round's first commit) — an explicit,
-#     hermetic input: the ordering is identical for any checkout of the
-#     same commit, independent of untracked artifacts or package
-#     layout. A missing/unparseable ROUND file degrades to round 1 — a
-#     stable, valid ordering. The rotation is deterministic within a
-#     round and changes nothing about which queries exist or their
+#   * The remaining ~155 entries keep their registration order but a
+#     rotating (50 - len(_CORE))-query slice of them fills the driver's
+#     back half of the 50-sample each round, so every catalog entry
+#     cycles through external verification within ~ceil(len(rest)/21)
+#     rounds instead of relying on local oracle runs forever.
+#
+#     The slice position comes from the COMMITTED `ROTATION` cursor
+#     file at the repo root (r10): each round's cursor advances by
+#     exactly `step` from the PREVIOUS round's committed cursor
+#     (`tools/bump_round.py` maintains ROUND+ROTATION together). An
+#     explicit cursor — rather than recomputing ((round-1)*step) mod
+#     len(rest) — is what makes coverage growth-proof: under the
+#     formula, appending queries re-shifts the offset arbitrarily
+#     (r9's rotating 21 re-sampled 9 of r8's because the catalog grew
+#     174→183), so an entry could be starved indefinitely under
+#     sustained growth; with a committed cursor the window provably
+#     sweeps every index within ceil(len(rest)/step) rounds once the
+#     catalog size stabilizes (tests/test_docs_sync.py simulates
+#     append-heavy histories). Hermetic: the ordering is identical for
+#     any checkout of the same commit. A missing/unparseable ROTATION
+#     file degrades to the legacy ROUND-file formula; a missing ROUND
+#     file degrades to round 1 — both stable, valid orderings. The
+#     rotation changes nothing about which queries exist or their
 #     results — all stay green in the full local battery
 #     (tools/check_correctness.py runs the complete catalog).
 # Names here must exist; the assertion catches renames at import time.
@@ -103,10 +113,34 @@ def _round_no() -> int:
         return 1
 
 
+def _rotation_cursor() -> int | None:
+    """Committed rotation cursor (repo-root `ROTATION` file, r10).
+    None when absent/unparseable → legacy ROUND-formula fallback."""
+    try:
+        with open(_os.path.join(_REPO_ROOT, "ROTATION")) as f:
+            return max(0, int(f.read().strip()))
+    except (OSError, ValueError):
+        return None
+
+
+def advance_cursor(prev: int, step: int, n_rest: int) -> int:
+    """The one bump rule (shared by tools/bump_round.py and the
+    coverage-guarantee test): next cursor = previous committed cursor
+    advanced by exactly `step`, wrapped at the CURRENT rest size.
+    Advancing from the previous cursor — never recomputing from the
+    round number — is what guarantees the window sweeps every index
+    within ceil(n_rest/step) rounds once the catalog stops growing."""
+    return (prev + step) % n_rest if n_rest else 0
+
+
 def _reorder(d: dict) -> dict:
     rest = [k for k in d if k not in _CORE]
     step = 50 - len(_CORE)  # size of the rotating driver-sample slice
-    off = ((_round_no() - 1) * step) % len(rest) if rest else 0
+    cur = _rotation_cursor()
+    if cur is not None:
+        off = cur % len(rest) if rest else 0
+    else:  # legacy fallback: derive from the ROUND file
+        off = ((_round_no() - 1) * step) % len(rest) if rest else 0
     ordered = _CORE + rest[off:] + rest[:off]
     out = {k: d[k] for k in ordered if k in d}
     out.update({k: v for k, v in d.items() if k not in out})

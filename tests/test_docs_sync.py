@@ -92,3 +92,62 @@ def test_core_sample_is_a_cross_section():
     assert not missing
     # the core leads the registry so first-N samplers always hit it
     assert list(QUERIES)[: len(_CORE)] == _CORE
+
+
+def test_rotation_cursor_committed_and_growth_proof():
+    """r10: the rotation cursor is a COMMITTED explicit input
+    (ROTATION file) advanced by `plans.advance_cursor` — never
+    recomputed from the round number, whose mod-len(rest) arithmetic
+    re-shifts arbitrarily when the catalog grows (r9 re-sampled 9 of
+    r8's 21). Simulated append-heavy histories prove the guarantee:
+    once the catalog size stabilizes, every rest entry enters the
+    driver's first-50 window within ceil(len(rest)/step) rounds."""
+    from power_generation_etl_spark.plans import (
+        _CORE,
+        _rotation_cursor,
+        advance_cursor,
+    )
+
+    cur = _rotation_cursor()
+    assert cur is not None, "ROTATION cursor file missing/unparseable"
+    rest_n = len(QUERIES) - len(_CORE)
+    assert 0 <= cur < rest_n
+
+    step = 50 - len(_CORE)
+
+    def sampled(off, n):
+        return {(off + i) % n for i in range(step)}
+
+    # Histories: (a) frozen catalog; (b) r8→r10-like growth then frozen;
+    # (c) sustained max-plausible growth (step-1 appends/round) then
+    # frozen. Appends extend the tail, so indices are stable.
+    for sizes in (
+        [154] * 12,
+        [154, 163, 183, 185] + [185] * 12,
+        [100 + 20 * i for i in range(6)] + [200] * 12,
+    ):
+        off, seen_since_stable = 35, set()
+        stable_at = next(i for i, s in enumerate(sizes) if s == sizes[-1])
+        bound = -(-sizes[-1] // step)  # ceil: rounds to full coverage
+        for r, n in enumerate(sizes):
+            off = off % n
+            if r >= stable_at:
+                seen_since_stable |= sampled(off, n)
+                if r - stable_at + 1 >= bound:
+                    break
+            off = advance_cursor(off, step, n)
+        missing = set(range(sizes[-1])) - seen_since_stable
+        assert not missing, (
+            f"entries starved after stabilization: {sorted(missing)[:5]} "
+            f"(history {sizes[:6]}...)"
+        )
+
+
+def test_pytest_ini_count_claims_current():
+    """pytest.ini is part of the docs sweep (r10): any `N-query` claim
+    it makes must match the live registry (it drifted to '173-query'
+    once; it now states no number, and this keeps it honest if one
+    returns)."""
+    text = _read("pytest.ini")
+    for x in re.findall(r"(\d+)-query", text):
+        assert int(x) == len(QUERIES), f"pytest.ini claims {x}-query battery"

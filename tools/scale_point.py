@@ -57,6 +57,11 @@ TARGETS = [
     "pq_adc_topk",
 ]
 REPS = 2
+# r10: corpus multipliers. 2x/4x are the r7-r9 standard; --mults lets a
+# round add the decade point (10x) that turns 2-point extrapolation
+# into 3-point measurement for the steepest queries:
+#   python tools/scale_point.py --mults 2,4,10 <query...>
+MULTS = [2, 4]
 
 
 def _shuffled_docs(spark, base_docs: str, copy_no: int):
@@ -148,21 +153,36 @@ def materialize(spark, mult: int) -> str:
 
 
 def main() -> int:
+    import math
+
+    argv = sys.argv[1:]
+    mults = list(MULTS)
+    if argv and argv[0].startswith("--mults="):
+        mults = [int(x) for x in argv[0].split("=", 1)[1].split(",") if x]
+        argv = argv[1:]
+    elif argv and argv[0] == "--mults":
+        mults = [int(x) for x in argv[1].split(",")]
+        argv = argv[2:]
+
     spark = get_spark("scale_point")
     from power_generation_etl_spark.plans import QUERIES
 
-    targets = sys.argv[1:] or TARGETS
+    targets = argv or TARGETS
     for q in targets:
         assert q in QUERIES, f"unknown query {q!r}"
 
-    dirs = {0.1: BASE, 0.2: materialize(spark, 2), 0.4: materialize(spark, 4)}
+    sfs = [0.1] + [round(0.1 * m, 2) for m in mults]
+    dirs = {0.1: BASE}
+    for m in mults:
+        dirs[round(0.1 * m, 2)] = materialize(spark, m)
     # warm-up: JIT/codegen paid before any timed run
     QUERIES["pricing_summary"](spark, BASE).collect()
 
     rows = []
     for q in targets:
         times, colds = {}, {}
-        for sf, d in dirs.items():
+        for sf in sfs:
+            d = dirs[sf]
             best = first = None
             for _ in range(REPS):
                 t0 = time.monotonic()
@@ -177,39 +197,47 @@ def main() -> int:
             # serving path. Both slopes matter — report both.
             times[sf], colds[sf] = best, first
             print(f"{q} @ sf{sf}: cold {first:.2f}s warm {best:.2f}s", flush=True)
-        import math
 
-        a12 = math.log(times[0.2] / times[0.1]) / math.log(2)
-        a24 = math.log(times[0.4] / times[0.2]) / math.log(2)
-        c12 = math.log(colds[0.2] / colds[0.1]) / math.log(2)
-        c24 = math.log(colds[0.4] / colds[0.2]) / math.log(2)
+        def alphas(d):
+            return [
+                math.log(d[b] / d[a]) / math.log(b / a)
+                for a, b in zip(sfs, sfs[1:])
+            ]
+
         rows.append(
-            (q, times[0.1], times[0.2], times[0.4], a12, a24,
-             colds[0.1], colds[0.2], colds[0.4], c12, c24)
+            (q, [colds[x] for x in sfs], alphas(colds),
+             [times[x] for x in sfs], alphas(times))
         )
 
+    sf_label = "/".join(str(x) for x in sfs)
     lines = [
         "",
-        f"## Extended 2x/4x points: {', '.join(targets)}",
+        f"## Extended scale points ({sf_label}): {', '.join(targets)}",
         "",
-        "Generated by `python tools/scale_point.py`: sf0.2/sf0.4 are",
-        "derived from the sf0.1 snapshot (token-shuffled fresh documents /",
+        "Generated by `python tools/scale_point.py`: derived corpora come",
+        "from the sf0.1 snapshot (token-shuffled fresh documents /",
         "key-shifted disjoint lineitem copies / dimension-shifted embedding",
         "copies — see the tool docstring for why clones would mis-measure",
         f"a near-dup probe). min of {REPS} same-session runs.",
         "",
         "cold = first run at that corpus (includes any session-memoized",
         "build: ANN trainings, suffix indexes); warm = min of reps (the",
-        "serving path once the index/codebooks exist).",
+        "serving path once the index/codebooks exist). alpha_i = measured",
+        "exponent between consecutive corpus sizes.",
         "",
-        "| query | cold 0.1/0.2/0.4 s | cold a12/a24 |"
-        " warm 0.1/0.2/0.4 s | warm a12/a24 |",
+        f"| query | cold {sf_label} s | cold alphas |"
+        f" warm {sf_label} s | warm alphas |",
         "|---|---|---|---|---|",
     ]
-    for q, t1, t2, t4, a12, a24, k1, k2, k4, c12, c24 in rows:
+    for q, cold_v, cold_a, warm_v, warm_a in rows:
         lines.append(
-            f"| {q} | {k1:.2f} / {k2:.2f} / {k4:.2f} | {c12:.1f} / {c24:.1f}"
-            f" | {t1:.2f} / {t2:.2f} / {t4:.2f} | {a12:.1f} / {a24:.1f} |"
+            "| {} | {} | {} | {} | {} |".format(
+                q,
+                " / ".join(f"{v:.2f}" for v in cold_v),
+                " / ".join(f"{a:.1f}" for a in cold_a),
+                " / ".join(f"{v:.2f}" for v in warm_v),
+                " / ".join(f"{a:.1f}" for a in warm_a),
+            )
         )
     with open(os.path.join(ROOT, "SCALING_MEASURED.md"), "a") as fh:
         fh.write("\n".join(lines) + "\n")
