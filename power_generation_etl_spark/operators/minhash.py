@@ -101,6 +101,13 @@ def _guard_volume_cap(
             "from the index, so the result will be EMPTY — treat this as "
             "'the guard degenerated the query', not 'no duplicates'."
         )
+    elif knob == "bucket_cap" and cap == 1:
+        empty_note = (
+            " NOTE: cap=1 excludes every band bucket holding >=2 "
+            "documents, so zero candidates survive and the result will "
+            "be EMPTY — treat this as 'the guard degenerated the "
+            "query', not 'no duplicates'."
+        )
     warnings.warn(
         f"{op}: exact candidate volume {total} exceeds "
         f"max_candidates={bound}; auto-engaging {knob}={cap} "
@@ -433,17 +440,78 @@ def minhash_lsh_pairs(
     k: int = 64,
     n_bands: int = 16,
     seed: int = 42,
+    bucket_cap: int | None = None,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band-bucket candidate generation,
     exact Jaccard verification on candidates only. With k=64, b=16
     (r=4), P(candidate | j=0.5) ≈ 1-(1-0.5⁴)¹⁶ ≈ 0.66 per band-set —
     tune b/r for the target threshold. The shingle table arrives
     already localCheckpoint'ed (shingle_table materializes once for
-    its consumers: signature agg, posting sides, counts)."""
+    its consumers: signature agg, posting sides, counts).
+
+    ``max_candidates`` — the candidate-volume runtime guard (r10).
+    LSH is subquadratic only while band buckets stay small: on a
+    DUP-CLUSTER-HEAVY corpus (the normal case for web-scale pretraining
+    data) every member of a near-dup cluster shares band keys, so
+    bucket sizes grow with cluster size and the candidate join is
+    Σ_bucket p·(p−1) — measured α≈2.2-2.8 on the derived
+    2×/4×/10× corpora (SCALING_MEASURED.md r10: 827s at 10×, vs 4s at
+    1×, before this guard). One aggregation over the band table
+    computes the exact volume per bucket-size class; above the bound
+    (default ``DEFAULT_ALLPAIRS_MAX_CANDIDATES``, env
+    ``SPARK_ETL_ALLPAIRS_MAX_CANDIDATES``, argument wins; <= 0
+    disables) the guard auto-engages the largest ``bucket_cap`` whose
+    cumulative smallest-first volume fits, with a `UserWarning`.
+    Recall contract: band buckets larger than the cap leave candidate
+    generation, so a true pair is missed only if EVERY band it
+    collides on is a super-cap bucket (a cluster member still pairs
+    with cluster-mates through any small bucket); verification stays
+    exact, so reported jaccards never change — only which pairs are
+    FOUND. Below the bound the plan is untouched. An explicit
+    ``bucket_cap`` skips the guard; the guard makes construction EAGER
+    by one aggregation job (memoized per corpus per session) — pass
+    ``max_candidates=0`` for a fully lazy plan."""
     sh = shingle_table(df, id_col, text_col, n)
     sig = minhash_signature_table(sh, k, seed)
     npar = _par(df)
     tagged = band_key_table(sig, k, n_bands)
+    effective_cap = bucket_cap
+    if effective_cap is None:
+        bound = _resolve_max_candidates(max_candidates)
+        if bound is not None:
+            vol_df = (
+                tagged.groupBy("bk")
+                .agg(F.count(F.lit(1)).alias("p"))
+                .groupBy("p")
+                .agg(
+                    (F.count(F.lit(1)) * F.col("p") * (F.col("p") - 1)).alias(
+                        "vol"
+                    )
+                )
+                .select(F.col("p").alias("df"), "vol")
+            )
+            effective_cap = _guard_volume_cap(
+                vol_df,
+                ("lsh", n, k, n_bands, seed),
+                df.select(
+                    F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+                ),
+                bound,
+                "minhash_lsh_pairs",
+                "bucket_cap",
+                "band buckets larger than the cap leave candidate "
+                "generation — a pair is missed only if EVERY band it "
+                "collides on exceeds the cap; verification stays exact",
+            )
+    if effective_cap is not None:
+        small = (
+            tagged.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("_p"))
+            .where(F.col("_p") <= effective_cap)
+            .select("bk")
+        )
+        tagged = tagged.join(small, "bk")
     a = tagged.select(F.col("doc_id").alias("id_a"), "bk").repartition(npar, "bk")
     b = tagged.select(
         F.col("doc_id").alias("id_b"), F.col("bk").alias("bk2")
@@ -518,10 +586,20 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 8,
     n: int = 3,
+    bucket_cap: int | None = None,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 15-bit-chunk banding for candidates
     (a pair within hamming ≤ 3 of a 60-bit hash must agree on ≥1 of 4
-    chunks; wider distances trade recall), verified with bit_count."""
+    chunks; wider distances trade recall), verified with bit_count.
+
+    ``max_candidates`` / ``bucket_cap`` — the same candidate-volume
+    runtime guard as `minhash_lsh_pairs` (r10): chunk buckets grow with
+    near-dup cluster size (identical fingerprints share all four
+    chunks), so the candidate join is Σ_bucket p·(p−1); the guard
+    excludes super-cap buckets with the identical recall contract
+    (a pair is missed only when every shared chunk bucket exceeds the
+    cap; the bit_count verification stays exact)."""
     sims = simhash_table(df, id_col, text_col, n)
     chunks = F.array(
         *[
@@ -533,6 +611,42 @@ def simhash_pairs(
         ]
     )
     tagged = sims.select("doc_id", "sh64", F.explode(chunks).alias("bk"))
+    effective_cap = bucket_cap
+    if effective_cap is None:
+        bound = _resolve_max_candidates(max_candidates)
+        if bound is not None:
+            vol_df = (
+                tagged.groupBy("bk")
+                .agg(F.count(F.lit(1)).alias("p"))
+                .groupBy("p")
+                .agg(
+                    (F.count(F.lit(1)) * F.col("p") * (F.col("p") - 1)).alias(
+                        "vol"
+                    )
+                )
+                .select(F.col("p").alias("df"), "vol")
+            )
+            effective_cap = _guard_volume_cap(
+                vol_df,
+                ("simhash", n),
+                df.select(
+                    F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+                ),
+                bound,
+                "simhash_pairs",
+                "bucket_cap",
+                "chunk buckets larger than the cap leave candidate "
+                "generation — a pair is missed only if EVERY shared "
+                "chunk bucket exceeds the cap; verification stays exact",
+            )
+    if effective_cap is not None:
+        small = (
+            tagged.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("_p"))
+            .where(F.col("_p") <= effective_cap)
+            .select("bk")
+        )
+        tagged = tagged.join(small, "bk")
     a = tagged.select(F.col("doc_id").alias("id_a"), F.col("sh64").alias("ha"), "bk")
     b = tagged.select(
         F.col("doc_id").alias("id_b"), F.col("sh64").alias("hb"), F.col("bk").alias("bk2")

@@ -328,7 +328,11 @@ def _minhash_oracle(k: int = 64, seed: int = 42, n_bands: int = 16,
 @_register("minhash_lsh_pairs", _minhash_oracle())
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    return mh.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    # max_candidates pinned: oracle-gated output must be env-independent
+    return mh.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5,
+        max_candidates=mh.DEFAULT_ALLPAIRS_MAX_CANDIDATES,
+    )
 
 
 def _simhash_oracle(bits: int = 60, max_hamming: int = 8) -> str:
@@ -372,7 +376,11 @@ def _simhash_oracle(bits: int = 60, max_hamming: int = 8) -> str:
 @_register("simhash_pairs", _simhash_oracle())
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    return mh.simhash_pairs(d, "doc_id", "text", max_hamming=8)
+    # max_candidates pinned: oracle-gated output must be env-independent
+    return mh.simhash_pairs(
+        d, "doc_id", "text", max_hamming=8,
+        max_candidates=mh.DEFAULT_ALLPAIRS_MAX_CANDIDATES,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1245,3 +1245,87 @@ class TestImageDhashNearDup:
             spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
         ).collect()
         assert all(r["dhash"] is None for r in sigs)
+
+
+class TestLshBucketGuard:
+    """r10: the candidate-volume guard extended to the BANDED families
+    (minhash_lsh_pairs / simhash_pairs). The 10x derived-corpus probe
+    measured alpha 2.2-2.8 for unguarded LSH (SCALING_MEASURED.md):
+    band buckets grow with near-dup cluster size, so Σ p·(p−1)
+    explodes on exactly the dup-heavy corpora near-dup dedup exists
+    for. The guard excludes super-cap buckets; a pair is missed only
+    if EVERY shared band bucket exceeds the cap."""
+
+    def _cluster_docs(self, spark):
+        # 2-doc identical cluster (small buckets) + 6-doc identical
+        # cluster (every shared bucket has p=6)
+        a = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+        b = "quick brown foxes jump over many extremely lazy dogs"
+        rows = [(1, a), (2, a)] + [(10 + i, b) for i in range(6)]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_lsh_guard_exact_below_bound(self, spark):
+        docs = self._cluster_docs(spark)
+        import warnings as w
+
+        unguarded = sorted(
+            tuple(r)
+            for r in mh.minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold=0.5, max_candidates=0
+            ).collect()
+        )
+        with w.catch_warnings():
+            w.simplefilter("error")
+            guarded = sorted(
+                tuple(r)
+                for r in mh.minhash_lsh_pairs(
+                    docs, "doc_id", "text", threshold=0.5,
+                    max_candidates=10**9,
+                ).collect()
+            )
+        assert guarded == unguarded and len(guarded) >= 1 + 15
+
+    def test_lsh_guard_drops_only_supercap_buckets(self, spark):
+        """bound=100: the 16 size-2 buckets (volume 32) fit, the 16
+        size-6 buckets (volume 480) don't → cap=2. The 2-doc cluster's
+        pair survives through its small buckets; the 6-doc cluster's
+        15 pairs disappear (every bucket they share has p=6)."""
+        import pytest as pt
+
+        docs = self._cluster_docs(spark)
+        with pt.warns(UserWarning, match="auto-engaging bucket_cap"):
+            pairs = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in mh.minhash_lsh_pairs(
+                    docs, "doc_id", "text", threshold=0.5, max_candidates=100
+                ).collect()
+            }
+        assert set(pairs) == {(1, 2)}
+        assert pairs[(1, 2)] == 1.0  # verification stays exact
+
+    def test_lsh_guard_cap1_warns_empty(self, spark):
+        import pytest as pt
+
+        docs = self._cluster_docs(spark)
+        with pt.warns(UserWarning, match="result will be EMPTY"):
+            out = mh.minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold=0.5, max_candidates=1
+            ).collect()
+        assert out == []
+
+    def test_simhash_guard_drops_only_supercap_buckets(self, spark):
+        """Same contract on the 15-bit-chunk bands: bound=50 keeps the
+        4 size-2 chunk buckets (volume 8), excludes the 4 size-6 ones
+        (volume 120) → cap=2; only the small cluster's pair survives."""
+        import pytest as pt
+
+        docs = self._cluster_docs(spark)
+        with pt.warns(UserWarning, match="auto-engaging bucket_cap"):
+            pairs = {
+                (r["id_a"], r["id_b"]): r["hamming"]
+                for r in mh.simhash_pairs(
+                    docs, "doc_id", "text", max_hamming=8, max_candidates=50
+                ).collect()
+            }
+        assert set(pairs) == {(1, 2)}
+        assert pairs[(1, 2)] == 0
