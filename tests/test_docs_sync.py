@@ -151,3 +151,24 @@ def test_pytest_ini_count_claims_current():
     text = _read("pytest.ini")
     for x in re.findall(r"(\d+)-query", text):
         assert int(x) == len(QUERIES), f"pytest.ini claims {x}-query battery"
+
+
+def test_e2e_pipeline_rows_self_consistent():
+    """r10: the recorded sf0.1 e2e pipeline rows must stay internally
+    consistent — modality counts summing to the input, a monotone
+    shards funnel — so a future re-measure can't paste in a torn row."""
+    text = _read("SCALING_MEASURED.md")
+    m = re.search(
+        r"(\d+) blobs \((\d+) image / (\d+) audio / (\d+) video\)", text
+    )
+    assert m, "prep-media e2e row missing"
+    total, img, aud, vid = map(int, m.groups())
+    assert img + aud + vid == total
+    f = re.search(
+        r"quality (\d+) → exact-dedup (\d+) → near-dup (\d+) → "
+        r"decontam (\d+) → (\d+) packed sequences",
+        text,
+    )
+    assert f, "prep-shards e2e funnel missing"
+    q, e, n, d, _seq = map(int, f.groups())
+    assert q >= e >= n >= d

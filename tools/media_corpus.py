@@ -8,10 +8,11 @@ tiers parse (16×16 gray BMP / PCM16 WAV / AVI with two 8×8 BMP
 frames), with bytes derived from md5 of the document text — fully
 deterministic, built distributed (no driver-side blob loop). Images
 use 16×16 (not the catalog's 8×8) because dHash needs ≥9×8 pixels.
-Kinds round-robin by doc_id % 3. Every 7th image-kind doc draws its
-pixels from a SHARED seed (`dup<doc_id div 21>`), so the corpus
-contains genuine exact-pixel near-duplicate clusters and the
-pipeline's banded dHash drop stage has real work.
+Kinds round-robin by doc_id % 3. Every image-kind doc whose id is
+divisible by 21 draws its pixels from a seed SHARED by a group of
+three (`dup<doc_id div 63>`), so the corpus contains genuine
+exact-pixel near-duplicate clusters and the pipeline's banded dHash
+drop stage has real work.
 
 Usage: python tools/media_corpus.py [sf_dir] [out_parquet]
 """
@@ -45,9 +46,13 @@ def build(spark, sf_dir: str, out: str) -> int:
         .filter(F.col("text").isNotNull())
         .select("doc_id", "text")
     )
+    # doc_ids divisible by 21 are image-kind (21 ≡ 0 mod 3) AND share a
+    # pixel seed with the two neighbouring multiples (div 63 → groups of
+    # three identical images), so the corpus carries genuine near-dup
+    # clusters: ~|docs|/63 groups → 3 pairs each.
     seed = F.when(
-        F.col("doc_id") % 7 == 0,
-        F.concat(F.lit("dup"), F.expr("doc_id div 21").cast("string")),
+        F.col("doc_id") % 21 == 0,
+        F.concat(F.lit("dup"), F.expr("doc_id div 63").cast("string")),
     ).otherwise(F.concat(F.col("text"), F.col("doc_id").cast("string")))
 
     image = F.concat(
