@@ -159,3 +159,42 @@ class TestMediaPipeline:
     def test_summary_serializes(self, prep, capsys):
         s, _ = prep
         assert json.loads(json.dumps(s.as_dict()))["n_input"] == 6
+
+
+class TestDhashBucketGuard:
+    """r10: the banded-candidate volume guard on the image family —
+    same contract as minhash_lsh_pairs/simhash_pairs (identical images
+    share all chunk buckets, so buckets grow with cluster size)."""
+
+    def _sigs(self, spark):
+        # 2-image identical cluster + 6-image identical cluster
+        rows = [(1, 0x1234ABCD5678EF00), (2, 0x1234ABCD5678EF00)] + [
+            (10 + i, 0x0F0F0F0F0F0F0F0F) for i in range(6)
+        ]
+        return spark.createDataFrame(rows, "media_id bigint, dhash bigint")
+
+    def test_exact_below_bound_and_supercap_drop(self, spark):
+        import warnings as w
+
+        import pytest as pt
+
+        sigs = self._sigs(spark)
+        with w.catch_warnings():
+            w.simplefilter("error")
+            full = {
+                (r["id_a"], r["id_b"])
+                for r in mm.dhash_neardup_pairs(
+                    sigs, max_candidates=10**9
+                ).collect()
+            }
+        assert len(full) == 1 + 15  # both clusters all-pairs at hamming 0
+        # bound=50: the 8 size-2 buckets (vol 16) fit, the 8 size-6
+        # buckets (vol 240) don't -> cap=2; only the small pair survives
+        with pt.warns(UserWarning, match="auto-engaging bucket_cap"):
+            capped = {
+                (r["id_a"], r["id_b"])
+                for r in mm.dhash_neardup_pairs(
+                    sigs, max_candidates=50
+                ).collect()
+            }
+        assert capped == {(1, 2)}
