@@ -427,3 +427,112 @@ def stream_late_data_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((r["hour_us"], r["event_type"], r["n_events"]) for r in emitted),
     )
     return spark.createDataFrame(rows, schema_out)
+
+
+_KMV_K = 16
+_KMV_SCALE = (_KMV_K - 1) << 48
+
+
+@_register(
+    "stream_kmv_event_users",
+    f"""
+    WITH hashed AS (
+      SELECT event_type AS grp,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    d AS (SELECT DISTINCT grp, h FROM hashed WHERE h IS NOT NULL),
+    per AS (SELECT grp, CAST(count(*) AS BIGINT) AS nh FROM d GROUP BY grp),
+    ranked AS (
+      SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM d
+    ),
+    kth AS (SELECT grp, h AS h_k FROM ranked WHERE rn = {_KMV_K})
+    SELECT per.grp AS grp,
+           CAST(CASE WHEN h_k IS NULL THEN per.nh
+                     ELSE {_KMV_SCALE} // h_k END AS BIGINT) AS kmv_estimate
+    FROM per LEFT JOIN kth ON per.grp = kth.grp
+    ORDER BY grp
+    """,
+)
+def stream_kmv_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming KMV sketch STORE under the exact oracle (r10 —
+    `streaming/ingest.py::stream_kmv_cardinality` was pytest-only):
+    events' (event_type, user_id) pairs are staged as JSON in two
+    halves (split by a hash of event_id) and fed in TWO ordered
+    availableNow rounds against ONE checkpoint. Each micro-batch
+    hashes its values and merges into the persisted per-group min-k
+    store through the versioned `kmv_v<batch>` crash/retry protocol —
+    so round 2 exercises the real cross-batch MERGE of a stored
+    version with new data. Because min-k is a MERGEABLE summary, the
+    final store must equal the batch sketch over everything ever seen
+    regardless of the split — which is exactly what the oracle
+    computes from raw events (k-th smallest distinct 48-bit hash per
+    group, integer-division estimate, small-set fallback). A merge
+    bug (lost version, double-merged batch, wrong truncation order)
+    shifts h_k or the stored count and breaks the value hash.
+
+    Scale notes: the store is O(groups × k) forever — the property
+    that makes sketch stores viable at 100 TB; per batch it does one
+    distinct + one window over (tiny store ∪ batch hashes)."""
+    from power_generation_etl_spark.streaming.ingest import (
+        kmv_estimate_from_store,
+        stream_kmv_cardinality,
+    )
+
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    half = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    stage = tempfile.mkdtemp(prefix="kmv_stage_")
+    landing = tempfile.mkdtemp(prefix="kmv_landing_")
+    store = tempfile.mkdtemp(prefix="kmv_store_")
+    ckpt = tempfile.mkdtemp(prefix="kmv_ckpt_")
+    schema = "event_type string, user_id long"
+
+    def _stage_half(i: int) -> str:
+        out = os.path.join(stage, f"half{i}")
+        ev.filter(half == i).select("event_type", "user_id").coalesce(
+            1
+        ).write.json(out)
+        return out
+
+    def _feed_and_run(src: str, tag: str) -> None:
+        for k, f in enumerate(
+            sorted(
+                f
+                for f in os.listdir(src)
+                if f.endswith(".json") and not f.startswith((".", "_"))
+            )
+        ):
+            try:
+                os.link(os.path.join(src, f), os.path.join(landing, f"{tag}_{k}.json"))
+            except OSError:
+                shutil.copyfile(
+                    os.path.join(src, f), os.path.join(landing, f"{tag}_{k}.json")
+                )
+        q = stream_kmv_cardinality(
+            spark, landing, store, ckpt,
+            group_col="event_type", value_col="user_id",
+            schema=schema, k=_KMV_K,
+        )
+        q.awaitTermination()
+        q.stop()
+
+    out_schema = "grp string, kmv_estimate long"
+    try:
+        _feed_and_run(_stage_half(0), "r1")  # round 1: seeds kmv_v0
+        _feed_and_run(_stage_half(1), "r2")  # round 2: MERGES v0 + new
+        try:
+            rows = kmv_estimate_from_store(spark, store, k=_KMV_K).collect()
+        except ValueError:  # empty corpus: zero batches, no store
+            return spark.createDataFrame([], out_schema)
+    finally:
+        for d in (stage, landing, store, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["grp"], r["kmv_estimate"]) for r in rows], out_schema
+    )
