@@ -536,3 +536,227 @@ def stream_kmv_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r["grp"], r["kmv_estimate"]) for r in rows], out_schema
     )
+
+
+_MG_CAP = 16  # 15/150/1500 distinct users at the 3 SFs: the smallest SF
+# exercises the no-truncation path, the larger two the real MG cut.
+
+# DuckDB twin: the two-batch Misra-Gries evolution unrolled — batch-0
+# exact counts → rank → subtract the (cap+1)-th largest → merge batch-1
+# counts → rank → subtract again; max_err is the cumulative cut.
+_MG_SQL = f"""
+    WITH e AS (
+      SELECT user_id AS key,
+             CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8) AS BIGINT)
+               % 2 AS half
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    b0 AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt
+           FROM e WHERE half = 0 GROUP BY key),
+    r0 AS (SELECT key, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, key) AS rn FROM b0),
+    c0 AS (SELECT coalesce(max(CASE WHEN rn = {_MG_CAP + 1} THEN cnt END), 0)
+               AS cut FROM r0),
+    s0 AS (SELECT key, cnt - c0.cut AS cnt FROM r0, c0
+           WHERE rn <= {_MG_CAP} AND cnt - c0.cut > 0),
+    b1 AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt
+           FROM e WHERE half = 1 GROUP BY key),
+    m AS (
+      SELECT coalesce(s0.key, b1.key) AS key,
+             coalesce(s0.cnt, 0) + coalesce(b1.cnt, 0) AS cnt
+      FROM s0 FULL OUTER JOIN b1 ON s0.key = b1.key
+    ),
+    r1 AS (SELECT key, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, key) AS rn FROM m),
+    c1 AS (SELECT coalesce(max(CASE WHEN rn = {_MG_CAP + 1} THEN cnt END), 0)
+               AS cut FROM r1),
+    s1 AS (SELECT key, cnt - c1.cut AS cnt FROM r1, c1
+           WHERE rn <= {_MG_CAP} AND cnt - c1.cut > 0)
+    SELECT key, CAST(cnt AS BIGINT) AS est_count,
+           CAST((SELECT cut FROM c0) + (SELECT cut FROM c1) AS BIGINT)
+               AS max_err
+    FROM s1
+    ORDER BY est_count DESC, key
+    """
+
+
+def _stage_event_halves_json(spark, sf_dir: str, stage: str, cols):
+    """Write events split by md5(event_id)%2 into two JSON dirs — the
+    shared two-round feed for the sketch-store entries."""
+    ev = T(spark, sf_dir, "events").select("event_id", *cols)
+    halves = []
+    for i in (0, 1):
+        out = os.path.join(stage, f"half{i}")
+        half = (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("bigint")
+            % 2
+        )
+        ev.filter(half == i).select(*cols).coalesce(1).write.json(out)
+        halves.append(out)
+    return halves
+
+
+def _link_json(src: str, landing: str, tag: str) -> None:
+    for k, f in enumerate(
+        sorted(
+            f
+            for f in os.listdir(src)
+            if f.endswith(".json") and not f.startswith((".", "_"))
+        )
+    ):
+        try:
+            os.link(os.path.join(src, f), os.path.join(landing, f"{tag}_{k}.json"))
+        except OSError:
+            shutil.copyfile(
+                os.path.join(src, f), os.path.join(landing, f"{tag}_{k}.json")
+            )
+
+
+@_register("stream_mg_heavy_users", _MG_SQL)
+def stream_mg_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming Misra-Gries heavy-hitter store under the exact
+    oracle (r10 — `streaming/ingest.py::stream_heavy_hitters` was
+    pytest-only): events split into two deterministic halves, fed in
+    two ordered availableNow rounds against one checkpoint; each batch
+    counts its keys exactly, merges counter-wise into the persisted
+    `mg_v<batch>` summary, and truncates to `capacity` counters by
+    subtracting the (capacity+1)-th largest count (the cumulative
+    subtraction rides along as `max_err`). MG merge is ORDER-DEFINED —
+    unlike the KMV twin the result depends on the batch split — so the
+    oracle unrolls exactly the two-round evolution in SQL (rank →
+    cut → merge → rank → cut, pure integer arithmetic). A wrong merge,
+    a lost cut, a broken meta-row error carry, or a tie-break drift in
+    the truncation order each breaks the value hash. At sf0.001 (15
+    users ≤ capacity) the cut never engages — the exact path; at
+    sf0.01/0.1 (150/1500 users) both rounds truncate for real.
+
+    Scale notes: the summary is O(capacity) forever; per batch one
+    exact hash aggregation + one O(capacity)-row window."""
+    from power_generation_etl_spark.streaming.ingest import (
+        heavy_hitters_from_store,
+        stream_heavy_hitters,
+    )
+
+    stage = tempfile.mkdtemp(prefix="mg_stage_")
+    landing = tempfile.mkdtemp(prefix="mg_landing_")
+    store = tempfile.mkdtemp(prefix="mg_store_")
+    ckpt = tempfile.mkdtemp(prefix="mg_ckpt_")
+    out_schema = "key long, est_count long, max_err long"
+    try:
+        halves = _stage_event_halves_json(spark, sf_dir, stage, ["user_id"])
+        for i, src in enumerate(halves):
+            _link_json(src, landing, f"r{i}")
+            q = stream_heavy_hitters(
+                spark, landing, store, ckpt,
+                key_col="user_id", schema="user_id long",
+                capacity=_MG_CAP,
+            )
+            q.awaitTermination()
+            q.stop()
+        try:
+            rows = heavy_hitters_from_store(spark, store).collect()
+        except ValueError:  # empty corpus: zero batches, no store
+            return spark.createDataFrame([], out_schema)
+    finally:
+        for d in (stage, landing, store, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["key"], r["est_count"], r["max_err"]) for r in rows], out_schema
+    )
+
+
+_IJ_WIN_US = 30 * 60 * 1_000_000  # interval-join window, µs
+
+
+@_register(
+    "stream_interval_join_pairs",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+               FROM events),
+    c AS (SELECT user_id, ts_us AS click_us FROM e
+          WHERE event_type = 'click'),
+    x AS (SELECT user_id AS uid, ts_us AS err_us FROM e
+          WHERE event_type = 'error')
+    SELECT c.user_id, count(*) AS n_pairs,
+           CAST(sum((err_us - click_us) // 1000000) AS BIGINT) AS sum_lag_s
+    FROM c JOIN x
+      ON c.user_id = x.uid
+     AND err_us >= click_us
+     AND err_us <= click_us + {_IJ_WIN_US}
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join under the exact oracle (r10 —
+    `streaming/ingest.py::stream_interval_join` was pytest-only):
+    clicks and errors staged as two streaming file sources, joined for
+    real (both sides watermarked, error_ts bounded to [click_ts,
+    click_ts + 30min], trigger=availableNow) and aggregated per user
+    inside foreachBatch (count + integer lag-seconds sum — bounded by
+    the user domain, not the pair count). INNER stream-stream joins
+    emit on match regardless of watermarks (watermarks only bound the
+    buffered state), so with each side staged as one file the emitted
+    set equals the batch interval join exactly — which is what the
+    oracle computes. Event times pinned as UTC instants via the same
+    field-arithmetic idiom as the watermark entry, so timezone-free."""
+    from power_generation_etl_spark.streaming.ingest import stream_interval_join
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_micros(ntz_epoch_us(F.col("ts"))).alias("ts"),
+        "event_type",
+    )
+    stage = tempfile.mkdtemp(prefix="ij_stage_")
+    acc: dict[tuple[int, int], tuple[int, int]] = {}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        lag = F.expr("(unix_micros(error_ts) - unix_micros(click_ts)) div 1000000")
+        for r in (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(lag).cast("bigint").alias("lag"),
+            )
+            .collect()
+        ):
+            # keyed by (batch, user): a retried batch overwrites itself
+            acc[(int(batch_id), r["user_id"])] = (int(r["n"]), int(r["lag"]))
+
+    try:
+        cdir = os.path.join(stage, "clicks")
+        edir = os.path.join(stage, "errors")
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts"
+        ).coalesce(1).write.parquet(cdir)
+        ev.filter(F.col("event_type") == "error").select(
+            "user_id", "ts"
+        ).coalesce(1).write.parquet(edir)
+        schema = spark.read.parquet(cdir).schema
+        clicks = spark.readStream.schema(schema).parquet(cdir)
+        errors = spark.readStream.schema(schema).parquet(edir)
+        j = stream_interval_join(
+            clicks, errors, watermark="10 minutes", window="30 minutes"
+        )
+        q = (
+            j.writeStream.outputMode("append")
+            .foreachBatch(_sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    totals: dict[int, list[int]] = {}
+    for (_b, uid), (n, lag) in acc.items():
+        t = totals.setdefault(uid, [0, 0])
+        t[0] += n
+        t[1] += lag
+    return spark.createDataFrame(
+        sorted((u, n, lag) for u, (n, lag) in totals.items()),
+        "user_id long, n_pairs long, sum_lag_s long",
+    )
