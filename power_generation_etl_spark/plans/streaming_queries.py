@@ -760,3 +760,138 @@ def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted((u, n, lag) for u, (n, lag) in totals.items()),
         "user_id long, n_pairs long, sum_lag_s long",
     )
+
+
+def _hll_stream_oracle() -> str:
+    from power_generation_etl_spark.operators import sketch as sk
+
+    return f"""
+    SELECT event_type AS grp, v_empty, z_scaled, hll_estimate
+    FROM ({sk.hll_oracle_sql("events", "event_type", "user_id")})
+    ORDER BY grp
+    """
+
+
+@_register("stream_hll_event_users", _hll_stream_oracle())
+def stream_hll_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming HLL register store under the exact oracle (r10 —
+    `streaming/ingest.py::stream_hll_cardinality` was pytest-only):
+    the same two-round availableNow feed as the KMV twin, but merging
+    per-(grp, bucket) max(mj) registers through the versioned
+    `hll_v<batch>` store. HLL union is idempotent/commutative max, so
+    the final store must equal the batch register table over all
+    events regardless of split — the oracle is the SAME SQL as the
+    batch `hll_distinct_users` entry (bucket/rho integer pipeline,
+    driver-literal alpha and linear-counting LUT), projected to the
+    store reader's columns. A lost version or double merge changes
+    some register's mj and shifts z_scaled/the estimate."""
+    from power_generation_etl_spark.streaming.ingest import (
+        hll_estimate_from_store,
+        stream_hll_cardinality,
+    )
+
+    stage = tempfile.mkdtemp(prefix="hll_stage_")
+    landing = tempfile.mkdtemp(prefix="hll_landing_")
+    store = tempfile.mkdtemp(prefix="hll_store_")
+    ckpt = tempfile.mkdtemp(prefix="hll_ckpt_")
+    out_schema = "grp string, v_empty long, z_scaled long, hll_estimate double"
+    try:
+        halves = _stage_event_halves_json(
+            spark, sf_dir, stage, ["event_type", "user_id"]
+        )
+        for i, src in enumerate(halves):
+            _link_json(src, landing, f"r{i}")
+            q = stream_hll_cardinality(
+                spark, landing, store, ckpt,
+                group_col="event_type", value_col="user_id",
+                schema="event_type string, user_id long",
+            )
+            q.awaitTermination()
+            q.stop()
+        try:
+            rows = hll_estimate_from_store(spark, store).collect()
+        except ValueError:  # empty corpus: zero batches, no store
+            return spark.createDataFrame([], out_schema)
+    finally:
+        for d in (stage, landing, store, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["grp"], r["v_empty"], r["z_scaled"], r["hll_estimate"]) for r in rows],
+        out_schema,
+    )
+
+
+# Two-batch drift evolution, unrolled: half-0 seeds the baseline (no
+# alert), half-1 raises exactly one alert with the exact cross-
+# multiplied L1 ppm the monitor computes (no float shares anywhere).
+_DRIFT_SQL = """
+    WITH e AS (
+      SELECT event_type AS key,
+             CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8) AS BIGINT)
+               % 2 AS half
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    b0 AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt
+           FROM e WHERE half = 0 GROUP BY key),
+    b1 AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt
+           FROM e WHERE half = 1 GROUP BY key),
+    n AS (SELECT (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM b0) AS n0,
+                 (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM b1) AS n1),
+    j AS (
+      SELECT coalesce(b0.key, b1.key) AS key,
+             coalesce(b0.cnt, 0) AS c0, coalesce(b1.cnt, 0) AS c1
+      FROM b0 FULL OUTER JOIN b1 ON b0.key = b1.key
+    ),
+    x AS (SELECT CAST(coalesce(sum(abs(c1 * n.n0 - c0 * n.n1)), 0) AS BIGINT)
+              AS v
+          FROM j, n)
+    SELECT CAST(1 AS BIGINT) AS batch_id,
+           n.n1 AS n_rows,
+           CAST((x.v * 1000000) // (n.n0 * n.n1) AS BIGINT) AS drift_ppm
+    FROM x, n
+    WHERE n.n0 > 0 AND n.n1 > 0
+    ORDER BY batch_id
+    """
+
+
+@_register("stream_type_drift_alerts", _DRIFT_SQL)
+def stream_type_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming distribution-drift monitor under the exact oracle
+    (r10 — `streaming/ingest.py::stream_type_drift` was pytest-only):
+    two-round availableNow feed of the event_type halves; round 1
+    seeds the cumulative baseline (no alert by contract), round 2
+    compares its distribution against it with the exact
+    cross-multiplied L1 metric (Σ|c_batch·N_base − c_base·N_batch|,
+    ppm-scaled by integer division — no float shares) and lands one
+    alert row in `alerts/batch=1`. The oracle recomputes the identical
+    integer evolution from raw events; a wrong baseline merge, a
+    missing/duplicated alert, or any float drift in the metric breaks
+    the hash. Scale: the baseline is O(distinct keys) counts forever;
+    per batch one hash aggregation + one tiny outer join."""
+    from power_generation_etl_spark.streaming.ingest import (
+        stream_type_drift,
+        type_drift_alerts,
+    )
+
+    stage = tempfile.mkdtemp(prefix="drift_stage_")
+    landing = tempfile.mkdtemp(prefix="drift_landing_")
+    store = tempfile.mkdtemp(prefix="drift_store_")
+    ckpt = tempfile.mkdtemp(prefix="drift_ckpt_")
+    out_schema = "batch_id long, n_rows long, drift_ppm long"
+    try:
+        halves = _stage_event_halves_json(spark, sf_dir, stage, ["event_type"])
+        for i, src in enumerate(halves):
+            _link_json(src, landing, f"r{i}")
+            q = stream_type_drift(
+                spark, landing, store, ckpt,
+                key_col="event_type", schema="event_type string",
+            )
+            q.awaitTermination()
+            q.stop()
+        rows = type_drift_alerts(spark, store).collect()
+    finally:
+        for d in (stage, landing, store, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["batch_id"], r["n_rows"], r["drift_ppm"]) for r in rows], out_schema
+    )
