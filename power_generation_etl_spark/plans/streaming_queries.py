@@ -373,6 +373,18 @@ def stream_late_data_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "late",
         F.col("hash_late") | (F.unix_micros("ts") > F.lit(tail_thr)),
     )
+    # Enforce the documented precondition instead of silently diverging
+    # from the oracle: a non-empty corpus whose EVERY row lands in the
+    # late split (span <= 24h, or a pathological hash) would leave the
+    # oracle's m1 NULL (its predicates then exclude all rows) while the
+    # round-1 watermark stays 0 and Spark still emits — fail loudly.
+    if m_all is not None and ev.filter(~F.col("late")).isEmpty():
+        raise ValueError(
+            "stream_late_data_rollup precondition violated: non-empty "
+            "events corpus produced an empty on-time split (needs >24h "
+            "span with >=1 on-time row); the watermark oracle is "
+            "undefined here"
+        )
     stage = tempfile.mkdtemp(prefix="stream_late_stage_")
     landing = tempfile.mkdtemp(prefix="stream_late_landing_")
     ckpt = tempfile.mkdtemp(prefix="stream_late_ckpt_")

@@ -95,6 +95,7 @@ class TableStore:
             os.truncate(fd, 0)
             os.write(fd, f"{os.getpid()}\n".encode())
             held.add(table)
+            self._sweep_stale_tmps(table)
             try:
                 yield
             finally:
@@ -110,6 +111,24 @@ class TableStore:
         return (
             f"{self.path(table)}__tmp_{os.getpid()}_{next(self._tmp_seq)}__"
         )
+
+    def _sweep_stale_tmps(self, table: str) -> None:
+        """Remove orphaned rewrite staging dirs (`table__tmp_*__`) left
+        by a writer that died between its parquet write and `_swap_in`.
+        Safe to run exactly when a FRESH table lock has just been
+        acquired: every live writer stages only while holding the lock,
+        so any surviving tmp sibling is provably ownerless. Without
+        this sweep the unique-named dirs (unlike the old fixed
+        `__tmp__` name) would accumulate in the warehouse root
+        forever."""
+        prefix = os.path.basename(self.path(table)) + "__tmp_"
+        try:
+            names = os.listdir(self.root)
+        except FileNotFoundError:
+            return
+        for name in names:
+            if name.startswith(prefix) and name.endswith("__"):
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -135,10 +154,11 @@ class TableStore:
         files yet — the partitioned layout stays clean for appends).
         `overwrite_schema` re-persists the sidecar from the given
         schema (the update-schema / ALTER TABLE path)."""
-        os.makedirs(self.path(table), exist_ok=True)
-        if overwrite_schema or not os.path.isfile(self._schema_file(table)):
-            with open(self._schema_file(table), "w") as f:
-                f.write(schema.json())
+        with self._table_lock(table):
+            os.makedirs(self.path(table), exist_ok=True)
+            if overwrite_schema or not os.path.isfile(self._schema_file(table)):
+                with open(self._schema_file(table), "w") as f:
+                    f.write(schema.json())
 
     def read(self, table: str) -> DataFrame:
         if not self._has_data(table):
@@ -797,18 +817,22 @@ class TableStore:
         if not bucket_cols:
             raise ValueError("bucket_cols must be non-empty")
         sort_cols = sort_cols or list(bucket_cols)
-        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
-        path = self.path(table + "__bucketed")
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        (
-            df.write.mode("overwrite")
-            .bucketBy(n_buckets, *bucket_cols)
-            .sortBy(*sort_cols)
-            .option("path", path)
-            .format("parquet")
-            .saveAsTable(table)
-        )
+        # Same writer lock as the rewrite/merge paths: the drop +
+        # directory rewrite below would otherwise race a concurrent
+        # write_bucketed on the same table.
+        with self._table_lock(table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+            path = self.path(table + "__bucketed")
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            (
+                df.write.mode("overwrite")
+                .bucketBy(n_buckets, *bucket_cols)
+                .sortBy(*sort_cols)
+                .option("path", path)
+                .format("parquet")
+                .saveAsTable(table)
+            )
 
     def read_bucketed(self, table: str) -> DataFrame:
         """Catalog-backed read of a bucketed table — required (vs a

@@ -33,10 +33,11 @@ def main() -> int:
         rnd = int(f.read().strip())
     cur = plans._rotation_cursor()
     if cur is None:  # first migration from the legacy round formula
+        # Seed the cursor the legacy formula would have produced for the
+        # CURRENT round, then advance both — a round-start run must
+        # always bump ROUND, migration or not.
         cur = ((rnd - 1) * step) % n_rest if n_rest else 0
-        nxt_round, nxt_cur = rnd, cur  # seed without advancing
-    else:
-        nxt_round, nxt_cur = rnd + 1, plans.advance_cursor(cur, step, n_rest)
+    nxt_round, nxt_cur = rnd + 1, plans.advance_cursor(cur, step, n_rest)
 
     with open(os.path.join(ROOT, "ROUND"), "w") as f:
         f.write(f"{nxt_round}\n")
