@@ -191,3 +191,64 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         .collect()
     )
     assert salted == plain and len(plain) > 0
+
+
+def test_sessionize_splits_gap_separated_runs_within_one_batch(spark, tmp_path):
+    """A single micro-batch holding TWO gap-separated runs of one user
+    must yield TWO sessions (the old merge-all-batch-rows design fused
+    them) — plus exact assembly of a session straddling the checkpoint
+    boundary across two availableNow rounds."""
+    src = tmp_path / "sess_multi"
+    src.mkdir()
+    out = str(tmp_path / "sess_out")
+
+    def run_pass():
+        q = (
+            sessionize(
+                spark.readStream.schema(
+                    "ts timestamp, user_id long, value double"
+                ).json(str(src)),
+                watermark="10 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_multi"))
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # round 1: two runs 2h apart in ONE file (one micro-batch), then a
+    # straddler: user 1's third run starts near the end of round 1.
+    with open(src / "1.jsonl", "w") as f:
+        for iso, v in [
+            ("2024-01-01T00:00:00", 1.0),
+            ("2024-01-01T00:10:00", 2.0),   # run A: 2 events
+            ("2024-01-01T02:00:00", 4.0),   # run B: 1 event (gap > 30min)
+            ("2024-01-01T05:00:00", 8.0),   # run C starts (will straddle)
+        ]:
+            f.write(json.dumps({"ts": iso, "user_id": 1, "value": v}) + "\n")
+    run_pass()
+    # watermark after round 1 = 05:00 - 10min: runs A and B closed
+    # (end + gap <= 04:50), run C still open in state.
+    rows = spark.read.parquet(out).collect()
+    got = sorted((r["n_events"], r["total_value"]) for r in rows)
+    assert got == [(1, 4.0), (2, 3.0)], got
+
+    # round 2: continue run C within the gap (straddles the checkpoint),
+    # then a far-future event to close everything for user 1.
+    with open(src / "2.jsonl", "w") as f:
+        for iso, v in [
+            ("2024-01-01T05:20:00", 16.0),  # 20min after 05:00 -> same run
+            ("2024-01-02T12:00:00", 32.0),  # new far run, pushes watermark
+        ]:
+            f.write(json.dumps({"ts": iso, "user_id": 1, "value": v}) + "\n")
+    run_pass()
+    rows = spark.read.parquet(out).collect()
+    got = sorted((r["n_events"], r["total_value"]) for r in rows)
+    # run C assembled ACROSS the checkpoint: 2 events, 8+16
+    assert got == [(1, 4.0), (2, 3.0), (2, 24.0)], got
+    sess_c = [r for r in rows if r["n_events"] == 2 and r["total_value"] == 24.0][0]
+    assert str(sess_c["session_start"]).startswith("2024-01-01 05:00")
+    assert str(sess_c["session_end"]).startswith("2024-01-01 05:20")
