@@ -907,3 +907,324 @@ def stream_type_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r["batch_id"], r["n_rows"], r["drift_ppm"]) for r in rows], out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: the stateful sessionizers and the cross-batch transition counter
+# under the exact oracle — the last applyInPandasWithState /
+# session_window behaviors that were pytest-only.
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_US = 30 * 60 * 1_000_000
+_SESS_DELAY_MS = 600_000  # the 10-minute watermark, ms
+
+# Shared oracle for BOTH sessionizer entries: batch gap-sessionization
+# restricted to watermark-closed sessions. Emission predicate measured
+# against Spark's native session_window append mode (probe in
+# tools/probe notes): a session emits iff
+#   last_event_us + gap <= ((max_event_us // 1000) - delay_ms) * 1000
+# (non-strict, against the MS-FLOORED watermark — event-time stats are
+# tracked in ms). The stateful twin implements the identical predicate
+# in `streaming/stateful.py::_session_fn`, so one SQL serves both.
+# Probed: zero sessions tie the boundary at any shipped SF (and the
+# predicate is exact integer algebra mirrored on both engines anyway).
+_SESSION_ORACLE = f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    mx AS (SELECT ((max(t) // 1000) - {_SESS_DELAY_MS}) * 1000 AS w FROM e),
+    m AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER win IS NULL
+                       OR t - lag(t) OVER win > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t)
+    ),
+    s AS (
+      SELECT user_id, t,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ),
+    g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+                 min(t) AS start_us, max(t) AS end_us
+          FROM s GROUP BY 1, 2)
+    SELECT user_id, start_us, end_us, n_events
+    FROM g, mx
+    WHERE end_us + {_SESS_GAP_US} <= mx.w
+    ORDER BY user_id, start_us
+    """
+
+
+def _session_round_split(spark: SparkSession, sf_dir: str):
+    """Pick the two-round cutoff so a known multi-event session
+    STRADDLES the checkpoint boundary: among batch gap-sessions with
+    >=2 events and a nonzero span, take the one whose midpoint is
+    closest to the corpus midpoint (tie: user_id) and cut at ITS
+    midpoint — events at `start <= cutoff` feed round 1, the rest
+    round 2, so that session is provably assembled across the restored
+    state. The cutoff never enters the oracle: with a time split no
+    row is ever watermark-late, so the emitted set is split-independent
+    (it depends only on session structure and the global max event
+    time). Returns (ev, cutoff_us, lo, hi) with ev = (ts instant,
+    user_id, value, t_us); ev is None on an empty corpus."""
+    from power_generation_etl_spark.operators import temporal as tmp
+
+    ev = T(spark, sf_dir, "events").select(
+        F.timestamp_micros(ntz_epoch_us(F.col("ts"))).alias("ts"),
+        "user_id",
+        "value",
+    ).withColumn("t_us", F.unix_micros("ts"))
+    lo, hi = ev.agg(F.min("t_us"), F.max("t_us")).first()
+    if lo is None:
+        return None, 0, None, None
+    mid = (lo + hi) // 2
+    sess = tmp.sessionize(
+        ev.select("user_id", "t_us"), key="user_id", ts="t_us",
+        gap_sec=_SESS_GAP_US,
+    )
+    cand = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("t_us").alias("st"),
+            F.max("t_us").alias("en"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("en") > F.col("st")))
+        .withColumn(
+            "d", F.abs((F.col("st") + F.col("en")) / F.lit(2.0) - F.lit(mid))
+        )
+        .orderBy("d", "user_id")
+        .first()
+    )
+    cutoff = (cand["st"] + cand["en"]) // 2 if cand is not None else mid
+    return ev, cutoff, lo, hi
+
+
+def _run_session_rounds(spark: SparkSession, ev, cutoff: int, hi: int,
+                        native: bool):
+    """Stage the time-split rounds and drive the sessionizer (stateful
+    pandas or native session_window) through two availableNow runs
+    against ONE checkpoint; returns the emitted rows as
+    (user_id, start_us, end_us, n_events), retry-idempotent (keyed by
+    batch id)."""
+    from power_generation_etl_spark.streaming.stateful import (
+        sessionize,
+        sessionize_native,
+    )
+
+    stage = tempfile.mkdtemp(prefix="sess_stage_")
+    landing = tempfile.mkdtemp(prefix="sess_landing_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    acc: dict[int, list] = {}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            (
+                F.unix_micros("session_end") - F.lit(_SESS_GAP_US)
+                if native
+                else F.unix_micros("session_end")
+            ).alias("end_us"),
+            "n_events",
+        )
+        acc[int(batch_id)] = [
+            (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+            for r in out.collect()
+        ]
+
+    def _run_round(schema) -> None:
+        stream = spark.readStream.schema(schema).parquet(landing)
+        op = sessionize_native if native else sessionize
+        q = (
+            op(stream, watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    try:
+        cols = ["ts", "user_id", "value"]
+        r1 = os.path.join(stage, "r1")
+        ev.filter(F.col("t_us") <= cutoff).select(*cols).coalesce(1).write.parquet(r1)
+        schema = spark.read.parquet(r1).schema
+        _link_into(landing, r1, "round1")
+        _run_round(schema)
+        if cutoff < hi:
+            r2 = os.path.join(stage, "r2")
+            ev.filter(F.col("t_us") > cutoff).select(*cols).coalesce(
+                1
+            ).write.parquet(r2)
+            _link_into(landing, r2, "round2")
+            _run_round(schema)
+    finally:
+        for d in (stage, landing, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    rows = sorted(t for batch in acc.values() for t in batch)
+    return rows
+
+
+_SESS_SCHEMA_OUT = "user_id long, start_us long, end_us long, n_events long"
+
+
+@_register("stream_sessions_stateful", _SESSION_ORACLE)
+def stream_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState gap sessionizer under the exact
+    oracle (r11 — `streaming/stateful.py::sessionize` was pytest-only,
+    and its per-key arbitrary state is the surface most likely to
+    harbor cross-batch bugs). Two ordered availableNow rounds against
+    ONE checkpoint, split in TIME at the midpoint of a known
+    multi-event session (so that session is provably assembled from
+    state restored across the checkpoint); with a time split no row is
+    watermark-late, so the emitted set must equal batch
+    gap-sessionization restricted to watermark-closed sessions —
+    exactly what the oracle computes. A state-merge bug (fused or split
+    runs), a premature/late emission, a lost restore, or a
+    timeout-anchoring bug (max-anchored timeouts strand an old closed
+    session behind a newer open one) each changes the emitted set.
+
+    Scale notes: state is O(open sessions per key); the watermark both
+    bounds it and drives emission — the property that lets per-key
+    custom state run at 100 TB. The Python worker is per-GROUP Arrow
+    batches (sanctioned applyInPandasWithState), not per-row UDFs."""
+    ev, cutoff, lo, hi = _session_round_split(spark, sf_dir)
+    if ev is None:
+        return spark.createDataFrame([], _SESS_SCHEMA_OUT)
+    rows = _run_session_rounds(spark, ev, cutoff, hi, native=False)
+    return spark.createDataFrame(rows, _SESS_SCHEMA_OUT)
+
+
+@_register("stream_sessions_native", _SESSION_ORACLE)
+def stream_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation under the same exact
+    oracle and two-round protocol as the stateful twin — the two
+    entries share one SQL, so they are also pinned equal to EACH OTHER
+    (a drift between the built-in session store and the custom pandas
+    state breaks one of them). session_window reports end = last event
+    + gap; the entry subtracts the gap so both twins emit the last
+    event time."""
+    ev, cutoff, lo, hi = _session_round_split(spark, sf_dir)
+    if ev is None:
+        return spark.createDataFrame([], _SESS_SCHEMA_OUT)
+    rows = _run_session_rounds(spark, ev, cutoff, hi, native=True)
+    return spark.createDataFrame(rows, _SESS_SCHEMA_OUT)
+
+
+_TR_TTL_MS = 60 * 60 * 1000  # the operator's idle TTL
+_TR_DELAY_MS = 600_000
+
+
+@_register(
+    "stream_transition_totals",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+               FROM events),
+    c AS (SELECT (min(t) + max(t)) // 2 AS cut FROM e),
+    m1 AS (SELECT max(t) AS m FROM e, c WHERE t <= c.cut),
+    p AS (SELECT user_id, event_type AS to_type, t,
+                 lag(event_type) OVER win AS from_type,
+                 lag(t) OVER win AS pt
+          FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id))
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM p, c, m1
+    WHERE from_type IS NOT NULL
+      AND (NOT (pt <= c.cut AND t > c.cut)
+           OR (pt // 1000) + {_TR_TTL_MS} >= (m1.m // 1000) - {_TR_DELAY_MS})
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_transition_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-batch Markov transition counter under the exact oracle
+    (r11 — `streaming/stateful.py::stream_transition_counts` was
+    pytest-only). Events split in TIME at the SQL-expressible corpus
+    midpoint ((min+max)//2 epoch µs) and fed in two availableNow rounds
+    against one checkpoint; the per-user single-row state carries the
+    boundary (last-round-1 → first-round-2) transition — UNLESS the
+    user was idle >TTL of event time, in which case the round-1 no-data
+    batch's event-time timeout (fires when watermark > max(0-batch
+    watermark, last_ms) + TTL, i.e. iff last_ms + TTL < m1_ms − delay)
+    expired the state, dropping exactly that user's boundary pair. The
+    oracle unrolls this: all consecutive (ts, event_id)-ordered pairs,
+    minus cutoff-straddling pairs of timed-out users. Probed at the 3
+    SFs: both fates occur (survivors 1/9/133, dropped 14/141/1367) and
+    no user ties the TTL boundary — and the predicate is exact integer
+    algebra mirrored on both engines regardless. A double-counted or
+    lost boundary, a wrong sort tie-break, or a timeout drift each
+    shifts the counts.
+
+    Scale notes: state is ONE row per active user, expired by event
+    time; per batch the sink folds the per-user partials into
+    O(types²) totals."""
+    from power_generation_etl_spark.streaming.stateful import (
+        stream_transition_counts,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_micros(ntz_epoch_us(F.col("ts"))).alias("ts"),
+        "user_id",
+        "event_type",
+    ).withColumn("t_us", F.unix_micros("ts"))
+    lo, hi = ev.agg(F.min("t_us"), F.max("t_us")).first()
+    out_schema = "from_type string, to_type string, n_transitions long"
+    if lo is None:
+        return spark.createDataFrame([], out_schema)
+    cutoff = (lo + hi) // 2
+    stage = tempfile.mkdtemp(prefix="trans_stage_")
+    landing = tempfile.mkdtemp(prefix="trans_landing_")
+    ckpt = tempfile.mkdtemp(prefix="trans_ckpt_")
+    acc: dict = {}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        acc[int(batch_id)] = {
+            (r["from_type"], r["to_type"]): r["n"]
+            for r in batch_df.groupBy("from_type", "to_type")
+            .agg(F.sum("n_transitions").cast("bigint").alias("n"))
+            .collect()
+        }
+
+    def _run_round(schema) -> None:
+        q = (
+            stream_transition_counts(
+                spark.readStream.schema(schema).parquet(landing),
+                watermark="10 minutes",
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    try:
+        cols = ["event_id", "ts", "user_id", "event_type"]
+        r1 = os.path.join(stage, "r1")
+        ev.filter(F.col("t_us") <= cutoff).select(*cols).coalesce(
+            1
+        ).write.parquet(r1)
+        schema = spark.read.parquet(r1).schema
+        _link_into(landing, r1, "round1")
+        _run_round(schema)
+        if cutoff < hi:
+            r2 = os.path.join(stage, "r2")
+            ev.filter(F.col("t_us") > cutoff).select(*cols).coalesce(
+                1
+            ).write.parquet(r2)
+            _link_into(landing, r2, "round2")
+            _run_round(schema)
+    finally:
+        for d in (stage, landing, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    totals: dict = {}
+    for counts in acc.values():
+        for k, n in counts.items():
+            totals[k] = totals.get(k, 0) + int(n)
+    return spark.createDataFrame(
+        sorted((f, t, n) for (f, t), n in totals.items()), out_schema
+    )

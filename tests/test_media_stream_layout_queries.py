@@ -293,3 +293,69 @@ class TestLateDataWatermark:
         # the late-kept path is exercised whenever any late row falls in
         # an emitted open window (true at sf0.001/0.01/0.1 by data)
         assert n_late_kept_emitted > 0
+
+
+class TestSessionAndTransitionProtocols:
+    """r11 sessionizer/transition entries: the DuckDB oracle checks the
+    exact emitted sets; these assertions pin the protocol structure the
+    oracle can't see — the two-round split really makes a session span
+    the checkpoint boundary, and the transition TTL really exercises
+    BOTH boundary fates (survived and timed-out)."""
+
+    def test_session_split_straddles_checkpoint(self, spark, sf_dir):
+        ev, cutoff, lo, hi = sq._session_round_split(spark, sf_dir)
+        assert ev is not None and lo < cutoff < hi
+        # both rounds non-empty
+        assert ev.filter(F.col("t_us") <= cutoff).count() > 0
+        assert ev.filter(F.col("t_us") > cutoff).count() > 0
+        rows = sq._run_session_rounds(spark, ev, cutoff, hi, native=False)
+        assert rows, "no sessions emitted at the shipped SF"
+        # >=1 emitted session was assembled ACROSS the checkpoint:
+        # events on both sides of the cutoff inside one session
+        straddlers = [
+            (u, s, e, n) for (u, s, e, n) in rows if s <= cutoff < e
+        ]
+        assert straddlers, "no emitted session spans the round boundary"
+        # and the straddler really holds >=2 events
+        assert any(n >= 2 for (_u, _s, _e, n) in straddlers)
+
+    def test_transition_boundary_exercises_both_fates(self, spark, sf_dir):
+        from power_generation_etl_spark.plans.queries import T, ntz_epoch_us
+
+        ev = (
+            T(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                ntz_epoch_us(F.col("ts")).alias("t"),
+                "user_id",
+                "event_type",
+            )
+            .collect()
+        )
+        assert ev
+        lo = min(r["t"] for r in ev)
+        hi = max(r["t"] for r in ev)
+        cut = (lo + hi) // 2
+        m1 = max(r["t"] for r in ev if r["t"] <= cut)
+        by_user: dict = {}
+        for r in ev:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["t"], r["event_id"], r["event_type"])
+            )
+        n_straddle = n_survive = n_full = 0
+        for seq in by_user.values():
+            seq.sort()
+            n_full += max(0, len(seq) - 1)
+            for (pt, _pe, _pty), (t, _e, _ty) in zip(seq, seq[1:]):
+                if pt <= cut < t:
+                    n_straddle += 1
+                    if pt // 1000 + sq._TR_TTL_MS >= m1 // 1000 - sq._TR_DELAY_MS:
+                        n_survive += 1
+        # both fates occur at the shipped SFs (probed 1/9/133 survive,
+        # 14/141/1367 drop) — otherwise the TTL term tests nothing
+        assert n_straddle > 0
+        assert 0 < n_survive < n_straddle
+        # conservation: the entry's total == all pairs minus dropped
+        got = sq.stream_transition_totals(spark, sf_dir)
+        total = sum(r["n_transitions"] for r in got.collect())
+        assert total == n_full - (n_straddle - n_survive)
