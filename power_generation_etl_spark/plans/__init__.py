@@ -13,6 +13,7 @@ from power_generation_etl_spark.plans import streaming_queries  # noqa: F401
 from power_generation_etl_spark.plans import layout_queries  # noqa: F401
 from power_generation_etl_spark.plans import grouped_queries  # noqa: F401
 from power_generation_etl_spark.plans import lakehouse_queries  # noqa: F401
+from power_generation_etl_spark.plans import intake_queries  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Catalog ordering: external correctness harnesses sample the FIRST N

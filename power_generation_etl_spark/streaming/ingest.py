@@ -113,6 +113,7 @@ def stream_neardup_intake(
     n_bands: int = 16,
     seed: int = 42,
     available_now: bool = True,
+    bucket_cap: int | None = None,
 ) -> StreamingQuery:
     """Streaming MinHash near-dup dedup at intake — the streaming twin
     of the batch `minhash_lsh_pairs` + `neardup_dedup_docs` pair: at
@@ -145,6 +146,7 @@ def stream_neardup_intake(
         neardup_intake_batch(
             spark, batch_df, batch_id, out_dir, store_dir,
             threshold=threshold, n=n, k=k, n_bands=n_bands, seed=seed,
+            bucket_cap=bucket_cap,
         )
 
     writer = stream.writeStream.foreachBatch(process).option(
@@ -166,13 +168,24 @@ def neardup_intake_batch(
     k: int = 64,
     n_bands: int = 16,
     seed: int = 42,
+    bucket_cap: int | None = None,
 ) -> None:
     """One micro-batch of the near-dup intake (exposed for direct
     testing of the retry contract). Retry safety: the store probe
     EXCLUDES the current batch's own partition — a retried batch wrote
     its signatures before the failed checkpoint commit, and matching a
     document against its own stored signature (agreement 1.0) would
-    silently drop the entire batch on retry."""
+    silently drop the entire batch on retry.
+
+    `bucket_cap` is the counted volume guard every banded family in
+    this engine carries (the r10 10× probe caught unguarded LSH going
+    quadratic in near-dup cluster size): band buckets with more than
+    `bucket_cap` members — counted over batch ∪ visible store rows —
+    are excluded from candidate generation, bounding the pair join at
+    O(buckets × cap²). Recall is lost only for pairs whose EVERY shared
+    bucket is super-cap. None (default) keeps the plan exact — what the
+    oracle-gated catalog entry pins; set it for always-on production
+    intake."""
     import os
 
     from power_generation_etl_spark.operators import minhash as mh
@@ -190,6 +203,31 @@ def neardup_intake_batch(
         bands = mh.band_key_table(sig, k, n_bands).select(
             "doc_id", "bk.band", "bk.key"
         )
+        # Counted bucket_cap guard over batch ∪ visible store buckets.
+        # `bands` (unfiltered) is still what lands in the store below —
+        # the guard shapes only THIS batch's candidate generation, so a
+        # later batch with a higher cap sees the full index.
+        bands_q = bands
+        store_bucket_filter = None
+        if bucket_cap is not None:
+            vis = bands.select("band", "key")
+            if os.path.isdir(band_path):
+                vb = spark.read.parquet(band_path)
+                if "batch" in vb.columns:
+                    vb = vb.filter(F.col("batch") != batch_id)
+                vis = vis.unionByName(
+                    vb.dropDuplicates(["doc_id", "band"]).select("band", "key")
+                )
+            store_bucket_filter = (
+                vis.groupBy("band", "key")
+                .count()
+                .filter(F.col("count") <= bucket_cap)
+                .select("band", "key")
+                .localCheckpoint()
+            )
+            bands_q = bands.join(
+                F.broadcast(store_bucket_filter), ["band", "key"]
+            )
         sig_l = sig.select(
             F.col("doc_id").alias("id_a"),
             *[F.col(c).alias(f"a{i}") for i, c in enumerate(sig_cols)],
@@ -199,8 +237,8 @@ def neardup_intake_batch(
             *[F.col(c).alias(f"b{i}") for i, c in enumerate(sig_cols)],
         )
         # within-batch: lowest id of a verified candidate pair wins
-        ba = bands.select(F.col("doc_id").alias("id_a"), "band", "key")
-        bb = bands.select(F.col("doc_id").alias("id_b"), "band", "key")
+        ba = bands_q.select(F.col("doc_id").alias("id_a"), "band", "key")
+        bb = bands_q.select(F.col("doc_id").alias("id_b"), "band", "key")
         in_cand = (
             ba.join(bb, ["band", "key"])
             .filter(F.col("id_a") < F.col("id_b"))
@@ -236,6 +274,10 @@ def neardup_intake_batch(
                 sband_raw.dropDuplicates(["doc_id", "band"])
                 .select(F.col("doc_id").alias("id_b"), "band", "key")
             )
+            if store_bucket_filter is not None:
+                sbands = sbands.join(
+                    F.broadcast(store_bucket_filter), ["band", "key"]
+                )
             st_cand = (
                 ba.join(sbands, ["band", "key"])
                 .select("id_a", "id_b")
@@ -275,6 +317,7 @@ def stream_document_filter(
     available_now: bool = True,
     redact_pii: bool = True,
     min_logit: int | None = None,
+    dedup_watermark: str = "1 hour",
 ) -> StreamingQuery:
     """Streaming training-data intake: JSONL document drops →
     quality-filter (Gopher-style Column expressions from
@@ -323,7 +366,11 @@ def stream_document_filter(
     filtered = (
         gated
         .withColumn("fingerprint", tx.exact_dup_key(F.col("text")))
-        .withWatermark("ingested_at", "1 hour")
+        # `dedup_watermark` bounds the dedup state's event-time TTL; a
+        # corpus-span-sized value makes first-wins dedup GLOBAL (the
+        # exact-oracle configuration), the default keeps state bounded
+        # for true always-on intake.
+        .withWatermark("ingested_at", dedup_watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
         .select("doc_id", "ingested_at", "lang", "source", "text", "fingerprint")
     )

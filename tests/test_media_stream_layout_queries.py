@@ -359,3 +359,60 @@ class TestSessionAndTransitionProtocols:
         got = sq.stream_transition_totals(spark, sf_dir)
         total = sum(r["n_transitions"] for r in got.collect())
         assert total == n_full - (n_straddle - n_survive)
+
+
+class TestIntakeProtocols:
+    """r11 intake entries: the oracle checks exact survivor sets; these
+    assertions pin that the injected-duplicate protocol really fires
+    BOTH dedup paths at the shipped SF — a within-batch drop and a
+    cross-checkpoint store drop — so the entries can't rot into
+    'nothing was ever deduplicated'."""
+
+    def test_neardup_intake_drops_both_paths(self, spark, sf_dir):
+        from power_generation_etl_spark.plans import intake_queries as iq
+
+        surv = {
+            r["doc_id"]
+            for r in iq.stream_intake_neardup_docs(spark, sf_dir).collect()
+        }
+        assert surv
+        d = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id")
+            .withColumn("h4", iq._h4())
+        )
+        h0 = {r["doc_id"] for r in d.filter(F.col("h4") == 0).collect()}
+        h1 = {r["doc_id"] for r in d.filter(F.col("h4") == 1).collect()}
+        assert h0 and h1
+        # cross-round copies of SURVIVING round-1 docs must be dropped
+        # by the restored signature store
+        store_drops = [
+            a for a in h0 if a in surv and (a + iq._OFF_CROSS) not in surv
+        ]
+        assert store_drops, "no cross-checkpoint store drop happened"
+        # within-batch copies of surviving round-2 originals must be
+        # dropped by in-batch candidate verification
+        batch_drops = [
+            b for b in h1 if b in surv and (b + iq._OFF_WITHIN) not in surv
+        ]
+        assert batch_drops, "no within-batch drop happened"
+        # and no injected copy of a SURVIVING original may itself
+        # survive (its twin is in the store / batch by construction)
+        assert not [a for a in h0 if a in surv and (a + iq._OFF_CROSS) in surv]
+        assert not [b for b in h1 if b in surv and (b + iq._OFF_WITHIN) in surv]
+
+    def test_filter_intake_dedups_across_checkpoint(self, spark, sf_dir):
+        from power_generation_etl_spark.plans import intake_queries as iq
+
+        row = iq.stream_intake_filter_docs(spark, sf_dir).first()
+        # survivors == distinct fingerprints of quality-passing text:
+        # strictly fewer than the staged universe (originals + copies),
+        # i.e. the dedup dropped every injected duplicate
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = d.count()
+        assert n_docs > 0
+        n_universe = (
+            n_docs
+            + d.withColumn("h4", iq._h4()).filter(F.col("h4") <= 1).count()
+        )
+        assert 0 < row["n_docs"] < n_universe
