@@ -172,3 +172,24 @@ def test_e2e_pipeline_rows_self_consistent():
     assert f, "prep-shards e2e funnel missing"
     q, e, n, d, _seq = map(int, f.groups())
     assert q >= e >= n >= d
+
+
+def test_bench_ingest_doc_self_consistent():
+    """r11: BENCH_INGEST.md records the ingest bench vs the reference's
+    ~5min/ENTSOE-month figure. The stated corpus size must match the
+    tool's default synthesis, and the recorded runs must actually
+    support the stated >=2x match-or-beat verdict (so a re-measure
+    can't paste in numbers that contradict the claim)."""
+    text = _read("BENCH_INGEST.md")
+    m = re.search(r"\*\*([\d,]+)\s*\n?\s*records\*\*", text)
+    assert m, "BENCH_INGEST.md no longer states the corpus size"
+    from tools.bench_ingest import HOURS
+
+    assert int(m.group(1).replace(",", "")) == 672 * HOURS
+    loads = [
+        float(x)
+        for x in re.findall(r"^\|\s*\d+\s*\|\s*([\d.]+)\s*\|", text, re.M)
+    ]
+    assert loads, "measured-run table rows missing"
+    # the 2x contract vs the 300s reference budget, with headroom
+    assert all(s < 150.0 for s in loads), loads
