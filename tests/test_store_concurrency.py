@@ -142,3 +142,86 @@ class TestWriterLock:
         os.waitpid(pid, 0)
         with store._table_lock("t", timeout=2.0):
             pass  # acquiring proves the dead holder's lock evaporated
+
+
+_CHILD_MERGE = """
+import sys
+from pyspark.sql import SparkSession
+
+wh, ready, go = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from power_generation_etl_spark.store import TableStore
+
+store = TableStore(spark, wh, versioned=True)
+changes = spark.createDataFrame(
+    [(k, "CHILD", 1) for k in range(30, 40)], "k long, v string, ver long"
+)
+import os, time
+open(ready, "w").close()          # JVM is up, change set built
+while not os.path.exists(go):     # fire together with the parent
+    time.sleep(0.02)
+store.merge_upsert("t", changes, ["k"], "ver")
+spark.stop()
+"""
+
+
+@pytest.mark.slow
+class TestTwoProcessContention:
+    def test_contending_merge_from_second_process(self, spark, tmp_path):
+        """r11: the r10 suite proved thread contention and fork-based
+        lock release; this runs a REAL second engine process (own JVM,
+        own TableStore on the same warehouse) merging concurrently with
+        the parent. flock is kernel-scoped, so both merges must land —
+        the later one re-reading the earlier's committed result under
+        the lock — and each must archive its own distinct version."""
+        import os
+        import subprocess
+        import sys
+
+        wh = str(tmp_path / "wh_2proc")
+        store = TableStore(spark, wh, versioned=True)
+        store.overwrite("t", _mk_base(spark))
+        ready = str(tmp_path / "child_ready")
+        go = str(tmp_path / "go")
+
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        child = subprocess.Popen(
+            [sys.executable, "-c", _CHILD_MERGE, wh, ready, go],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        try:
+            deadline = 120
+            import time
+
+            t0 = time.monotonic()
+            while not os.path.exists(ready):
+                assert child.poll() is None, "child died before ready"
+                assert time.monotonic() - t0 < deadline, "child never ready"
+                time.sleep(0.1)
+            open(go, "w").close()
+            parent_changes = spark.createDataFrame(
+                [(k, "PARENT", 1) for k in range(0, 10)],
+                "k long, v string, ver long",
+            )
+            store.merge_upsert("t", parent_changes, ["k"], "ver")
+            assert child.wait(timeout=180) == 0
+        finally:
+            if child.poll() is None:
+                child.kill()
+
+        final = {r["k"]: r["v"] for r in store.read("t").collect()}
+        assert len(final) == 60
+        assert all(final[k] == "PARENT" for k in range(0, 10))
+        assert all(final[k] == "CHILD" for k in range(30, 40))
+        assert all(final[k] == "A" for k in range(10, 30))
+        # base + each merge's pre-state: two distinct archived versions
+        assert store.versions("t") == [1, 2]

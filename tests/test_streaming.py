@@ -692,3 +692,128 @@ def test_stream_hll_cardinality_merges_as_batch(spark, tmp_path):
     assert versions, "no committed store version"
     latest = store / f"hll_v{versions[-1]}"
     assert spark.read.parquet(str(latest)).count() <= 64
+
+
+def _delete_last_commit(ckpt) -> int:
+    """Crash injection: remove the newest `commits/<n>` marker so a
+    restart believes batch n never committed and REPLAYS it from the
+    surviving offsets log — the standard Structured Streaming
+    crash-between-write-and-commit window."""
+    import os
+
+    commits = os.path.join(str(ckpt), "commits")
+    ids = sorted(
+        int(f) for f in os.listdir(commits) if f.isdigit()
+    )
+    assert ids, "no committed batches to attack"
+    os.remove(os.path.join(commits, str(ids[-1])))
+    # the checksum sidecar must die with its data file, or Spark 4's
+    # ChecksumCheckpointFileManager reads the orphan as a concurrent
+    # writer and refuses the restart
+    crc = os.path.join(commits, f".{ids[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return ids[-1]
+
+
+def test_kmv_store_survives_injected_replay(spark, tmp_path):
+    """r11 crash/resume injection: after both rounds commit, delete the
+    round-2 commit marker and restart from the same checkpoint. Spark
+    replays batch 1 against a store that ALREADY holds kmv_v1 — the
+    versioned protocol (rebuild v<batch> from the latest complete
+    version with id < batch) must make the replay byte-idempotent."""
+    import json as _json
+
+    from power_generation_etl_spark.streaming.ingest import (
+        kmv_estimate_from_store,
+        stream_kmv_cardinality,
+    )
+
+    landing = tmp_path / "kmv_in"
+    landing.mkdir()
+    store = str(tmp_path / "kmv_store")
+    ckpt = tmp_path / "ck"
+
+    def drop(name, vals):
+        with open(landing / name, "w") as f:
+            for v in vals:
+                f.write(_json.dumps({"g": "g1", "v": v}) + "\n")
+
+    def run():
+        q = stream_kmv_cardinality(
+            spark, str(landing), store, str(ckpt),
+            "g", "v", "g string, v string", k=64,
+        )
+        q.awaitTermination(120)
+
+    drop("b1.jsonl", [f"v{i}" for i in range(300)])
+    run()
+    drop("b2.jsonl", [f"v{i}" for i in range(200, 500)])
+    run()
+
+    def snapshot():
+        est = {
+            r["grp"]: r["kmv_estimate"]
+            for r in kmv_estimate_from_store(spark, store, k=64).collect()
+        }
+        from power_generation_etl_spark.streaming.ingest import (
+            _kmv_store_versions,
+        )
+
+        v = _kmv_store_versions(store)[-1]
+        rows = sorted(
+            map(tuple, spark.read.parquet(f"{store}/kmv_v{v}").collect())
+        )
+        return est, v, rows
+
+    before = snapshot()
+    replayed = _delete_last_commit(ckpt)
+    assert replayed == 1
+    run()  # restart: replays batch 1 from the offsets log
+    assert snapshot() == before
+
+
+def test_cdc_apply_survives_injected_replay(spark, tmp_path):
+    """r11 crash/resume injection for the streamed CDC apply: replaying
+    the second change batch through merge_upsert must leave the CURRENT
+    table byte-identical (greatest-order_col-wins is idempotent under
+    re-application of the same batch)."""
+    from power_generation_etl_spark.store import TableStore
+    from power_generation_etl_spark.streaming.ingest import stream_cdc_apply
+
+    landing = tmp_path / "cdc"
+    landing.mkdir()
+    store = TableStore(spark, str(tmp_path / "wh"), versioned=True)
+    ckpt = tmp_path / "ckpt_cdc"
+
+    def run():
+        q = stream_cdc_apply(
+            spark, str(landing), store, "cdc_t", ["k"], "ord",
+            "k long, v string, ord long", str(ckpt),
+        )
+        q.awaitTermination(120)
+
+    with open(landing / "b1.jsonl", "w") as f:
+        f.write(json.dumps({"k": 1, "v": "a", "ord": 1}) + "\n")
+        f.write(json.dumps({"k": 2, "v": "b", "ord": 1}) + "\n")
+    run()
+    with open(landing / "b2.jsonl", "w") as f:
+        f.write(json.dumps({"k": 2, "v": "b2", "ord": 2}) + "\n")
+        f.write(json.dumps({"k": 3, "v": "c", "ord": 2}) + "\n")
+    run()
+    want = sorted(map(tuple, store.read("cdc_t").collect()))
+    n_versions_before = len(store.versions("cdc_t"))
+
+    replayed = _delete_last_commit(ckpt)
+    assert replayed == 1
+    run()  # replay batch 1's merge_upsert against the merged table
+    got = sorted(map(tuple, store.read("cdc_t").collect()))
+    assert got == want == sorted(
+        [(1, "a", 1), (2, "b2", 2), (3, "c", 2)]
+    )
+    # the replay archives one more pre-merge version; the newest archive
+    # equals the pre-replay CURRENT state (nothing was lost or doubled)
+    vs = store.versions("cdc_t")
+    assert len(vs) == n_versions_before + 1
+    newest = sorted(map(tuple, store.read_version("cdc_t", vs[-1]).collect()))
+    assert newest == want
