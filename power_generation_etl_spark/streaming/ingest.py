@@ -26,6 +26,21 @@ from pyspark.sql.streaming import StreamingQuery
 from power_generation_etl_spark.schemas import SOURCES
 
 
+_INTERVAL_UNITS_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _interval_us(spec: str) -> int:
+    """'30 minutes' -> 1_800_000_000 µs (the simple `N unit` interval
+    forms the streaming operators accept)."""
+    n, unit = spec.strip().split()
+    return int(n) * _INTERVAL_UNITS_US[unit.lower()]
+
+
 def stream_load(
     engine,
     source: str,
@@ -406,26 +421,50 @@ def stream_interval_join(
     stays O(in-flight window), never unbounded. Inner-join matches
     emit as soon as both sides arrive (no watermark wait).
 
+    Skew defense (r11, measured): with the equi-key on user_id alone, a
+    hot user degenerates the per-key state probe to clicks × errors —
+    the skew probe (hot user = 10% of rows at 4× sf0.1) measured 2.5×
+    wall-clock. Like the batch `bucketed_range_join`, the equi-key here
+    is (user_id, window-width time bucket): clicks explode into their
+    bucket and the next (any error within [click, click+window] lands
+    in exactly ONE of the two, so no pair duplicates), errors join on
+    their own bucket — the hot user's state subdivides across the time
+    axis and the probe drops to O(rows-per-bucket²) per task. Output is
+    pair-identical to the unbucketed form (the exact oracle pins it).
+
     `clicks` and `errors` are streaming DataFrames with
     (user_id, ts timestamp, ...); output keeps click/error timestamps
     and the user id.
     """
+    w_us = _interval_us(window)
     c = (
         clicks.select(
             F.col("user_id"),
             F.col("ts").alias("click_ts"),
-        ).withWatermark("click_ts", watermark)
+        )
+        .withWatermark("click_ts", watermark)
+        .withColumn(
+            "_cb",
+            F.explode(
+                F.array(
+                    F.expr(f"unix_micros(click_ts) div {w_us}"),
+                    F.expr(f"unix_micros(click_ts) div {w_us} + 1"),
+                )
+            ),
+        )
     )
     e = (
         errors.select(
             F.col("user_id").alias("err_user_id"),
             F.col("ts").alias("error_ts"),
-        ).withWatermark("error_ts", watermark)
+        )
+        .withWatermark("error_ts", watermark)
+        .withColumn("_eb", F.expr(f"unix_micros(error_ts) div {w_us}"))
     )
     return c.join(
         e,
         F.expr(
-            f"user_id = err_user_id AND error_ts >= click_ts "
+            f"user_id = err_user_id AND _cb = _eb AND error_ts >= click_ts "
             f"AND error_ts <= click_ts + interval {window}"
         ),
     ).select("user_id", "click_ts", "error_ts")

@@ -119,12 +119,37 @@ def _shifted_lineitem(spark, base_li: str, copy_no: int):
     return li.select(*[col(c) for c in li.columns])
 
 
-def materialize(spark, mult: int) -> str:
-    out = os.path.join(DERIVED, f"sf0.{mult}")
-    # r8 caches predate the embeddings derivation — require all tables
+def _shifted_events(spark, base_ev: str, copy_no: int):
+    """A key-shifted disjoint copy of the events table: event_id and
+    user_id offset past the originals' max (fresh users with the same
+    per-user event distribution — the right shape for per-user window /
+    sessionization / interval-join probes), timestamps untouched."""
+    ev = spark.read.parquet(base_ev)
+    maxes = ev.agg(
+        F.max("event_id").alias("e"), F.max("user_id").alias("u")
+    ).first()
+
+    def col(c):
+        if c == "event_id":
+            return (F.col(c) + F.lit(copy_no * ((maxes["e"] or 0) + 1))).alias(c)
+        if c == "user_id":
+            return (F.col(c) + F.lit(copy_no * ((maxes["u"] or 0) + 1))).alias(c)
+        return F.col(c)
+
+    return ev.select(*[col(c) for c in ev.columns])
+
+
+def materialize(spark, mult: int, skew_pct: int = 0) -> str:
+    """Derived corpus at `mult` x sf0.1. `skew_pct` > 0 additionally
+    reassigns that percentage of ALL event rows (hash-chosen by
+    event_id) to ONE hot user — same total rows as the uniform corpus,
+    so a uniform-vs-skew delta isolates the skew cost, not volume."""
+    suffix = f"_skew{skew_pct}" if skew_pct else ""
+    out = os.path.join(DERIVED, f"sf0.{mult}{suffix}")
+    # r8 caches predate the embeddings/events derivations — require all
     if os.path.exists(os.path.join(out, "_DONE")) and all(
         os.path.exists(os.path.join(out, f"{t}.parquet"))
-        for t in ("documents", "lineitem", "embeddings")
+        for t in ("documents", "lineitem", "embeddings", "events")
     ):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -132,10 +157,12 @@ def materialize(spark, mult: int) -> str:
     docs = [spark.read.parquet(f"{BASE}/documents.parquet")]
     lis = [spark.read.parquet(f"{BASE}/lineitem.parquet")]
     embs = [spark.read.parquet(f"{BASE}/embeddings.parquet")]
+    evs = [spark.read.parquet(f"{BASE}/events.parquet")]
     for i in range(1, mult):
         docs.append(_shuffled_docs(spark, f"{BASE}/documents.parquet", i))
         lis.append(_shifted_lineitem(spark, f"{BASE}/lineitem.parquet", i))
         embs.append(_shifted_embeddings(spark, f"{BASE}/embeddings.parquet", i))
+        evs.append(_shifted_events(spark, f"{BASE}/events.parquet", i))
     d = docs[0]
     for x in docs[1:]:
         d = d.unionByName(x)
@@ -145,9 +172,25 @@ def materialize(spark, mult: int) -> str:
     em = embs[0]
     for x in embs[1:]:
         em = em.unionByName(x)
+    ev = evs[0]
+    for x in evs[1:]:
+        ev = ev.unionByName(x)
+    if skew_pct:
+        hot = (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("bigint")
+            % 100
+            < skew_pct
+        )
+        ev = ev.withColumn(
+            "user_id", F.when(hot, F.lit(1)).otherwise(F.col("user_id"))
+        )
     d.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     li.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     em.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
     open(os.path.join(out, "_DONE"), "w").close()
     return out
 
