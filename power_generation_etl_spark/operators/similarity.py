@@ -180,12 +180,31 @@ def lsh_bucketed_neardup(
     n_bands: int = 3,
     seed: int = 42,
     kernel: str = "expr",
+    bucket_cap: int | None = None,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup: candidates must share at least one band of
     the hyperplane signature; exact cosine verifies the candidates.
     Recall < 1 by construction (that's the trade); precision = 1 since
     every emitted pair is exactly verified. kernel='arrow' runs the
-    verification cosine through the vectorized numpy kernel."""
+    verification cosine through the vectorized numpy kernel.
+
+    ``max_candidates`` / ``bucket_cap`` — the counted candidate-volume
+    guard every banded family carries (r11; same contract as
+    ``minhash_lsh_pairs``): with a FIXED hyperplane count the band-key
+    domain is constant (2^(n_planes/n_bands) keys per band), so bucket
+    sizes grow ∝ N and the candidate join is inherently quadratic —
+    the r11 decade probe measured warm α→1.8-2.0 (217s at 10× sf0.1)
+    before this guard. One aggregation computes the exact per-bucket
+    volume; above the bound (default
+    ``DEFAULT_ALLPAIRS_MAX_CANDIDATES``, env
+    ``SPARK_ETL_ALLPAIRS_MAX_CANDIDATES``) the guard engages the
+    largest fitting ``bucket_cap`` with a UserWarning. A pair is
+    missed only if EVERY band it collides on exceeds the cap;
+    verification stays exact, so emitted cosines never change — only
+    which pairs are found. At production scale the right recall knob
+    is MORE PLANES (the key domain must grow with N); the cap is the
+    safety net that keeps a mis-sized index subquadratic."""
     probe = df.select(vec_col).head()
     if probe is None:  # empty corpus -> empty pairs, stable schema
         idt = dict(df.dtypes).get(id_col, "bigint")
@@ -211,15 +230,60 @@ def lsh_bucketed_neardup(
     tagged = df.select(
         F.col(id_col).alias("id"), v.alias("vec"), F.explode(bands).alias("bk")
     ).repartition(npar, "bk")
-    left = tagged.select("id", "vec", "bk")
-    right = tagged.select(
-        F.col("id").alias("id2"), F.col("vec").alias("vec2"), F.col("bk").alias("bk2")
-    )
-    cands = (
+    effective_cap = bucket_cap
+    if effective_cap is None:
+        from power_generation_etl_spark.operators.minhash import (
+            _guard_volume_cap,
+            _resolve_max_candidates,
+        )
+
+        bound = _resolve_max_candidates(max_candidates)
+        if bound is not None:
+            vol_df = (
+                tagged.groupBy("bk")
+                .agg(F.count(F.lit(1)).alias("p"))
+                .groupBy("p")
+                .agg(
+                    (F.count(F.lit(1)) * F.col("p") * (F.col("p") - 1)).alias(
+                        "vol"
+                    )
+                )
+                .select(F.col("p").alias("df"), "vol")
+            )
+            effective_cap = _guard_volume_cap(
+                vol_df,
+                ("cos_lsh", n_planes, n_bands, seed),
+                df.select(F.col(id_col).alias("doc_id"), v.alias("_t")),
+                bound,
+                "lsh_bucketed_neardup",
+                "bucket_cap",
+                "band buckets larger than the cap leave candidate "
+                "generation — a pair is missed only if EVERY band it "
+                "collides on exceeds the cap; verification stays exact",
+            )
+    if effective_cap is not None:
+        small = (
+            tagged.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("_p"))
+            .where(F.col("_p") <= effective_cap)
+            .select("bk")
+        )
+        tagged = tagged.join(F.broadcast(small), "bk")
+    # Candidates as IDS ONLY (the minhash-proven shape): carrying the
+    # 64-double vectors through the bucket join + pair dedup shuffles
+    # ~1 KB per candidate where 16 bytes suffice — at the guard's 5e7
+    # candidate bound that's a ~50 GB vs ~1 GB shuffle. Vectors join
+    # back once per DISTINCT pair for verification.
+    left = tagged.select("id", "bk")
+    right = tagged.select(F.col("id").alias("id2"), F.col("bk").alias("bk2"))
+    cand_ids = (
         left.join(right, (F.col("bk") == F.col("bk2")) & (F.col("id") < F.col("id2")))
-        .select(F.col("id").alias("id_a"), F.col("id2").alias("id_b"), "vec", "vec2")
+        .select(F.col("id").alias("id_a"), F.col("id2").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = df.select(F.col(id_col).alias("id_a"), v.alias("vec"))
+    vb = df.select(F.col(id_col).alias("id_b"), v.alias("vec2"))
+    cands = cand_ids.join(va, "id_a").join(vb, "id_b")
     sim = (
         cosine_pairwise_fast(F.col("vec"), F.col("vec2"))
         if kernel == "arrow"

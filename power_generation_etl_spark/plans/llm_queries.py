@@ -488,7 +488,13 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, exact-cosine verification) — the 100 TB path. The exact O(n²)
     twin below verifies it at small SF."""
     e = T(spark, sf_dir, "embeddings")
-    return sim.lsh_bucketed_neardup(e, "vec_id", "embedding", threshold=0.4)
+    # max_candidates pinned: oracle-gated output must be env-independent
+    # (the guard stays inactive at the shipped SFs — exact volume ~4.7e6
+    # at sf0.1 — and engages on the 10x probe corpora).
+    return sim.lsh_bucketed_neardup(
+        e, "vec_id", "embedding", threshold=0.4,
+        max_candidates=mh.DEFAULT_ALLPAIRS_MAX_CANDIDATES,
+    )
 
 
 @_register(
