@@ -407,3 +407,92 @@ def stream_intake_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in (stage, landing):
             shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame([(i,) for i in rows], "doc_id long")
+
+
+# ---------------------------------------------------------------------------
+# pii_redaction_exact — the redaction REWRITE under the exact oracle.
+# ---------------------------------------------------------------------------
+
+# The shipped corpus is PII-free (pii_scan_docs verifies the all-zero
+# negative path), so `hygiene.redact_pii` was pytest-only on a seeded
+# fixture. This entry INJECTS deterministic PII — an email + IPv4 +
+# phone suffix on the h3=0 docs, doc_id-derived so both engines build
+# the identical text — and pins the full redaction rewrite (pattern
+# coverage, [EMAIL]/[IP]/[PHONE] placeholders, and the email→ip→phone
+# ORDER, which matters because an email contains digit runs the phone
+# pattern would otherwise claim) via redacted length + content hash.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\+?\\d[\\d -]{7,}\\d"
+
+_INJ_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " at 192.168.1.77 or +1 555 123 4567'"
+)
+
+_REDACT_SQL = f"""
+    WITH u AS (
+      SELECT doc_id,
+             CASE WHEN {_H4_SQL.replace('% 4', '% 3')} = 0
+                  THEN {_INJ_SQL} ELSE text END AS t
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_IPV4}', '[IP]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g') AS rt
+      FROM u
+    )
+    SELECT doc_id,
+           CAST(length(rt) AS BIGINT) AS redacted_len,
+           CAST('0x' || substr(md5(rt), 1, 8) AS BIGINT) AS redacted_hash
+    FROM r
+    ORDER BY doc_id
+    """
+
+
+@_register("pii_redaction_exact", _REDACT_SQL)
+def pii_redaction_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as an exact content rewrite (r11): inject a
+    deterministic email+IPv4+phone suffix into a hash-chosen third of
+    the documents, run the REAL `operators/hygiene.redact_pii` chain,
+    and emit per-doc redacted length + 32-bit content hash. The DuckDB
+    twin performs the identical injection and the identical ordered
+    regexp_replace chain (the patterns are RE2-and-Java compatible, the
+    same property `pii_scan_docs` already relies on), so a missed
+    match, a wrong placeholder, a broken replace-all, or a reordered
+    chain (phone before email eats the digits inside the address)
+    breaks the hash. Unmodified docs ride along to pin the
+    no-false-positive side on natural text.
+
+    Scale notes: three codegen regexp passes, zero shuffles —
+    row-parallel at any corpus size."""
+    from power_generation_etl_spark.operators import hygiene as hg
+
+    d = T(spark, sf_dir, "documents")
+    h3 = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 3
+    )
+    injected = F.when(
+        h3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 192.168.1.77 or +1 555 123 4567"),
+        ),
+    ).otherwise(F.col("text"))
+    rt = hg.redact_pii(injected)
+    return d.select(
+        "doc_id",
+        F.length(rt).cast("bigint").alias("redacted_len"),
+        F.conv(F.substring(F.md5(rt.cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("redacted_hash"),
+    ).orderBy("doc_id")
