@@ -381,3 +381,136 @@ def hll_oracle_sql(
            ) AS BIGINT) / 10000.0 AS hll_estimate
     FROM est
     """
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k uniform sample → quantile sketch.
+#
+# Keep the k rows with the SMALLEST 48-bit hash of a unique row key per
+# group: a uniform without-replacement sample whose membership is a pure
+# function of the key set — order-independent, split-independent, and
+# MERGEABLE (bottom-k of a union = bottom-k of the union of bottom-ks),
+# the same property that makes KMV a viable streaming store. Quantiles
+# of the retained sample estimate quantiles of the full distribution
+# with the usual sqrt(k) sampling error, but unlike t-digest/KLL the
+# construction is deterministic integer/hash arithmetic, so the Spark
+# plan and the DuckDB oracle agree bit-for-bit.
+#
+# Scale design: the shuffle carries (grp, key, v) after a map-side
+# combinable distinct; ONE window pass per group ranks hashes; store
+# state is O(groups × k) forever. For very hot groups the row_number
+# can be swapped for a two-stage min-k (per-partition slice then
+# global) — same result, bounded memory.
+# ---------------------------------------------------------------------------
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    k: int = 32,
+) -> DataFrame:
+    """(grp, key, v, h): the k rows with the smallest 48-bit key hash
+    per group. `key_col` must be a (per-group) unique row id — ties on
+    (h, key, v) are broken deterministically so duplicate feeds
+    (streaming replay) collapse under distinct()."""
+    base = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(key_col).cast("long").alias("key"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("key").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .withColumn("h", hash48(F.col("key")))
+    )
+    w = Window.partitionBy("grp").orderBy("h", "key", "v")
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    percents: list[int],
+    *,
+    value_scale: int = 1,
+) -> DataFrame:
+    """Type-1 (no-interpolation) quantiles of a bottom-k sample: the
+    value at row ceil(p·n/100) when the sample is ordered by (v, key).
+    Integer position arithmetic ((p·n + 99) div 100) and floor-scaled
+    bigint outputs keep the result exactly portable across engines.
+    The single definition shared by the batch sketch entry and the
+    streaming store reader, so the two can never drift."""
+    n = sample.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sample"))
+    w = Window.partitionBy("grp").orderBy("v", "key")
+    ranked = sample.withColumn("_vr", F.row_number().over(w)).join(n, "grp")
+    aggs = [
+        F.max(
+            F.when(
+                F.col("_vr") == F.expr(f"({p} * n_sample + 99) div 100"),
+                F.floor(F.col("v") * F.lit(float(value_scale))).cast("long"),
+            )
+        ).alias(f"p{p}")
+        for p in percents
+    ]
+    return ranked.groupBy("grp", "n_sample").agg(*aggs).orderBy("grp")
+
+
+def bottomk_quantile_oracle_sql(
+    table: str,
+    group_expr: str,
+    key_expr: str,
+    value_expr: str,
+    *,
+    k: int,
+    percents: list[int],
+    value_scale: int = 1,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of bottomk_sample + sample_quantiles — the same
+    distinct → hash-rank → truncate → value-rank pipeline restated
+    over the raw table, for batch entries AND split-fed streaming
+    stores (bottom-k mergeability makes the result feed-independent)."""
+    cols = ",\n           ".join(
+        f"max(CASE WHEN vr = ({p} * n_sample + 99) // 100"
+        f" THEN CAST(floor(v * {value_scale}) AS BIGINT) END) AS p{p}"
+        for p in percents
+    )
+    return f"""
+    WITH base AS (
+      SELECT DISTINCT {group_expr} AS grp,
+             CAST({key_expr} AS BIGINT) AS key,
+             CAST({value_expr} AS DOUBLE) AS v
+      FROM {table}
+      WHERE ({where}) AND {key_expr} IS NOT NULL AND {value_expr} IS NOT NULL
+    ),
+    hashed AS (
+      SELECT grp, key, v,
+             CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, {_HASH_HEX})
+                  AS BIGINT) AS h
+      FROM base
+    ),
+    kept AS (
+      SELECT grp, key, v FROM (
+        SELECT grp, key, v,
+               row_number() OVER (PARTITION BY grp ORDER BY h, key, v) AS rn
+        FROM hashed)
+      WHERE rn <= {k}
+    ),
+    n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_sample FROM kept GROUP BY grp),
+    ord AS (
+      SELECT grp, key, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v, key) AS vr
+      FROM kept
+    )
+    SELECT ord.grp AS grp, n.n_sample AS n_sample,
+           {cols}
+    FROM ord JOIN n ON ord.grp = n.grp
+    GROUP BY 1, 2
+    ORDER BY grp
+    """

@@ -313,3 +313,43 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "exact_distinct", "v_empty", "z_scaled", "hll_estimate")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample quantile sketch (r11): the mergeable quantile summary
+# that completes the sketch family (KMV distinct / CMS frequency / HLL
+# cardinality / MG heavy hitters / bottom-k quantiles). Membership is a
+# pure function of the key set (k smallest 48-bit key hashes per
+# group), so the estimate is order/split/partitioning-independent and
+# the DuckDB oracle reproduces it bit-for-bit. At 100 TB the sketch is
+# one map-side-combinable distinct + one per-group window over ≤k
+# surviving rows per partition; state is O(groups × k).
+# ---------------------------------------------------------------------------
+
+_BKQ_K = 32
+_BKQ_PCTS = [25, 50, 75, 90]
+
+
+@_register(
+    "bottomk_quantile_orders",
+    sk.bottomk_quantile_oracle_sql(
+        "orders",
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        k=_BKQ_K,
+        percents=_BKQ_PCTS,
+    ),
+)
+def bottomk_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quantile estimates per priority from a bottom-k
+    hash sample of order keys — the batch face of the quantile sketch
+    whose streaming store twin is `stream_quantile_store`."""
+    samp = sk.bottomk_sample(
+        T(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        k=_BKQ_K,
+    )
+    return sk.sample_quantiles(samp, _BKQ_PCTS)

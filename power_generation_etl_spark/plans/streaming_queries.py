@@ -1228,3 +1228,107 @@ def stream_transition_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted((f, t, n) for (f, t), n in totals.items()), out_schema
     )
+
+
+_QS_K = 16
+_QS_PCTS = [50, 90]
+_QS_SCALE = 10000
+
+from power_generation_etl_spark.operators import sketch as _sk  # noqa: E402
+
+
+@_register(
+    "stream_quantile_store",
+    _sk.bottomk_quantile_oracle_sql(
+        "events",
+        "event_type",
+        "event_id",
+        "value",
+        k=_QS_K,
+        percents=_QS_PCTS,
+        value_scale=_QS_SCALE,
+    ),
+)
+def stream_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming bottom-k quantile-sketch STORE under the exact
+    oracle (r11) — the quantile member of the sketch-store family
+    (KMV / MG / HLL, all r10). events' (event_type, event_id, value)
+    rows are staged as JSON in two halves (split by a hash of
+    event_id) and fed in TWO ordered availableNow rounds against ONE
+    checkpoint; each micro-batch keeps its per-type k smallest-key-hash
+    rows and MERGES them into the persisted `qs_v<batch>` store, which
+    re-truncates to k. Bottom-k is a MERGEABLE summary — sample
+    membership is a pure function of the key set — so the final store
+    must equal the batch sketch over all events regardless of the
+    split, which is exactly what the oracle computes from raw events
+    (k smallest 48-bit event_id hashes per type, type-1 quantiles of
+    the retained values). A merge bug (lost version, double-merge,
+    wrong truncation order) changes the retained set and breaks the
+    value hash.
+
+    Scale notes: store state is O(event_types × k) forever; per batch
+    one distinct + one window over (tiny store ∪ batch bottom-k)."""
+    from power_generation_etl_spark.streaming.ingest import (
+        quantiles_from_store,
+        stream_bottomk_sample,
+    )
+
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    half = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    stage = tempfile.mkdtemp(prefix="qs_stage_")
+    landing = tempfile.mkdtemp(prefix="qs_landing_")
+    store = tempfile.mkdtemp(prefix="qs_store_")
+    ckpt = tempfile.mkdtemp(prefix="qs_ckpt_")
+    schema = "event_type string, event_id long, value double"
+
+    def _stage_half(i: int) -> str:
+        out = os.path.join(stage, f"half{i}")
+        ev.filter(half == i).select("event_type", "event_id", "value").coalesce(
+            1
+        ).write.json(out)
+        return out
+
+    def _feed_and_run(src: str, tag: str) -> None:
+        for k, f in enumerate(
+            sorted(
+                f
+                for f in os.listdir(src)
+                if f.endswith(".json") and not f.startswith((".", "_"))
+            )
+        ):
+            try:
+                os.link(os.path.join(src, f), os.path.join(landing, f"{tag}_{k}.json"))
+            except OSError:
+                shutil.copyfile(
+                    os.path.join(src, f), os.path.join(landing, f"{tag}_{k}.json")
+                )
+        q = stream_bottomk_sample(
+            spark, landing, store, ckpt,
+            group_col="event_type", key_col="event_id", value_col="value",
+            schema=schema, k=_QS_K,
+        )
+        q.awaitTermination()
+        q.stop()
+
+    out_schema = "grp string, n_sample long, " + ", ".join(
+        f"p{p} long" for p in _QS_PCTS
+    )
+    try:
+        _feed_and_run(_stage_half(0), "r1")  # round 1: seeds qs_v0
+        _feed_and_run(_stage_half(1), "r2")  # round 2: MERGES v0 + new
+        try:
+            rows = quantiles_from_store(
+                spark, store, _QS_PCTS, value_scale=_QS_SCALE
+            ).collect()
+        except ValueError:  # empty corpus: zero batches, no store
+            return spark.createDataFrame([], out_schema)
+    finally:
+        for d in (stage, landing, store, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], out_schema
+    )

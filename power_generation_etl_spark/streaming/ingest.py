@@ -946,3 +946,96 @@ def hll_estimate_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
         os.path.join(store_dir, f"hll_v{versions[-1]}")
     ).select("grp", "bucket", "mj")
     return sk.hll_estimate_from_registers(regs).orderBy("grp")
+
+
+def _qs_store_versions(store_dir: str) -> list[int]:
+    return _store_versions(store_dir, "qs_v")
+
+
+def stream_bottomk_sample(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    schema: str,
+    k: int = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming quantile tracking via a MERGEABLE bottom-k hash
+    sample (operators.sketch.bottomk_sample): each micro-batch keeps
+    its k smallest-key-hash rows per group and merges them into the
+    persisted store, which re-truncates to k — bottom-k of a union
+    equals bottom-k of the union of bottom-ks, so the store equals the
+    batch sketch over everything ever seen regardless of the feed
+    split, and stays O(groups × k) forever. Same versioned
+    `qs_v<batch_id>` crash/retry protocol as the KMV store: a replayed
+    batch rewrites its own version from the latest COMPLETE older
+    version; sample membership is a pure function of the key set, so
+    replays are idempotent. Read estimates with `quantiles_from_store`.
+    """
+    from pyspark.sql.window import Window
+
+    from power_generation_etl_spark.operators import sketch as sk
+
+    stream = spark.readStream.schema(schema).json(landing_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        if batch_df.isEmpty():
+            return
+        new = sk.bottomk_sample(batch_df, group_col, key_col, value_col, k=k)
+        prev = [v for v in _qs_store_versions(store_dir) if v < batch_id]
+        if prev:
+            prev_path = os.path.join(store_dir, f"qs_v{prev[-1]}")
+            merged = spark.read.parquet(prev_path).unionByName(new).distinct()
+        else:
+            merged = new
+        w = Window.partitionBy("grp").orderBy("h", "key", "v")
+        kept = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"qs_v{batch_id}")
+        )
+        for v in prev[:-1]:  # keep the merge source until the next batch
+            shutil.rmtree(
+                os.path.join(store_dir, f"qs_v{v}"), ignore_errors=True
+            )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def quantiles_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    percents: list[int],
+    *,
+    value_scale: int = 1,
+) -> DataFrame:
+    """(grp, n_sample, p<percent>…) from the latest committed bottom-k
+    sample store version — the identical quantile expression as the
+    batch sketch (sketch.sample_quantiles), so streamed and batch
+    numbers can never drift."""
+    import os
+
+    from power_generation_etl_spark.operators import sketch as sk
+
+    versions = _qs_store_versions(store_dir)
+    if not versions:
+        raise ValueError(f"no committed bottom-k sample store under {store_dir}")
+    df = spark.read.parquet(
+        os.path.join(store_dir, f"qs_v{versions[-1]}")
+    ).select("grp", "key", "v", "h")
+    return sk.sample_quantiles(df, percents, value_scale=value_scale)

@@ -107,3 +107,63 @@ class TestCountMin:
             .collect()
         }
         assert per_row == {j: 5000 for j in range(self.D)}
+
+
+class TestBottomKQuantiles:
+    """Bottom-k hash-sample quantile sketch (r11): mergeability,
+    partitioning-independence, and bounded-size — the properties that
+    make it a viable streaming store at 100 TB."""
+
+    def _df(self, spark, keys):
+        rows = [("g1", k, float(k) * 1.5 + 0.25) for k in keys] + [
+            ("g2", k, float(1000 - k)) for k in keys
+        ]
+        return spark.createDataFrame(rows, "grp string, key long, v double")
+
+    def test_merge_equals_union(self, spark):
+        """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) —
+        the mergeability contract the streaming store relies on."""
+        a = self._df(spark, range(0, 300))
+        b = self._df(spark, range(200, 500))  # 100-key overlap
+        union = a.unionByName(b)
+        direct = sk.bottomk_sample(union, "grp", "key", "v", k=16)
+        merged = sk.bottomk_sample(
+            sk.bottomk_sample(a, "grp", "key", "v", k=16).unionByName(
+                sk.bottomk_sample(b, "grp", "key", "v", k=16)
+            ).select("grp", "key", "v"),
+            "grp", "key", "v", k=16,
+        )
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_partitioning_independent(self, spark):
+        df = self._df(spark, range(0, 400))
+        q1 = sk.sample_quantiles(
+            sk.bottomk_sample(df, "grp", "key", "v", k=32), [25, 50, 90]
+        ).collect()
+        q2 = sk.sample_quantiles(
+            sk.bottomk_sample(df.repartition(13), "grp", "key", "v", k=32),
+            [25, 50, 90],
+        ).collect()
+        assert sorted(map(tuple, q1)) == sorted(map(tuple, q2))
+
+    def test_small_group_exact(self, spark):
+        """n < k: the sample IS the group, quantiles are exact type-1."""
+        rows = [("g", i, float(v)) for i, v in enumerate([5, 1, 9, 3])]
+        df = spark.createDataFrame(rows, "grp string, key long, v double")
+        out = sk.sample_quantiles(
+            sk.bottomk_sample(df, "grp", "key", "v", k=16), [25, 50, 75, 100]
+        ).collect()[0]
+        # sorted values [1,3,5,9]; ceil(p*4/100)-th: p25->1st, p50->2nd,
+        # p75->3rd, p100->4th
+        assert (out["n_sample"], out["p25"], out["p50"], out["p75"], out["p100"]) == (
+            4, 1, 3, 5, 9,
+        )
+
+    def test_sample_is_bounded(self, spark):
+        df = self._df(spark, range(0, 1000))
+        samp = sk.bottomk_sample(df, "grp", "key", "v", k=8)
+        counts = {r["grp"]: r["n"] for r in samp.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"g1": 8, "g2": 8}

@@ -817,3 +817,57 @@ def test_cdc_apply_survives_injected_replay(spark, tmp_path):
     assert len(vs) == n_versions_before + 1
     newest = sorted(map(tuple, store.read_version("cdc_t", vs[-1]).collect()))
     assert newest == want
+
+
+def test_stream_bottomk_sample_quantiles(spark, tmp_path):
+    """Streamed bottom-k sample store across two availableNow runs
+    equals the batch sketch over the union (mergeability), and the
+    committed store stays bounded at k rows per group."""
+    from power_generation_etl_spark.operators import sketch as sk
+    from power_generation_etl_spark.streaming.ingest import (
+        _qs_store_versions,
+        quantiles_from_store,
+        stream_bottomk_sample,
+    )
+
+    landing = tmp_path / "qs_in"
+    landing.mkdir()
+    store = tmp_path / "qs_store"
+    schema = "g string, k long, v double"
+
+    def drop(name, keys):
+        with open(landing / name, "w") as f:
+            for k in keys:
+                f.write(json.dumps({"g": "g1", "k": k, "v": k * 0.5}) + "\n")
+
+    def run():
+        q = stream_bottomk_sample(
+            spark, str(landing), str(store), str(tmp_path / "ck"),
+            "g", "k", "v", schema, k=16,
+        )
+        q.awaitTermination(120)
+
+    drop("b1.jsonl", range(0, 300))
+    run()
+    drop("b2.jsonl", range(200, 500))  # 100-key overlap with b1
+    run()
+
+    got = sorted(
+        map(tuple, quantiles_from_store(spark, str(store), [50, 90]).collect())
+    )
+    batch = spark.createDataFrame(
+        [("g1", k, k * 0.5) for k in range(500)], schema
+    )
+    want = sorted(
+        map(
+            tuple,
+            sk.sample_quantiles(
+                sk.bottomk_sample(batch, "g", "k", "v", k=16), [50, 90]
+            ).collect(),
+        )
+    )
+    assert got == want
+    versions = _qs_store_versions(str(store))
+    assert versions, "no committed store version"
+    latest = store / f"qs_v{versions[-1]}"
+    assert spark.read.parquet(str(latest)).count() <= 16
