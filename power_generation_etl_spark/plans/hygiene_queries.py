@@ -685,3 +685,71 @@ def c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prepared = d.select("doc_id", synth.alias("text"))
     return hg.c4_line_clean(prepared, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations suites (r11, operators/expectations.py):
+# dataset-level quality constraints compiled into ONE keyless
+# aggregation per table — the Deequ shape. The oracle SQL is GENERATED
+# from the same suite definition, so engine and oracle can never
+# disagree on what a check means. Each suite includes at least one
+# deliberately failing check so the fail path is oracle-verified too.
+# ---------------------------------------------------------------------------
+
+from power_generation_etl_spark.operators.expectations import Suite as _Suite
+
+_B62 = 1 << 62
+
+
+def _orders_suite() -> _Suite:
+    return (
+        _Suite()
+        .size_at_least(1)
+        .completeness("o_custkey")
+        .uniqueness("o_orderkey")
+        .values_in("o_orderstatus", ["O", "F", "P"])
+        .min_scaled_between("o_totalprice", 0, _B62, scale=100)
+        .max_scaled_between("o_totalprice", 0, 60_000_000, scale=100)
+        .mean_scaled_between("o_totalprice", 10_000, 60_000_000, scale=100)
+        # deliberately failing: URGENT orders are ~1/5 of rows, not 50%+
+        .satisfies(
+            "urgent_majority",
+            "o_orderpriority = '1-URGENT'",
+            at_least_ppm=500_000,
+        )
+    )
+
+
+def _documents_suite() -> _Suite:
+    return (
+        _Suite()
+        .size_at_least(1)
+        .completeness("text")
+        .uniqueness("doc_id")
+        .values_in("lang", ["en", "zh", "fr", "es", "de"])
+        # cross-column consistency: the recorded n_chars must equal the
+        # actual codepoint length of text on every row
+        .satisfies("n_chars_consistent", "n_chars = length(text)")
+        .min_scaled_between("n_chars", 1, _B62)
+        .mean_scaled_between("n_chars", 1, _B62, scale=1)
+        # deliberately failing at shipped SFs: not 95%+ of docs are 500+
+        # chars (oracle computes the same verdict whatever the corpus)
+        .satisfies("mostly_long_docs", "n_chars >= 500", at_least_ppm=950_000)
+    )
+
+
+@_register("expectations_orders", _orders_suite().oracle_sql("orders"))
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over orders in ONE scan: completeness,
+    key uniqueness, domain membership, value bands, and an integer
+    mean — the dataset-level constraints the reference's row validator
+    has no analogue for."""
+    return _orders_suite().run(T(spark, sf_dir, "orders"))
+
+
+@_register("expectations_documents", _documents_suite().oracle_sql("documents"))
+def expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations over the documents corpus, including a cross-column
+    consistency check (n_chars == length(text)) — the pre-training
+    intake gate you run before any expensive dedup/scoring pass."""
+    return _documents_suite().run(T(spark, sf_dir, "documents"))
