@@ -1332,3 +1332,115 @@ def stream_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [tuple(r) for r in rows], out_schema
     )
+
+
+_IVF_CELLS = 8
+
+_IVF_D2 = (
+    "list_aggregate(list_transform(range(1, len(v.e) + 1),"
+    " i -> (v.e[i] - c.cv[i]) * (v.e[i] - c.cv[i])), 'sum')"
+)
+
+
+@_register(
+    "stream_ivf_ingest_cells",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS cv
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ),
+    a AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_IVF_D2}, c.cell) AS rn
+        FROM v, c0 c) WHERE rn = 1
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(vec_id) AS BIGINT) AS vecid_sum
+    FROM a GROUP BY cell ORDER BY cell
+    """,
+)
+def stream_ivf_ingest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector ingestion into an IVF index under the exact
+    oracle (r11): embeddings are staged as JSON in two halves (split
+    by a hash of vec_id) and fed in TWO ordered availableNow rounds
+    against ONE checkpoint; each micro-batch assigns its vectors to
+    the nearest of 8 FIXED coarse centroids (the first 8 embeddings by
+    vec_id — the same deterministic seeds as the k-means oracles' c0)
+    with the exact sequential-fold distance kernel, and appends
+    (cell, id) postings shards. The oracle restates the assignment
+    from raw embeddings alone (nearest-c0 by squared L2, ties to the
+    lowest cell), so a drifted distance fold, a lost shard, or a
+    double-ingested batch breaks the per-cell count/checksum.
+
+    Scale notes: postings are the index (O(N) by design, partitioned
+    by cell at 100 TB → probing is a partition-pruned scan); per batch
+    the work is one narrow projection (assignment is a driver-constant
+    expression — no join, no shuffle) + one shard write."""
+    from power_generation_etl_spark.operators.similarity import as_double_array
+    from power_generation_etl_spark.streaming.ingest import (
+        ivf_cells_from_store,
+        stream_ivf_ingest,
+    )
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("embedding")
+    )
+    seeds = [
+        (i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(emb.orderBy("vec_id").limit(_IVF_CELLS).collect())
+    ]
+    out_schema = "cell int, n_vectors long, vecid_sum long"
+    if not seeds:  # empty corpus: no centroids, stable-schema empty
+        return spark.createDataFrame([], out_schema)
+    half = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    stage = tempfile.mkdtemp(prefix="ivf_stage_")
+    landing = tempfile.mkdtemp(prefix="ivf_landing_")
+    store = tempfile.mkdtemp(prefix="ivf_store_")
+    ckpt = tempfile.mkdtemp(prefix="ivf_ckpt_")
+    schema = "vec_id long, embedding array<double>"
+
+    def _stage_half(i: int) -> str:
+        out = os.path.join(stage, f"half{i}")
+        emb.filter(half == i).coalesce(1).write.json(out)
+        return out
+
+    def _feed_and_run(src: str, tag: str) -> None:
+        for k, f in enumerate(
+            sorted(
+                f
+                for f in os.listdir(src)
+                if f.endswith(".json") and not f.startswith((".", "_"))
+            )
+        ):
+            try:
+                os.link(os.path.join(src, f), os.path.join(landing, f"{tag}_{k}.json"))
+            except OSError:
+                shutil.copyfile(
+                    os.path.join(src, f), os.path.join(landing, f"{tag}_{k}.json")
+                )
+        q = stream_ivf_ingest(
+            spark, landing, store, ckpt,
+            id_col="vec_id", vec_col="embedding",
+            centroids=seeds, schema=schema,
+        )
+        q.awaitTermination()
+        q.stop()
+
+    try:
+        _feed_and_run(_stage_half(0), "r1")  # round 1: shards ivf_b0
+        _feed_and_run(_stage_half(1), "r2")  # round 2: appends ivf_b1
+        try:
+            rows = ivf_cells_from_store(spark, store).collect()
+        except ValueError:  # zero batches (shouldn't happen: seeds exist)
+            return spark.createDataFrame([], out_schema)
+    finally:
+        for d in (stage, landing, store, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame([tuple(r) for r in rows], out_schema)

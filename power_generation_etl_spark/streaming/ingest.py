@@ -1039,3 +1039,85 @@ def quantiles_from_store(
         os.path.join(store_dir, f"qs_v{versions[-1]}")
     ).select("grp", "key", "v", "h")
     return sk.sample_quantiles(df, percents, value_scale=value_scale)
+
+
+def _ivf_store_batches(store_dir: str) -> list[int]:
+    return _store_versions(store_dir, "ivf_b")
+
+
+def stream_ivf_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    schema: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming vector ingestion into an IVF index: each micro-batch
+    assigns its embeddings to the nearest fixed coarse centroid
+    (operators.similarity.assign_cell — the exact sequential-fold
+    kernel, so assignments are engine-portable) and appends (cell, id)
+    postings to the store. Unlike the sketch stores the postings ARE
+    the index (O(N) by design — at 100 TB they live partitioned by
+    `cell`, which is what makes IVF probing a partition-pruned scan);
+    what must survive batching is assignment determinism and
+    exactly-once append.
+
+    Retry safety: each batch writes a DETERMINISTIC `ivf_b<batch_id>`
+    postings directory in overwrite mode — a replayed batch replaces
+    its own output; readers additionally dedup on id. No cross-batch
+    merge is needed (postings are disjoint unions), so batch dirs are
+    never vacuumed — they're the index shards."""
+    from power_generation_etl_spark.operators import similarity as sim
+
+    stream = spark.readStream.schema(schema).json(landing_dir)
+    cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        v = sim.as_double_array(F.col(vec_col))
+        postings = batch_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            sim.assign_cell(v, cents).alias("cell"),
+        ).where(F.col("id").isNotNull())
+        postings.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"ivf_b{batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ivf_cells_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(cell, n_vectors, vecid_sum) over the union of all committed
+    postings shards, deduplicated on id (replay belt-and-braces).
+    The per-cell count/checksum pair is what the batch-built index
+    must reproduce — any assignment drift or lost/duplicated posting
+    breaks it."""
+    import os
+
+    batches = _ivf_store_batches(store_dir)
+    if not batches:
+        raise ValueError(f"no committed ivf postings under {store_dir}")
+    df = spark.read.parquet(
+        *[os.path.join(store_dir, f"ivf_b{b}") for b in batches]
+    ).select("id", "cell")
+    return (
+        df.dropDuplicates(["id"])
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("id").cast("long").alias("vecid_sum"),
+        )
+        .orderBy("cell")
+    )

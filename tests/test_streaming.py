@@ -871,3 +871,72 @@ def test_stream_bottomk_sample_quantiles(spark, tmp_path):
     assert versions, "no committed store version"
     latest = store / f"qs_v{versions[-1]}"
     assert spark.read.parquet(str(latest)).count() <= 16
+
+
+def test_stream_ivf_ingest_postings(spark, tmp_path):
+    """Streamed IVF postings across two availableNow runs equal the
+    batch assignment over the union; a replayed shard (same batch dir
+    rewritten) never double-counts."""
+    from pyspark.sql import functions as F
+
+    from power_generation_etl_spark.operators import similarity as sim
+    from power_generation_etl_spark.streaming.ingest import (
+        ivf_cells_from_store,
+        stream_ivf_ingest,
+    )
+
+    dim = 4
+    vecs = [(i, [float((i * 7 + j * 3) % 11) for j in range(dim)]) for i in range(40)]
+    cents = [(c, v) for c, (_, v) in enumerate(vecs[:3])]
+    landing = tmp_path / "ivf_in"
+    landing.mkdir()
+    store = tmp_path / "ivf_store"
+    schema = "vec_id long, embedding array<double>"
+
+    def drop(name, rows):
+        with open(landing / name, "w") as f:
+            for i, v in rows:
+                f.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+
+    def run():
+        q = stream_ivf_ingest(
+            spark, str(landing), str(store), str(tmp_path / "ck"),
+            "vec_id", "embedding", cents, schema,
+        )
+        q.awaitTermination(120)
+
+    drop("b1.jsonl", vecs[:25])
+    run()
+    drop("b2.jsonl", vecs[25:])
+    run()
+
+    got = sorted(map(tuple, ivf_cells_from_store(spark, str(store)).collect()))
+    batch = spark.createDataFrame(vecs, schema)
+    want = sorted(
+        map(
+            tuple,
+            batch.select(
+                F.col("vec_id").alias("id"),
+                sim.assign_cell(
+                    sim.as_double_array(F.col("embedding")), cents
+                ).alias("cell"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.sum("id").cast("long").alias("vecid_sum"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+    # simulate an at-least-once replay: duplicate one shard's postings
+    # into a NEW committed shard id — the reader's id-dedup holds
+    import shutil as _sh
+
+    src = store / "ivf_b0"
+    dup = store / "ivf_b7"
+    _sh.copytree(str(src), str(dup))
+    again = sorted(map(tuple, ivf_cells_from_store(spark, str(store)).collect()))
+    assert again == want
