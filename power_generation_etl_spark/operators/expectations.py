@@ -191,6 +191,67 @@ class Suite:
             .orderBy("check_name")
         )
 
+    def run_grouped(self, df: DataFrame, by: str) -> DataFrame:
+        """(grp, check_name, metric, passed) — the suite evaluated PER
+        GROUP in one pass (one groupBy aggregation over one scan): the
+        per-partition quality report that tells you WHICH source/shard
+        violates a constraint, not just that the union does. Same
+        check semantics; the group column must be non-null."""
+        aggs = [
+            F.expr(c.metric_tpl.format(DIV="div")).cast("long").alias(f"_m{i}")
+            for i, c in enumerate(self.checks)
+        ]
+        per = df.groupBy(F.col(by).alias("grp")).agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                F.col(f"_m{i}").alias("metric"),
+                F.lit(c.lo).alias("_lo"),
+                F.lit(c.hi).alias("_hi"),
+            )
+            for i, c in enumerate(self.checks)
+        ]
+        return (
+            per.select("grp", F.inline(F.array(*structs)))
+            .select(
+                "grp",
+                "check_name",
+                "metric",
+                F.when(
+                    F.col("metric").isNotNull()
+                    & F.col("metric").between(F.col("_lo"), F.col("_hi")),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("passed"),
+            )
+            .orderBy("grp", "check_name")
+        )
+
+    def oracle_grouped_sql(self, table: str, by: str) -> str:
+        """DuckDB twin of run_grouped, generated from the same checks."""
+        metrics = ",\n             ".join(
+            f"CAST(({c.metric_tpl.format(DIV='//')}) AS BIGINT) AS _m{i}"
+            for i, c in enumerate(self.checks)
+        )
+        rows = "\n    UNION ALL ".join(
+            f"SELECT grp, '{c.name}' AS check_name, _m{i} AS metric,"
+            f" CASE WHEN _m{i} IS NOT NULL AND _m{i} BETWEEN {c.lo} AND {c.hi}"
+            f" THEN 1 ELSE 0 END AS passed FROM m"
+            for i, c in enumerate(self.checks)
+        )
+        return f"""
+    WITH m AS (
+      SELECT {by} AS grp,
+             {metrics}
+      FROM {table}
+      GROUP BY {by}
+    )
+    SELECT * FROM ({rows})
+    ORDER BY grp, check_name
+    """
+
     def oracle_sql(self, table: str) -> str:
         """The DuckDB twin, generated from the same check list."""
         metrics = ",\n             ".join(

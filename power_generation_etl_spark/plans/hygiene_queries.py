@@ -753,3 +753,27 @@ def expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     consistency check (n_chars == length(text)) — the pre-training
     intake gate you run before any expensive dedup/scoring pass."""
     return _documents_suite().run(T(spark, sf_dir, "documents"))
+
+
+def _doc_source_suite() -> _Suite:
+    # size/uniqueness/consistency PER SOURCE SHARD — the grouped form
+    # localizes a violation to the shard that caused it.
+    return (
+        _Suite()
+        .size_at_least(1)
+        .completeness("text")
+        .uniqueness("doc_id")
+        .satisfies("n_chars_consistent", "n_chars = length(text)")
+        .mean_scaled_between("n_chars", 1, 1 << 62, scale=1)
+    )
+
+
+@_register(
+    "expectations_docs_by_source",
+    _doc_source_suite().oracle_grouped_sql("documents", "source"),
+)
+def expectations_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectations suite evaluated PER SOURCE SHARD in one
+    groupBy pass — at 100 TB the report that says WHICH of 10k intake
+    shards broke a constraint, without a per-shard scan loop."""
+    return _doc_source_suite().run_grouped(T(spark, sf_dir, "documents"), "source")

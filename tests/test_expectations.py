@@ -87,3 +87,36 @@ class TestSuite:
         con.execute(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
         want = sorted(map(tuple, con.execute(suite.oracle_sql("t")).fetchall()))
         assert got == want
+
+
+class TestGroupedSuite:
+    def test_grouped_localizes_violation(self, spark):
+        """A duplicate id in ONE group fails uniqueness there and only
+        there — the property that makes the grouped report useful."""
+        rows = [
+            ("s1", 1, "a"), ("s1", 2, "b"),
+            ("s2", 3, "c"), ("s2", 3, "d"),  # dup id in s2 only
+        ]
+        df = spark.createDataFrame(rows, "src string, id long, tag string")
+        rep = {
+            (r["grp"], r["check_name"]): (r["metric"], r["passed"])
+            for r in Suite().uniqueness("id").run_grouped(df, "src").collect()
+        }
+        assert rep[("s1", "uniqueness_id")] == (PPM, 1)
+        assert rep[("s2", "uniqueness_id")] == (500_000, 0)
+
+    def test_grouped_oracle_agrees(self, spark, tmp_path):
+        rows = [(f"s{i % 3}", i, "x" if i % 4 else None) for i in range(60)]
+        df = spark.createDataFrame(rows, "src string, id long, tag string")
+        p = str(tmp_path / "g.parquet")
+        df.coalesce(1).write.parquet(p)
+        suite = Suite().size_at_least(10).completeness("tag").uniqueness("id")
+        got = sorted(
+            map(tuple, suite.run_grouped(spark.read.parquet(p), "src").collect())
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW g AS SELECT * FROM '{p}/*.parquet'")
+        want = sorted(
+            map(tuple, con.execute(suite.oracle_grouped_sql("g", "src")).fetchall())
+        )
+        assert got == want
