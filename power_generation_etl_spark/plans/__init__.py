@@ -22,7 +22,7 @@ from power_generation_etl_spark.plans import intake_queries  # noqa: F401
 # sketches, behavior) unsampled.
 #
 # The order is CORE + ROTATED REST:
-#   * `_CORE` (29 entries) is a fixed curated cross-section — the
+#   * `_CORE` (31 entries) is a fixed curated cross-section — the
 #     reference-parity relational core plus at least one representative
 #     of every operator family — that gets driver verification every
 #     round.
@@ -91,6 +91,11 @@ _CORE = [
     "kmv_distinct_sources",
     "cms_custkey_counts",
     "nation_pair_trade_volume",
+    # r11 second-wave families: mergeable quantile sketch, single-pass
+    # expectations suite (one representative each — their streaming /
+    # grouped twins rotate through the back slice like every tail entry)
+    "bottomk_quantile_orders",
+    "expectations_orders",
 ]
 
 _missing = [n for n in _CORE if n not in QUERIES]

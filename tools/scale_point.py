@@ -139,6 +139,25 @@ def _shifted_events(spark, base_ev: str, copy_no: int):
     return ev.select(*[col(c) for c in ev.columns])
 
 
+def _shifted_orders(spark, base_o: str, copy_no: int):
+    """Key-shifted disjoint orders copies (o_orderkey / o_custkey offset
+    past the originals' max, other columns untouched) — r11, so the
+    orders-reading sketch/expectations families can decade-probe."""
+    o = spark.read.parquet(base_o)
+    maxes = o.agg(
+        F.max("o_orderkey").alias("k"), F.max("o_custkey").alias("c")
+    ).first()
+
+    def col(c):
+        if c == "o_orderkey":
+            return (F.col(c) + F.lit(copy_no * ((maxes["k"] or 0) + 1))).alias(c)
+        if c == "o_custkey":
+            return (F.col(c) + F.lit(copy_no * ((maxes["c"] or 0) + 1))).alias(c)
+        return F.col(c)
+
+    return o.select(*[col(c) for c in o.columns])
+
+
 def materialize(spark, mult: int, skew_pct: int = 0) -> str:
     """Derived corpus at `mult` x sf0.1. `skew_pct` > 0 additionally
     reassigns that percentage of ALL event rows (hash-chosen by
@@ -149,7 +168,7 @@ def materialize(spark, mult: int, skew_pct: int = 0) -> str:
     # r8 caches predate the embeddings/events derivations — require all
     if os.path.exists(os.path.join(out, "_DONE")) and all(
         os.path.exists(os.path.join(out, f"{t}.parquet"))
-        for t in ("documents", "lineitem", "embeddings", "events")
+        for t in ("documents", "lineitem", "embeddings", "events", "orders")
     ):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -158,11 +177,13 @@ def materialize(spark, mult: int, skew_pct: int = 0) -> str:
     lis = [spark.read.parquet(f"{BASE}/lineitem.parquet")]
     embs = [spark.read.parquet(f"{BASE}/embeddings.parquet")]
     evs = [spark.read.parquet(f"{BASE}/events.parquet")]
+    ords = [spark.read.parquet(f"{BASE}/orders.parquet")]
     for i in range(1, mult):
         docs.append(_shuffled_docs(spark, f"{BASE}/documents.parquet", i))
         lis.append(_shifted_lineitem(spark, f"{BASE}/lineitem.parquet", i))
         embs.append(_shifted_embeddings(spark, f"{BASE}/embeddings.parquet", i))
         evs.append(_shifted_events(spark, f"{BASE}/events.parquet", i))
+        ords.append(_shifted_orders(spark, f"{BASE}/orders.parquet", i))
     d = docs[0]
     for x in docs[1:]:
         d = d.unionByName(x)
@@ -175,6 +196,9 @@ def materialize(spark, mult: int, skew_pct: int = 0) -> str:
     ev = evs[0]
     for x in evs[1:]:
         ev = ev.unionByName(x)
+    od = ords[0]
+    for x in ords[1:]:
+        od = od.unionByName(x)
     if skew_pct:
         hot = (
             F.conv(
@@ -191,6 +215,7 @@ def materialize(spark, mult: int, skew_pct: int = 0) -> str:
     li.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     em.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    od.write.mode("overwrite").parquet(f"{out}/orders.parquet")
     open(os.path.join(out, "_DONE"), "w").close()
     return out
 
