@@ -940,3 +940,93 @@ def test_stream_ivf_ingest_postings(spark, tmp_path):
     _sh.copytree(str(src), str(dup))
     again = sorted(map(tuple, ivf_cells_from_store(spark, str(store)).collect()))
     assert again == want
+
+
+def test_quantile_store_survives_injected_replay(spark, tmp_path):
+    """r11 crash/resume injection for the bottom-k quantile store:
+    replaying the last batch against a store that already holds its
+    version must be byte-idempotent (the qs_v<batch> rebuild-from-
+    older-version protocol, plus sample membership being a pure
+    function of the key set)."""
+    from power_generation_etl_spark.streaming.ingest import (
+        _qs_store_versions,
+        quantiles_from_store,
+        stream_bottomk_sample,
+    )
+
+    landing = tmp_path / "qs_in"
+    landing.mkdir()
+    store = str(tmp_path / "qs_store")
+    ckpt = tmp_path / "ck"
+    schema = "g string, k long, v double"
+
+    def drop(name, keys):
+        with open(landing / name, "w") as f:
+            for k in keys:
+                f.write(json.dumps({"g": "g1", "k": k, "v": k * 0.25}) + "\n")
+
+    def run():
+        q = stream_bottomk_sample(
+            spark, str(landing), store, str(ckpt), "g", "k", "v", schema, k=16,
+        )
+        q.awaitTermination(120)
+
+    drop("b1.jsonl", range(0, 200))
+    run()
+    drop("b2.jsonl", range(150, 400))
+    run()
+
+    def snapshot():
+        v = _qs_store_versions(store)[-1]
+        rows = sorted(map(tuple, spark.read.parquet(f"{store}/qs_v{v}").collect()))
+        qs = sorted(
+            map(tuple, quantiles_from_store(spark, store, [50, 90]).collect())
+        )
+        return v, rows, qs
+
+    before = snapshot()
+    assert _delete_last_commit(ckpt) == 1
+    run()  # restart: replays batch 1
+    assert snapshot() == before
+
+
+def test_ivf_ingest_survives_injected_replay(spark, tmp_path):
+    """r11 crash/resume injection for the IVF postings store: a
+    replayed batch rewrites its own deterministic ivf_b<batch> shard
+    (overwrite mode) — the index must stay byte-identical."""
+    from power_generation_etl_spark.streaming.ingest import (
+        ivf_cells_from_store,
+        stream_ivf_ingest,
+    )
+
+    dim = 4
+    vecs = [(i, [float((i * 5 + j) % 13) for j in range(dim)]) for i in range(60)]
+    cents = [(c, v) for c, (_, v) in enumerate(vecs[:3])]
+    landing = tmp_path / "ivf_in"
+    landing.mkdir()
+    store = str(tmp_path / "ivf_store")
+    ckpt = tmp_path / "ck"
+    schema = "vec_id long, embedding array<double>"
+
+    def drop(name, rows):
+        with open(landing / name, "w") as f:
+            for i, v in rows:
+                f.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+
+    def run():
+        q = stream_ivf_ingest(
+            spark, str(landing), store, str(ckpt),
+            "vec_id", "embedding", cents, schema,
+        )
+        q.awaitTermination(120)
+
+    drop("b1.jsonl", vecs[:30])
+    run()
+    drop("b2.jsonl", vecs[30:])
+    run()
+
+    before = sorted(map(tuple, ivf_cells_from_store(spark, store).collect()))
+    assert _delete_last_commit(ckpt) == 1
+    run()
+    after = sorted(map(tuple, ivf_cells_from_store(spark, store).collect()))
+    assert after == before
