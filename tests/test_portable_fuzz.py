@@ -113,3 +113,89 @@ def test_bloom_cms_hash_parity_three_ways(spark, seed):
         got_spark = tuple(r[f"b{i}"] for i in range(k)) + (r["c0"],)
         assert got_spark == duck[key], f"seed={seed} key={key!r}"
         assert list(got_spark[:k]) == bl.bloom_positions_py(key, m, k)
+
+
+@pytest.mark.parametrize("seed", [7, 41, 83])
+def test_bottomk_quantile_differential(spark, tmp_path, seed):
+    """Randomized bottom-k quantile sketch vs its generated DuckDB
+    twin: random group sizes straddling k (exact-sample vs truncated
+    paths), duplicate values (tie-break order), negative values
+    (floor direction), random repartitioning (order independence)."""
+    rng = random.Random(seed)
+    rows = []
+    key = 0
+    for g in range(rng.randint(1, 5)):
+        for _ in range(rng.randint(1, 40)):
+            v = round(rng.uniform(-50, 50), 3)
+            if rows and rng.random() < 0.2:
+                v = rows[rng.randrange(len(rows))][2]  # duplicate value
+            rows.append((f"g{g}", key, v))
+            key += 1
+    df = spark.createDataFrame(rows, "grp string, key long, v double")
+    path = str(tmp_path / f"qk_{seed}.parquet")
+    df.repartition(rng.randint(1, 7)).write.parquet(path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM '{path}/*.parquet'")
+    pcts = [25, 50, 90]
+    got = _norm(
+        sk.sample_quantiles(
+            sk.bottomk_sample(
+                spark.read.parquet(path), "grp", "key", "v", k=8
+            ),
+            pcts,
+            value_scale=1000,
+        ).collect()
+    )
+    want = _norm(
+        con.execute(
+            sk.bottomk_quantile_oracle_sql(
+                "t", "grp", "key", "v", k=8, percents=pcts, value_scale=1000
+            )
+        ).fetchall()
+    )
+    assert got == want, f"seed {seed} diverged"
+
+
+@pytest.mark.parametrize("seed", [13, 67])
+def test_expectations_suite_differential(spark, tmp_path, seed):
+    """Randomized expectations suite (random bands, random NULL/dup
+    mass) vs the GENERATED oracle — both global and grouped forms."""
+    from power_generation_etl_spark.operators.expectations import Suite
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(rng.randint(1, 80)):
+        rows.append(
+            (
+                f"s{rng.randint(0, 2)}",
+                rng.randrange(30) if rng.random() < 0.9 else None,  # dup/null ids
+                rng.choice(["a", "b", None]),
+                round(rng.uniform(-10, 1000), 2),
+            )
+        )
+    df = spark.createDataFrame(rows, "src string, id long, tag string, v double")
+    path = str(tmp_path / f"exp_{seed}.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM '{path}/*.parquet'")
+
+    lo, hi = sorted(rng.randrange(-2000, 2000) for _ in range(2))
+    suite = (
+        Suite()
+        .size_at_least(rng.randrange(1, 100))
+        .completeness("id", at_least_ppm=rng.randrange(0, 1_000_001))
+        .uniqueness("id", at_least_ppm=rng.randrange(0, 1_000_001))
+        .values_in("tag", ["a"], at_least_ppm=rng.randrange(0, 1_000_001))
+        .satisfies("v_pos", "v >= 0", at_least_ppm=rng.randrange(0, 1_000_001))
+        .min_scaled_between("v", lo, hi, scale=100)
+        .max_scaled_between("v", lo, hi, scale=100)
+        .mean_scaled_between("v", lo, hi, scale=100)
+    )
+    src = spark.read.parquet(path)
+    assert _norm(suite.run(src).collect()) == _norm(
+        con.execute(suite.oracle_sql("t")).fetchall()
+    ), f"seed {seed} diverged (global)"
+    assert _norm(suite.run_grouped(src, "src").collect()) == _norm(
+        con.execute(suite.oracle_grouped_sql("t", "src")).fetchall()
+    ), f"seed {seed} diverged (grouped)"
