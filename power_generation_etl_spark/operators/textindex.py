@@ -130,3 +130,59 @@ def search_terms(
     return agg.orderBy(
         F.desc("n_terms_matched"), F.desc("total_tf"), "doc_id"
     )
+
+
+def bigram_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, b) word-bigram occurrences WITH multiplicity — the
+    positional layer the bag-of-words inverted index lacks: adjacency
+    is preserved via a per-doc window `lead` over posexploded tokens
+    (the codegen shingling idiom, minus the dedup that near-dup
+    shingles apply). One narrow shuffle keyed by doc_id."""
+    from pyspark.sql.window import Window
+
+    ex = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "pos", "t"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("t", 1).over(w)
+    return (
+        ex.select("doc_id", F.concat_ws(" ", F.col("t"), nxt).alias("b"), nxt.alias("_n"))
+        .where(F.col("_n").isNotNull())
+        .drop("_n")
+    )
+
+
+def phrase_search(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Positional phrase search, self-calibrating for a fixture-free
+    oracle: find the corpus's most frequent word bigram (ties broken
+    to the lexicographically smallest — a deterministic, data-derived
+    "query phrase"), then rank documents by its adjacency-exact
+    occurrence count. (doc_id, n_occurrences), top-k by (count DESC,
+    doc_id).
+
+    Scale shape: the argmax is the inverted-bigram-index build (one
+    groupBy shuffle, map-side combinable); the phrase count is a
+    filtered re-scan of the bigram stream — no join against the doc
+    table, no per-row Python."""
+    bg = bigram_table(df, id_col, text_col)
+    cnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.agg(F.max("c")).head()[0]
+    out_schema = "doc_id long, n_occurrences long"
+    if top is None:  # empty corpus / no doc has two tokens
+        return df.sparkSession.createDataFrame([], out_schema)
+    phrase = cnt.where(F.col("c") == top).agg(F.min("b")).head()[0]
+    return (
+        bg.where(F.col("b") == phrase)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+        .limit(k)
+    )

@@ -2648,3 +2648,36 @@ def semantic_decontam_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         threshold=_SEMDECON_TAU,
     ).select(F.col("id"), F.col("bench_id"), F.col("sim"))
+
+
+@_register(
+    "phrase_search_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT doc_id, t[i.i] || ' ' || t[i.i + 1] AS b
+      FROM toks, unnest(range(1, len(t))) AS i(i)
+    ),
+    cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+    best AS (SELECT min(b) AS phrase FROM cnt
+             WHERE c = (SELECT max(c) FROM cnt))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM bg, best WHERE b = phrase
+    GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id
+    LIMIT 20
+    """,
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase retrieval (adjacency-exact, the capability a
+    bag-of-words inverted index cannot express): rank documents by
+    occurrences of the corpus's most frequent word bigram. Completes
+    the retrieval family (BM25 / TF-IDF / RRF hybrid / boolean
+    inverted-index) with the positional-index plan; reference has no
+    text retrieval at all."""
+    from power_generation_etl_spark.operators import textindex as ti
+
+    return ti.phrase_search(T(spark, sf_dir, "documents"), "doc_id", "text", k=20)

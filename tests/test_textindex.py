@@ -110,3 +110,28 @@ def test_cli_text_index_and_search(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     out_text = capsys.readouterr().out
     assert "match(es)" in out_text
+
+
+class TestPhraseSearch:
+    def test_counts_adjacency_with_multiplicity(self, spark):
+        from power_generation_etl_spark.operators import textindex as ti
+
+        rows = [
+            (1, "red fox red fox red"),   # "red fox" x2, "fox red" x2
+            (2, "red fox jumps"),          # "red fox" x1
+            (3, "fox red"),                # only the rival bigram
+            (4, "red and fox"),            # terms present, NOT adjacent
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [tuple(r) for r in ti.phrase_search(df, "doc_id", "text").collect()]
+        # "fox red" and "red fox" tie at 3 -> lexicographically smaller
+        # "fox red" wins; doc 4's non-adjacent terms never count
+        assert got == [(1, 2), (3, 1)]
+
+    def test_empty_and_single_token_docs(self, spark):
+        from power_generation_etl_spark.operators import textindex as ti
+
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, None)], "doc_id long, text string"
+        )
+        assert ti.phrase_search(df, "doc_id", "text").collect() == []
