@@ -55,12 +55,53 @@ def _ppm_tpl(num: str, den: str) -> str:
 class Check:
     """One expectation: a dialect-templated aggregate metric (`{DIV}`
     marks integer division) and the inclusive [lo, hi] band the metric
-    must land in. A NULL metric (empty input) fails."""
+    must land in. A NULL metric (empty input) fails.
+
+    `kind`/`args` additionally record the check's MERGEABLE
+    decomposition for the streaming monitor (streaming/ingest.py::
+    stream_expectations): kind → partial-aggregate slots and their
+    merge ops. `opaque` kinds (uniqueness — count-distinct does not
+    merge) are batch-only."""
 
     name: str
     metric_tpl: str
     lo: int
     hi: int
+    kind: str = "opaque"
+    args: tuple = ()
+
+    # -- mergeable decomposition (used by the streaming monitor) ----------
+    #   slots(): per-batch aggregate SQL templates ({DIV} dialect token)
+    #   merge_ops(): how a slot combines across batches
+    #   final_tpl(names): the metric over merged slot column names
+
+    def slots(self) -> tuple[str, ...]:
+        if self.kind in ("count", "min", "max"):
+            return (self.args[0],)
+        if self.kind in ("ppm", "mean"):
+            return (self.args[0], self.args[1])
+        raise ValueError(f"check {self.name} ({self.kind}) is not mergeable")
+
+    def merge_ops(self) -> tuple[str, ...]:
+        return {
+            "count": ("sum",),
+            "min": ("min",),
+            "max": ("max",),
+            "ppm": ("sum", "sum"),
+            "mean": ("sum", "sum"),
+        }[self.kind]
+
+    def final_tpl(self, names: tuple[str, ...]) -> str:
+        if self.kind in ("count", "min", "max"):
+            return names[0]
+        if self.kind == "ppm":
+            return _ppm_tpl(names[0], names[1])
+        if self.kind == "mean":
+            return (
+                f"CASE WHEN {names[1]} = 0 OR {names[1]} IS NULL THEN NULL"
+                f" ELSE {names[0]} {{DIV}} {names[1]} END"
+            )
+        raise ValueError(f"check {self.name} ({self.kind}) is not mergeable")
 
 
 class Suite:
@@ -73,13 +114,24 @@ class Suite:
 
     # -- check constructors -------------------------------------------------
 
-    def _add(self, name: str, metric_tpl: str, lo: int, hi: int) -> "Suite":
+    def _add(
+        self,
+        name: str,
+        metric_tpl: str,
+        lo: int,
+        hi: int,
+        kind: str = "opaque",
+        args: tuple = (),
+    ) -> "Suite":
         assert all(c.name != name for c in self.checks), f"duplicate check {name}"
-        self.checks.append(Check(name, metric_tpl, lo, hi))
+        self.checks.append(Check(name, metric_tpl, lo, hi, kind, args))
         return self
 
     def size_at_least(self, n: int) -> "Suite":
-        return self._add("size_at_least", "count(*)", n, self._INT64_MAX)
+        return self._add(
+            "size_at_least", "count(*)", n, self._INT64_MAX,
+            kind="count", args=("count(*)",),
+        )
 
     def completeness(self, col: str, *, at_least_ppm: int = PPM) -> "Suite":
         """count(col)/count(*) in ppm — non-null fraction."""
@@ -88,6 +140,7 @@ class Suite:
             _ppm_tpl(f"count({col})", "count(*)"),
             at_least_ppm,
             PPM,
+            kind="ppm", args=(f"count({col})", "count(*)"),
         )
 
     def uniqueness(self, col: str, *, at_least_ppm: int = PPM) -> "Suite":
@@ -110,6 +163,8 @@ class Suite:
             ),
             at_least_ppm,
             PPM,
+            kind="ppm",
+            args=(f"count(*) FILTER (WHERE {col} IN ({lits}))", "count(*)"),
         )
 
     def satisfies(
@@ -122,6 +177,8 @@ class Suite:
             _ppm_tpl(f"count(*) FILTER (WHERE {predicate})", "count(*)"),
             at_least_ppm,
             PPM,
+            kind="ppm",
+            args=(f"count(*) FILTER (WHERE {predicate})", "count(*)"),
         )
 
     def min_scaled_between(
@@ -129,14 +186,16 @@ class Suite:
     ) -> "Suite":
         """floor(min(col)·scale) within [lo, hi] (integer band)."""
         return self._add(
-            f"min_{col}", f"CAST(floor(min({col}) * {scale}) AS BIGINT)", lo, hi
+            f"min_{col}", f"CAST(floor(min({col}) * {scale}) AS BIGINT)", lo, hi,
+            kind="min", args=(f"CAST(floor(min({col}) * {scale}) AS BIGINT)",),
         )
 
     def max_scaled_between(
         self, col: str, lo: int, hi: int, *, scale: int = 1
     ) -> "Suite":
         return self._add(
-            f"max_{col}", f"CAST(floor(max({col}) * {scale}) AS BIGINT)", lo, hi
+            f"max_{col}", f"CAST(floor(max({col}) * {scale}) AS BIGINT)", lo, hi,
+            kind="max", args=(f"CAST(floor(max({col}) * {scale}) AS BIGINT)",),
         )
 
     def mean_scaled_between(
@@ -152,6 +211,7 @@ class Suite:
             f" ELSE {num} {{DIV}} count({col}) END",
             lo,
             hi,
+            kind="mean", args=(num, f"count({col})"),
         )
 
     # -- compilation --------------------------------------------------------
@@ -251,6 +311,90 @@ class Suite:
     SELECT * FROM ({rows})
     ORDER BY grp, check_name
     """
+
+    # -- streaming (mergeable) compilation ---------------------------------
+
+    def slot_names(self) -> list[tuple[int, int, str]]:
+        """(check_idx, slot_idx, column_name) for every partial slot."""
+        out = []
+        for i, c in enumerate(self.checks):
+            for j in range(len(c.slots())):
+                out.append((i, j, f"s_{i}_{j}"))
+        return out
+
+    def assert_mergeable(self) -> None:
+        bad = [c.name for c in self.checks if c.kind == "opaque"]
+        if bad:
+            raise ValueError(
+                f"checks not mergeable across batches (batch-only): {bad}"
+            )
+
+    def partial_aggs(self) -> list:
+        """Per-batch partial aggregates, one column per slot — the row
+        a micro-batch contributes to the streaming metrics store."""
+        self.assert_mergeable()
+        return [
+            F.expr(self.checks[i].slots()[j].format(DIV="div"))
+            .cast("long")
+            .alias(name)
+            for i, j, name in self.slot_names()
+        ]
+
+    def merge_aggs(self) -> list:
+        """How slot columns combine across partial rows (store merge):
+        the per-kind op declared by Check.merge_ops()."""
+        ops = {"sum": F.sum, "min": F.min, "max": F.max}
+        out = []
+        for i, j, name in self.slot_names():
+            op = self.checks[i].merge_ops()[j]
+            out.append(ops[op](F.col(name)).cast("long").alias(name))
+        return out
+
+    def finalize(self, merged: DataFrame) -> DataFrame:
+        """(check_name, metric, passed) from a ONE-ROW DataFrame of
+        merged slot columns. Runs through Spark SQL expressions — the
+        identical integer-division semantics as the batch path and the
+        DuckDB oracle (Python // floors negative quotients; SQL div
+        truncates, so a driver-side reimplementation would drift on
+        negative mean sums)."""
+        names = {}
+        for i, j, name in self.slot_names():
+            names.setdefault(i, []).append(name)
+        one = merged.select(
+            *[
+                F.expr(
+                    self.checks[i].final_tpl(tuple(ns)).format(DIV="div")
+                )
+                .cast("long")
+                .alias(f"_m{i}")
+                for i, ns in names.items()
+            ]
+        )
+        structs = [
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                F.col(f"_m{i}").alias("metric"),
+                F.lit(c.lo).alias("_lo"),
+                F.lit(c.hi).alias("_hi"),
+            )
+            for i, c in enumerate(self.checks)
+        ]
+        return (
+            one.select(F.inline(F.array(*structs)))
+            .select(
+                "check_name",
+                "metric",
+                F.when(
+                    F.col("metric").isNotNull()
+                    & F.col("metric").between(F.col("_lo"), F.col("_hi")),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("passed"),
+            )
+            .orderBy("check_name")
+        )
 
     def oracle_sql(self, table: str) -> str:
         """The DuckDB twin, generated from the same check list."""

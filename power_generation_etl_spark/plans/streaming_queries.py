@@ -1444,3 +1444,100 @@ def stream_ivf_ingest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in (stage, landing, store, ckpt):
             shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame([tuple(r) for r in rows], out_schema)
+
+
+def _stream_exp_suite():
+    from power_generation_etl_spark.operators.expectations import Suite
+
+    # The mergeable subset of the batch expectations_orders suite
+    # (uniqueness is batch-only: count-distinct does not merge), same
+    # bands — including the deliberately failing urgent-majority check.
+    return (
+        Suite()
+        .size_at_least(1)
+        .completeness("o_custkey")
+        .values_in("o_orderstatus", ["O", "F", "P"])
+        .min_scaled_between("o_totalprice", 0, 1 << 62, scale=100)
+        .max_scaled_between("o_totalprice", 0, 60_000_000, scale=100)
+        .mean_scaled_between("o_totalprice", 10_000, 60_000_000, scale=100)
+        .satisfies(
+            "urgent_majority",
+            "o_orderpriority = '1-URGENT'",
+            at_least_ppm=500_000,
+        )
+    )
+
+
+@_register("stream_expectations_orders", _stream_exp_suite().oracle_sql("orders"))
+def stream_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming expectations MONITOR under the exact oracle
+    (r11): orders staged as JSON halves (split by a hash of
+    o_orderkey) and fed in TWO ordered availableNow rounds against ONE
+    checkpoint; each micro-batch reduces to one partial-metrics row
+    (counts/sums/extrema — every slot mergeable by construction) and
+    merges into the versioned one-row `qx_v<batch>` store. Because the
+    slot algebra is commutative/associative, the final report must
+    equal the batch suite over ALL orders — which is exactly what the
+    generated oracle computes from the raw table. A lost version,
+    double-merged batch, or a slot merged with the wrong op (min vs
+    sum) shifts a metric and breaks the value hash.
+
+    Scale notes: per batch ONE map-side aggregate row crosses the
+    wire; the store is O(slots) forever — continuous Deequ-style
+    quality gating at stream speed."""
+    from power_generation_etl_spark.streaming.ingest import (
+        expectations_from_store,
+        stream_expectations,
+    )
+
+    suite = _stream_exp_suite()
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    o = T(spark, sf_dir, "orders").select(*cols)
+    half = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    stage = tempfile.mkdtemp(prefix="qx_stage_")
+    landing = tempfile.mkdtemp(prefix="qx_landing_")
+    store = tempfile.mkdtemp(prefix="qx_store_")
+    ckpt = tempfile.mkdtemp(prefix="qx_ckpt_")
+    schema = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderpriority string")
+
+    def _stage_half(i: int) -> str:
+        out = os.path.join(stage, f"half{i}")
+        o.filter(half == i).coalesce(1).write.json(out)
+        return out
+
+    def _feed_and_run(src: str, tag: str) -> None:
+        for k, f in enumerate(
+            sorted(
+                f
+                for f in os.listdir(src)
+                if f.endswith(".json") and not f.startswith((".", "_"))
+            )
+        ):
+            try:
+                os.link(os.path.join(src, f), os.path.join(landing, f"{tag}_{k}.json"))
+            except OSError:
+                shutil.copyfile(
+                    os.path.join(src, f), os.path.join(landing, f"{tag}_{k}.json")
+                )
+        q = stream_expectations(spark, landing, store, ckpt, suite, schema)
+        q.awaitTermination()
+        q.stop()
+
+    out_schema = "check_name string, metric long, passed int"
+    try:
+        _feed_and_run(_stage_half(0), "r1")  # round 1: seeds qx_v0
+        _feed_and_run(_stage_half(1), "r2")  # round 2: MERGES v0 + new
+        try:
+            rows = expectations_from_store(spark, store, suite).collect()
+        except ValueError:  # empty corpus: zero batches, no store
+            return spark.createDataFrame([], out_schema)
+    finally:
+        for d in (stage, landing, store, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame([tuple(r) for r in rows], out_schema)

@@ -1121,3 +1121,76 @@ def ivf_cells_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def _qx_store_versions(store_dir: str) -> list[int]:
+    return _store_versions(store_dir, "qx_v")
+
+
+def stream_expectations(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    suite,
+    schema: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming data-quality monitoring: each micro-batch reduces to
+    ONE partial-aggregate row (one slot column per mergeable check —
+    counts/sums merge by sum, extrema by min/max; see
+    operators.expectations.Check) and merges it into the persisted
+    one-row metrics store. The store is O(slots) forever, and because
+    every slot op is commutative/associative the merged metrics equal
+    the batch suite over everything ever seen, whatever the feed
+    split — Deequ-style checks kept current over an unbounded stream
+    for the cost of a map-side aggregate per batch.
+
+    Same versioned `qx_v<batch_id>` crash/retry protocol as the other
+    sketch stores. Batch-only checks (uniqueness) are rejected at
+    start. Read the report with `expectations_from_store`."""
+    suite.assert_mergeable()
+    stream = spark.readStream.schema(schema).json(landing_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        if batch_df.isEmpty():
+            return
+        new = batch_df.agg(*suite.partial_aggs())
+        prev = [v for v in _qx_store_versions(store_dir) if v < batch_id]
+        if prev:
+            prev_path = os.path.join(store_dir, f"qx_v{prev[-1]}")
+            merged = spark.read.parquet(prev_path).unionByName(new).agg(
+                *suite.merge_aggs()
+            )
+        else:
+            merged = new
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"qx_v{batch_id}")
+        )
+        for v in prev[:-1]:  # keep the merge source until the next batch
+            shutil.rmtree(
+                os.path.join(store_dir, f"qx_v{v}"), ignore_errors=True
+            )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def expectations_from_store(spark: SparkSession, store_dir: str, suite) -> DataFrame:
+    """(check_name, metric, passed) from the latest committed metrics
+    store — finalized through the same Spark SQL integer arithmetic as
+    the batch suite, so streamed and batch reports can never drift."""
+    import os
+
+    versions = _qx_store_versions(store_dir)
+    if not versions:
+        raise ValueError(f"no committed expectations store under {store_dir}")
+    merged = spark.read.parquet(os.path.join(store_dir, f"qx_v{versions[-1]}"))
+    return suite.finalize(merged)

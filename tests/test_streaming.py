@@ -1030,3 +1030,84 @@ def test_ivf_ingest_survives_injected_replay(spark, tmp_path):
     run()
     after = sorted(map(tuple, ivf_cells_from_store(spark, store).collect()))
     assert after == before
+
+
+def test_stream_expectations_monitor(spark, tmp_path):
+    """Streamed expectations store across two availableNow runs equals
+    the batch suite over the union; non-mergeable suites are rejected;
+    a replayed batch is idempotent (commit-marker injection)."""
+    from power_generation_etl_spark.operators.expectations import Suite
+    from power_generation_etl_spark.streaming.ingest import (
+        expectations_from_store,
+        stream_expectations,
+    )
+
+    def suite():
+        return (
+            Suite()
+            .size_at_least(10)
+            .completeness("tag")
+            .values_in("tag", ["a", "b"])
+            .min_scaled_between("v", -100_000, 100_000, scale=100)
+            .max_scaled_between("v", -100_000, 100_000, scale=100)
+            .mean_scaled_between("v", -100_000, 100_000, scale=100)
+        )
+
+    landing = tmp_path / "qx_in"
+    landing.mkdir()
+    store = str(tmp_path / "qx_store")
+    ckpt = tmp_path / "ck"
+    schema = "id long, tag string, v double"
+
+    def rows_for(rng):
+        out = []
+        for i in rng:
+            out.append(
+                {
+                    "id": i,
+                    "tag": ["a", "b", "zz", None][i % 4],
+                    "v": (i - 20) * 1.37,
+                }
+            )
+        return out
+
+    def drop(name, rng):
+        with open(landing / name, "w") as f:
+            for r in rows_for(rng):
+                f.write(json.dumps(r) + "\n")
+
+    def run():
+        q = stream_expectations(
+            spark, str(landing), store, str(ckpt), suite(), schema
+        )
+        q.awaitTermination(120)
+
+    drop("b1.jsonl", range(0, 25))
+    run()
+    drop("b2.jsonl", range(25, 60))
+    run()
+
+    got = sorted(
+        map(tuple, expectations_from_store(spark, store, suite()).collect())
+    )
+    batch = spark.createDataFrame(
+        [(r["id"], r["tag"], r["v"]) for r in rows_for(range(60))], schema
+    )
+    want = sorted(map(tuple, suite().run(batch).collect()))
+    assert got == want
+
+    # crash injection: replaying the last batch must not double-merge
+    before = got
+    assert _delete_last_commit(ckpt) == 1
+    run()
+    after = sorted(
+        map(tuple, expectations_from_store(spark, store, suite()).collect())
+    )
+    assert after == before
+
+    # batch-only checks are rejected up front
+    bad = Suite().uniqueness("id")
+    with pytest.raises(ValueError, match="not mergeable"):
+        stream_expectations(
+            spark, str(landing), store, str(tmp_path / "ck2"), bad, schema
+        )
