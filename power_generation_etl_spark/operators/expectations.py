@@ -396,6 +396,51 @@ class Suite:
             .orderBy("check_name")
         )
 
+    def finalize_grouped(self, merged: DataFrame) -> DataFrame:
+        """(grp, check_name, metric, passed) from a per-GROUP DataFrame
+        of merged slot columns (one row per grp) — the streaming twin
+        of run_grouped's report stage."""
+        names = {}
+        for i, j, name in self.slot_names():
+            names.setdefault(i, []).append(name)
+        per = merged.select(
+            "grp",
+            *[
+                F.expr(
+                    self.checks[i].final_tpl(tuple(ns)).format(DIV="div")
+                )
+                .cast("long")
+                .alias(f"_m{i}")
+                for i, ns in names.items()
+            ],
+        )
+        structs = [
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                F.col(f"_m{i}").alias("metric"),
+                F.lit(c.lo).alias("_lo"),
+                F.lit(c.hi).alias("_hi"),
+            )
+            for i, c in enumerate(self.checks)
+        ]
+        return (
+            per.select("grp", F.inline(F.array(*structs)))
+            .select(
+                "grp",
+                "check_name",
+                "metric",
+                F.when(
+                    F.col("metric").isNotNull()
+                    & F.col("metric").between(F.col("_lo"), F.col("_hi")),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("passed"),
+            )
+            .orderBy("grp", "check_name")
+        )
+
     def oracle_sql(self, table: str) -> str:
         """The DuckDB twin, generated from the same check list."""
         metrics = ",\n             ".join(

@@ -496,3 +496,89 @@ def pii_redaction_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("redacted_hash"),
     ).orderBy("doc_id")
+
+
+def _stream_doc_suite():
+    from power_generation_etl_spark.operators.expectations import Suite
+
+    # Mergeable subset of expectations_docs_by_source (uniqueness is
+    # batch-only): size, text completeness, n_chars consistency, mean.
+    return (
+        Suite()
+        .size_at_least(1)
+        .completeness("text")
+        .satisfies("n_chars_consistent", "n_chars = length(text)")
+        .mean_scaled_between("n_chars", 1, 1 << 62, scale=1)
+    )
+
+
+@_register(
+    "stream_expectations_by_source",
+    _stream_doc_suite().oracle_grouped_sql("documents", "source"),
+)
+def stream_expectations_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PER-SHARD streaming expectations monitor under the exact
+    oracle (r11): documents staged as JSON halves (split by a hash of
+    doc_id) through two availableNow rounds; each micro-batch reduces
+    to one partial-metrics row PER SOURCE and merges into the
+    versioned per-group store (O(sources × slots) forever). The
+    grouped report must equal the batch run_grouped over all
+    documents — the generated grouped oracle computes exactly that, so
+    a group's row lost in the merge, or metrics merged across the
+    wrong group, breaks the hash. This is the shape that tells a
+    100 TB intake WHICH of 10k shards drifted, continuously."""
+    from power_generation_etl_spark.streaming.ingest import (
+        grouped_expectations_from_store,
+        stream_expectations,
+    )
+
+    suite = _stream_doc_suite()
+    d = T(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
+    half = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    stage = tempfile.mkdtemp(prefix="qg_stage_")
+    landing = tempfile.mkdtemp(prefix="qg_landing_")
+    store = tempfile.mkdtemp(prefix="qg_store_")
+    ckpt = tempfile.mkdtemp(prefix="qg_ckpt_")
+    schema = "doc_id long, text string, source string, n_chars long"
+
+    def _stage_half(i: int) -> str:
+        out = os.path.join(stage, f"half{i}")
+        d.filter(half == i).coalesce(1).write.json(out)
+        return out
+
+    def _feed_and_run(src: str, tag: str) -> None:
+        for k, f in enumerate(
+            sorted(
+                f
+                for f in os.listdir(src)
+                if f.endswith(".json") and not f.startswith((".", "_"))
+            )
+        ):
+            try:
+                os.link(os.path.join(src, f), os.path.join(landing, f"{tag}_{k}.json"))
+            except OSError:
+                shutil.copyfile(
+                    os.path.join(src, f), os.path.join(landing, f"{tag}_{k}.json")
+                )
+        q = stream_expectations(
+            spark, landing, store, ckpt, suite, schema, group_col="source"
+        )
+        q.awaitTermination()
+        q.stop()
+
+    out_schema = "grp string, check_name string, metric long, passed int"
+    try:
+        _feed_and_run(_stage_half(0), "r1")
+        _feed_and_run(_stage_half(1), "r2")
+        try:
+            rows = grouped_expectations_from_store(spark, store, suite).collect()
+        except ValueError:  # empty corpus: zero batches, no store
+            return spark.createDataFrame([], out_schema)
+    finally:
+        for dd in (stage, landing, store, ckpt):
+            shutil.rmtree(dd, ignore_errors=True)
+    return spark.createDataFrame([tuple(r) for r in rows], out_schema)

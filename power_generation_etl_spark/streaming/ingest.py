@@ -1135,6 +1135,7 @@ def stream_expectations(
     suite,
     schema: str,
     available_now: bool = True,
+    group_col: str | None = None,
 ) -> StreamingQuery:
     """Streaming data-quality monitoring: each micro-batch reduces to
     ONE partial-aggregate row (one slot column per mergeable check —
@@ -1148,7 +1149,13 @@ def stream_expectations(
 
     Same versioned `qx_v<batch_id>` crash/retry protocol as the other
     sketch stores. Batch-only checks (uniqueness) are rejected at
-    start. Read the report with `expectations_from_store`."""
+    start. Read the report with `expectations_from_store`.
+
+    `group_col` switches to the PER-GROUP monitor (the streaming twin
+    of Suite.run_grouped): partials and merges key on the group, the
+    store is O(groups × slots), and the report localizes which intake
+    shard broke a constraint — read it with
+    `grouped_expectations_from_store`."""
     suite.assert_mergeable()
     stream = spark.readStream.schema(schema).json(landing_dir)
 
@@ -1158,13 +1165,20 @@ def stream_expectations(
 
         if batch_df.isEmpty():
             return
-        new = batch_df.agg(*suite.partial_aggs())
+        if group_col is None:
+            new = batch_df.agg(*suite.partial_aggs())
+        else:
+            new = batch_df.groupBy(
+                F.col(group_col).alias("grp")
+            ).agg(*suite.partial_aggs())
         prev = [v for v in _qx_store_versions(store_dir) if v < batch_id]
         if prev:
             prev_path = os.path.join(store_dir, f"qx_v{prev[-1]}")
-            merged = spark.read.parquet(prev_path).unionByName(new).agg(
-                *suite.merge_aggs()
-            )
+            both = spark.read.parquet(prev_path).unionByName(new)
+            if group_col is None:
+                merged = both.agg(*suite.merge_aggs())
+            else:
+                merged = both.groupBy("grp").agg(*suite.merge_aggs())
         else:
             merged = new
         merged.write.mode("overwrite").parquet(
@@ -1194,3 +1208,17 @@ def expectations_from_store(spark: SparkSession, store_dir: str, suite) -> DataF
         raise ValueError(f"no committed expectations store under {store_dir}")
     merged = spark.read.parquet(os.path.join(store_dir, f"qx_v{versions[-1]}"))
     return suite.finalize(merged)
+
+
+def grouped_expectations_from_store(
+    spark: SparkSession, store_dir: str, suite
+) -> DataFrame:
+    """(grp, check_name, metric, passed) from the latest committed
+    per-group metrics store."""
+    import os
+
+    versions = _qx_store_versions(store_dir)
+    if not versions:
+        raise ValueError(f"no committed expectations store under {store_dir}")
+    merged = spark.read.parquet(os.path.join(store_dir, f"qx_v{versions[-1]}"))
+    return suite.finalize_grouped(merged)

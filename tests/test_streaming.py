@@ -1111,3 +1111,63 @@ def test_stream_expectations_monitor(spark, tmp_path):
         stream_expectations(
             spark, str(landing), store, str(tmp_path / "ck2"), bad, schema
         )
+
+
+def test_stream_expectations_grouped_monitor(spark, tmp_path):
+    """Per-group streaming expectations: merged per-shard metrics equal
+    the batch run_grouped over the union; a group appearing only in
+    round 2 still gets its row (merge must not inner-join groups)."""
+    from power_generation_etl_spark.operators.expectations import Suite
+    from power_generation_etl_spark.streaming.ingest import (
+        grouped_expectations_from_store,
+        stream_expectations,
+    )
+
+    def suite():
+        return (
+            Suite()
+            .size_at_least(5)
+            .completeness("tag")
+            .mean_scaled_between("v", -1_000_000, 1_000_000, scale=100)
+        )
+
+    landing = tmp_path / "qg_in"
+    landing.mkdir()
+    store = str(tmp_path / "qg_store")
+    schema = "id long, src string, tag string, v double"
+
+    def rows_for(rng, srcs):
+        return [
+            {"id": i, "src": srcs[i % len(srcs)],
+             "tag": None if i % 5 == 0 else "t", "v": (i - 7) * 0.93}
+            for i in rng
+        ]
+
+    def drop(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run():
+        q = stream_expectations(
+            spark, str(landing), store, str(tmp_path / "ck"), suite(),
+            schema, group_col="src",
+        )
+        q.awaitTermination(120)
+
+    r1 = rows_for(range(0, 20), ["s1", "s2"])
+    r2 = rows_for(range(20, 45), ["s1", "s2", "s3"])  # s3 is round-2-only
+    drop("b1.jsonl", r1)
+    run()
+    drop("b2.jsonl", r2)
+    run()
+
+    got = sorted(
+        map(tuple, grouped_expectations_from_store(spark, store, suite()).collect())
+    )
+    batch = spark.createDataFrame(
+        [(r["id"], r["src"], r["tag"], r["v"]) for r in r1 + r2], schema
+    )
+    want = sorted(map(tuple, suite().run_grouped(batch, "src").collect()))
+    assert got == want
+    assert any(t[0] == "s3" for t in got)  # round-2-only group present
