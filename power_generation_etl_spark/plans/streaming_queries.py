@@ -1541,3 +1541,83 @@ def stream_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in (stage, landing, store, ckpt):
             shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame([tuple(r) for r in rows], out_schema)
+
+
+@_register(
+    "stream_static_enrich",
+    """
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY segment, event_type
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join under the exact oracle — the one
+    core Structured Streaming join shape the catalog did not yet
+    exercise (stream-STREAM interval join: `stream_interval_join_pairs`;
+    this is the stream × dimension-table lookup every production intake
+    runs). A file-source stream of events inner-joins the STATIC
+    customer dimension on user_id = c_custkey, then aggregates
+    (segment, event_type) counts + exact floor-cents value sums in
+    COMPLETE mode to a memory sink, trigger=availableNow.
+
+    Why oracle-exact: stream-static inner joins are STATELESS — each
+    micro-batch joins against the same static snapshot, so the joined
+    row multiset is independent of the micro-batch split, and complete
+    mode re-emits full aggregation state; the result equals the batch
+    join + GROUP BY the oracle computes.
+
+    Scale notes: the static side is projected to 2 columns before the
+    join and left UNHINTED — customer is sf-proportional, so a hard
+    broadcast() would OOM at large sf (the design rule in
+    plans/queries.py); Spark plans a per-batch broadcast only while
+    the dim fits the auto threshold, else a shuffled join. State is
+    only the (segments × types)-bounded aggregation. Mirrors the
+    reference's crosswalk enrichment joins (src/database.py drift
+    report) in streaming form."""
+    name = _mem_name("stream_enrich")
+    landing = _landing(f"{sf_dir}/events.parquet", 1)
+    dim = (
+        T(spark, sf_dir, "customer")
+        .select(F.col("c_custkey"), F.col("c_mktsegment").alias("segment"))
+    )
+    try:
+        joined = _stream_events(spark, landing).join(
+            dim, F.col("user_id") == F.col("c_custkey"), "inner"
+        )
+        agg = joined.groupBy("segment", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100).cast("long")
+            ).alias("sum_cents"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    schema = "segment string, event_type string, n_events long, sum_cents long"
+    if not spark.catalog.tableExists(name):  # zero micro-batches ran
+        return spark.createDataFrame([], schema)
+    try:
+        rows = (
+            spark.table(name)
+            .orderBy("segment", "event_type")
+            .collect()
+        )
+    finally:
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], schema
+    )
