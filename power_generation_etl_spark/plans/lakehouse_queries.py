@@ -192,3 +192,107 @@ def stream_cdc_apply_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in (wh, stage, landing, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental MV maintenance parity (r11 third wave).
+#
+# `Engine.refresh_views_incremental` (engine.py:312) is the 100 TB form
+# of the reference's REFRESH MATERIALIZED VIEW (src/refresh_views.py):
+# recompute ONLY the touched 'yyyy-MM' months from a partition-pruned
+# fact read and carry every other MV row over. Until now that path was
+# pytest-verified (tests/test_engine.py asserts the PartitionFilters
+# prune and spot parity); this entry runs the WHOLE maintenance
+# protocol inside a catalog query so the external DuckDB gate checks
+# the algebra end-to-end:
+#
+#   orders → reference-shaped monthly facts → load all months but the
+#   LAST into a temp warehouse → FULL refresh (MV state v0) → append
+#   the last month → INCREMENTAL refresh of exactly that month →
+#   final mv_ons_monthly must equal the full recompute over ALL rows,
+#   which is what the oracle computes from raw orders.
+#
+# A carry-over bug (dropped untouched month, month filtered with the
+# wrong key), a pruning bug (delta month read twice / not at all), or
+# a non-atomic merge all shift a (month, fuel_type) sum and break the
+# value hash.
+#
+# Timezone note: mv.py derives months from epoch-ms instants via the
+# SESSION-tz date_format, so the synthetic facts anchor every row's
+# timestamp_ms at its month's 15th 12:00 UTC — any session offset
+# within ±14 days yields the same month on both the partition column
+# and the MV's month key, keeping the entry tz-free while leaving the
+# engine's production code path untouched.
+# ---------------------------------------------------------------------------
+
+_MV_PARITY_SQL = """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS month,
+           o_orderpriority AS fuel_type,
+           round(sum(o_totalprice), 2) AS total_mwh
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+_MID_MONTH_MS = 14 * 86_400_000 + 43_200_000  # day 15, 12:00
+
+
+def mv_facts_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders mapped onto the ONS fact-table columns the three ONS
+    view builders consume (plans/mv.py), plus a tz-free `_m` month
+    tag used to split base/delta loads."""
+    m0 = F.date_trunc("month", F.col("o_orderdate"))
+    return T(spark, sf_dir, "orders").select(
+        (
+            F.unix_date(m0.cast("date")).cast("bigint") * 86_400_000
+            + F.lit(_MID_MONTH_MS)
+        ).alias("timestamp_ms"),
+        F.date_format(m0, "yyyy-MM").alias("_m"),
+        F.col("o_orderpriority").alias("fuel_type"),
+        F.col("o_totalprice").alias("generation_mwh"),
+        F.concat(F.lit("p"), (F.col("o_custkey") % 10).cast("string")).alias(
+            "plant"
+        ),
+        F.col("o_orderstatus").alias("state"),
+        F.col("o_orderstatus").alias("state_name"),
+    )
+
+
+@_register("incremental_mv_parity", _MV_PARITY_SQL)
+def incremental_mv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from power_generation_etl_spark.engine import Engine
+
+    facts = mv_facts_from_orders(spark, sf_dir)
+    months = [
+        r["_m"] for r in facts.select("_m").distinct().orderBy("_m").collect()
+    ]
+    out_schema = "month string, fuel_type string, total_mwh double"
+    if not months:
+        return spark.createDataFrame([], out_schema)
+    last = months[-1]
+    wh = tempfile.mkdtemp(prefix="mv_wh_")
+    try:
+        eng = Engine(spark, wh)
+        eng.store.append(
+            "ons_generation_data", facts.filter(F.col("_m") != last).drop("_m")
+        )
+        eng.refresh_views(source="ons")  # MV state from the base months
+        eng.store.append(
+            "ons_generation_data", facts.filter(F.col("_m") == last).drop("_m")
+        )
+        # The maintenance under test: recompute ONLY the delta month
+        # (partition-pruned fact read), carry every other row over.
+        eng.refresh_views_incremental([last], source="ons")
+        rows = (
+            eng.store.read("mv_ons_monthly")
+            .select(
+                "month",
+                "fuel_type",
+                F.round(F.col("generation_mwh"), 2).alias("total_mwh"),
+            )
+            .orderBy("month", "fuel_type")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame([tuple(r) for r in rows], out_schema)
