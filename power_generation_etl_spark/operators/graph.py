@@ -346,6 +346,102 @@ def khop_min_hops(
     )
 
 
+def bounded_cheapest_paths(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    *,
+    source_id: int,
+    k: int,
+) -> DataFrame:
+    """Bounded Bellman-Ford — the MIN-PLUS twin of `khop_min_hops`:
+    cheapest total integer cost from ``source_id`` to every node
+    reachable within k edges, ties broken by fewest hops (then the
+    values coincide, so the result is fully deterministic).
+
+    Each relaxation round is ONE equi-join of the current distance
+    table (|V| rows) against the weighted edge list + ONE
+    lexicographic min(struct(cost, hops)) groupBy — both shuffle on
+    the node key and are map-side combinable, the same per-round shape
+    as `pagerank`/`connected_components`. Edges are iteration-
+    invariant, so they are co-partitioned on the per-round join key
+    under the cluster cut modes (`_copartition`) and materialized
+    once; the distance state is lineage-cut per round. Integer costs
+    keep the trajectory bit-for-bit reproducible — the DuckDB twin
+    (`cheapest_paths_oracle_sql`) unrolls the same k rounds.
+
+    Why not hop-bounded BFS: BFS finds the FEWEST-hop route; with
+    heterogeneous edge costs (cost ∝ 1/volume in the trade entry) the
+    cheapest route is often longer — exactly the min-plus semiring
+    that needs relaxation, not reachability.
+    """
+    if not 1 <= k <= 8:
+        raise ValueError("k must be in [1, 8]")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("eu"),
+            F.col(dst).cast("long").alias("ev"),
+            F.col(weight).cast("bigint").alias("ew"),
+        )
+        .transform(lambda d: _copartition(d, "eu"))
+        .transform(_cut)
+    )
+    dist = edges.sparkSession.createDataFrame(
+        [(int(source_id), 0, 0)], "id long, cost long, hops int"
+    )
+    for _ in range(k):
+        relaxed = dist.join(e, dist.id == F.col("eu")).select(
+            F.col("ev").alias("id"),
+            (F.col("cost") + F.col("ew")).cast("long").alias("cost"),
+            (F.col("hops") + 1).cast("int").alias("hops"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min(F.struct("cost", "hops")).alias("m"))
+            .select(
+                "id",
+                F.col("m.cost").alias("cost"),
+                F.col("m.hops").cast("int").alias("hops"),
+            )
+            .transform(_cut)
+        )
+    return dist.where(F.col("id") != source_id)
+
+
+def cheapest_paths_oracle_sql(
+    edges_cte: str, *, source_id: int, k: int
+) -> str:
+    """DuckDB twin of `bounded_cheapest_paths`: the k relaxation
+    rounds unrolled as CTE pairs. `edges_cte` must produce
+    (eu, ev, ew) with BIGINT-safe costs. Every round references the
+    previous one TWICE (carry + relax), so the CTEs are MATERIALIZED
+    — inlining would expand d0 2^k-fold (the kcore lesson). The
+    lexicographic (cost, hops) min is a ranked window, not min_by
+    (DuckDB has no tuple-ordered min_by)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte}),",
+        f"d0(id, cost, hops) AS (SELECT {source_id}, 0, 0),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT id, cost, hops FROM ("
+            f" SELECT id, cost, hops,"
+            f" row_number() OVER (PARTITION BY id ORDER BY cost, hops) AS rn"
+            f" FROM (SELECT id, cost, hops FROM d{i-1}"
+            f"       UNION ALL"
+            f"       SELECT e.ev, d.cost + e.ew, d.hops + 1"
+            f"       FROM d{i-1} d JOIN e ON d.id = e.eu)"
+            f") WHERE rn = 1),"
+        )
+    parts.append(
+        f"bf(id, cost, hops) AS (SELECT id, CAST(cost AS BIGINT),"
+        f" CAST(hops AS INTEGER) FROM d{k} WHERE id <> {source_id})"
+    )
+    return "\n".join(parts)
+
+
 def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Exact triangle count of the undirected simple graph — the
     node-iterator++ / degree-orientation algorithm (Schank & Wagner;

@@ -2407,3 +2407,87 @@ def ks_click_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") * F.col("m")).cast("bigint").alias("d_den"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded Bellman-Ford cheapest route (r11 third wave) — the MIN-PLUS
+# companion to khop_trade_nations (fewest hops) and
+# pagerank_trade_nations (stationary mass): cheapest total cost from
+# nation 0 to every nation reachable within 4 edges over the SPARSIFIED
+# trade graph (each nation's top-5 outgoing lanes by traded volume), with
+# per-edge integer cost 1 + 1e6 div volume — high-volume lanes are
+# cheap, so the cheapest route is often LONGER than the direct edge
+# (min-plus relaxation, not BFS). The oracle unrolls the identical 4
+# relaxation rounds as MATERIALIZED CTEs.
+#
+# Scale: the edge aggregation is the only row-scale work (3 equi-joins
+# + one groupBy on ≤ |nations|² keys); relaxation rounds join a |V|-row
+# state against the co-partitioned bounded edge list. The sparsifying
+# rank window is PARTITIONED by source nation (≤ |nations| rows per
+# partition) — no global window, no single-partition exchange.
+# ---------------------------------------------------------------------------
+
+_BF_K = 4
+_BF_SRC = 0
+
+_BF_EDGES_CTE = """
+    SELECT eu, ev, 1 + 1000000 // w AS ew FROM (
+      SELECT u AS eu, v AS ev, w,
+             row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+      FROM (
+        SELECT c.c_nationkey AS u, s.s_nationkey AS v,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+      )
+    ) WHERE rn <= 5
+"""
+
+
+@_register(
+    "cheapest_trade_route",
+    gr.cheapest_paths_oracle_sql(_BF_EDGES_CTE, source_id=_BF_SRC, k=_BF_K)
+    + f"""
+    SELECT n.n_name AS nation, bf.cost AS min_cost, bf.hops
+    FROM bf JOIN nation n ON bf.id = n.n_nationkey
+    ORDER BY min_cost, nation
+    """,
+)
+def cheapest_trade_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wspec = Window.partitionBy("u").orderBy(F.desc("w"), "v")
+    kept = (
+        vol.withColumn("rn", F.row_number().over(wspec))
+        .where(F.col("rn") <= 5)
+        .select(
+            "u", "v", (F.lit(1) + F.expr("1000000 div w")).alias("ew")
+        )
+    )
+    bf = gr.bounded_cheapest_paths(
+        kept, "u", "v", "ew", source_id=_BF_SRC, k=_BF_K
+    )
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        bf.join(F.broadcast(nation), bf.id == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("cost").alias("min_cost"),
+            "hops",
+        )
+        .orderBy("min_cost", "nation")
+    )

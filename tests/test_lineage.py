@@ -73,6 +73,23 @@ def _pagerank_result(spark):
     )
 
 
+def _bf_result(spark):
+    from power_generation_etl_spark.operators.graph import (
+        bounded_cheapest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 2), (1, 3, 1), (2, 3, 100)],
+        "u bigint, v bigint, w bigint",
+    )
+    return sorted(
+        tuple(r)
+        for r in bounded_cheapest_paths(
+            edges, source_id=0, k=4
+        ).collect()
+    )
+
+
 class TestLineageModes:
     def test_invalid_mode_rejected(self, monkeypatch):
         monkeypatch.setenv("SPARK_ETL_LINEAGE_CUT", "bogus")
@@ -81,7 +98,8 @@ class TestLineageModes:
 
     @pytest.mark.parametrize(
         "fixture",
-        [_cc_result, _lrs_result, _rank_result, _lpa_result, _pagerank_result],
+        [_cc_result, _lrs_result, _rank_result, _lpa_result, _pagerank_result,
+         _bf_result],
     )
     def test_modes_identical(self, spark, monkeypatch, fixture):
         # suffix products must not be reused across modes — the point
