@@ -186,3 +186,73 @@ def phrase_search(
         .orderBy(F.col("n_occurrences").desc(), "doc_id")
         .limit(k)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation mining: the k word bigrams with the highest exact
+    integer LIFT — floor(c_xy·N·10⁶ / (c_x•·c_•y)) ppm, where c_xy is
+    the bigram's occurrence count, N the total bigram count, and
+    c_x•/c_•y the left/right bigram marginals. Lift is the exp of PMI
+    computed over the bigram event space, so ranking by it IS ranking
+    by PMI — but it needs no transcendental, making the score
+    bit-reproducible across engines (the ln-based form would diverge
+    in the last ulp; the BM25 driver-literal trick doesn't apply to a
+    per-row score). Ties break to the lexicographically smallest
+    bigram. ``min_count`` drops the rare-rare tail (the classic PMI
+    pathology where hapax pairs score highest).
+
+    The ×10⁶ scaling runs as STAGED long division (q0 then three ×100
+    stages over remainders < den), exact while den = c_x•·c_•y ≤
+    9.2e16 — i.e. total bigram counts to ~3e8 per marginal pair, far
+    past any single-corpus shard; the naive c·N·10⁶ product would
+    overflow int64 at corpus sizes the shipped sf0.1 already exceeds.
+
+    Scale shape: one posexplode+lead bigram pass (narrow shuffle on
+    doc_id), one groupBy(b) count (map-side combinable), two marginal
+    rollups over the DISTINCT-bigram table (tiny vs the token
+    stream), a broadcast-sized join back, and a TakeOrdered top-k —
+    no global window, no per-row Python."""
+    bg = bigram_table(df, id_col, text_col)
+    cnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    n_row = cnt.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n"))
+    lm = (
+        cnt.groupBy(F.substring_index("b", " ", 1).alias("x"))
+        .agg(F.sum("c").alias("cx"))
+    )
+    rm = (
+        cnt.groupBy(F.substring_index("b", " ", -1).alias("y"))
+        .agg(F.sum("c").alias("cy"))
+    )
+    sc = (
+        cnt.where(F.col("c") >= min_count)
+        .join(lm, F.substring_index(F.col("b"), " ", 1) == F.col("x"))
+        .join(rm, F.substring_index(F.col("b"), " ", -1) == F.col("y"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("c").alias("n_pair"),
+            F.col("cx").alias("n_left"),
+            F.col("cy").alias("n_right"),
+            F.expr("c * n").alias("_a"),
+            F.expr("cx * cy").alias("_den"),
+        )
+    )
+    staged = (
+        "(_a div _den) * 1000000"
+        " + ((_a % _den) * 100 div _den) * 10000"
+        " + (((_a % _den) * 100 % _den) * 100 div _den) * 100"
+        " + ((((_a % _den) * 100 % _den) * 100 % _den) * 100 div _den)"
+    )
+    return (
+        sc.withColumn("lift_ppm", F.expr(staged).cast("long"))
+        .select("bigram", "n_pair", "n_left", "n_right", "lift_ppm")
+        .orderBy(F.desc("lift_ppm"), "bigram")
+        .limit(k)
+    )

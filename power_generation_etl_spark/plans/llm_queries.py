@@ -2681,3 +2681,56 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from power_generation_etl_spark.operators import textindex as ti
 
     return ti.phrase_search(T(spark, sf_dir, "documents"), "doc_id", "text", k=20)
+
+
+@_register(
+    "pmi_collocations_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT doc_id, t[i.i] || ' ' || t[i.i + 1] AS b
+      FROM toks, unnest(range(1, len(t))) AS i(i)
+    ),
+    cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY b),
+    n AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cnt),
+    lm AS (SELECT split_part(b, ' ', 1) AS x, CAST(sum(c) AS BIGINT) AS cx
+           FROM cnt GROUP BY 1),
+    rm AS (SELECT split_part(b, ' ', 2) AS y, CAST(sum(c) AS BIGINT) AS cy
+           FROM cnt GROUP BY 1),
+    sc AS (
+      SELECT b AS bigram, c AS n_pair, cx AS n_left, cy AS n_right,
+             c * n.n AS a, cx * cy AS den
+      FROM cnt
+      JOIN lm ON split_part(cnt.b, ' ', 1) = lm.x
+      JOIN rm ON split_part(cnt.b, ' ', 2) = rm.y
+      CROSS JOIN n
+      WHERE c >= 5
+    )
+    SELECT bigram, n_pair, n_left, n_right,
+           (a // den) * 1000000
+           + ((a % den) * 100 // den) * 10000
+           + (((a % den) * 100 % den) * 100 // den) * 100
+           + ((((a % den) * 100 % den) * 100 % den) * 100 // den) AS lift_ppm
+    FROM sc
+    ORDER BY lift_ppm DESC, bigram
+    LIMIT 20
+    """,
+)
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining over documents (r11 third wave): the 20
+    highest-lift word bigrams with exact integer ppm scores — the
+    statistical phrase-detection layer (Mikolov-style collocation
+    scoring) completing the text-statistics family next to
+    `phrase_search_docs` (adjacency retrieval) and `top_event_trigrams`
+    (frequency n-grams). The oracle recomputes the identical staged
+    long division, so a marginal computed over the wrong side, a
+    dropped rare-pair filter, or int64 overflow in the scaling breaks
+    the value hash."""
+    from power_generation_etl_spark.operators import textindex as ti
+
+    return ti.pmi_collocations(
+        T(spark, sf_dir, "documents"), "doc_id", "text", min_count=5, k=20
+    )

@@ -98,6 +98,7 @@ _BNLJ_OK = {
         "chi_square_type_weekday",  # 1-row N total + 1-row dof crosses
         "kmv_user_overlap",  # three 1-row sketch-stat crosses
         "ks_click_vs_error",  # 1-row totals cross (mirrors oracle CROSS JOIN)
+        "pmi_collocations_docs",  # 1-row total-bigram-count cross
         "locf_daily_value",  # days × event kinds spine grid (broadcast-size)
         "ewma_daily_value",  # same spine grid as locf_daily_value
         "session_duration_stats",  # 1-row p90 rank-selection cross

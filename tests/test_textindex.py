@@ -135,3 +135,61 @@ class TestPhraseSearch:
             [(1, "solo"), (2, None)], "doc_id long, text string"
         )
         assert ti.phrase_search(df, "doc_id", "text").collect() == []
+
+
+class TestPmiCollocations:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_lift_hand_computed(self, spark):
+        from power_generation_etl_spark.operators.textindex import (
+            pmi_collocations,
+        )
+
+        # "a b" ×5 in one doc, "c d" ×5 across docs, plus "b a" fillers
+        # between repetitions: bigrams of "a b a b ..." are
+        # [a b, b a, a b, ...] — 5×"a b", 4×"b a".
+        df = self._df(
+            spark,
+            [(1, "a b a b a b a b a b"), (2, "c d"), (3, "c d"),
+             (4, "c d"), (5, "c d"), (6, "c d")],
+        )
+        out = {
+            r["bigram"]: (r["n_pair"], r["n_left"], r["n_right"], r["lift_ppm"])
+            for r in pmi_collocations(df, "doc_id", "text", min_count=4).collect()
+        }
+        # N = 9 + 5 = 14 total bigrams.
+        # "c d": c=5, left-marginal c_c•=5, right c_•d=5 → lift = 5*14/25
+        assert out["c d"] == (5, 5, 5, 5 * 14 * 1_000_000 // 25)
+        # "a b": c=5, c_a•=5, c_•b=5 → same score; "b a" (c=4) filtered
+        # by min_count=4? no — kept: check value
+        assert out["a b"] == (5, 5, 5, 5 * 14 * 1_000_000 // 25)
+        assert out["b a"] == (4, 4, 4, 4 * 14 * 1_000_000 // 16)
+
+    def test_min_count_filters(self, spark):
+        from power_generation_etl_spark.operators.textindex import (
+            pmi_collocations,
+        )
+
+        df = self._df(spark, [(1, "x y"), (2, "p q p q")])
+        out = pmi_collocations(df, "doc_id", "text", min_count=2).collect()
+        assert {r["bigram"] for r in out} == {"p q"}
+
+    def test_tie_break_and_k(self, spark):
+        from power_generation_etl_spark.operators.textindex import (
+            pmi_collocations,
+        )
+
+        # two bigrams with identical counts/marginals → identical lift;
+        # k=1 must keep the lexicographically smaller.
+        df = self._df(spark, [(1, "a b"), (2, "a b"), (3, "c d"), (4, "c d")])
+        out = pmi_collocations(df, "doc_id", "text", min_count=2, k=1).collect()
+        assert len(out) == 1 and out[0]["bigram"] == "a b"
+
+    def test_empty_and_null_text(self, spark):
+        from power_generation_etl_spark.operators.textindex import (
+            pmi_collocations,
+        )
+
+        df = self._df(spark, [(1, None), (2, "one")])
+        assert pmi_collocations(df, "doc_id", "text").collect() == []
