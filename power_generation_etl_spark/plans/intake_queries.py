@@ -582,3 +582,81 @@ def stream_expectations_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         for dd in (stage, landing, store, ckpt):
             shutil.rmtree(dd, ignore_errors=True)
     return spark.createDataFrame([tuple(r) for r in rows], out_schema)
+
+
+# ---------------------------------------------------------------------------
+# stream_text_index_terms — streaming inverted-index maintenance (r11
+# third wave): the text twin of stream_ivf_ingest_cells. Documents are
+# staged as JSON halves and fed in TWO ordered availableNow rounds
+# against one checkpoint; each micro-batch tokenizes with the SAME
+# lowercase/whitespace tokenizer as the batch index build and appends a
+# deterministic `ix_b<batch>` postings shard. Because shards partition
+# the document set, the merged (term, df, total_tf) stats must equal
+# one batch tokenize+aggregate over ALL documents — which is what the
+# oracle computes from the raw table. A tokenizer drift between the
+# streaming and batch paths, a lost shard, or a double-ingested batch
+# shifts df/tf and breaks the hash.
+# ---------------------------------------------------------------------------
+
+_TERMS_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT term, doc_id, count(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM p
+    GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT 20
+"""
+
+
+@_register("stream_text_index_terms", _TERMS_SQL)
+def stream_text_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from power_generation_etl_spark.streaming.ingest import (
+        stream_text_index_ingest,
+        term_stats_from_store,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    half = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    stage = tempfile.mkdtemp(prefix="ix_stage_")
+    landing = tempfile.mkdtemp(prefix="ix_landing_")
+    store = tempfile.mkdtemp(prefix="ix_store_")
+    ckpt = tempfile.mkdtemp(prefix="ix_ckpt_")
+    schema = "doc_id long, text string"
+
+    def _stage_half(i: int) -> str:
+        out = os.path.join(stage, f"half{i}")
+        d.filter(half == i).coalesce(1).write.json(out)
+        return out
+
+    def _feed_and_run(src: str, tag: str) -> None:
+        _link_round(src, landing, tag)
+        q = stream_text_index_ingest(
+            spark, landing, store, ckpt, "doc_id", "text", schema
+        )
+        q.awaitTermination()
+        q.stop()
+
+    out_schema = "term string, df long, total_tf long"
+    try:
+        _feed_and_run(_stage_half(0), "r1")  # round 1: shard ix_b0
+        _feed_and_run(_stage_half(1), "r2")  # round 2: appends ix_b1
+        try:
+            rows = term_stats_from_store(spark, store, k=20).collect()
+        except ValueError:  # empty corpus: zero batches, no shards
+            return spark.createDataFrame([], out_schema)
+    finally:
+        for dd in (stage, landing, store, ckpt):
+            shutil.rmtree(dd, ignore_errors=True)
+    return spark.createDataFrame([tuple(r) for r in rows], out_schema)

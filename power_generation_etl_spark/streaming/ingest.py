@@ -1123,6 +1123,97 @@ def ivf_cells_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
+def _text_index_batches(store_dir: str) -> list[int]:
+    return _store_versions(store_dir, "ix_b")
+
+
+def stream_text_index_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    schema: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming inverted-index ingestion — the text twin of
+    `stream_ivf_ingest`: each micro-batch tokenizes its documents with
+    the SAME lowercase/whitespace tokenizer as the batch index build
+    (operators/textindex.py::build_inverted_index), aggregates
+    (term, doc_id, tf) postings, and appends a deterministic
+    `ix_b<batch_id>` shard. The postings ARE the index (O(tokens) by
+    design; at 100 TB each shard is hive-partitioned by term-hash
+    bucket exactly as the batch build writes it, so lookups stay
+    partition-pruned over the shard union). What must survive batching
+    is tokenizer determinism and exactly-once append.
+
+    Retry safety: a replayed batch rewrites its own shard in overwrite
+    mode; readers additionally dedup on (term, doc_id). Shards are
+    disjoint doc unions, so no cross-batch merge is needed — continuous
+    index maintenance is append-only."""
+    stream = spark.readStream.schema(schema).json(landing_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        toks = (
+            batch_df.where(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.explode(
+                    F.split(F.lower(F.col(text_col)), r"\s+")
+                ).alias("term"),
+            )
+            .where(F.col("term") != "")
+        )
+        postings = toks.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        postings.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"ix_b{batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def term_stats_from_store(
+    spark: SparkSession, store_dir: str, k: int = 20
+) -> DataFrame:
+    """(term, df, total_tf) for the k terms with the highest document
+    frequency (ties to the lexicographically smallest term) over the
+    union of committed index shards, deduplicated on (term, doc_id)
+    (replay belt-and-braces — a replayed shard carries identical
+    postings). Because shards partition the document set, the merged
+    stats must equal the batch tokenize+aggregate over every document
+    ever ingested — the oracle's claim."""
+    import os
+
+    batches = _text_index_batches(store_dir)
+    if not batches:
+        raise ValueError(f"no committed index shards under {store_dir}")
+    df = spark.read.parquet(
+        *[os.path.join(store_dir, f"ix_b{b}") for b in batches]
+    ).select("term", "doc_id", "tf")
+    return (
+        df.dropDuplicates(["term", "doc_id"])
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(k)
+    )
+
+
 def _qx_store_versions(store_dir: str) -> list[int]:
     return _store_versions(store_dir, "qx_v")
 

@@ -1171,3 +1171,97 @@ def test_stream_expectations_grouped_monitor(spark, tmp_path):
     want = sorted(map(tuple, suite().run_grouped(batch, "src").collect()))
     assert got == want
     assert any(t[0] == "s3" for t in got)  # round-2-only group present
+
+
+def test_stream_text_index_matches_batch_build(spark, tmp_path):
+    """Streaming index shards, merged, must equal the BATCH inverted
+    index (build_inverted_index) over the same docs — tokenizer parity
+    between the two maintenance paths, per (term, doc_id, tf) row."""
+    from power_generation_etl_spark.operators.textindex import (
+        build_inverted_index,
+    )
+    from power_generation_etl_spark.streaming.ingest import (
+        stream_text_index_ingest,
+        term_stats_from_store,
+    )
+
+    docs = [
+        (1, "The quick brown fox"),
+        (2, "the  LAZY dog"),
+        (3, "quick quick fox"),
+        (4, None),
+        (5, "dog"),
+    ]
+    landing = tmp_path / "ix_in"
+    landing.mkdir()
+    store = str(tmp_path / "ix_store")
+    ckpt = tmp_path / "ck"
+
+    def drop(name, rows):
+        with open(landing / name, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    def run():
+        q = stream_text_index_ingest(
+            spark, str(landing), store, str(ckpt),
+            "doc_id", "text", "doc_id long, text string",
+        )
+        q.awaitTermination(120)
+
+    drop("b1.jsonl", docs[:2])
+    run()
+    drop("b2.jsonl", docs[2:])
+    run()
+
+    streamed = spark.read.parquet(
+        f"{store}/ix_b0", f"{store}/ix_b1"
+    ).select("term", "doc_id", "tf")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ix_dir = str(tmp_path / "batch_ix")
+    build_inverted_index(df, "doc_id", "text", ix_dir, n_buckets=4)
+    batch = spark.read.parquet(ix_dir).select("term", "doc_id", "tf")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    top = term_stats_from_store(spark, store, k=2).collect()
+    # df ties (dog/fox/quick/the all df=2) break lexicographically
+    assert [(r["term"], r["df"]) for r in top] == [("dog", 2), ("fox", 2)]
+
+
+def test_text_index_survives_injected_replay(spark, tmp_path):
+    """Crash/resume injection for the text-index store: deleting the
+    last commit forces the batch to replay; the deterministic
+    ix_b<batch> overwrite must leave merged stats byte-identical."""
+    from power_generation_etl_spark.streaming.ingest import (
+        stream_text_index_ingest,
+        term_stats_from_store,
+    )
+
+    landing = tmp_path / "ix_in"
+    landing.mkdir()
+    store = str(tmp_path / "ix_store")
+    ckpt = tmp_path / "ck"
+
+    def drop(name, rows):
+        with open(landing / name, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    def run():
+        q = stream_text_index_ingest(
+            spark, str(landing), store, str(ckpt),
+            "doc_id", "text", "doc_id long, text string",
+        )
+        q.awaitTermination(120)
+
+    drop("b1.jsonl", [(i, f"tok{i % 7} tok{i % 3}") for i in range(40)])
+    run()
+    drop("b2.jsonl", [(i, f"tok{i % 5}") for i in range(40, 80)])
+    run()
+
+    before = sorted(map(tuple, term_stats_from_store(spark, store).collect()))
+    assert _delete_last_commit(ckpt) == 1
+    run()
+    after = sorted(map(tuple, term_stats_from_store(spark, store).collect()))
+    assert after == before
