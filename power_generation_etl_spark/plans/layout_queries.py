@@ -238,3 +238,95 @@ def layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = one_layout("natural", [F.col("o_orderkey")])
     zo = one_layout("zorder", [F.col("zkey"), F.col("o_orderkey")])
     return nat.unionByName(zo).orderBy("layout")
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning audit (r11 third wave) — the OPTIMIZE/bin-packing
+# planner's arithmetic under the exact oracle. `TableStore.compact`
+# rewrites small files into ~target-size outputs (tests/test_engine.py
+# covers the physical rewrite); its PHYSICAL layout cannot sit under an
+# exact oracle (repartitionByRange samples ranges; parquet sizes are
+# compression-dependent), but the PLANNING rule can: given per-file
+# byte stats, roll files in key order into an output bin until the
+# target is reached, then start the next bin. That cumulative-fill
+# rule is what decides how many rewrite tasks a 100 TB OPTIMIZE runs
+# and how full each output file lands — exactly the arithmetic a
+# subtly wrong running sum (off-by-one-file, target compared against
+# the wrong prefix) silently ruins while "still working".
+#
+# The synthetic file inventory: orders rows grouped into per-month
+# "files" of ~50 adjacent customer keys, each with an integer byte
+# proxy Σ (64 + len(status) + len(priority)). Bins pack PER MONTH
+# (real compaction never merges across partition boundaries), so the
+# running-sum window is partitioned by month — no global window, no
+# single-partition exchange — and the output is bounded by months ×
+# bins-per-month.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 16_000  # bytes per output bin
+
+
+@_register(
+    "compaction_plan",
+    f"""
+    WITH files AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS month,
+             o_custkey // 50 AS file_id,
+             CAST(sum(64 + length(o_orderstatus) + length(o_orderpriority))
+                  AS BIGINT) AS bytes
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT month, file_id, bytes,
+             CAST(coalesce(sum(bytes) OVER (
+               PARTITION BY month ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM files
+    )
+    SELECT month, cum_before // {_COMPACT_TARGET} AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes
+    FROM cum
+    GROUP BY 1, 2
+    ORDER BY month, bin
+    """,
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-01").alias(
+            "month"
+        ),
+        F.expr("o_custkey div 50").alias("file_id"),
+    ).agg(
+        F.sum(
+            F.lit(64)
+            + F.length("o_orderstatus")
+            + F.length("o_orderpriority")
+        )
+        .cast("long")
+        .alias("bytes")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("month")
+        .orderBy("file_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = files.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        cum.groupBy(
+            "month",
+            F.expr(f"cum_before div {_COMPACT_TARGET}").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("month", "bin")
+    )
