@@ -151,6 +151,77 @@ def all_pairs_neardup(
     )
 
 
+def mutual_knn_edges(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """Mutual k-nearest-neighbor graph over an embedding column: the
+    undirected (id_a < id_b) pairs where EACH endpoint ranks the other
+    in its cosine top-k. The mutual-kNN graph is the similarity-graph
+    primitive real curation pipelines feed into clustering (SemDeDup's
+    cluster step, label propagation, spectral partitioners) — one-sided
+    kNN edges connect hubs to everything; mutuality keeps only locally
+    reciprocal structure.
+
+    Ranks are computed on the ROUNDED similarity (4dp, ties to the
+    lower neighbor id) so the per-node ordering is bit-identical in
+    both engines (the raw doubles already match — the sequential-fold
+    `cosine` kernel mirrors DuckDB's list_aggregate fold — but rounding
+    makes the tie-break domain explicit and portable).
+
+    This is the O(n²) exact baseline (guarded by ``max_rows`` like
+    `all_pairs_neardup`); at scale the candidate pairs come from the
+    IVF cells or LSH buckets (`lsh_bucketed_neardup`'s candidate
+    generation) and the same rank/mutuality algebra applies per
+    candidate set. The per-node window is PARTITIONED by the node id —
+    no global window at any scale.
+    """
+    if max_rows:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"mutual_knn_edges is O(n²) and got n={n} > max_rows="
+                f"{max_rows}; generate candidates with an IVF/LSH prune "
+                "or pass max_rows=0 to force an exact run"
+            )
+    from pyspark.sql.window import Window
+
+    npar = df.sparkSession.sparkContext.defaultParallelism
+    a = df.select(
+        F.col(id_col).alias("id_a"), as_double_array(F.col(vec_col)).alias("va")
+    ).repartition(npar)
+    b = df.select(
+        F.col(id_col).alias("id_b"), as_double_array(F.col(vec_col)).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 4).alias("s4"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("s4"), "id_b")
+    topk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("id_a", "id_b", "s4")
+    )
+    rev = topk.select(
+        F.col("id_a").alias("ra"), F.col("id_b").alias("rb")
+    )
+    return (
+        topk.where(F.col("id_a") < F.col("id_b"))
+        .join(
+            rev,
+            (F.col("id_a") == F.col("rb")) & (F.col("id_b") == F.col("ra")),
+        )
+        .select("id_a", "id_b", F.col("s4").alias("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [

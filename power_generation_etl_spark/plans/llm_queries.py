@@ -2734,3 +2734,40 @@ def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ti.pmi_collocations(
         T(spark, sf_dir, "documents"), "doc_id", "text", min_count=5, k=20
     )
+
+
+@_register(
+    "mutual_knn_edges",
+    """
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    d AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             round(
+               list_aggregate(list_transform(range(1, len(a.e) + 1),
+                                             i -> a.e[i] * b.e[i]), 'sum')
+               / (sqrt(list_aggregate(list_transform(a.e, x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum'))),
+               4) AS s4
+      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ),
+    t AS (
+      SELECT ida, idb, s4,
+             row_number() OVER (PARTITION BY ida ORDER BY s4 DESC, idb) AS rn
+      FROM d
+    ),
+    e AS (SELECT ida, idb, s4 FROM t WHERE rn <= 5)
+    SELECT x.ida AS id_a, x.idb AS id_b, x.s4 AS cosine_sim
+    FROM e x JOIN e y ON x.ida = y.idb AND x.idb = y.ida
+    WHERE x.ida < x.idb
+    ORDER BY id_a, id_b
+    """,
+)
+def mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN similarity graph over embeddings (r11 third wave) —
+    the reciprocal-neighbor edge list feeding cluster-based curation
+    (SemDeDup clusters, LPA communities); exact O(n²) baseline at the
+    shipped corpus, IVF/LSH candidate pruning is the documented scale
+    path (operators/similarity.py::mutual_knn_edges)."""
+    return sim.mutual_knn_edges(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5
+    )

@@ -1329,3 +1329,45 @@ class TestLshBucketGuard:
             }
         assert set(pairs) == {(1, 2)}
         assert pairs[(1, 2)] == 0
+
+
+class TestMutualKnn:
+    def test_mutuality_and_k(self, spark):
+        from power_generation_etl_spark.operators.similarity import (
+            mutual_knn_edges,
+        )
+
+        # Unit vectors at angles 0°, 5°, 60°, 65°, 120°: cosine decays
+        # with angular distance, so with k=1 the 5°-apart pairs are
+        # mutual; 120°'s nearest is 65° but 65°'s is 60° → no edge.
+        import math
+
+        angles = [0, 5, 60, 65, 120]
+        rows = [
+            (i, [math.cos(math.radians(a)), math.sin(math.radians(a))])
+            for i, a in enumerate(angles)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in mutual_knn_edges(df, "vec_id", "embedding", k=1).collect()
+        }
+        assert got == {(0, 1), (2, 3)}
+
+    def test_guard_refuses_large_input(self, spark):
+        import pytest as _pytest
+
+        from power_generation_etl_spark.operators.similarity import (
+            mutual_knn_edges,
+        )
+
+        df = spark.range(20).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+        )
+        with _pytest.raises(ValueError, match="O\\(n²\\)|O\\(n"):
+            mutual_knn_edges(df, "vec_id", "embedding", k=2, max_rows=10)
+        # explicit opt-out runs
+        assert mutual_knn_edges(
+            df, "vec_id", "embedding", k=2, max_rows=0
+        ).count() > 0

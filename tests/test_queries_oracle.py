@@ -85,6 +85,8 @@ def test_entry_smoke(spark):
 # event kinds, both broadcast-size by construction).
 _BNLJ_OK = {
         "cosine_allpairs_neardup",
+        "mutual_knn_edges",  # guarded O(n²) exact baseline (max_rows), like
+        # cosine_allpairs_neardup; IVF/LSH candidate prune is the scale path
         "tfidf_top_terms",
         "doc_token_threshold_filter",
         "embedding_int8_quant",
