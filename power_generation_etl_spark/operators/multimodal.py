@@ -790,6 +790,69 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return narrow.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_segments", T.LongType(), True),
+        T.StructField("silent_samples", T.LongType(), True),
+        T.StructField("seg_checksum", T.LongType(), True),
+    ]
+)
+
+
+def segment_audio_silence(
+    df: DataFrame, *, threshold_i16: int = 8192, min_run: int = 2
+) -> DataFrame:
+    """Silence segmentation over binary audio columns — the run-length
+    tier on top of the WAV decoders: maximal runs of consecutive
+    samples with |sample| < ``threshold_i16`` (int16 domain) lasting at
+    least ``min_run`` samples. Per blob: segment count, total silent
+    samples, and the POSITION-WEIGHTED checksum Σ (start_index+1)·len —
+    a plain count/total survives a segmentation that shifts runs left
+    or right; weighting the run starts breaks on any off-by-one in the
+    island detection (the layout-sensitive-oracle rule from the
+    thumbnail entry).
+
+    The [-1, 1] float samples of `_wav_pcm`/`_wav_g711` are exact
+    integer/32768 rationals (PCM16 by construction; the G.711
+    expansions produce integers ≤ 32256), so round(x·32768) recovers
+    the exact integer domain the DuckDB oracle computes from the same
+    synthesized bytes. Undecodable blobs keep a null-feature row, like
+    every other media tier. Arrow-batched mapInPandas; per-blob numpy
+    run-length (diff on the silent mask), no per-sample Python."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                pcm = _wav_pcm(blob)
+                if pcm is None:
+                    rows.append((media_id, None, None, None))
+                    continue
+                _, _, x = pcm
+                i = np.rint(x * 32768.0).astype(np.int64)
+                silent = np.abs(i) < threshold_i16
+                # run boundaries: positions where the mask changes
+                edges = np.flatnonzero(np.diff(silent.astype(np.int8)))
+                starts = np.concatenate(([0], edges + 1))
+                ends = np.concatenate((edges + 1, [silent.size]))
+                n_seg = tot = chk = 0
+                for st, en in zip(starts, ends):
+                    if silent.size and silent[st] and en - st >= min_run:
+                        n_seg += 1
+                        tot += en - st
+                        chk += (int(st) + 1) * (en - st)
+                rows.append((media_id, n_seg, tot, chk))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SILENCE_SCHEMA.fields]
+            )
+
+    narrow = df.filter(F.col("kind") == "audio").select("media_id", "content")
+    return narrow.mapInPandas(extract, AUDIO_SILENCE_SCHEMA)
+
+
 def _avi_frames(content: bytes) -> list[bytes] | None:
     """Demux video frame payloads from a RIFF/AVI container (pure
     stdlib chunk walk): frames are the `##dc`/`##db` chunks inside the

@@ -464,3 +464,85 @@ def image_thumbnail_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# audio_silence_segments — run-length silence segmentation (r11 third
+# wave): the same synthesized PCM16/µ-law WAVs as audio_decode_peak,
+# decoded by the real tiers, then maximal |sample| < 8192 runs of
+# length ≥ 2 detected per blob. The oracle recomputes the integer
+# sample stream from the md5 bytes (µ-law expansion in SQL) and runs
+# the identical gaps-and-islands algebra; the position-weighted
+# Σ (start+1)·len checksum breaks on any off-by-one in run detection
+# that a count/total would survive.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "audio_silence_segments",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    mag AS (
+      SELECT doc_id, idx,
+             abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) AS mag
+      FROM (
+        SELECT doc_id, j.j * 8 + s.s AS idx, {_PCM_RAW} AS raw
+        FROM d, unnest(range(0, 4)) AS j(j), unnest(range(0, 8)) AS s(s)
+        WHERE doc_id % 2 = 0
+      )
+      UNION ALL
+      SELECT doc_id, j.j * 16 + k.k AS idx, {_ULAW_MAG} AS mag
+      FROM d, unnest(range(0, 2)) AS j(j), unnest(range(0, 16)) AS k(k)
+      WHERE doc_id % 2 = 1
+    ),
+    sil AS (SELECT doc_id, idx FROM mag WHERE mag < 8192),
+    grp AS (
+      SELECT doc_id, idx,
+             idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS g
+      FROM sil
+    ),
+    runs AS (
+      SELECT doc_id, min(idx) AS st, count(*) AS len
+      FROM grp GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(len) AS BIGINT) AS silent_samples,
+           CAST(sum((st + 1) * len) AS BIGINT) AS seg_checksum
+    FROM runs WHERE len >= 2
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(
+        T(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    pcm_blob = F.concat(
+        F.lit(_WAV_PCM_HDR),
+        _digest_bytes(F.col("text"), [f"a{j}" for j in range(4)]),
+    )
+    ulaw_blob = F.concat(
+        F.lit(_WAV_ULAW_HDR),
+        _digest_bytes(F.col("text"), [f"u{j}" for j in range(2)]),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.when(F.col("doc_id") % 2 == 0, pcm_blob)
+        .otherwise(ulaw_blob)
+        .alias("content"),
+    )
+    segs = mm.segment_audio_silence(media, threshold_i16=8192, min_run=2)
+    return (
+        segs.where(F.col("n_segments") >= 1)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "n_segments",
+            "silent_samples",
+            "seg_checksum",
+        )
+        .orderBy("doc_id")
+    )

@@ -475,3 +475,58 @@ class TestG711Wav:
         blob = self._g711_wav(2, 8000, 1, b"\x00" * 64)  # ADPCM tag
         assert _wav_pcm(blob) is None
         assert _wav_pcm(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+
+
+class TestSilenceSegments:
+    def _wav_from_i16(self, samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    def test_hand_computed_runs(self, spark):
+        from power_generation_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            segment_audio_silence,
+        )
+
+        loud, soft = 20000, 10
+        # runs: [0,1] silent (len 2, start 0), [3] silent (len 1 → dropped),
+        # [5..7] silent (len 3, start 5) → 2 segments, 5 samples,
+        # checksum (0+1)*2 + (5+1)*3 = 20
+        s1 = [soft, soft, loud, soft, loud, soft, soft, soft]
+        # all-silent blob: one run covering everything
+        s2 = [0] * 4
+        rows = [
+            (1, "audio", "audio/wav", self._wav_from_i16(s1), None, None, None),
+            (2, "audio", "audio/wav", self._wav_from_i16(s2), None, None, None),
+            (3, "audio", "audio/mpeg", b"\xff\xfbnope", None, None, None),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {
+            r["media_id"]: tuple(r)[1:]
+            for r in segment_audio_silence(df, threshold_i16=8192, min_run=2).collect()
+        }
+        assert got[1] == (2, 5, 20)
+        assert got[2] == (1, 4, 4)  # (0+1)*4
+        assert got[3] == (None, None, None)
+
+    def test_min_run_and_threshold_knobs(self, spark):
+        from power_generation_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            segment_audio_silence,
+        )
+
+        s = [100, 100, 100, 30000, 100, 100]
+        df = spark.createDataFrame(
+            [(1, "audio", "audio/wav", self._wav_from_i16(s), None, None, None)],
+            MEDIA_SCHEMA,
+        )
+        r = segment_audio_silence(df, threshold_i16=8192, min_run=3).collect()[0]
+        assert (r["n_segments"], r["silent_samples"], r["seg_checksum"]) == (1, 3, 3)
+        # threshold below the quiet level → nothing is silent
+        r = segment_audio_silence(df, threshold_i16=50, min_run=1).collect()[0]
+        assert r["n_segments"] == 0
