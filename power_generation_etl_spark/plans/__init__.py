@@ -96,6 +96,11 @@ _CORE = [
     # grouped twins rotate through the back slice like every tail entry)
     "bottomk_quantile_orders",
     "expectations_orders",
+    # r11 third-wave families: incremental MV maintenance (the M3
+    # delta-refresh protocol under the oracle) and min-plus relaxation
+    # (weighted Bellman-Ford — a different semiring than khop/pagerank)
+    "incremental_mv_parity",
+    "cheapest_trade_route",
 ]
 
 _missing = [n for n in _CORE if n not in QUERIES]

@@ -106,116 +106,103 @@ def _shifted_embeddings(spark, base_emb: str, copy_no: int):
     ).select(*e.columns)
 
 
-def _shifted_lineitem(spark, base_li: str, copy_no: int):
-    li = spark.read.parquet(base_li)
-    keys = ["l_orderkey", "l_partkey", "l_suppkey"]
-    maxes = li.agg(*[F.max(k).alias(k) for k in keys]).first().asDict()
+# r11 third wave: ONE global per-copy key shift, applied to EVERY
+# fact AND dimension key column. The earlier per-table max+1 shifts
+# made copies disjoint per table but MISALIGNED cross-table joins
+# (copied events' user_id never matched any customer; copied lineitem
+# never matched its orders unless the two maxes happened to coincide),
+# so join-bearing entries probed less work than a real bigger corpus
+# does. With a single constant, copy i of every table lives in the
+# same disjoint key range and every FK edge of the schema joins
+# within its copy — degree/selectivity distributions identical to the
+# base corpus. 1e9 dwarfs every shipped key domain (max custkey at
+# sf0.1 is ~1.5e4).
+_KSHIFT = 1_000_000_000
+
+_TABLE_KEYS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "events": ["event_id", "user_id"],
+    "customer": ["c_custkey"],  # c_nationkey stays: nations are fixed
+    "supplier": ["s_suppkey"],  # s_nationkey stays
+    "part": ["p_partkey"],
+}
+
+
+def _shifted_copy(spark, base_path: str, table: str, copy_no: int):
+    """Key-shifted disjoint copy: every key column of the table offset
+    by copy_no·_KSHIFT, everything else untouched."""
+    df = spark.read.parquet(base_path)
+    keys = set(_TABLE_KEYS[table])
 
     def col(c):
-        if c in maxes:
-            return (F.col(c) + F.lit(copy_no * (maxes[c] + 1))).alias(c)
+        if c in keys:
+            return (F.col(c) + F.lit(copy_no * _KSHIFT)).alias(c)
         return F.col(c)
 
-    return li.select(*[col(c) for c in li.columns])
-
-
-def _shifted_events(spark, base_ev: str, copy_no: int):
-    """A key-shifted disjoint copy of the events table: event_id and
-    user_id offset past the originals' max (fresh users with the same
-    per-user event distribution — the right shape for per-user window /
-    sessionization / interval-join probes), timestamps untouched."""
-    ev = spark.read.parquet(base_ev)
-    maxes = ev.agg(
-        F.max("event_id").alias("e"), F.max("user_id").alias("u")
-    ).first()
-
-    def col(c):
-        if c == "event_id":
-            return (F.col(c) + F.lit(copy_no * ((maxes["e"] or 0) + 1))).alias(c)
-        if c == "user_id":
-            return (F.col(c) + F.lit(copy_no * ((maxes["u"] or 0) + 1))).alias(c)
-        return F.col(c)
-
-    return ev.select(*[col(c) for c in ev.columns])
-
-
-def _shifted_orders(spark, base_o: str, copy_no: int):
-    """Key-shifted disjoint orders copies (o_orderkey / o_custkey offset
-    past the originals' max, other columns untouched) — r11, so the
-    orders-reading sketch/expectations families can decade-probe."""
-    o = spark.read.parquet(base_o)
-    maxes = o.agg(
-        F.max("o_orderkey").alias("k"), F.max("o_custkey").alias("c")
-    ).first()
-
-    def col(c):
-        if c == "o_orderkey":
-            return (F.col(c) + F.lit(copy_no * ((maxes["k"] or 0) + 1))).alias(c)
-        if c == "o_custkey":
-            return (F.col(c) + F.lit(copy_no * ((maxes["c"] or 0) + 1))).alias(c)
-        return F.col(c)
-
-    return o.select(*[col(c) for c in o.columns])
+    return df.select(*[col(c) for c in df.columns])
 
 
 def materialize(spark, mult: int, skew_pct: int = 0) -> str:
-    """Derived corpus at `mult` x sf0.1. `skew_pct` > 0 additionally
+    """Derived corpus at `mult` x sf0.1 — ALL ten driver tables, so any
+    catalog entry can probe. documents are token-shuffled, embeddings
+    dimension-shifted, every keyed fact/dim table key-shifted by the
+    global per-copy constant (see _KSHIFT), and the fixed-size
+    nation/region tables copied as-is. `skew_pct` > 0 additionally
     reassigns that percentage of ALL event rows (hash-chosen by
     event_id) to ONE hot user — same total rows as the uniform corpus,
     so a uniform-vs-skew delta isolates the skew cost, not volume."""
     suffix = f"_skew{skew_pct}" if skew_pct else ""
     out = os.path.join(DERIVED, f"sf0.{mult}{suffix}")
-    # r8 caches predate the embeddings/events derivations — require all
+    all_tables = (
+        "documents", "lineitem", "embeddings", "events", "orders",
+        "customer", "supplier", "part", "nation", "region",
+    )
     if os.path.exists(os.path.join(out, "_DONE")) and all(
         os.path.exists(os.path.join(out, f"{t}.parquet"))
-        for t in ("documents", "lineitem", "embeddings", "events", "orders")
+        for t in all_tables
     ):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    docs = [spark.read.parquet(f"{BASE}/documents.parquet")]
-    lis = [spark.read.parquet(f"{BASE}/lineitem.parquet")]
-    embs = [spark.read.parquet(f"{BASE}/embeddings.parquet")]
-    evs = [spark.read.parquet(f"{BASE}/events.parquet")]
-    ords = [spark.read.parquet(f"{BASE}/orders.parquet")]
+    parts = {
+        "documents": [spark.read.parquet(f"{BASE}/documents.parquet")],
+        "embeddings": [spark.read.parquet(f"{BASE}/embeddings.parquet")],
+    }
+    for t in _TABLE_KEYS:
+        parts[t] = [spark.read.parquet(f"{BASE}/{t}.parquet")]
     for i in range(1, mult):
-        docs.append(_shuffled_docs(spark, f"{BASE}/documents.parquet", i))
-        lis.append(_shifted_lineitem(spark, f"{BASE}/lineitem.parquet", i))
-        embs.append(_shifted_embeddings(spark, f"{BASE}/embeddings.parquet", i))
-        evs.append(_shifted_events(spark, f"{BASE}/events.parquet", i))
-        ords.append(_shifted_orders(spark, f"{BASE}/orders.parquet", i))
-    d = docs[0]
-    for x in docs[1:]:
-        d = d.unionByName(x)
-    li = lis[0]
-    for x in lis[1:]:
-        li = li.unionByName(x)
-    em = embs[0]
-    for x in embs[1:]:
-        em = em.unionByName(x)
-    ev = evs[0]
-    for x in evs[1:]:
-        ev = ev.unionByName(x)
-    od = ords[0]
-    for x in ords[1:]:
-        od = od.unionByName(x)
-    if skew_pct:
-        hot = (
-            F.conv(
-                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
-                16, 10,
-            ).cast("bigint")
-            % 100
-            < skew_pct
+        parts["documents"].append(
+            _shuffled_docs(spark, f"{BASE}/documents.parquet", i)
         )
-        ev = ev.withColumn(
-            "user_id", F.when(hot, F.lit(1)).otherwise(F.col("user_id"))
+        parts["embeddings"].append(
+            _shifted_embeddings(spark, f"{BASE}/embeddings.parquet", i)
         )
-    d.write.mode("overwrite").parquet(f"{out}/documents.parquet")
-    li.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
-    em.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-    ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
-    od.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+        for t in _TABLE_KEYS:
+            parts[t].append(
+                _shifted_copy(spark, f"{BASE}/{t}.parquet", t, i)
+            )
+    for t, dfs in parts.items():
+        df = dfs[0]
+        for x in dfs[1:]:
+            df = df.unionByName(x)
+        if t == "events" and skew_pct:
+            hot = (
+                F.conv(
+                    F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                    16, 10,
+                ).cast("bigint")
+                % 100
+                < skew_pct
+            )
+            df = df.withColumn(
+                "user_id", F.when(hot, F.lit(1)).otherwise(F.col("user_id"))
+            )
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    for t in ("nation", "region"):  # fixed-size dims, never scaled
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
     open(os.path.join(out, "_DONE"), "w").close()
     return out
 
