@@ -353,3 +353,66 @@ def bottomk_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_BKQ_K,
     )
     return sk.sample_quantiles(samp, _BKQ_PCTS)
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index distinct counting (r11 fourth wave) — the roaring-bitmap
+# OLAP pattern in pure codegen SQL: user ids land in 62-bit words
+# (word = id div 62, bit = id % 62 — 62 keeps the sign bit and the
+# 1<<63 overflow out of both engines' shift semantics), per
+# (event_type, word) masks fold with the associative/commutative/
+# idempotent bit_or, and distinct = Σ bit_count(mask). Masks are
+# MERGEABLE state (unlike count(distinct): per-type masks OR together
+# into the overall count without re-touching rows) and O(id-domain/62)
+# per group — the exact-distinct twin of the KMV/HLL sketch entries,
+# the right structure when the id space is dense. The oracle checks
+# the mask algebra against plain count(DISTINCT ...) per type AND for
+# the cross-type rollup computed by merging the per-type masks.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bitmap_distinct_users",
+    """
+    WITH t AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(count(DISTINCT user_id // 62) AS BIGINT) AS n_words
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type
+    ),
+    a AS (
+      SELECT '__all__' AS event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(count(DISTINCT user_id // 62) AS BIGINT) AS n_words
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT * FROM (SELECT * FROM t UNION ALL SELECT * FROM a WHERE n_words > 0)
+    ORDER BY event_type
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.expr("user_id div 62").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
+            ).alias("bit"),
+        )
+    )
+    masks = ev.groupBy("event_type", "word").agg(
+        F.expr("bit_or(bit)").alias("mask")
+    )
+    per_type = masks.groupBy("event_type").agg(
+        F.expr("CAST(sum(bit_count(mask)) AS BIGINT)").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    merged = masks.groupBy("word").agg(F.expr("bit_or(mask)").alias("mask"))
+    overall = merged.agg(
+        F.lit("__all__").alias("event_type"),
+        F.expr("CAST(sum(bit_count(mask)) AS BIGINT)").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    ).where(F.col("n_words") > 0)
+    return per_type.unionByName(overall).orderBy("event_type")

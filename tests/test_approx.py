@@ -167,3 +167,36 @@ class TestBottomKQuantiles:
         counts = {r["grp"]: r["n"] for r in samp.groupBy("grp").agg(
             F.count(F.lit(1)).alias("n")).collect()}
         assert counts == {"g1": 8, "g2": 8}
+
+
+class TestBitmapDistinct:
+    def test_word_boundaries_and_merge(self, spark, tmp_path):
+        import shutil as _sh
+
+        from power_generation_etl_spark.plans.approx_queries import (
+            bitmap_distinct_users,
+        )
+
+        # ids straddling word boundaries incl. bit 61 (the top bit the
+        # 62-bit layout ever sets) and a cross-type shared user whose
+        # merged count must not double.
+        rows = [
+            (1, "a", 0), (2, "a", 61), (3, "a", 62), (4, "a", 123),
+            (5, "b", 61), (6, "b", 124), (7, "b", 124),
+        ]
+        ev = spark.createDataFrame(
+            [(i, "2024-01-01 00:00:00", u, t, 1.0, None)
+             for i, t, u in rows],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+                     "user_id", "event_type", "value", "props")
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        ev.write.parquet(str(sf / "events.parquet"))
+        got = {r["event_type"]: (r["n_users"], r["n_words"])
+               for r in bitmap_distinct_users(spark, str(sf)).collect()}
+        _sh.rmtree(sf, ignore_errors=True)
+        assert got["a"] == (4, 2)   # users {0,61,62,123}; words {0,1}
+        assert got["b"] == (2, 2)   # users 61, 124; words {0, 2}
+        assert got["__all__"] == (5, 3)  # users {0,61,62,123,124}, words {0,1,2}
