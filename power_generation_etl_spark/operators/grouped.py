@@ -80,3 +80,59 @@ def sequence_profile(
 
     narrow = df.select(key_col, *order_cols, cents_col)
     return narrow.groupBy(key_col).applyInPandas(profile, out_schema)
+
+
+def cogroup_activity(
+    orders: DataFrame,
+    events: DataFrame,
+    key_order: str,
+    key_event: str,
+    day_order: str,
+    day_event: str,
+    cents_col: str,
+) -> DataFrame:
+    """Cogrouped-map Pandas kernel — the LAST Python-kernel API surface
+    (``groupBy(k).cogroup(other.groupBy(k)).applyInPandas``): both
+    sides of a key arrive as two pandas frames in ONE worker, the
+    full-outer grouped join the engine otherwise expresses as two
+    aggregates + a join. The kernel computes, per key: order count,
+    exact floor-cents spend, event count, and the count of events
+    strictly AFTER the key's last order day (all events when the key
+    never ordered) — the co-presence statistic that needs both sides
+    at once.
+
+    Inputs carry JVM-computed integer day columns (unix_date), never
+    raw timestamps — TimestampType crosses into the Python worker as
+    session-tz-naive datetimes and would poison the comparison (the
+    stateful-sessionizer lesson). Scale contract as `sequence_profile`:
+    per-key groups must be bounded; columns are pruned to exactly what
+    the kernel reads."""
+
+    def fn(key, po: pd.DataFrame, pe: pd.DataFrame) -> pd.DataFrame:
+        n_orders = len(po)
+        cents = int(po[cents_col].sum()) if n_orders else 0
+        n_events = len(pe)
+        if n_orders:
+            last = int(po[day_order].max())
+            after = int((pe[day_event] > last).sum()) if n_events else 0
+        else:
+            after = n_events
+        return pd.DataFrame(
+            [[int(key[0]), n_orders, cents, n_events, after]],
+            columns=[
+                "user_id", "n_orders", "cents_spent",
+                "n_events", "events_after_last_order",
+            ],
+        )
+
+    o = orders.select(key_order, day_order, cents_col)
+    e = events.select(key_event, day_event)
+    return (
+        o.groupBy(key_order)
+        .cogroup(e.groupBy(key_event))
+        .applyInPandas(
+            fn,
+            "user_id long, n_orders long, cents_spent long, "
+            "n_events long, events_after_last_order long",
+        )
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from power_generation_etl_spark.operators.grouped import sequence_profile
-from power_generation_etl_spark.plans.queries import _register
+from power_generation_etl_spark.plans.queries import T, _register
 from power_generation_etl_spark.plans.temporal_queries import T_events_us
 
 
@@ -90,3 +90,60 @@ def user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_profile(
         cents, "user_id", ["ts_us", "event_id"], "cents"
     ).orderBy("user_id")
+
+
+@_register(
+    "user_cross_activity",
+    """
+    WITH o AS (
+      SELECT o_custkey AS k,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_spent,
+             max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS last_day
+      FROM orders GROUP BY 1
+    ),
+    e AS (
+      SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    af AS (
+      SELECT ev.user_id AS k, CAST(count(*) AS BIGINT) AS after
+      FROM events ev JOIN o ON ev.user_id = o.k
+      WHERE (CAST(ev.ts AS DATE) - DATE '1970-01-01') > o.last_day
+      GROUP BY 1
+    )
+    SELECT coalesce(o.k, e.k) AS user_id,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(cents_spent, 0) AS cents_spent,
+           coalesce(n_events, 0) AS n_events,
+           CASE WHEN o.k IS NULL THEN coalesce(n_events, 0)
+                ELSE coalesce(af.after, 0) END AS events_after_last_order
+    FROM o FULL JOIN e ON o.k = e.k
+    LEFT JOIN af ON coalesce(o.k, e.k) = af.k
+    ORDER BY user_id
+    """,
+)
+def user_cross_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map Pandas entry (r11 fourth wave): per-user fusion of
+    the orders and events streams in one cogroup kernel — completes
+    the Python-kernel API matrix (scalar pandas_udf, mapInPandas,
+    applyInPandas, applyInPandasWithState, and now cogroup
+    applyInPandas). The oracle restates the kernel as two aggregates +
+    a full outer join + an after-last-order join, so a side swapped,
+    a group lost on either outer edge, or a tz-shifted day comparison
+    breaks the hash."""
+    from power_generation_etl_spark.operators.grouped import cogroup_activity
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("oday"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").alias("ke"),
+        F.unix_date(F.col("ts").cast("date")).cast("long").alias("eday"),
+    )
+    return cogroup_activity(o, ev, "k", "ke", "oday", "eday", "cents").orderBy(
+        "user_id"
+    )
