@@ -1345,6 +1345,50 @@ AUDIO_SPECTRAL_SCHEMA = T.StructType(
 )
 
 
+def scene_cuts(
+    frame_feats: DataFrame,
+    *,
+    pixels: int = 64,
+    threshold: int = 600,
+) -> DataFrame:
+    """Scene-change detection over decoded per-frame features (the
+    classic frame-difference detector): a CUT is a frame whose integer
+    luma SUM differs from its predecessor's by more than ``threshold``
+    (sums = round(luma_mean · pixels), exact for the synthesized-frame
+    magnitudes — see the media-oracle rounding bound). Per video:
+    frame count, cut count, and the position-weighted Σ frame_index of
+    cut frames, which breaks if detection shifts by one frame (the
+    layout-sensitive-checksum rule).
+
+    Pure DataFrame composition over `extract_video_frame_features` —
+    the per-video window is PARTITIONED by media_id (bounded by the
+    sampled frame count), diffs never leave the JVM. Inter-frame-codec
+    videos yield null luma features → null diffs → zero cuts, never
+    fabricated ones."""
+    from pyspark.sql.window import Window
+
+    sums = frame_feats.select(
+        "media_id",
+        "frame_index",
+        F.round(F.col("luma_mean") * pixels).cast("long").alias("ls"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_index")
+    cut = F.abs(F.col("ls") - F.lag("ls").over(w)) > threshold
+    return (
+        sums.withColumn("is_cut", cut)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.count_if(F.col("is_cut")).cast("long").alias("n_cuts"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_cut"), F.col("frame_index"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("cut_checksum"),
+        )
+    )
+
+
 def _wav_spectrum(content: bytes):
     """(dominant_hz, spectral_centroid_hz) of a WAV clip: Hann-windowed
     rfft of the mono mixdown. Dominant excludes the DC bin; centroid is

@@ -546,3 +546,88 @@ def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# video_scene_cuts — frame-difference scene detection (r11 fourth
+# wave) over the same synthesized AVIs as video_frames_luma: the
+# oracle extends the per-frame luma-sum prediction with the identical
+# lag-window cut rule, so a shifted frame order, an off-by-one in the
+# detector, or a fabricated cut on a single-frame video breaks the
+# position-weighted checksum.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "video_scene_cuts",
+    f"""
+    WITH fr AS (
+      SELECT doc_id, text, i.i AS frame_index
+      FROM documents, unnest(range(0, 3)) AS i(i)
+      WHERE text IS NOT NULL AND i.i < 1 + doc_id % 3
+    ),
+    b AS (
+      SELECT fr.doc_id, fr.frame_index,
+             {_oracle_byte(_VID_H, "k.k")} AS v
+      FROM fr, unnest(range(0, 4)) AS j(j), unnest(range(0, 16)) AS k(k)
+    ),
+    s AS (
+      SELECT doc_id, frame_index, CAST(sum(v) AS BIGINT) AS ls
+      FROM b GROUP BY doc_id, frame_index
+    ),
+    d AS (
+      SELECT doc_id, frame_index,
+             abs(ls - lag(ls) OVER (PARTITION BY doc_id
+                                    ORDER BY frame_index)) > 600 AS is_cut
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(*) FILTER (is_cut) AS BIGINT) AS n_cuts,
+           CAST(coalesce(sum(CASE WHEN is_cut THEN frame_index END), 0)
+                AS BIGINT) AS cut_checksum
+    FROM d
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(
+        T(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    n = (F.col("doc_id") % 3).cast("int")
+    chunks = [
+        F.concat(
+            F.lit(_DB_CHUNK_HDR),
+            F.lit(_BMP_HDR),
+            _digest_bytes_tripled(
+                F.col("text"), [f"v{i}{j}" for j in range(4)]
+            ),
+        )
+        for i in range(3)
+    ]
+    content = (
+        F.when(n == 0, F.concat(F.lit(_avi_hdr(1)), chunks[0]))
+        .when(n == 1, F.concat(F.lit(_avi_hdr(2)), chunks[0], chunks[1]))
+        .otherwise(
+            F.concat(F.lit(_avi_hdr(3)), chunks[0], chunks[1], chunks[2])
+        )
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        content.alias("content"),
+    )
+    feats = mm.extract_video_frame_features(media, n_frames=4)
+    return (
+        mm.scene_cuts(feats, pixels=64, threshold=600)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "n_frames",
+            "n_cuts",
+            "cut_checksum",
+        )
+        .orderBy("doc_id")
+    )

@@ -360,3 +360,43 @@ class TestSparkPlumbing:
         assert rows[1]["container"] == "mkv" and rows[1]["codec"] == "V_MPEG4/ISO/AVC"
         assert rows[1]["duration_ms"] == 1500
         assert rows[2]["container"] is None
+
+
+class TestSceneCuts:
+    def test_cut_rule_and_null_frames(self, spark):
+        from power_generation_etl_spark.operators.multimodal import scene_cuts
+
+        # Hand-built feature rows: luma sums 1000, 1601 (diff 601 > 600
+        # → cut), 1601 (diff 0), 900 (diff 701 → cut at index 3);
+        # video 2 has a null-decode middle frame → no cuts ever.
+        feats = spark.createDataFrame(
+            [
+                (1, 0, 100, 1000 / 64, 0.0),
+                (1, 1, 100, 1601 / 64, 0.0),
+                (1, 2, 100, 1601 / 64, 0.0),
+                (1, 3, 100, 900 / 64, 0.0),
+                (2, 0, 100, 1000 / 64, 0.0),
+                (2, 1, 100, None, None),
+                (2, 2, 100, 5000 / 64, 0.0),
+            ],
+            "media_id long, frame_index int, n_bytes long, "
+            "luma_mean double, luma_std double",
+        )
+        got = {
+            r["media_id"]: (r["n_frames"], r["n_cuts"], r["cut_checksum"])
+            for r in scene_cuts(feats, pixels=64, threshold=600).collect()
+        }
+        assert got[1] == (4, 2, 1 + 3)
+        # null middle frame: both adjacent diffs are null → no cuts
+        assert got[2] == (3, 0, 0)
+
+    def test_exact_threshold_is_not_a_cut(self, spark):
+        from power_generation_etl_spark.operators.multimodal import scene_cuts
+
+        feats = spark.createDataFrame(
+            [(1, 0, 9, 0.0, 0.0), (1, 1, 9, 600 / 64, 0.0)],
+            "media_id long, frame_index int, n_bytes long, "
+            "luma_mean double, luma_std double",
+        )
+        r = scene_cuts(feats, pixels=64, threshold=600).collect()[0]
+        assert (r["n_cuts"], r["cut_checksum"]) == (0, 0)  # strict >
