@@ -777,3 +777,97 @@ def expectations_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy pass — at 100 TB the report that says WHICH of 10k intake
     shards broke a constraint, without a per-shard scan loop."""
     return _doc_source_suite().run_grouped(T(spark, sf_dir, "documents"), "source")
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (r11 fourth wave) — the companion release gate to
+# k_anonymity_audit: k-anonymity bounds re-identification but not the
+# HOMOGENEITY attack (a class where every record shares one sensitive
+# value discloses it without re-identification). Records are orders;
+# the quasi-identifier is the customer's (nation, segment,
+# balance-bucket) tuple; the sensitive attribute is o_orderpriority.
+# Per equivalence class: distinct-sensitive count ("distinct
+# l-diversity") and the dominant value's exact ppm share (the
+# disclosure probability an attacker gets by guessing the mode).
+# One join + two hash aggregations; the summary is one row.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "l_diversity_audit",
+    """
+    WITH r AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / 500.0) AS BIGINT) AS bal_bucket,
+             o.o_orderpriority AS sens
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    v AS (
+      SELECT c_nationkey, c_mktsegment, bal_bucket, sens,
+             CAST(count(*) AS BIGINT) AS vc
+      FROM r GROUP BY 1, 2, 3, 4
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, bal_bucket,
+             CAST(sum(vc) AS BIGINT) AS sz,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(vc) AS BIGINT) AS max_vc
+      FROM v GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(min(n_distinct) AS BIGINT) AS min_distinct,
+           CAST(count(*) FILTER (n_distinct < 2) AS BIGINT) AS classes_lt_2,
+           CAST(coalesce(sum(sz) FILTER (n_distinct < 2), 0) AS BIGINT)
+             AS rows_lt_2,
+           CAST(count(*) FILTER (n_distinct < 3) AS BIGINT) AS classes_lt_3,
+           CAST(coalesce(sum(sz) FILTER (n_distinct < 3), 0) AS BIGINT)
+             AS rows_lt_3,
+           CAST(max(max_vc * 1000000 // sz) AS BIGINT) AS max_dominance_ppm
+    FROM g
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal / 500.0) AS BIGINT)").alias("bal_bucket"),
+    )
+    r = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_bucket",
+        F.col("o_orderpriority").alias("sens"),
+    )
+    v = r.groupBy("c_nationkey", "c_mktsegment", "bal_bucket", "sens").agg(
+        F.count(F.lit(1)).alias("vc")
+    )
+    g = v.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.sum("vc").alias("sz"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("vc").alias("max_vc"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.min("n_distinct").cast("bigint").alias("min_distinct"),
+    ]
+    for l in (2, 3):
+        aggs.append(
+            F.count_if(F.col("n_distinct") < l).alias(f"classes_lt_{l}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("n_distinct") < l, F.col("sz"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"rows_lt_{l}")
+        )
+    aggs.append(
+        F.max(F.expr("max_vc * 1000000 div sz")).cast("bigint").alias(
+            "max_dominance_ppm"
+        )
+    )
+    return g.agg(*aggs)
