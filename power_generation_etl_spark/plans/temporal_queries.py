@@ -739,3 +739,73 @@ def twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling (r11 fourth wave) — the width-bounded visualization
+# aggregation of Jugel et al. (VLDB'14, the operator Grafana/
+# Timescale-style dashboards push down): per (series, pixel-bucket),
+# keep first / last / min / max so the rendered line's envelope is
+# pixel-exact while the result is O(buckets), not O(rows). Buckets are
+# calendar days (epoch-day of the exact µs timestamp — integer div,
+# tz-free); values are floor-cents; first/last tie-break on
+# (ts_us, event_id) via the min/max(struct(...)) argmin idiom the
+# DuckDB twin restates as ranked windows (no tuple-ordered min_by in
+# DuckDB). One hash aggregation; every aggregate is map-side partial.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "m4_downsample_events",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type, ts_us // 86400000000 AS day, ts_us, event_id, cents,
+             row_number() OVER (PARTITION BY event_type, ts_us // 86400000000
+                                ORDER BY ts_us, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, ts_us // 86400000000
+                                ORDER BY ts_us DESC, event_id DESC) AS rl
+      FROM e
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(min(CASE WHEN rf = 1 THEN cents END) AS BIGINT) AS first_cents,
+           CAST(min(CASE WHEN rl = 1 THEN cents END) AS BIGINT) AS last_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM b
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def m4_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        T_events_us(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts_us",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            F.expr("ts_us div 86400000000").alias("day"),
+        )
+    )
+    return (
+        e.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min(F.struct("ts_us", "event_id", "cents"))["cents"].alias(
+                "first_cents"
+            ),
+            F.max(F.struct("ts_us", "event_id", "cents"))["cents"].alias(
+                "last_cents"
+            ),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
