@@ -2491,3 +2491,129 @@ def cheapest_trade_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_cost", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap CI (r11 fourth wave) — the
+# distributed-bootstrap pattern (Chamandy et al. / "Poisson bootstrap")
+# made exactly reproducible: replica r resamples each order with a
+# PSEUDO-Poisson(1) weight decoded from a 60-bit md5 slice of
+# (o_orderkey, r) against the inverse-CDF thresholds below (computed
+# once in Python and injected into BOTH dialects as integer literals —
+# the engines never evaluate exp/factorial). One explode×B pass + one
+# (replica) aggregation + a rank selection over B rows gives the
+# 95% percentile interval for the mean order value. At 100 TB this is
+# the textbook one-pass bootstrap: per-row weights are map-side
+# constants, the shuffle carries B partial sums, and B never grows
+# with data. Replica means are floor-scaled ×10⁴ via staged division
+# (remainders < n, so no overflow at any corpus size).
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 50
+# floor(cumPMF_Poisson(1)(k) · 2^60), k = 0..7; weight 8 past the tail.
+_BOOT_T = [
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776,
+]
+
+
+def _boot_weight_sql(h: str) -> str:
+    """Flat CASE decoding the Poisson(1) weight from a 60-bit hash —
+    identical text in both dialects (integer compares only)."""
+    arms = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"CASE {arms} ELSE 8 END"
+
+
+_BOOT_LO = 2    # ceil(0.025 · 50), 1-based type-1 percentile ranks
+_BOOT_HI = 49   # ceil(0.975 · 50)
+
+
+@_register(
+    "bootstrap_mean_ci",
+    f"""
+    WITH w AS (
+      SELECT r.r AS rep,
+             {_boot_weight_sql(
+                 "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#'"
+                 " || CAST(r.r AS VARCHAR)), 1, 15) AS BIGINT)"
+             )} AS wt,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders, unnest(range(0, {_BOOT_B})) AS r(r)
+    ),
+    m AS (
+      SELECT rep, CAST(sum(wt * cents) AS BIGINT) AS s,
+             CAST(sum(wt) AS BIGINT) AS n
+      FROM w GROUP BY rep
+    ),
+    q AS (
+      SELECT rep,
+             (s // n) * 10000
+             + ((s % n) * 100 // n) * 100
+             + (((s % n) * 100 % n) * 100 // n) AS mean_x10000,
+             row_number() OVER (ORDER BY
+               (s // n) * 10000
+               + ((s % n) * 100 // n) * 100
+               + (((s % n) * 100 % n) * 100 // n), rep) AS rk
+      FROM m WHERE n > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+           CAST(min(CASE WHEN rk = {_BOOT_LO} THEN mean_x10000 END)
+                AS BIGINT) AS lo_x10000,
+           CAST(min(CASE WHEN rk = {_BOOT_HI} THEN mean_x10000 END)
+                AS BIGINT) AS hi_x10000
+    FROM q
+    HAVING count(*) > 0
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        "CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || '#'"
+        " || CAST(r AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    w = (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .select(
+            "*", F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("r")
+        )
+        .select(
+            F.col("r").alias("rep"),
+            F.expr(_boot_weight_sql(h)).alias("wt"),
+            "cents",
+        )
+    )
+    m = (
+        w.groupBy("rep")
+        .agg(
+            F.sum(F.expr("wt * cents")).cast("long").alias("s"),
+            F.sum("wt").cast("long").alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )
+    staged = (
+        "(s div n) * 10000 + ((s % n) * 100 div n) * 100"
+        " + (((s % n) * 100 % n) * 100 div n)"
+    )
+    from pyspark.sql.window import Window as W
+
+    q = m.select(
+        "rep", F.expr(staged).cast("long").alias("mean_x10000")
+    ).withColumn(
+        "rk", F.row_number().over(W.orderBy("mean_x10000", "rep"))
+    )
+    out = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.min(F.when(F.col("rk") == _BOOT_LO, F.col("mean_x10000")))
+        .cast("long")
+        .alias("lo_x10000"),
+        F.min(F.when(F.col("rk") == _BOOT_HI, F.col("mean_x10000")))
+        .cast("long")
+        .alias("hi_x10000"),
+    ).where(F.col("n_replicas") > 0)
+    return out

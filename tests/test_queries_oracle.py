@@ -121,6 +121,7 @@ _GLOBAL_WINDOW_OK = {
     "khop_trade_nations",  # nation-pair edge list, ≤ |nations|²
     "hybrid_search_rrf",  # rank windows over the two LIMIT-50 candidate lists
     "ks_click_vs_error",  # ECDF window over DISTINCT cent values (domain-bounded)
+    "bootstrap_mean_ci",  # rank window over the B=50 replica means
 }
 
 
@@ -132,6 +133,7 @@ _GLOBAL_WINDOW_OK = {
 # lengths, nation-pair edges, distinct cent values), so the single task
 # sees a constant-size input at any scale factor.
 _SINGLE_PARTITION_OK = {
+    "bootstrap_mean_ci",  # B=50 replica rows
     "cumulative_unique_users",
     "pareto_docs_frontier",
     "khop_trade_nations",
