@@ -2771,3 +2771,120 @@ def mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.mutual_knn_edges(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval_ndcg (r11 fourth wave) — the evaluation harness for the
+# retrieval family: NDCG@10 of the BM25 ranking (the bit-exact scorer
+# bm25_doc_scores already verifies) against graded relevance labels
+# rel(doc) = min(3, tf of the first query term) — a GRADED label
+# deliberately misaligned with the 3-term saturated BM25 score, so
+# the shipped corpora measure NDCG < 1 (0.963 / 0.979 / 1.000 at the
+# three SFs) and a ranking regression moves the value. Discounts are
+# INTEGER literals floor(10⁶/log2(i+1)) computed once in Python and
+# injected into both dialects, so DCG/IDCG are exact integer dot
+# products — no transcendental ever runs in either engine and no
+# float summation order can flake the hash. IDCG ranks ALL documents
+# by label (the textbook ideal), so NDCG < 1 exactly when BM25 misses
+# a higher-graded doc. Rank windows run over LIMIT-10 lists (the
+# hybrid_search_rrf precedent); the 1-row DCG/IDCG aggregates cross.
+# ---------------------------------------------------------------------------
+
+_NDCG_D = [1000000, 630929, 500000, 430676, 386852, 356207, 333333,
+           315464, 301029, 289064]  # floor(1e6 / log2(rank+1)), rank 1..10
+
+
+def _ndcg_weight_sql() -> str:
+    arms = " ".join(
+        f"WHEN rn = {i + 1} THEN {d}" for i, d in enumerate(_NDCG_D)
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+@_register(
+    "retrieval_ndcg",
+    f"""
+    WITH rels AS (
+      SELECT doc_id,
+             CAST(least(3, len(list_filter(string_split_regex(lower(text),
+                    '\\s+'), x -> x = '{_BM25_TERMS[0]}'))) AS BIGINT) AS rel
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ret AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM ({_bm25_oracle(chr(10) + "    ORDER BY score DESC, h.doc_id LIMIT 10")})
+    ),
+    dcg AS (
+      SELECT CAST(coalesce(sum(r.rel * {_ndcg_weight_sql()}), 0) AS BIGINT)
+               AS dcg_scaled
+      FROM ret JOIN rels r USING (doc_id)
+    ),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rn
+      FROM (SELECT doc_id, rel FROM rels ORDER BY rel DESC, doc_id LIMIT 10)
+    ),
+    idcg AS (
+      SELECT CAST(coalesce(sum(rel * {_ndcg_weight_sql()}), 0) AS BIGINT)
+               AS idcg_scaled
+      FROM ideal
+    )
+    SELECT dcg_scaled, idcg_scaled,
+           CAST(CASE WHEN idcg_scaled > 0
+                     THEN dcg_scaled * 1000000 // idcg_scaled END AS BIGINT)
+             AS ndcg_ppm
+    FROM dcg CROSS JOIN idcg
+    WHERE idcg_scaled > 0 OR dcg_scaled > 0
+    """,
+)
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    rel = F.least(
+        F.lit(3),
+        F.size(F.filter(toks, lambda x: x == F.lit(_BM25_TERMS[0]))),
+    ).cast("long").alias("rel")
+    rels = d.select("doc_id", rel)
+    weight = F.expr(_ndcg_weight_sql())
+
+    scored = tx.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
+    ret = (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
+        )
+        .join(rels, "doc_id")
+    )
+    dcg = ret.agg(
+        F.coalesce(F.sum(F.col("rel") * weight), F.lit(0))
+        .cast("long")
+        .alias("dcg_scaled")
+    )
+    ideal = (
+        rels.orderBy(F.desc("rel"), "doc_id")
+        .limit(10)
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("rel"), "doc_id"))
+        )
+    )
+    idcg = ideal.agg(
+        F.coalesce(F.sum(F.col("rel") * weight), F.lit(0))
+        .cast("long")
+        .alias("idcg_scaled")
+    )
+    return (
+        dcg.crossJoin(idcg)
+        .select(
+            "dcg_scaled",
+            "idcg_scaled",
+            F.when(
+                F.col("idcg_scaled") > 0,
+                F.expr("dcg_scaled * 1000000 div idcg_scaled"),
+            )
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+        .where((F.col("idcg_scaled") > 0) | (F.col("dcg_scaled") > 0))
+    )

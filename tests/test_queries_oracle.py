@@ -101,6 +101,7 @@ _BNLJ_OK = {
         "kmv_user_overlap",  # three 1-row sketch-stat crosses
         "ks_click_vs_error",  # 1-row totals cross (mirrors oracle CROSS JOIN)
         "pmi_collocations_docs",  # 1-row total-bigram-count cross
+        "retrieval_ndcg",  # 1-row DCG × 1-row IDCG cross (+ BM25 N/S/df crosses)
         "locf_daily_value",  # days × event kinds spine grid (broadcast-size)
         "ewma_daily_value",  # same spine grid as locf_daily_value
         "session_duration_stats",  # 1-row p90 rank-selection cross
@@ -122,6 +123,7 @@ _GLOBAL_WINDOW_OK = {
     "hybrid_search_rrf",  # rank windows over the two LIMIT-50 candidate lists
     "ks_click_vs_error",  # ECDF window over DISTINCT cent values (domain-bounded)
     "bootstrap_mean_ci",  # rank window over the B=50 replica means
+    "retrieval_ndcg",  # rank windows over the two LIMIT-10 lists
 }
 
 
@@ -134,6 +136,7 @@ _GLOBAL_WINDOW_OK = {
 # sees a constant-size input at any scale factor.
 _SINGLE_PARTITION_OK = {
     "bootstrap_mean_ci",  # B=50 replica rows
+    "retrieval_ndcg",  # LIMIT-10 ranked lists
     "cumulative_unique_users",
     "pareto_docs_frontier",
     "khop_trade_nations",
