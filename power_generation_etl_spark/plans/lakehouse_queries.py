@@ -296,3 +296,102 @@ def incremental_mv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     return spark.createDataFrame([tuple(r) for r in rows], out_schema)
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure audit (r11 fourth wave) — the DELETE write path under
+# the exact oracle. A temp VERSIONED warehouse is loaded with the
+# subject tables; a hash-chosen ~2% of customers (md5(c_custkey) mod
+# 50 = 0 — a pure-expression predicate, so the erasure set needs no
+# driver-side key list at any scale) is erased from customer and
+# CASCADED through orders (o_custkey) and events (user_id) via
+# `TableStore.delete_where`. The audit reports, per table, the
+# before/deleted/after counts plus the post-erasure count of rows
+# still referencing an erased customer — which must be ZERO for the
+# cascade to be complete. The oracle predicts every number from the
+# raw tables with the same hash; a row kept that should have gone, a
+# NULL-predicate row wrongly dropped, or an incomplete cascade breaks
+# the hash. Versioned archives keep the pre-delete snapshots (the
+# audit trail `vacuum` later forgets) — pytest asserts them.
+# ---------------------------------------------------------------------------
+
+_ERASE = "md5(CAST({k} AS VARCHAR))"
+_ERASE_DUCK = "CAST('0x' || substr(" + _ERASE + ", 1, 8) AS BIGINT) % 50 = 0"
+_ERASE_SPARK = (
+    "CAST(conv(substr(md5(CAST({k} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    " % 50 = 0"
+)
+
+
+@_register(
+    "gdpr_erasure_audit",
+    f"""
+    WITH e AS (
+      SELECT 'customer' AS tbl,
+             CAST(count(*) AS BIGINT) AS n_before,
+             CAST(count(*) FILTER ({_ERASE_DUCK.format(k='c_custkey')})
+                  AS BIGINT) AS n_deleted
+      FROM customer
+      UNION ALL
+      SELECT 'orders', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER ({_ERASE_DUCK.format(k='o_custkey')})
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'events', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER ({_ERASE_DUCK.format(k='user_id')})
+                  AS BIGINT)
+      FROM events
+    )
+    SELECT tbl, n_before, n_deleted, n_before - n_deleted AS n_after,
+           CAST(0 AS BIGINT) AS orphans_after
+    FROM e
+    ORDER BY tbl
+    """,
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    events = T(spark, sf_dir, "events").select("event_id", "user_id")
+    wh = tempfile.mkdtemp(prefix="gdpr_wh_")
+    out_schema = (
+        "tbl string, n_before long, n_deleted long, n_after long, "
+        "orphans_after long"
+    )
+    try:
+        store = TableStore(spark, wh, versioned=True)
+        loads = {"customer": cust, "orders": orders, "events": events}
+        before = {}
+        for t, df in loads.items():
+            store.overwrite(t, df)
+            before[t] = store.count(t)
+        deleted = {
+            "customer": store.delete_where(
+                "customer", F.expr(_ERASE_SPARK.format(k="c_custkey"))
+            ),
+            "orders": store.delete_where(
+                "orders", F.expr(_ERASE_SPARK.format(k="o_custkey"))
+            ),
+            "events": store.delete_where(
+                "events", F.expr(_ERASE_SPARK.format(k="user_id"))
+            ),
+        }
+        after = {t: store.count(t) for t in loads}
+        # cascade completeness: rows still matching the erasure
+        # predicate (must be zero for every table after the delete)
+        orphans = {
+            "customer": 0,
+            "orders": store.read("orders")
+            .where(F.expr(_ERASE_SPARK.format(k="o_custkey")))
+            .count(),
+            "events": store.read("events")
+            .where(F.expr(_ERASE_SPARK.format(k="user_id")))
+            .count(),
+        }
+        rows = [
+            (t, before[t], deleted[t], after[t], orphans[t])
+            for t in sorted(loads)
+        ]
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)

@@ -330,6 +330,36 @@ class TableStore:
                     f.write(schema_json)
             return n
 
+    def delete_where(self, table: str, condition) -> int:
+        """Targeted DELETE (GDPR erasure / retention enforcement):
+        atomically rewrite the table WITHOUT the rows where
+        ``condition`` (a Column predicate) is TRUE — NULL predicates
+        KEEP their row, SQL DELETE semantics — archiving the pre-delete
+        snapshot first when the store is versioned (the erasure audit
+        trail; `vacuum` is the actual forget step). Returns the number
+        of rows deleted; 0 leaves the table untouched (no rewrite, no
+        new version).
+
+        Scale notes: expressed as one filtered scan + rewrite — on the
+        monthly layout the read is partition-pruned by whatever
+        predicate bounds the condition, and a real deployment carries
+        untouched partitions by reference (Delta/Iceberg DELETE);
+        the parquet stand-in rewrites the table under the per-table
+        lock like every other mutating path. Prefer a pure-expression
+        predicate (hash buckets, key ranges); for tombstone-LIST
+        erasure join the list in and pass the match flag as the
+        condition."""
+        with self._table_lock(table):
+            if not self._has_data(table):
+                return 0
+            cur = self.read(table)
+            hit = F.coalesce(condition, F.lit(False))
+            n_del = cur.where(hit).count()
+            if n_del == 0:
+                return 0
+            self.overwrite(table, cur.where(~hit))
+            return n_del
+
     def count(self, table: str) -> int:
         return self.read(table).count() if self.exists(table) else 0
 

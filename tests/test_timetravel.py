@@ -175,3 +175,37 @@ class TestReviewRegressions:
             assert len(rows) == 1
             winners.append(rows[0]["v"])
         assert winners[0] == winners[1]  # content-hash tiebreak, not partition order
+
+
+class TestDeleteWhere:
+    def test_delete_semantics_and_versioning(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from power_generation_etl_spark.store import TableStore
+
+        st = TableStore(spark, str(tmp_path / "wh"), versioned=True)
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30), (4, 40)], "k long, v long"
+        )
+        st.overwrite("t", df)
+        # NULL predicate keeps its row (SQL DELETE semantics)
+        n = st.delete_where("t", F.col("v") > 25)
+        assert n == 2
+        assert sorted(r["k"] for r in st.read("t").collect()) == [1, 2]
+        # pre-delete snapshot archived; restore brings all rows back
+        vs = st.versions("t")
+        assert vs, "versioned store must archive the pre-delete state"
+        st.restore("t", vs[-1])
+        assert st.count("t") == 4
+
+    def test_no_match_no_rewrite(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from power_generation_etl_spark.store import TableStore
+
+        st = TableStore(spark, str(tmp_path / "wh"), versioned=True)
+        st.overwrite("t", spark.createDataFrame([(1,)], "k long"))
+        n_versions = len(st.versions("t"))
+        assert st.delete_where("t", F.col("k") > 99) == 0
+        assert len(st.versions("t")) == n_versions  # untouched
+        assert st.delete_where("missing", F.lit(True)) == 0
