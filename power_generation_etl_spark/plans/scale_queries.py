@@ -2617,3 +2617,120 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hi_x10000"),
     ).where(F.col("n_replicas") > 0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Golden-record entity resolution (r11 fourth wave) — the MDM step on
+# top of the record-linkage family: fuzzy name matches (levenshtein
+# ≤ 2 on the DISTINCT name domain — generator-bounded at ≤ ~64 names,
+# the same domain argument as fuzzy_part_name_pairs) become a name
+# GRAPH whose transitive closure (connected_components) merges chains
+# a one-pass pair policy under-merges ("cold X"–"red X" are distance 3,
+# linked only through "old X"); each cluster then elects one golden
+# row by survivorship rules: canonical name = longest (ties → lex
+# last), golden key = min part key, plus membership counts. The
+# oracle walks the identical closure with a recursive CTE and restates
+# the argmax as a ranked window. Cluster identity in the OUTPUT is
+# min(name) — label-representation-free, so the Spark side can use
+# 60-bit md5 node ids while the oracle walks strings.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "golden_part_records",
+    """
+    WITH RECURSIVE dn AS (SELECT DISTINCT p_name AS n FROM part),
+    e0 AS (
+      SELECT a.n AS na, b.n AS nb
+      FROM dn a JOIN dn b ON a.n < b.n
+      WHERE levenshtein(a.n, b.n) <= 2
+    ),
+    edges AS (
+      SELECT na AS src, nb AS dst FROM e0
+      UNION SELECT nb, na FROM e0
+    ),
+    walk(id, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    comp AS (SELECT id AS n, min(reach) AS c FROM walk GROUP BY id),
+    m AS (
+      SELECT dn.n, coalesce(comp.c, dn.n) AS c
+      FROM dn LEFT JOIN comp ON dn.n = comp.n
+    ),
+    cn AS (
+      SELECT c, n,
+             row_number() OVER (PARTITION BY c
+                                ORDER BY length(n) DESC, n DESC) AS rn
+      FROM m
+    ),
+    agg AS (
+      SELECT m.c,
+             min(p.p_name) AS cluster_name,
+             CAST(count(DISTINCT p.p_name) AS BIGINT) AS n_names,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(min(p.p_partkey) AS BIGINT) AS golden_partkey
+      FROM part p JOIN m ON p.p_name = m.n
+      GROUP BY m.c
+    )
+    SELECT agg.cluster_name, cn.n AS canonical_name,
+           agg.n_names, agg.n_parts, agg.golden_partkey
+    FROM agg JOIN cn ON agg.c = cn.c AND cn.rn = 1
+    ORDER BY cluster_name
+    """,
+)
+def golden_part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    dn = p.select(F.col("p_name").alias("n")).distinct()
+    nid = "CAST(conv(substr(md5(n), 1, 15), 16, 10) AS BIGINT)"
+    e0 = (
+        dn.select(F.col("n").alias("na"))
+        .crossJoin(F.broadcast(dn.select(F.col("n").alias("nb"))))
+        .where(F.col("na") < F.col("nb"))
+        .withColumn("lev", F.levenshtein("na", "nb", 3).cast("int"))
+        .where((F.col("lev") >= 0) & (F.col("lev") <= 2))
+        .select(
+            F.expr(nid.replace("n)", "na)")).alias("src"),
+            F.expr(nid.replace("n)", "nb)")).alias("dst"),
+        )
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    comps = gr.connected_components(edges)  # (id, component)
+    nodes = dn.select(
+        "n", F.expr(nid).alias("id")
+    ).join(comps, "id", "left").select(
+        "n", F.coalesce(F.col("component"), F.col("id")).alias("c")
+    )
+    canon = (
+        nodes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c").orderBy(
+                    F.length("n").desc(), F.col("n").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("c", F.col("n").alias("canonical_name"))
+    )
+    agg = (
+        p.join(F.broadcast(nodes), p.p_name == nodes.n)
+        .groupBy("c")
+        .agg(
+            F.min("p_name").alias("cluster_name"),
+            F.count_distinct("p_name").cast("long").alias("n_names"),
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("p_partkey").cast("long").alias("golden_partkey"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(canon), "c")
+        .select(
+            "cluster_name", "canonical_name", "n_names", "n_parts",
+            "golden_partkey",
+        )
+        .orderBy("cluster_name")
+    )

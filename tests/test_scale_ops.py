@@ -430,3 +430,22 @@ class TestNullInputRegressions:
         df = spark.createDataFrame([(1, None)], "doc_id long, text string")
         got = df.select(sc.logit_expr(F.col("text")).alias("l")).collect()[0]["l"]
         assert got == sc.DEMO_BIAS
+
+
+class TestGoldenRecords:
+    def test_transitive_merge_at_shipped_corpus(self, spark, sf_dir):
+        """The ER entry only evidences transitive closure if some
+        cluster chains ≥3 names that pairwise exceed the edit bound
+        ('cold X'–'red X' is distance 3, linked only through 'old X')."""
+        from power_generation_etl_spark.plans.scale_queries import (
+            golden_part_records,
+        )
+
+        rows = golden_part_records(spark, sf_dir).collect()
+        assert rows
+        big = [r for r in rows if r["n_names"] >= 3]
+        assert big, "no transitive cluster — fixture degenerated"
+        # survivorship: canonical is the longest name in its cluster
+        by_cluster = {r["cluster_name"]: r for r in rows}
+        for r in big:
+            assert len(r["canonical_name"]) >= len(r["cluster_name"])
