@@ -2734,3 +2734,121 @@ def golden_part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# FIFO allocation (r11 fourth wave) — the inventory/cost-allocation
+# matcher (FIFO lot matching, payment application, queue pairing)
+# expressed as CUMULATIVE-INTERVAL overlap instead of a sequential
+# loop: per part, supplies (even order keys) and demands (odd) are
+# ranked in ship order; each side's cumulative-quantity window turns
+# row i into the interval (cum_prev, cum]; FIFO matches row pairs
+# whose intervals OVERLAP, with matched qty = min(cumS, cumD) −
+# max(prevS, prevD). The overlap pairs of two partitions of one line
+# number ≤ S+D−1 per part — the join OUTPUT is provably linear even
+# though FIFO is usually written as a sequential allocator. Windows
+# are partitioned by part; the pair join is an equi-join on part with
+# range residuals (sort-merge, no cartesian).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fifo_allocation_parts",
+    """
+    WITH li AS (
+      SELECT l_partkey AS pk, l_orderkey AS ok,
+             CAST(l_quantity AS BIGINT) AS qty,
+             strftime(l_shipdate, '%Y-%m-%d') AS sd
+      FROM lineitem
+    ),
+    s AS (
+      SELECT pk, qty,
+             row_number() OVER w AS rn,
+             CAST(sum(qty) OVER w AS BIGINT) AS cum,
+             CAST(coalesce(sum(qty) OVER (PARTITION BY pk ORDER BY sd, ok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prev
+      FROM li WHERE ok % 2 = 0
+      WINDOW w AS (PARTITION BY pk ORDER BY sd, ok)
+    ),
+    d AS (
+      SELECT pk, qty,
+             row_number() OVER w AS rn,
+             CAST(sum(qty) OVER w AS BIGINT) AS cum,
+             CAST(coalesce(sum(qty) OVER (PARTITION BY pk ORDER BY sd, ok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prev
+      FROM li WHERE ok % 2 = 1
+      WINDOW w AS (PARTITION BY pk ORDER BY sd, ok)
+    ),
+    m AS (
+      SELECT s.pk,
+             least(s.cum, d.cum) - greatest(s.prev, d.prev) AS matched,
+             s.rn AS srn, d.rn AS drn
+      FROM s JOIN d ON s.pk = d.pk
+       AND s.prev < d.cum AND d.prev < s.cum
+    )
+    SELECT pk AS partkey,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(sum(matched) AS BIGINT) AS matched_qty,
+           CAST(sum(matched * (srn + drn)) AS BIGINT) AS fifo_checksum
+    FROM m
+    GROUP BY pk
+    ORDER BY partkey
+    """,
+)
+def fifo_allocation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("sd"),
+    )
+
+    def side(parity: int):
+        w = Window.partitionBy("pk").orderBy("sd", "ok")
+        cum = F.sum("qty").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        prev = F.coalesce(
+            F.sum("qty").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        return (
+            li.where(F.col("ok") % 2 == parity)
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("cum", cum.cast("long"))
+            .withColumn("prev", prev.cast("long"))
+            .select("pk", "qty", "rn", "cum", "prev")
+        )
+
+    s = side(0).select(
+        F.col("pk"), F.col("rn").alias("srn"),
+        F.col("cum").alias("scum"), F.col("prev").alias("sprev"),
+    )
+    d = side(1).select(
+        F.col("pk").alias("dpk"), F.col("rn").alias("drn"),
+        F.col("cum").alias("dcum"), F.col("prev").alias("dprev"),
+    )
+    m = s.join(
+        d,
+        (F.col("pk") == F.col("dpk"))
+        & (F.col("sprev") < F.col("dcum"))
+        & (F.col("dprev") < F.col("scum")),
+    ).select(
+        "pk",
+        (
+            F.least("scum", "dcum") - F.greatest("sprev", "dprev")
+        ).alias("matched"),
+        "srn",
+        "drn",
+    )
+    return (
+        m.groupBy(F.col("pk").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.sum("matched").cast("long").alias("matched_qty"),
+            F.sum(F.col("matched") * (F.col("srn") + F.col("drn")))
+            .cast("long")
+            .alias("fifo_checksum"),
+        )
+        .orderBy("partkey")
+    )

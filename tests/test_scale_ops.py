@@ -449,3 +449,38 @@ class TestGoldenRecords:
         by_cluster = {r["cluster_name"]: r for r in rows}
         for r in big:
             assert len(r["canonical_name"]) >= len(r["cluster_name"])
+
+
+class TestFifoAllocation:
+    def test_hand_computed_fifo(self, spark, tmp_path):
+        """Supplies [5, 10], demands [3, 3, 9, 2] (one part):
+        FIFO matches (s1,d1)=3, (s1,d2)=2, (s2,d2)=1, (s2,d3)=9 →
+        wait: cumS = [5, 15], cumD = [3, 6, 15, 17]; overlap algebra:
+        (s1,d1): min(5,3)-max(0,0)=3; (s1,d2): min(5,6)-max(0,3)=2;
+        (s2,d2): min(15,6)-max(5,3)=1; (s2,d3): min(15,15)-max(5,6)=9;
+        d4 (prev 15) overlaps nothing (sprev<17 but dprev=15 !< scum=15
+        fails for s2) → unmatched. Total matched = 15 = min(ΣS, ΣD)."""
+        from power_generation_etl_spark.plans.scale_queries import (
+            fifo_allocation_parts,
+        )
+
+        rows = []
+        # part 1; supplies on even orderkeys, demands on odd; ship order
+        # by (date, orderkey)
+        for ok, qty, day in [(2, 5, 1), (4, 10, 2),
+                             (1, 3, 1), (3, 3, 2), (5, 9, 3), (7, 2, 4)]:
+            rows.append((ok, 1, float(qty), f"1995-01-0{day} 00:00:00"))
+        li = spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_quantity double, sd string"
+        ).selectExpr(
+            "l_orderkey", "l_partkey", "l_quantity",
+            "CAST(sd AS TIMESTAMP_NTZ) AS l_shipdate",
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        li.write.parquet(str(sf / "lineitem.parquet"))
+        got = fifo_allocation_parts(spark, str(sf)).collect()
+        assert len(got) == 1
+        r = got[0]
+        # checksum: 3·(1+1) + 2·(1+2) + 1·(2+2) + 9·(2+3) = 6+6+4+45 = 61
+        assert (r["n_matches"], r["matched_qty"], r["fifo_checksum"]) == (4, 15, 61)
