@@ -10,12 +10,24 @@ arbitrary order-sensitive / iterative numpy code that plain SQL
 windows can't express cleanly.
 
 Scale contract (the part that matters at 100 TB): a grouped-map kernel
-materializes the ENTIRE group in one Python worker's memory. It is the
-right tool only for keys with bounded group size (per-user event
-sequences, per-document token runs) — for unbounded/skewed keys,
-pre-aggregate or fall back to window expressions. The group columns
-should be pruned to exactly what the kernel reads, so only narrow rows
-cross the JVM→Arrow→pandas hop.
+materializes the ENTIRE group in one Python worker's memory, and the
+Python invocation itself costs ~1 ms per group (two Arrow→pandas frame
+constructions + one pandas frame back). Grouping directly by a
+high-cardinality key therefore pays that millisecond PER KEY — the r11
+optimization round measured the per-user cogroup at 15k keys spending
+19 s in per-key overhead for <1 s of real work. Both operators here
+instead group by a DETERMINISTIC HASH BUCKET of the key
+(`pmod(xxhash64(key), n_buckets)`) and run a VECTORIZED numpy/pandas
+kernel over every key in the bucket at once: the Python boundary is
+crossed `n_buckets` times instead of `n_keys` times, and the per-key
+logic runs through pandas groupby / numpy reduceat at native speed.
+`n_buckets` defaults to 4× the cluster parallelism (enough buckets
+that AQE-less grouped-map stages still balance); production tunes it
+so rows-per-bucket fits a worker (the same bounded-group contract as
+before, now explicit). Bucketing never changes results: every row of a
+key lands in exactly one bucket, and each kernel emits one row per key
+it sees. The group columns are pruned to exactly what the kernel
+reads, so only narrow rows cross the JVM→Arrow→pandas hop.
 
 Everything emitted is INTEGER (floor-cents, doubled medians), so the
 catalog entry sits under the exact DuckDB oracle — the same convention
@@ -29,6 +41,17 @@ from typing import Iterable
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _n_buckets(df: DataFrame, n_buckets: int | None) -> int:
+    if n_buckets is not None:
+        return max(1, n_buckets)
+    return max(1, df.sparkSession.sparkContext.defaultParallelism * 4)
+
+
+def _bucket(col: str, n: int):
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n))
 
 
 def sequence_profile(
@@ -36,6 +59,7 @@ def sequence_profile(
     key_col: str,
     order_cols: Iterable[str],
     cents_col: str,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Per-key sequential profile of an integer series: count, exact
     sum, DOUBLED median (2·mid for odd n, lo+hi for even — stays in
@@ -47,7 +71,15 @@ def sequence_profile(
     islands double window — the oracle states exactly that, which is
     the cross-check). Sorting happens INSIDE the kernel because Spark
     does not guarantee intra-group row order for grouped-map UDFs.
+
+    Grouped by hash bucket, not by key (module docstring): one kernel
+    call profiles EVERY key in its bucket with numpy segment
+    reductions (`add.reduceat` sums, lexsort-offset medians, boolean
+    run-length maxima) — identical per-key outputs, `n_buckets` Python
+    crossings instead of one per key.
     """
+    import numpy as np
+
     order_cols = list(order_cols)
     out_schema = (
         f"{key_col} long, n_events long, sum_cents long, "
@@ -55,31 +87,56 @@ def sequence_profile(
     )
 
     def profile(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        key = pdf[key_col].iloc[0]
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        if not len(pdf):
+            return pd.DataFrame(
+                columns=[key_col, "n_events", "sum_cents",
+                         "median2x_cents", "longest_up_run"]
+            )
+        pdf = pdf.sort_values([key_col, *order_cols], kind="mergesort")
+        u = pdf[key_col].to_numpy(dtype=np.int64)
         c = pdf[cents_col].to_numpy(dtype=np.int64)
-        n = len(c)
-        s = np.sort(c, kind="stable")
-        if n % 2:
-            med2 = 2 * int(s[n // 2])
-        else:
-            med2 = int(s[n // 2 - 1]) + int(s[n // 2])
-        up = np.diff(c) > 0  # strictly increasing steps
-        longest = run = 1
-        for step in up:
-            run = run + 1 if step else 1
-            if run > longest:
-                longest = run
+        m = len(u)
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        n_per = np.diff(np.append(starts, m))
+        grp = np.cumsum(new) - 1
+        sums = np.add.reduceat(c, starts)
+        # doubled median: per-key cents sorted via (key, cents) lexsort;
+        # med2 = s[lo + (n-1)//2] + s[lo + n//2] covers odd (2·mid) and
+        # even (lo+hi) in one expression.
+        sc = c[np.lexsort((c, grp))]
+        med2 = sc[starts + (n_per - 1) // 2] + sc[starts + n_per // 2]
+        # longest strictly-increasing run in (order_cols) order: a run
+        # breaks at every key boundary or non-increase; run lengths via
+        # bincount over run ids, per-key max via maximum.reduceat.
+        brk = np.empty(m, dtype=bool)
+        brk[0] = True
+        brk[1:] = ~((c[1:] > c[:-1]) & (grp[1:] == grp[:-1]))
+        run_id = np.cumsum(brk) - 1
+        run_len = np.bincount(run_id)
+        run_key_grp = grp[brk]
+        key_run_starts = np.flatnonzero(
+            np.append(True, run_key_grp[1:] != run_key_grp[:-1])
+        )
+        longest = np.maximum.reduceat(run_len, key_run_starts)
         return pd.DataFrame(
-            [(int(key), n, int(c.sum()), med2, longest)],
-            columns=[key_col, "n_events", "sum_cents",
-                     "median2x_cents", "longest_up_run"],
+            {
+                key_col: u[starts],
+                "n_events": n_per.astype(np.int64),
+                "sum_cents": sums.astype(np.int64),
+                "median2x_cents": med2.astype(np.int64),
+                "longest_up_run": longest.astype(np.int32),
+            }
         )
 
+    nb = _n_buckets(df, n_buckets)
     narrow = df.select(key_col, *order_cols, cents_col)
-    return narrow.groupBy(key_col).applyInPandas(profile, out_schema)
+    return (
+        narrow.groupBy(_bucket(key_col, nb).alias("_b"))
+        .applyInPandas(lambda _k, pdf: profile(pdf), out_schema)
+    )
 
 
 def cogroup_activity(
@@ -90,10 +147,11 @@ def cogroup_activity(
     day_order: str,
     day_event: str,
     cents_col: str,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Cogrouped-map Pandas kernel — the LAST Python-kernel API surface
-    (``groupBy(k).cogroup(other.groupBy(k)).applyInPandas``): both
-    sides of a key arrive as two pandas frames in ONE worker, the
+    (``groupBy(b).cogroup(other.groupBy(b)).applyInPandas``): both
+    sides of a bucket arrive as two pandas frames in ONE worker, the
     full-outer grouped join the engine otherwise expresses as two
     aggregates + a join. The kernel computes, per key: order count,
     exact floor-cents spend, event count, and the count of events
@@ -101,35 +159,76 @@ def cogroup_activity(
     never ordered) — the co-presence statistic that needs both sides
     at once.
 
+    Cogrouped by hash bucket of the key (module docstring), with the
+    per-key statistics computed vectorized (pandas groupby + an index
+    join inside the kernel) — one Python crossing per bucket instead
+    of per key, identical per-key outputs.
+
     Inputs carry JVM-computed integer day columns (unix_date), never
     raw timestamps — TimestampType crosses into the Python worker as
     session-tz-naive datetimes and would poison the comparison (the
-    stateful-sessionizer lesson). Scale contract as `sequence_profile`:
-    per-key groups must be bounded; columns are pruned to exactly what
+    stateful-sessionizer lesson). Columns are pruned to exactly what
     the kernel reads."""
+    import numpy as np
 
-    def fn(key, po: pd.DataFrame, pe: pd.DataFrame) -> pd.DataFrame:
-        n_orders = len(po)
-        cents = int(po[cents_col].sum()) if n_orders else 0
-        n_events = len(pe)
-        if n_orders:
-            last = int(po[day_order].max())
-            after = int((pe[day_event] > last).sum()) if n_events else 0
+    def fn(_key, po: pd.DataFrame, pe: pd.DataFrame) -> pd.DataFrame:
+        if len(po):
+            og = po.groupby(key_order, sort=False).agg(
+                n_orders=(day_order, "size"),
+                cents_spent=(cents_col, "sum"),
+                _last=(day_order, "max"),
+            )
         else:
-            after = n_events
+            og = pd.DataFrame(
+                {"n_orders": [], "cents_spent": [], "_last": []}
+            )
+        if len(pe):
+            eg = (
+                pe.groupby(key_event, sort=False)
+                .size()
+                .rename("n_events")
+                .to_frame()
+            )
+        else:
+            eg = pd.DataFrame({"n_events": []})
+        res = og.join(eg, how="outer")
+        if len(pe) and len(og):
+            last = pe[key_event].map(og["_last"]).to_numpy(dtype=np.float64)
+            hit = pe[day_event].to_numpy(dtype=np.float64) > last  # NaN→False
+            af = (
+                pd.Series(hit.astype(np.int64))
+                .groupby(pe[key_event].to_numpy())
+                .sum()
+            )
+            res = res.join(af.rename("_after"), how="left")
+        else:
+            res["_after"] = 0
+        n_orders = res["n_orders"].fillna(0).astype(np.int64)
+        n_events = res["n_events"].fillna(0).astype(np.int64)
+        after = res["_after"].fillna(0).astype(np.int64)
         return pd.DataFrame(
-            [[int(key[0]), n_orders, cents, n_events, after]],
-            columns=[
-                "user_id", "n_orders", "cents_spent",
-                "n_events", "events_after_last_order",
-            ],
+            {
+                "user_id": res.index.to_numpy(dtype=np.int64),
+                "n_orders": n_orders.to_numpy(),
+                "cents_spent": res["cents_spent"]
+                .fillna(0)
+                .astype(np.int64)
+                .to_numpy(),
+                "n_events": n_events.to_numpy(),
+                "events_after_last_order": np.where(
+                    n_orders.to_numpy() == 0,
+                    n_events.to_numpy(),
+                    after.to_numpy(),
+                ),
+            }
         )
 
+    nb = _n_buckets(orders, n_buckets)
     o = orders.select(key_order, day_order, cents_col)
     e = events.select(key_event, day_event)
     return (
-        o.groupBy(key_order)
-        .cogroup(e.groupBy(key_event))
+        o.groupBy(_bucket(key_order, nb).alias("_b"))
+        .cogroup(e.groupBy(_bucket(key_event, nb).alias("_b")))
         .applyInPandas(
             fn,
             "user_id long, n_orders long, cents_spent long, "

@@ -1,10 +1,15 @@
 """cogroup_activity (cogrouped-map Pandas kernel) edge semantics the
 oracle exercises only statistically: events-only keys, orders-only
-keys, and the STRICT after-last-order boundary."""
+keys, and the STRICT after-last-order boundary — plus bucket-count
+invariance of the r11 vectorized bucketed kernels (results must not
+depend on how keys hash into kernel invocations)."""
 
 from __future__ import annotations
 
-from power_generation_etl_spark.operators.grouped import cogroup_activity
+from power_generation_etl_spark.operators.grouped import (
+    cogroup_activity,
+    sequence_profile,
+)
 
 
 def _frames(spark):
@@ -35,3 +40,50 @@ def test_outer_edges_and_strict_boundary(spark):
     assert got[2] == (0, 0, 2, 2)
     # key 3: orders only → zero events
     assert got[3] == (1, 1000, 0, 0)
+
+
+def test_bucket_count_invariance(spark):
+    """Bucketing keys into kernel calls is an execution detail: every
+    n_buckets must produce the identical per-key rows (n_buckets=1 puts
+    ALL keys through one vectorized call; 7 scatters them)."""
+    o, e = _frames(spark)
+
+    def run(nb):
+        return sorted(
+            tuple(r) for r in cogroup_activity(
+                o, e, "k", "ke", "oday", "eday", "cents", n_buckets=nb
+            ).collect()
+        )
+
+    assert run(1) == run(7)
+
+
+def test_sequence_profile_bucket_invariance_and_runs(spark):
+    """Vectorized run-length/median segments must not bleed across key
+    boundaries within a bucket: two keys with adjacent rows in the
+    sorted bucket frame keep independent runs and medians."""
+    rows = [
+        # key 10: cents 1,2,3 ascending → run 3, median2x = 4
+        (10, 1, 0, 1), (10, 2, 0, 2), (10, 3, 0, 3),
+        # key 11: cents 9,1 → run 1, even n: median2x = 1+9 = 10
+        (11, 1, 0, 9), (11, 2, 0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, cents long"
+    )
+
+    def run(nb):
+        return {
+            r["user_id"]: (
+                r["n_events"], r["sum_cents"],
+                r["median2x_cents"], r["longest_up_run"],
+            )
+            for r in sequence_profile(
+                df, "user_id", ["ts_us", "event_id"], "cents", n_buckets=nb
+            ).collect()
+        }
+
+    for nb in (1, 5):
+        got = run(nb)
+        assert got[10] == (3, 6, 4, 3)
+        assert got[11] == (2, 10, 10, 1)
