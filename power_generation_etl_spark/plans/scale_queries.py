@@ -2569,22 +2569,37 @@ _BOOT_HI = 49   # ceil(0.975 · 50)
     """,
 )
 def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = (
-        "CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || '#'"
-        " || CAST(r AS STRING)), 1, 15), 16, 10) AS BIGINT)"
-    )
+    # Rebalance the narrow (orderkey, cents) rows across the cluster
+    # BEFORE the ×B explode: the scan of a compact parquet file yields
+    # few input splits, and explode+hash fuse into the scan stage, so
+    # without the rebalance the B-fold row multiplication and all B·N
+    # md5 evaluations run at scan parallelism (ONE task at bench scale —
+    # measured 7-9s single-core; guide §2.5 "input skew: repartition
+    # immediately after the read"). The shuffle moves only the narrow
+    # pre-explode rows (16 bytes/row), never the replicas.
+    npar = spark.sparkContext.defaultParallelism
     w = (
         T(spark, sf_dir, "orders")
         .select(
             "o_orderkey",
             F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
+        .repartition(npar)
         .select(
             "*", F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("r")
         )
+        # stage the 60-bit hash once; the weight CASE then compares a
+        # column 8 times instead of embedding the md5 expression per arm
+        .withColumn(
+            "h",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || '#'"
+                " || CAST(r AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            ),
+        )
         .select(
             F.col("r").alias("rep"),
-            F.expr(_boot_weight_sql(h)).alias("wt"),
+            F.expr(_boot_weight_sql("h")).alias("wt"),
             "cents",
         )
     )
