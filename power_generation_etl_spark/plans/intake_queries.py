@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 from power_generation_etl_spark.operators import minhash as mh
-from power_generation_etl_spark.plans.queries import T, _register
+from power_generation_etl_spark.plans.queries import T, _register, stream_scoped
 
 _OFF_CROSS = 100_000_000   # round-2 copies of round-1 (h4=0) docs
 _OFF_WITHIN = 200_000_000  # round-2 copies of round-2 (h4=1) docs
@@ -152,6 +152,7 @@ _FILTER_SQL = f"""
 
 
 @_register("stream_intake_filter_docs", _FILTER_SQL)
+@stream_scoped
 def stream_intake_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming document-intake filter under the exact oracle
     (r11 — `stream_document_filter` was pytest-only). The two-round
@@ -343,6 +344,7 @@ def _intake_neardup_oracle(
 
 
 @_register("stream_intake_neardup_docs", _intake_neardup_oracle())
+@stream_scoped
 def stream_intake_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming MinHash near-dup intake under the exact oracle
     (r11 — `stream_neardup_intake` was pytest-only). Two-round
@@ -516,6 +518,7 @@ def _stream_doc_suite():
     "stream_expectations_by_source",
     _stream_doc_suite().oracle_grouped_sql("documents", "source"),
 )
+@stream_scoped
 def stream_expectations_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PER-SHARD streaming expectations monitor under the exact
     oracle (r11): documents staged as JSON halves (split by a hash of
@@ -617,6 +620,7 @@ _TERMS_SQL = r"""
 
 
 @_register("stream_text_index_terms", _TERMS_SQL)
+@stream_scoped
 def stream_text_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from power_generation_etl_spark.streaming.ingest import (
         stream_text_index_ingest,

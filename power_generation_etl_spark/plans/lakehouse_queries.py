@@ -43,7 +43,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from power_generation_etl_spark.plans.queries import T, _register
+from power_generation_etl_spark.plans.queries import T, _register, stream_scoped
 from power_generation_etl_spark.store import TableStore
 
 _OUT_SCHEMA = "change string, status string, n long"
@@ -132,6 +132,7 @@ def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register("stream_cdc_apply_feed", _FEED_SQL)
+@stream_scoped
 def stream_cdc_apply_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming twin of `cdc_version_diff` under the BYTE-IDENTICAL
     oracle: the same change batch is staged as JSON files in a landing

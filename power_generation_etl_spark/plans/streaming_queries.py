@@ -50,11 +50,13 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from power_generation_etl_spark.plans.queries import (
     T,
     _register,
     ntz_epoch_us,
+    stream_scoped,
     ts_to_ntz,
 )
 
@@ -119,6 +121,7 @@ def _mem_name(prefix: str) -> str:
     ORDER BY hour_us, event_type
     """,
 )
+@stream_scoped
 def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed aggregation, run for real: file
     source over events.parquet → 1-hour tumbling window × event_type
@@ -182,6 +185,7 @@ def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
 )
+@stream_scoped
 def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup under the oracle: the landing dir holds
     the SAME events file twice (hard links — no copy), the stream
@@ -313,6 +317,7 @@ def _link_into(landing: str, src_dir: str, prefix: str) -> None:
     ORDER BY 1, 2
     """,
 )
+@stream_scoped
 def stream_late_data_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark/late-data semantics under the exact oracle.
 
@@ -468,6 +473,7 @@ _KMV_SCALE = (_KMV_K - 1) << 48
     ORDER BY grp
     """,
 )
+@stream_scoped
 def stream_kmv_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming KMV sketch STORE under the exact oracle (r10 —
     `streaming/ingest.py::stream_kmv_cardinality` was pytest-only):
@@ -628,6 +634,7 @@ def _link_json(src: str, landing: str, tag: str) -> None:
 
 
 @_register("stream_mg_heavy_users", _MG_SQL)
+@stream_scoped
 def stream_mg_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming Misra-Gries heavy-hitter store under the exact
     oracle (r10 — `streaming/ingest.py::stream_heavy_hitters` was
@@ -702,6 +709,7 @@ _IJ_WIN_US = 30 * 60 * 1_000_000  # interval-join window, µs
     ORDER BY c.user_id
     """,
 )
+@stream_scoped
 def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-stream interval join under the exact oracle (r10 —
     `streaming/ingest.py::stream_interval_join` was pytest-only):
@@ -785,6 +793,7 @@ def _hll_stream_oracle() -> str:
 
 
 @_register("stream_hll_event_users", _hll_stream_oracle())
+@stream_scoped
 def stream_hll_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming HLL register store under the exact oracle (r10 —
     `streaming/ingest.py::stream_hll_cardinality` was pytest-only):
@@ -867,6 +876,7 @@ _DRIFT_SQL = """
 
 
 @_register("stream_type_drift_alerts", _DRIFT_SQL)
+@stream_scoped
 def stream_type_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming distribution-drift monitor under the exact oracle
     (r10 — `streaming/ingest.py::stream_type_drift` was pytest-only):
@@ -1003,9 +1013,10 @@ def _run_session_rounds(spark: SparkSession, ev, cutoff: int, hi: int,
                         native: bool):
     """Stage the time-split rounds and drive the sessionizer (stateful
     pandas or native session_window) through two availableNow runs
-    against ONE checkpoint; returns the emitted rows as
-    (user_id, start_us, end_us, n_events), retry-idempotent (keyed by
-    batch id)."""
+    against ONE checkpoint; returns the emitted rows as an ordered,
+    localCheckpointed DataFrame (user_id, start_us, end_us, n_events)
+    — or None when zero micro-batches ran. Retry-idempotent: each
+    batch overwrites its own batch=<id> parquet dir in the sink."""
     from power_generation_etl_spark.streaming.stateful import (
         sessionize,
         sessionize_native,
@@ -1014,9 +1025,14 @@ def _run_session_rounds(spark: SparkSession, ev, cutoff: int, hi: int,
     stage = tempfile.mkdtemp(prefix="sess_stage_")
     landing = tempfile.mkdtemp(prefix="sess_landing_")
     ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
-    acc: dict[int, list] = {}
+    sink_dir = tempfile.mkdtemp(prefix="sess_sink_")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Parquet per batch id (overwrite → retry-idempotent), NOT a
+        # driver collect: the emitted set is row-scale (one row per
+        # closed session), so localizing it through Python tuples paid
+        # two full JVM↔Python marshallings per round (guide §5). The
+        # rows stay in executor space end to end.
         out = batch_df.select(
             "user_id",
             F.unix_micros("session_start").alias("start_us"),
@@ -1027,10 +1043,9 @@ def _run_session_rounds(spark: SparkSession, ev, cutoff: int, hi: int,
             ).alias("end_us"),
             "n_events",
         )
-        acc[int(batch_id)] = [
-            (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
-            for r in out.collect()
-        ]
+        out.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={int(batch_id)}")
+        )
 
     def _run_round(schema) -> None:
         stream = spark.readStream.schema(schema).parquet(landing)
@@ -1060,17 +1075,26 @@ def _run_session_rounds(spark: SparkSession, ev, cutoff: int, hi: int,
             ).write.parquet(r2)
             _link_into(landing, r2, "round2")
             _run_round(schema)
+        try:
+            emitted = (
+                spark.read.parquet(sink_dir)
+                .select("user_id", "start_us", "end_us", "n_events")
+                .orderBy("user_id", "start_us", "end_us", "n_events")
+                .localCheckpoint(eager=True)  # detach before sink_dir dies
+            )
+        except AnalysisException:  # zero batches wrote (empty mirror)
+            emitted = None
     finally:
-        for d in (stage, landing, ckpt):
+        for d in (stage, landing, ckpt, sink_dir):
             shutil.rmtree(d, ignore_errors=True)
-    rows = sorted(t for batch in acc.values() for t in batch)
-    return rows
+    return emitted
 
 
 _SESS_SCHEMA_OUT = "user_id long, start_us long, end_us long, n_events long"
 
 
 @_register("stream_sessions_stateful", _SESSION_ORACLE)
+@stream_scoped
 def stream_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The applyInPandasWithState gap sessionizer under the exact
     oracle (r11 — `streaming/stateful.py::sessionize` was pytest-only,
@@ -1093,11 +1117,14 @@ def stream_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev, cutoff, lo, hi = _session_round_split(spark, sf_dir)
     if ev is None:
         return spark.createDataFrame([], _SESS_SCHEMA_OUT)
-    rows = _run_session_rounds(spark, ev, cutoff, hi, native=False)
-    return spark.createDataFrame(rows, _SESS_SCHEMA_OUT)
+    emitted = _run_session_rounds(spark, ev, cutoff, hi, native=False)
+    if emitted is None:
+        return spark.createDataFrame([], _SESS_SCHEMA_OUT)
+    return emitted
 
 
 @_register("stream_sessions_native", _SESSION_ORACLE)
+@stream_scoped
 def stream_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE session_window aggregation under the same exact
     oracle and two-round protocol as the stateful twin — the two
@@ -1109,8 +1136,10 @@ def stream_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev, cutoff, lo, hi = _session_round_split(spark, sf_dir)
     if ev is None:
         return spark.createDataFrame([], _SESS_SCHEMA_OUT)
-    rows = _run_session_rounds(spark, ev, cutoff, hi, native=True)
-    return spark.createDataFrame(rows, _SESS_SCHEMA_OUT)
+    emitted = _run_session_rounds(spark, ev, cutoff, hi, native=True)
+    if emitted is None:
+        return spark.createDataFrame([], _SESS_SCHEMA_OUT)
+    return emitted
 
 
 _TR_TTL_MS = 60 * 60 * 1000  # the operator's idle TTL
@@ -1137,6 +1166,7 @@ _TR_DELAY_MS = 600_000
     ORDER BY 1, 2
     """,
 )
+@stream_scoped
 def stream_transition_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cross-batch Markov transition counter under the exact oracle
     (r11 — `streaming/stateful.py::stream_transition_counts` was
@@ -1249,6 +1279,7 @@ from power_generation_etl_spark.operators import sketch as _sk  # noqa: E402
         value_scale=_QS_SCALE,
     ),
 )
+@stream_scoped
 def stream_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming bottom-k quantile-sketch STORE under the exact
     oracle (r11) — the quantile member of the sketch-store family
@@ -1362,6 +1393,7 @@ _IVF_D2 = (
     FROM a GROUP BY cell ORDER BY cell
     """,
 )
+@stream_scoped
 def stream_ivf_ingest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming vector ingestion into an IVF index under the exact
     oracle (r11): embeddings are staged as JSON in two halves (split
@@ -1469,6 +1501,7 @@ def _stream_exp_suite():
 
 
 @_register("stream_expectations_orders", _stream_exp_suite().oracle_sql("orders"))
+@stream_scoped
 def stream_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming expectations MONITOR under the exact oracle
     (r11): orders staged as JSON halves (split by a hash of
@@ -1556,6 +1589,7 @@ def stream_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY segment, event_type
     """,
 )
+@stream_scoped
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join under the exact oracle — the one
     core Structured Streaming join shape the catalog did not yet

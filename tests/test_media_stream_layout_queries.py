@@ -308,7 +308,12 @@ class TestSessionAndTransitionProtocols:
         # both rounds non-empty
         assert ev.filter(F.col("t_us") <= cutoff).count() > 0
         assert ev.filter(F.col("t_us") > cutoff).count() > 0
-        rows = sq._run_session_rounds(spark, ev, cutoff, hi, native=False)
+        emitted = sq._run_session_rounds(spark, ev, cutoff, hi, native=False)
+        assert emitted is not None, "no sessions emitted at the shipped SF"
+        rows = [
+            (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+            for r in emitted.collect()
+        ]
         assert rows, "no sessions emitted at the shipped SF"
         # >=1 emitted session was assembled ACROSS the checkpoint:
         # events on both sides of the cutoff inside one session
