@@ -72,10 +72,24 @@ _SESSION_OUT = StructType(
     ]
 )
 
-# State = ALL still-open sessions of the key, columnar (parallel arrays)
-# so the state row has a fixed struct schema.
+# State = ALL still-open sessions of every user hashed into this state
+# BUCKET, columnar (parallel arrays) so the state row has a fixed
+# struct schema. The state key is pmod(xxhash64(user_id), n_buckets),
+# NOT the raw user id: applyInPandasWithState crosses the JVM→Arrow→
+# pandas boundary once per KEY per micro-batch (~1 ms each), so keying
+# by user paid 15k crossings per batch for <1 s of real work — the
+# same disease the grouped-map kernels had (operators/grouped.py).
+# Bucketing is invisible to the emitted rows: every user's events land
+# in exactly one bucket, the per-user merge/emit algebra runs per user
+# inside the bucket, and the bucket's event-time timeout is anchored
+# at the EARLIEST closable instant across its sessions, so a session
+# emits in exactly the micro-batch it would have emitted in under
+# per-user keying (both fire in the first batch whose watermark passes
+# the session's anchor). n_buckets is the explicit rows-per-bucket
+# memory knob at scale, defaulting to 4× cluster parallelism.
 _STATE_SCHEMA = StructType(
     [
+        StructField("users", ArrayType(LongType())),
         StructField("starts", ArrayType(LongType())),
         StructField("ends", ArrayType(LongType())),
         StructField("ns", ArrayType(LongType())),
@@ -101,17 +115,21 @@ def _session_fn(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Exact gap sessionizer.
+    """Exact gap sessionizer over one hash BUCKET of users (see
+    `_STATE_SCHEMA` — keying by bucket instead of user cuts the Python
+    crossings per micro-batch from n_users to n_buckets without
+    changing any emitted row or its emission batch).
 
     Invariants (what makes the emitted set equal batch sessionization):
 
     * Sessions (open state + this batch's events as degenerate
-      [ts, ts] intervals) are merged by the interval form of the gap
-      rule — sort by start, coalesce when `next.start − cur.end ≤ gap`
-      — which reproduces event-level gap-splitting for any interleaving
-      of state and new events (so a batch holding SEVERAL gap-separated
-      runs of one user yields several sessions, where a merge-all
-      design would fuse them).
+      [ts, ts] intervals) are merged PER USER by the interval form of
+      the gap rule — sort by (user, start), coalesce same-user
+      neighbors when `next.start − cur.end ≤ gap` — which reproduces
+      event-level gap-splitting for any interleaving of state and new
+      events (so a batch holding SEVERAL gap-separated runs of one
+      user yields several sessions, where a merge-all design would
+      fuse them).
     * A session emits iff `end + gap ≤ watermark` — the EXACT predicate
       Spark's native `session_window` append mode uses (probed:
       emission at equality, against the ms-floored watermark). Any
@@ -125,31 +143,39 @@ def _session_fn(
     """
     w_ms = state.getCurrentWatermarkMs()
     w_us = w_ms * 1000
-    sessions: list[list] = []
+    sessions: list[list] = []  # [user, start, end, n, total]
     if state.exists:
-        starts, ends, ns, totals = state.get
+        users, starts, ends, ns, totals = state.get
         sessions = [
-            [int(s), int(e), int(n), float(t)]
-            for s, e, n, t in zip(starts, ends, ns, totals)
+            [int(u), int(s), int(e), int(n), float(t)]
+            for u, s, e, n, t in zip(users, starts, ends, ns, totals)
         ]
     if not state.hasTimedOut:
         rows = pd.concat(list(pdfs))
         if len(rows):
             vals = rows["value"].astype("float64")
-            for t, v in zip(rows["_ts_us"].astype("int64"), vals):
-                sessions.append([int(t), int(t), 1, float(v)])
-    sessions.sort(key=lambda s: (s[0], s[1]))
+            for u, t, v in zip(
+                rows["user_id"].astype("int64"),
+                rows["_ts_us"].astype("int64"),
+                vals,
+            ):
+                sessions.append([int(u), int(t), int(t), 1, float(v)])
+    sessions.sort(key=lambda s: (s[0], s[1], s[2]))
     merged: list[list] = []
     for s in sessions:
-        if merged and s[0] - merged[-1][1] <= GAP_US:
+        if (
+            merged
+            and s[0] == merged[-1][0]
+            and s[1] - merged[-1][2] <= GAP_US
+        ):
             m = merged[-1]
-            m[1] = max(m[1], s[1])
-            m[2] += s[2]
+            m[2] = max(m[2], s[2])
             m[3] += s[3]
+            m[4] += s[4]
         else:
             merged.append(list(s))
-    closed = [s for s in merged if s[1] + GAP_US <= w_us]
-    still_open = [s for s in merged if s[1] + GAP_US > w_us]
+    closed = [s for s in merged if s[2] + GAP_US <= w_us]
+    still_open = [s for s in merged if s[2] + GAP_US > w_us]
     if still_open:
         state.update(
             (
@@ -157,40 +183,57 @@ def _session_fn(
                 [s[1] for s in still_open],
                 [s[2] for s in still_open],
                 [s[3] for s in still_open],
+                [s[4] for s in still_open],
             )
         )
         # earliest instant any open session becomes emittable:
         # closable iff end+gap <= w*1000, i.e. w >= ceil((end+gap)/1000)
         # = (end+gap-1)//1000 + 1; the event-time timeout fires when
         # watermark > ts, so ts = (end+gap-1)//1000 fires exactly then.
-        nxt = min((s[1] + GAP_US - 1) // 1000 for s in still_open)
+        nxt = min((s[2] + GAP_US - 1) // 1000 for s in still_open)
         state.setTimeoutTimestamp(max(w_ms + 1, nxt))
     elif state.exists:
         state.remove()
     if closed:
         yield pd.DataFrame(
             {
-                "user_id": pd.Series([key[0]] * len(closed), dtype="int64"),
-                "start_us": pd.Series([s[0] for s in closed], dtype="int64"),
-                "end_us": pd.Series([s[1] for s in closed], dtype="int64"),
-                "n_events": pd.Series([s[2] for s in closed], dtype="int64"),
-                "total_value": pd.Series([s[3] for s in closed], dtype="float64"),
+                "user_id": pd.Series([s[0] for s in closed], dtype="int64"),
+                "start_us": pd.Series([s[1] for s in closed], dtype="int64"),
+                "end_us": pd.Series([s[2] for s in closed], dtype="int64"),
+                "n_events": pd.Series([s[3] for s in closed], dtype="int64"),
+                "total_value": pd.Series([s[4] for s in closed], dtype="float64"),
             }
         )
     else:
         yield _empty_sessions_pdf()
 
 
-def sessionize(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+def sessionize(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    n_buckets: int | None = None,
+) -> DataFrame:
     """Per-user gap sessions over a streaming (ts, user_id, value)
     frame; `ts` must be TimestampType (an instant — the watermark
     rejects NTZ). Output: one row per CLOSED session (user_id,
     session_start, session_end, n_events, total_value), equal to batch
-    gap-sessionization restricted to watermark-closed sessions."""
+    gap-sessionization restricted to watermark-closed sessions.
+
+    State is keyed by a hash bucket of the user (default 4× cluster
+    parallelism), not the raw user id — identical emitted rows in the
+    identical micro-batches, n_buckets Python crossings per batch
+    instead of n_users (see `_STATE_SCHEMA`). `n_buckets` is the
+    rows-per-bucket worker-memory knob at scale."""
+    nb = n_buckets or max(
+        1, events.sparkSession.sparkContext.defaultParallelism * 4
+    )
     raw = (
         events.withColumn("_ts_us", F.unix_micros(F.col("ts")))
+        # applyInPandasWithState resolves grouping keys by NAME against
+        # its child — materialize the bucket as a real column.
+        .withColumn("_b", F.pmod(F.xxhash64(F.col("user_id")), F.lit(nb)))
         .withWatermark("ts", watermark)
-        .groupBy("user_id")
+        .groupBy("_b")
         .applyInPandasWithState(
             _session_fn,
             outputStructType=_SESSION_OUT,
@@ -222,10 +265,19 @@ TRANSITION_SCHEMA = StructType(
     ]
 )
 
+# State = the latest (ts, type) of every user hashed into this BUCKET,
+# plus each user's idle-expiry instant (stored explicitly because the
+# per-user instant is a function of the watermark AT UPDATE TIME, which
+# a later invocation can't reconstruct). Bucket keying instead of
+# per-user keying: one Python crossing per bucket per micro-batch
+# instead of one per user — same rationale and same emitted rows as
+# the sessionizer above.
 _TRANSITION_STATE = StructType(
     [
-        StructField("last_ts_us", LongType()),
-        StructField("last_type", StringType()),
+        StructField("users", ArrayType(LongType())),
+        StructField("last_ts_us", ArrayType(LongType())),
+        StructField("last_type", ArrayType(StringType())),
+        StructField("expire_ms", ArrayType(LongType())),
     ]
 )
 
@@ -237,65 +289,121 @@ def _transition_fn(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Per-user transition counter. State is ONE (ts, type) pair — the
-    user's latest event — so the boundary transition between micro-
-    batches is counted exactly once; state expires via event-time
-    timeout for idle users (bounded state)."""
-    if state.hasTimedOut:
-        state.remove()
-        yield pd.DataFrame(
-            {"user_id": pd.Series([], dtype="int64"),
-             "from_type": pd.Series([], dtype="object"),
-             "to_type": pd.Series([], dtype="object"),
-             "n_transitions": pd.Series([], dtype="int64")}
-        )
-        return
+    """Transition counter over one hash bucket of users. Per user the
+    state is ONE (ts, type) pair — the latest event — so the boundary
+    transition between micro-batches is counted exactly once; an idle
+    user's entry expires by event-time timeout (bounded state).
 
-    rows = pd.concat(list(pdfs))
-    rows = rows.sort_values(["_ts_us", "event_id"])
-    types = list(rows["event_type"])
-    ts_us = list(rows["_ts_us"].astype("int64"))
+    Exact per-user-keying equivalence: under per-user keys, a user's
+    timeout fires in the first batch where the watermark passes its
+    expiry instant AND the user has no data in that batch (keys with
+    data are never timeout-processed in the same batch). The bucket
+    therefore expires exactly the stored users whose instant < current
+    watermark and who are absent from this batch's rows, and the
+    bucket-level timeout is registered at the minimum surviving
+    instant (so the bucket is woken no later than its earliest per-user
+    expiry would have fired)."""
+    w_ms = state.getCurrentWatermarkMs()
+    users: list[int] = []
+    last_ts: list[int] = []
+    last_type: list[str] = []
+    expire: list[int] = []
     if state.exists:
-        last_ts, last_type = state.get
-        types = [last_type] + types
-    counts: dict[tuple[str, str], int] = {}
-    for a, b in zip(types, types[1:]):
-        counts[(a, b)] = counts.get((a, b), 0) + 1
-    state.update((int(ts_us[-1]), types[-1]))
-    # Anchor the idle-timeout to event time as well as the watermark:
-    # in the FIRST micro-batch the watermark is still 0 (epoch), and a
-    # watermark-only timeout would land in 1970 — expiring the state
-    # before the next batch and silently dropping every cross-batch
-    # boundary transition.
-    last_ms = int(ts_us[-1]) // 1000
-    state.setTimeoutTimestamp(
-        max(state.getCurrentWatermarkMs(), last_ms) + _IDLE_TTL_MS
-    )
+        su, st, sy, se = state.get
+        users = [int(u) for u in su]
+        last_ts = [int(t) for t in st]
+        last_type = list(sy)
+        expire = [int(x) for x in se]
+    rows = None
+    batch_users: set[int] = set()
+    if not state.hasTimedOut:
+        rows = pd.concat(list(pdfs))
+        if len(rows):
+            rows = rows.sort_values(["_ts_us", "event_id"])
+            batch_users = set(int(u) for u in rows["user_id"])
+        else:
+            rows = None
+    # Expire idle users exactly as their per-user timeout would have:
+    # strictly-passed instant, and never a user with data in the batch.
+    keep = [
+        i
+        for i in range(len(users))
+        if not (expire[i] < w_ms and users[i] not in batch_users)
+    ]
+    users = [users[i] for i in keep]
+    last_ts = [last_ts[i] for i in keep]
+    last_type = [last_type[i] for i in keep]
+    expire = [expire[i] for i in keep]
+
+    counts: dict[tuple[int, str, str], int] = {}
+    if rows is not None:
+        idx = {u: i for i, u in enumerate(users)}
+        for u, t, ty in zip(
+            rows["user_id"].astype("int64"),
+            rows["_ts_us"].astype("int64"),
+            rows["event_type"],
+        ):
+            u, t = int(u), int(t)
+            i = idx.get(u)
+            if i is None:
+                idx[u] = len(users)
+                users.append(u)
+                last_ts.append(t)
+                last_type.append(ty)
+                expire.append(0)
+            else:
+                pair = (u, last_type[i], ty)
+                counts[pair] = counts.get(pair, 0) + 1
+                last_ts[i] = t
+                last_type[i] = ty
+        # Anchor each touched user's idle-timeout to event time as well
+        # as the watermark: in the FIRST micro-batch the watermark is
+        # still 0 (epoch), and a watermark-only anchor would land in
+        # 1970 — expiring the state before the next batch and silently
+        # dropping every cross-batch boundary transition.
+        for u in batch_users:
+            i = idx[u]
+            expire[i] = max(w_ms, last_ts[i] // 1000) + _IDLE_TTL_MS
+
+    if users:
+        state.update((users, last_ts, last_type, expire))
+        state.setTimeoutTimestamp(max(w_ms + 1, min(expire)))
+    elif state.exists:
+        state.remove()
     yield pd.DataFrame(
         {
-            "user_id": [key[0]] * len(counts),
-            "from_type": [a for a, _ in counts],
-            "to_type": [b for _, b in counts],
-            "n_transitions": list(counts.values()),
+            "user_id": pd.Series([k[0] for k in counts], dtype="int64"),
+            "from_type": pd.Series(
+                [k[1] for k in counts], dtype="object"
+            ),
+            "to_type": pd.Series([k[2] for k in counts], dtype="object"),
+            "n_transitions": pd.Series(list(counts.values()), dtype="int64"),
         }
     )
 
 
 def stream_transition_counts(
-    events: DataFrame, watermark: str = "10 minutes"
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming first-order transition counts per user over a
     (event_id, ts, user_id, event_type) stream; `ts` must be an
     instant. Emits per-batch partial counts (sum downstream for
     totals); the cross-batch boundary transition is captured through
-    the single-row keyed state, and a user idle for >1h of EVENT time
+    the per-user (ts, type) entry in the bucketed state, and a user
+    idle for >1h of EVENT time
     (timeout anchored at max(watermark, last event) + TTL, evaluated
     strictly: the state dies when the watermark passes that instant)
     forgets its boundary — the documented bounded-state trade."""
+    nb = n_buckets or max(
+        1, events.sparkSession.sparkContext.defaultParallelism * 4
+    )
     return (
         events.withColumn("_ts_us", F.unix_micros(F.col("ts")))
+        .withColumn("_b", F.pmod(F.xxhash64(F.col("user_id")), F.lit(nb)))
         .withWatermark("ts", watermark)
-        .groupBy("user_id")
+        .groupBy("_b")
         .applyInPandasWithState(
             _transition_fn,
             outputStructType=TRANSITION_SCHEMA,
