@@ -16,12 +16,14 @@ from __future__ import annotations
 
 import math
 import random
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from ..lineage import cut as _cut
 from ..memo import PlanMemo
@@ -87,6 +89,72 @@ def cosine_pairwise_fast(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
+def cosine_pairs_seq(
+    pairs: DataFrame, a_col: str, b_col: str, out_col: str
+) -> DataFrame:
+    """Vectorized BIT-EXACT twin of ``cosine(a_col, b_col)`` over pair
+    rows (guide §4.2: hand whole Arrow batches to numpy instead of
+    evaluating per-element lambdas).
+
+    The portable ``cosine()`` expression runs zip_with/aggregate
+    INTERPRETED — outside whole-stage codegen, ~3-10× per element — and
+    the near-dup verification paths evaluate it over O(candidate-pairs)
+    rows × dim elements, which dominated their wall time. This kernel
+    replays the IDENTICAL IEEE-754 operation sequence vectorized across
+    rows: the fold ``acc = (…(0.0 + p₀) + p₁…)`` becomes a column loop
+    of numpy float64 adds (one vector op per dimension), so every
+    intermediate double is bit-identical to the interpreted fold and to
+    DuckDB's list_aggregate — the oracle contract is preserved, only
+    the evaluation engine changes. numpy reductions (einsum/sum) are
+    NOT used: pairwise summation reorders the adds.
+
+    mapInPandas (an allowed catalog plan node, unlike scalar pandas
+    UDFs), dropping the two vector columns so only the narrow result
+    shuffles downstream. NULL vectors map to NULL (as the expression
+    does); zero norms follow IEEE double division (NaN/Inf) on both
+    paths.
+    """
+    keep = [f for f in pairs.schema.fields if f.name not in (a_col, b_col)]
+    out_schema = StructType(list(keep) + [StructField(out_col, DoubleType())])
+    keep_names = [f.name for f in keep]
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = pdf[keep_names].copy()
+            if n == 0:
+                out[out_col] = pd.Series([], dtype="float64")
+                yield out
+                continue
+            va, vb = pdf[a_col], pdf[b_col]
+            mask = va.notna().to_numpy() & vb.notna().to_numpy()
+            res = np.full(n, np.nan)
+            if mask.any():
+                ma = np.array(va[mask].tolist(), dtype=np.float64)
+                mb = np.array(vb[mask].tolist(), dtype=np.float64)
+                d = ma.shape[1] if ma.ndim == 2 else 0
+                m = int(mask.sum())
+                num = np.zeros(m)
+                na = np.zeros(m)
+                nb = np.zeros(m)
+                for j in range(d):
+                    x, y = ma[:, j], mb[:, j]
+                    num = num + x * y
+                    na = na + x * x
+                    nb = nb + y * y
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    res[mask] = num / (np.sqrt(na) * np.sqrt(nb))
+            if mask.all():
+                out[out_col] = res
+            else:  # NULL inputs stay NULL (not NaN) through Arrow
+                col = pd.Series(list(res), dtype=object)
+                col[~mask] = None
+                out[out_col] = col
+            yield out
+
+    return pairs.mapInPandas(kern, out_schema)
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,
@@ -143,9 +211,9 @@ def all_pairs_neardup(
         F.col(id_col).alias("id_b"), as_double_array(F.col(vec_col)).alias("vb")
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    scored = cosine_pairs_seq(pairs, "va", "vb", "_cos")
     return (
-        pairs.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        scored.select("id_a", "id_b", F.round("_cos", 4).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -197,6 +265,12 @@ def mutual_knn_edges(
     b = df.select(
         F.col(id_col).alias("id_b"), as_double_array(F.col(vec_col)).alias("vb")
     )
+    # Deliberately the interpreted-expression cosine, NOT
+    # cosine_pairs_seq: this O(n²) exact path emits BOTH directions of
+    # every pair (twice `all_pairs_neardup`'s volume), and the A/B
+    # measured the Arrow crossing of 2·n²·dim doubles SLOWER than the
+    # in-JVM fold here (cold 9.4→15.3 s, warm parity), while the
+    # half-volume pair sites all won — see OPTIMIZATION_r11.md.
     pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
         "id_a",
         "id_b",
@@ -355,13 +429,16 @@ def lsh_bucketed_neardup(
     va = df.select(F.col(id_col).alias("id_a"), v.alias("vec"))
     vb = df.select(F.col(id_col).alias("id_b"), v.alias("vec2"))
     cands = cand_ids.join(va, "id_a").join(vb, "id_b")
-    sim = (
-        cosine_pairwise_fast(F.col("vec"), F.col("vec2"))
-        if kernel == "arrow"
-        else cosine(F.col("vec"), F.col("vec2"))
-    )
+    if kernel == "arrow":
+        scored = cands.select(
+            "id_a",
+            "id_b",
+            cosine_pairwise_fast(F.col("vec"), F.col("vec2")).alias("_cos"),
+        )
+    else:
+        scored = cosine_pairs_seq(cands, "vec", "vec2", "_cos")
     return (
-        cands.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        scored.select("id_a", "id_b", F.round("_cos", 4).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -414,6 +491,81 @@ def assign_cell_fast(vec: Column, cents: list[tuple[int, list[float]]]) -> Colum
         return pd.Series(ids[np.argmin(d, axis=1)].astype(np.int32))
 
     return _assign(vec)
+
+
+def _assign_seq_fast(cents: list[tuple[int, list[float]]]) -> Column:
+    """BIT-EXACT vectorized twin of `assign_cell` for TRAINING jobs.
+
+    Replays `squared_dist`'s sequential fold — acc = acc + (a−b)·(a−b),
+    one numpy float64 vector op per dimension — per centroid, then
+    takes the FIRST minimum (np.argmin ≡ array_position(array_min):
+    both return the first exact-equality hit, and cents are sorted
+    ascending by id, so ties break identically). Every intermediate
+    double is bit-identical to the interpreted expression, so the
+    training trajectory (and with it every oracle that unrolls it) is
+    unchanged — only the evaluation engine moves from per-element
+    interpreted lambdas (k·dim per row) to k·dim vectorized ops per
+    Arrow batch.
+
+    Scalar pandas UDFs are banned from CATALOG plans (the hygiene gate
+    counts ArrowEvalPython), so this kernel is used ONLY inside the
+    driver-collected Lloyd's iterations; serving/assignment expressions
+    in returned plans keep `assign_cell`."""
+    ids = np.asarray([cid for cid, _ in cents], dtype=np.int32)
+    C = [np.asarray(c, dtype=np.float64) for _, c in cents]
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        mat = np.array(v.tolist(), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        n, d = mat.shape
+        dist = np.empty((n, len(C)))
+        for ci, c in enumerate(C):
+            acc = np.zeros(n)
+            for j in range(d):
+                t = mat[:, j] - c[j]
+                acc = acc + t * t
+            dist[:, ci] = acc
+        return pd.Series(ids[np.argmin(dist, axis=1)])
+
+    return _assign(F.col("_v"))
+
+
+def _assign_seq_fast_multi(
+    books: list[list[tuple[int, list[float]]]]
+) -> Column:
+    """`_assign_seq_fast` for the batched PQ trainer: rows carry a
+    subspace tag `j` and the kernel dispatches to that subspace's
+    codebook — one Arrow batch crossing instead of an m-way when-chain
+    of k interpreted fold passes each. Same bit-exactness argument."""
+    ids = [np.asarray([cid for cid, _ in b], dtype=np.int32) for b in books]
+    Cs = [[np.asarray(c, dtype=np.float64) for _, c in b] for b in books]
+
+    @F.pandas_udf("int")
+    def _assign(js: pd.Series, v: pd.Series) -> pd.Series:
+        mat = np.array(v.tolist(), dtype=np.float64)
+        out = np.zeros(len(v), dtype=np.int32)
+        if mat.size == 0:
+            return pd.Series(out)
+        jarr = js.to_numpy()
+        for j in range(len(Cs)):
+            sel = jarr == j
+            if not sel.any():
+                continue
+            sub = mat[sel]
+            n, d = sub.shape
+            dist = np.empty((n, len(Cs[j])))
+            for ci, c in enumerate(Cs[j]):
+                acc = np.zeros(n)
+                for jj in range(d):
+                    t = sub[:, jj] - c[jj]
+                    acc = acc + t * t
+                dist[:, ci] = acc
+            out[sel] = ids[j][np.argmin(dist, axis=1)]
+        return pd.Series(out)
+
+    return _assign(F.col("j"), F.col("_v"))
 
 
 def kmeans_train(
@@ -476,9 +628,16 @@ def _kmeans_train_impl(
     if not cents:  # empty corpus -> no cells (callers emit empty results)
         return []
     dim = len(cents[0][1])
-    assigner = assign_cell_fast if kernel == "arrow" else assign_cell
+    # Training runs in driver-collected jobs, so the expr path can use
+    # the bit-exact vectorized assigner (same trajectory, no k·dim
+    # interpreted folds per row); 'arrow' keeps the BLAS identity
+    # kernel (ties may differ — the documented production trade).
     for _ in range(iters):
-        cell = assigner(v, cents)
+        cell = (
+            assign_cell_fast(v, cents)
+            if kernel == "arrow"
+            else _assign_seq_fast(cents)
+        )
         rows = (
             base.groupBy(cell.alias("cell"))
             .agg(*[F.round(F.avg(v.getItem(i)), 6).alias(f"c{i}") for i in range(dim)])
@@ -786,12 +945,9 @@ def _pq_train_impl(
         ).alias("s")
     ).select(F.col("s.j").alias("j"), F.col("s.v").alias("_v"))
     for _ in range(iters):
-        # flat when-chain dispatch (disjoint conditions — O(m) tree,
-        # never nested otherwise())
-        cell = None
-        for j in range(m):
-            branch = (F.col("j") == j, assign_cell(F.col("_v"), books[j]))
-            cell = F.when(*branch) if cell is None else cell.when(*branch)
+        # vectorized per-subspace dispatch (bit-exact twin of the flat
+        # assign_cell when-chain; training-job-only kernel)
+        cell = _assign_seq_fast_multi(books)
         rows = (
             exploded.groupBy(F.col("j"), cell.alias("cell"))
             .agg(
@@ -949,17 +1105,22 @@ def semdedup(
         F.col("vec").alias("vec2"),
         F.col("cell").alias("cell2"),
     )
-    sim = (
-        cosine_pairwise_fast(F.col("vec"), F.col("vec2"))
-        if kernel == "arrow"
-        else cosine(F.col("vec"), F.col("vec2"))
+    joined = left.join(
+        right,
+        (F.col("cell") == F.col("cell2")) & (F.col("id") < F.col("id2")),
     )
-    dropped = (
-        left.join(
-            right,
-            (F.col("cell") == F.col("cell2")) & (F.col("id") < F.col("id2")),
+    if kernel == "arrow":
+        scored = joined.select(
+            "cell",
+            F.col("id2").alias("id"),
+            cosine_pairwise_fast(F.col("vec"), F.col("vec2")).alias("_cos"),
         )
-        .select("cell", F.col("id2").alias("id"), F.round(sim, 4).alias("s"))
+    else:
+        scored = cosine_pairs_seq(
+            joined.select("cell", "id2", "vec", "vec2"), "vec", "vec2", "_cos"
+        ).select("cell", F.col("id2").alias("id"), F.col("_cos"))
+    dropped = (
+        scored.select("cell", "id", F.round("_cos", 4).alias("s"))
         .where(F.col("s") >= threshold)
         .select("cell", "id")
         .distinct()
@@ -1288,10 +1449,9 @@ def semantic_decontam(
         F.col(bench_id_col).alias("bench_id"),
         as_double_array(F.col(bench_vec_col)).alias("bv"),
     )
-    sim = F.round(cosine(F.col("v"), F.col("bv")), 4)
-    scored = corpus.join(F.broadcast(bench), F.lit(True)).select(
-        "id", "bench_id", sim.alias("sim")
-    )
+    scored = cosine_pairs_seq(
+        corpus.join(F.broadcast(bench), F.lit(True)), "v", "bv", "_cos"
+    ).select("id", "bench_id", F.round("_cos", 4).alias("sim"))
     best = (
         scored.groupBy("id")
         .agg(F.max(F.struct(F.col("sim"), (-F.col("bench_id")).alias("_nb"))).alias("_m"))
