@@ -247,10 +247,26 @@ class TableStore:
         with self._table_lock(table):
             self.create(table, df.schema)  # persist logical schema on first write
             df = self._with_month(df)
-            writer = df.write.mode("append")
+            writer = self._month_clustered(df).write.mode("append")
             if MONTH_COL in df.columns:
                 writer = writer.partitionBy(MONTH_COL)
             writer.parquet(self.path(table))
+
+    @staticmethod
+    def _month_clustered(df: DataFrame) -> DataFrame:
+        """Cluster rows by the month partition column before a
+        partitionBy write. Without this, every upstream task writes a
+        file into EVERY month directory it touches — up to
+        shuffle.partitions files per month per write (guide §6: output
+        file sizing) — and each subsequent read pays the listing/open
+        cost. The AQE REBALANCE hint is the scale-adaptive form of
+        repartition(month): it coalesces small month partitions AND
+        splits months larger than the advisory partition size, so
+        locally each month lands in one file while a 100 TB month still
+        writes from many tasks."""
+        if MONTH_COL in df.columns:
+            return df.hint("rebalance", MONTH_COL)
+        return df
 
     def _swap_in(self, table: str, tmp: str, force_archive: bool = False) -> None:
         """Complete a tmp-dir rewrite: carry the schema sidecar across
@@ -281,7 +297,12 @@ class TableStore:
         if schema_json is not None:
             with open(self._schema_file(table), "w") as f:
                 f.write(schema_json)
-        self.spark.catalog.clearCache()
+        # Invalidate cached plans/file listings for THIS path only.
+        # clearCache() here was a sledgehammer: it dropped every cached
+        # relation in the session (including persisted lineage cuts and
+        # memoized index products belonging to unrelated queries), so a
+        # single MV overwrite silently forced session-wide recomputes.
+        self.spark.catalog.refreshByPath(final)
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Replace table contents atomically-enough for local use: write
@@ -292,7 +313,7 @@ class TableStore:
         with self._table_lock(table):
             tmp = self._tmp_path(table)
             df = self._with_month(df)
-            writer = df.write.mode("overwrite")
+            writer = self._month_clustered(df).write.mode("overwrite")
             if MONTH_COL in df.columns:
                 writer = writer.partitionBy(MONTH_COL)
             writer.parquet(tmp)
