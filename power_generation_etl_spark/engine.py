@@ -300,14 +300,31 @@ class Engine:
     # --- M3: refresh materialized views ---------------------------------------
     def refresh_views(self, source: str | None = None) -> list[str]:
         views = SOURCE_VIEWS.get(source, ALL_VIEWS) if source else ALL_VIEWS
-        refreshed = []
-        for v in views:
+        present = [v for v in views if self.store.exists(VIEW_BUILDERS[v][0])]
+
+        def _one(v: str) -> None:
             src_table, builder = VIEW_BUILDERS[v]
-            if not self.store.exists(src_table):
-                continue
             self.store.overwrite(v, builder(self.store.read(src_table)))
-            refreshed.append(v)
-        return refreshed
+
+        # Views are independent jobs over (usually) one fact table;
+        # submitting them from a small thread pool lets each refresh's
+        # tail stragglers back-fill with the next view's tasks instead
+        # of serializing full job latencies. Distinct target tables →
+        # the per-table store locks never contend.
+        self._run_view_jobs(present, _one)
+        return present
+
+    @staticmethod
+    def _run_view_jobs(views: list[str], fn) -> None:
+        if len(views) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(views))) as pool:
+                for _ in pool.map(fn, views):
+                    pass
+        else:
+            for v in views:
+                fn(v)
 
     def refresh_views_incremental(
         self, months: list[str], source: str | None = None
@@ -331,13 +348,15 @@ class Engine:
         """
         month_firsts = [m + "-01" for m in months]
         views = SOURCE_VIEWS.get(source, ALL_VIEWS) if source else ALL_VIEWS
-        refreshed = []
-        for v in views:
+        present = [v for v in views if self.store.exists(VIEW_BUILDERS[v][0])]
+
+        def _one(v: str) -> None:
             src_table, builder = VIEW_BUILDERS[v]
-            if not self.store.exists(src_table):
-                continue
             new_part = builder(self.store.read_months(src_table, months))
-            if self.store.exists(v) and self.store.count(v) > 0:
+            # An existing-but-empty MV reads as an empty frame whose
+            # filtered union is `new_part` itself, so no pre-count job
+            # is needed to special-case it.
+            if self.store.exists(v):
                 keep = self.store.read(v).filter(
                     ~F.col("month").isin(month_firsts)
                 )
@@ -345,8 +364,9 @@ class Engine:
             else:
                 merged = new_part
             self.store.overwrite(v, merged)
-            refreshed.append(v)
-        return refreshed
+
+        self._run_view_jobs(present, _one)
+        return present
 
     # --- A6/S7: aggregate export ------------------------------------------------
     def aggregate_export(

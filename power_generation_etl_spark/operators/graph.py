@@ -69,8 +69,12 @@ def connected_components(
     component. Deterministic — independent of partitioning and of the
     number of rounds run past convergence."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Closed neighborhood: self-loops make each round's min cover the
+    # node's OWN label, so the round is ONE join + ONE min aggregate —
+    # the labels⋈nbr_min least/coalesce join is folded away.
     sym = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        und.unionByName(und.select("a", F.col("a").alias("b")))
         .distinct()
         .transform(lambda d: _copartition(d, "b"))
         .transform(_cut)
@@ -78,34 +82,26 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).transform(_cut)
+    # Labels are element-wise non-increasing, so Σlabel strictly
+    # decreases until the fixpoint: one overflow-proof decimal sum per
+    # round replaces the old changed-rows join+count convergence probe.
+    prev_sum = None
     for _ in range(max_iters):
-        nbr_min = (
+        labels = (
             sym.join(
                 labels.select(F.col("id").alias("b"), F.col("label").alias("nl")), "b"
             )
             .groupBy("a")
-            .agg(F.min("nl").alias("nbr_min"))
-            .select(F.col("a").alias("id"), "nbr_min")
-        )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
+            .agg(F.min("nl").alias("label"))
+            .select(F.col("a").alias("id"), "label")
             .transform(_cut)
         )
-        changed = (
-            new_labels.select("id", F.col("label").alias("nl"))
-            .join(labels, "id")
-            .filter(F.col("nl") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -530,6 +526,10 @@ def kcore(
         .transform(_cut)
     )
     converged = False
+    # The surviving edge count from the previous round is already known
+    # (e2.count() materialized it); re-counting the cut `e` table every
+    # round was one redundant job per peel.
+    prev_n = e.count()
     for _ in range(max_rounds):
         deg = (
             e.select(F.col("a").alias("id"))
@@ -543,11 +543,12 @@ def kcore(
             .join(keep.select(F.col("id").alias("b")), "b", "left_semi")
             .transform(_cut)
         )
-        if e2.count() == e.count():
-            e = e2
+        n2 = e2.count()
+        e = e2
+        if n2 == prev_n:
             converged = True
             break
-        e = e2
+        prev_n = n2
     if not converged and strict:
         raise ValueError(
             f"kcore did not reach the peeling fixpoint in {max_rounds} "
@@ -597,10 +598,14 @@ def label_propagation(
         .transform(lambda d: _copartition(d, "nb"))
         .transform(_cut)
     )
-    nodes = adj.select("id").distinct().transform(_cut)
-    labels = nodes.withColumn("lab", F.col("id"))
+    # Every id in adj has >= 1 neighbor (adj comes from edges), so the
+    # per-round mode aggregate emits exactly one row per node — the old
+    # labels⋈mode left join + coalesce carried no extra rows and is
+    # folded away (one join per round instead of two). Isolated nodes
+    # never appear in edges, hence never in adj/labels — unchanged.
+    labels = adj.select("id").distinct().withColumn("lab", F.col("id"))
     for _ in range(rounds):
-        mode = (
+        labels = (
             adj.join(labels.select(F.col("id").alias("nb"), "lab"), "nb")
             .groupBy("id", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -610,13 +615,7 @@ def label_propagation(
                     "m"
                 )
             )
-            .select("id", (-F.col("m.nl")).alias("new_lab"))
-        )
-        labels = (
-            labels.join(mode, "id", "left")
-            .select(
-                "id", F.coalesce(F.col("new_lab"), F.col("lab")).alias("lab")
-            )
+            .select("id", (-F.col("m.nl")).alias("lab"))
             .transform(_cut)
         )
     return labels

@@ -457,6 +457,32 @@ def test_incremental_view_refresh_matches_full(engine, spark, tmp_path):
     assert len(full) == 3  # Jan, Feb, Mar rows
 
 
+def test_incremental_refresh_from_empty_mv(engine, spark, tmp_path):
+    """An existing-but-EMPTY MV (truncated, or created before any
+    refresh) must incremental-refresh to exactly the full recompute —
+    the empty carried-over frame unions away. (r11: the pre-count job
+    that special-cased this was removed; the read path must keep the
+    semantics.)"""
+    engine.load_jsonl(
+        "entsoe",
+        _write(tmp_path, [
+            _entsoe(JAN, "P1", 100.0),
+            _entsoe(FEB, "P2", 20.0),
+        ], "e1.jsonl"),
+    )
+    engine.refresh_views("entsoe")
+    engine.store.truncate("mv_entsoe_monthly")  # exists, zero rows
+    engine.refresh_views_incremental(["2024-01"], "entsoe")
+    got = sorted(
+        tuple(r) for r in engine.sql(
+            "SELECT month, fuel_type, round(generation_mwh, 4) AS mwh "
+            "FROM mv_entsoe_monthly").collect()
+    )
+    # Only the touched month is recomputed; the February row was lost
+    # with the truncate (nothing to carry over), so exactly January.
+    assert got == [("2024-01-01", "Solar", 100.0)]
+
+
 def test_read_months_partition_pruning(engine, spark, tmp_path):
     """The incremental refresh's input scan must prune _month
     partition directories, not post-filter a full read."""

@@ -97,6 +97,18 @@ class TestConnectedComponents:
         got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
         assert got == {i: 0 for i in range(n)}
 
+    def test_huge_ids_converge_exactly(self, spark):
+        # r11: convergence is detected by a decimal(38,0) label sum
+        # (labels are element-wise non-increasing). Node ids near 2^62
+        # would overflow a BIGINT sum after 2 rows — the decimal probe
+        # must stay exact and still detect the fixpoint.
+        big = 1 << 62
+        edges = spark.createDataFrame(
+            [(big, big + 1), (big + 1, big + 2), (7, 8)], ["src", "dst"]
+        )
+        got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+        assert got == {big: big, big + 1: big, big + 2: big, 7: 7, 8: 7}
+
 
 class TestStarConnectedComponents:
     """large-star/small-star (the high-diameter scale path) must produce
