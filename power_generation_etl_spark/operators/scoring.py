@@ -174,54 +174,21 @@ def bigram_lm_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Output: (doc_id, n_bigrams, total_unats, mean_unats) for docs with
     at least one bigram, doc-ordered; mean_unats = total div n (exact).
     """
-    import math as _m
-
-    from pyspark.sql.window import Window
-
-    spark = df.sparkSession
-    ex = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select(
-            "doc_id",
-            F.posexplode(F.split(F.lower(F.col("_t")), r"\s+")).alias("pos", "w"),
-        )
+    src = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
     )
-    vocab_n = ex.select("w").distinct().count()
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = ex.select(
-        "doc_id", F.col("w").alias("w1"), F.lead("w", 1).over(w).alias("w2")
-    ).where(F.col("w2").isNotNull())
-    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    scored = (
-        big.join(c2, ["w1", "w2"]).join(c1, "w1")
-        .select(
-            "doc_id",
-            (F.col("c1") + F.lit(vocab_n)).alias("_den"),
-            (F.col("c2") + F.lit(1)).alias("_num"),
-        )
+    big, per_bigram = _BIGRAM_MEMO.get_or_build(
+        (), src, lambda: _build_bigram_model(src)
     )
-    dom = sorted(
-        r["n"]
-        for r in scored.select(
-            F.explode(F.array("_den", "_num")).alias("n")
-        )
-        .distinct()
-        .collect()
-    )
-    lut = spark.createDataFrame(
-        [(int(n), int(_m.floor(_m.log(float(n)) * 1_000_000))) for n in dom],
-        "n bigint, l bigint",
-    )
-    s = (
-        scored.join(lut.select(F.col("n").alias("_den"), F.col("l").alias("_ld")), "_den")
-        .join(lut.select(F.col("n").alias("_num"), F.col("l").alias("_ln")), "_num")
-        .select("doc_id", (F.col("_ld") - F.col("_ln")).alias("s_unats"))
-    )
+    # One token-scale join against the per-DISTINCT-bigram surprisal
+    # table (the 'compute per distinct value, join back' rule — the old
+    # plan joined c2 AND c1 AND two LUTs back at token scale, and
+    # additionally recomputed the tokenize+window pipeline for the
+    # vocab count and the LUT-domain collect; all of that now happens
+    # once inside the memoized model build).
     return (
-        s.groupBy("doc_id")
+        big.join(per_bigram, ["w1", "w2"])
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.sum("s_unats").cast("bigint").alias("total_unats"),
@@ -231,3 +198,69 @@ def bigram_lm_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+from ..memo import PlanMemo  # noqa: E402  (placed by first use)
+
+# cap 2: one corpus per session is the norm; the product pins the
+# token-scale bigram table, so keep the LRU tight.
+_BIGRAM_MEMO = PlanMemo("bigram_lm", cap=2)
+
+
+def _build_bigram_model(src: DataFrame):
+    """Materialize the (doc_id, w1, w2) bigram table (ONE tokenize +
+    per-doc lead window) and the per-distinct-bigram surprisal table
+    s(w1,w2) = L(c1+V) − L(c2+1):
+
+    * c1 is derived from c2 (Σ_w2 c2) — no second pass over bigrams;
+    * the ln LUT domain is collected from the DISTINCT count tables
+      (every c1/c2 value occurs in some scored bigram, so the domain is
+      identical to the old token-scale explode+distinct, at aggregate
+      cost);
+    * both products are lineage-cut and memoized per corpus plan, so
+      the eager LUT jobs run once per session per corpus."""
+    import math as _m
+
+    from pyspark.sql.window import Window
+
+    from ..lineage import cut as _cut
+
+    spark = src.sparkSession
+    ex = (
+        src.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("_t")), r"\s+")).alias("pos", "w"),
+        )
+    )
+    vocab_n = ex.select("w").distinct().count()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = _cut(
+        ex.select(
+            "doc_id", F.col("w").alias("w1"), F.lead("w", 1).over(w).alias("w2")
+        ).where(F.col("w2").isNotNull())
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    sb = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        (F.col("c1") + F.lit(vocab_n)).alias("_den"),
+        (F.col("c2") + F.lit(1)).alias("_num"),
+    )
+    dom = sorted(
+        r["n"]
+        for r in sb.select(F.explode(F.array("_den", "_num")).alias("n"))
+        .distinct()
+        .collect()
+    )
+    lut = spark.createDataFrame(
+        [(int(n), int(_m.floor(_m.log(float(n)) * 1_000_000))) for n in dom],
+        "n bigint, l bigint",
+    )
+    per_bigram = _cut(
+        sb.join(lut.select(F.col("n").alias("_den"), F.col("l").alias("_ld")), "_den")
+        .join(lut.select(F.col("n").alias("_num"), F.col("l").alias("_ln")), "_num")
+        .select("w1", "w2", (F.col("_ld") - F.col("_ln")).alias("s_unats"))
+    )
+    return big, per_bigram

@@ -373,6 +373,30 @@ class TestHllDistinct:
 
 
 class TestBigramLmSurprisal:
+    def test_memoized_model_serves_identical_rows(self, spark, tmp_path):
+        # r11: the bigram table + per-distinct-bigram surprisal model
+        # are memoized per corpus plan (parquet reads memo-hit; local
+        # relations never do). A second call over the same path must
+        # return identical rows from the cached products.
+        from power_generation_etl_spark.operators.scoring import (
+            bigram_lm_surprisal,
+        )
+
+        p = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(1, "a b a b c"), (2, "c a b"), (3, "q w e r t")],
+            "doc_id bigint, text string",
+        ).write.parquet(p)
+        d = spark.read.parquet(p)
+        first = [tuple(r) for r in bigram_lm_surprisal(d, "doc_id", "text").collect()]
+        again = [
+            tuple(r)
+            for r in bigram_lm_surprisal(
+                spark.read.parquet(p), "doc_id", "text"
+            ).collect()
+        ]
+        assert first == again and len(first) == 3
+
     def test_hand_computed_two_doc_corpus(self, spark):
         import math
 
