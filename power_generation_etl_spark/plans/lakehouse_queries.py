@@ -361,38 +361,43 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         store = TableStore(spark, wh, versioned=True)
-        loads = {"customer": cust, "orders": orders, "events": events}
-        before = {}
-        for t, df in loads.items():
+        loads = {
+            "customer": (cust, "c_custkey"),
+            "orders": (orders, "o_custkey"),
+            "events": (events, "user_id"),
+        }
+        results: dict[str, tuple] = {}
+
+        # The three erasure pipelines are fully independent (each
+        # predicate hashes the table's OWN subject column), so the
+        # load → count → delete → count → orphan-audit chains run
+        # concurrently (guide §2.6); per-table store locks never
+        # contend across distinct tables. The after/orphan counts stay
+        # real store reads — the audit's value is proving the written
+        # state, not deriving it arithmetically.
+        def _one(t: str) -> None:
+            df, key = loads[t]
+            pred = F.expr(_ERASE_SPARK.format(k=key))
             store.overwrite(t, df)
-            before[t] = store.count(t)
-        deleted = {
-            "customer": store.delete_where(
-                "customer", F.expr(_ERASE_SPARK.format(k="c_custkey"))
-            ),
-            "orders": store.delete_where(
-                "orders", F.expr(_ERASE_SPARK.format(k="o_custkey"))
-            ),
-            "events": store.delete_where(
-                "events", F.expr(_ERASE_SPARK.format(k="user_id"))
-            ),
-        }
-        after = {t: store.count(t) for t in loads}
-        # cascade completeness: rows still matching the erasure
-        # predicate (must be zero for every table after the delete)
-        orphans = {
-            "customer": 0,
-            "orders": store.read("orders")
-            .where(F.expr(_ERASE_SPARK.format(k="o_custkey")))
-            .count(),
-            "events": store.read("events")
-            .where(F.expr(_ERASE_SPARK.format(k="user_id")))
-            .count(),
-        }
-        rows = [
-            (t, before[t], deleted[t], after[t], orphans[t])
-            for t in sorted(loads)
-        ]
+            n_before = store.count(t)
+            n_deleted = store.delete_where(t, pred)
+            n_after = store.count(t)
+            # cascade completeness: rows still matching the erasure
+            # predicate (must be zero after the delete); the erased
+            # subject table itself has nothing left to reference
+            orphans = (
+                0
+                if t == "customer"
+                else store.read(t).where(pred).count()
+            )
+            results[t] = (n_before, n_deleted, n_after, orphans)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for _ in pool.map(_one, sorted(loads)):
+                pass
+        rows = [(t, *results[t]) for t in sorted(loads)]
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
