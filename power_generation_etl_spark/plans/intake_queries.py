@@ -39,6 +39,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -194,10 +195,15 @@ def stream_intake_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
     try:
-        _stage_json(r1, os.path.join(stage, "r1"))
-        _link_round(os.path.join(stage, "r1"), landing, "r1")
-        _run()
-        _stage_json(r2, os.path.join(stage, "r2"))
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            # Round-2 staging is independent of round 1 — overlap it
+            # with round 1's stream run (guide §2.6). Linking waits for
+            # the stage to finish so round 1 never sees r2 files.
+            fut = pool.submit(_stage_json, r2, os.path.join(stage, "r2"))
+            _stage_json(r1, os.path.join(stage, "r1"))
+            _link_round(os.path.join(stage, "r1"), landing, "r1")
+            _run()
+            fut.result()
         _link_round(os.path.join(stage, "r2"), landing, "r2")
         _run()
         try:
@@ -390,10 +396,14 @@ def stream_intake_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
     try:
-        _stage_json(r1, os.path.join(stage, "r1"))
-        _link_round(os.path.join(stage, "r1"), landing, "r1")
-        _run()
-        _stage_json(r2, os.path.join(stage, "r2"))
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            # Overlap round-2 staging with round 1's stream run
+            # (guide §2.6); link only after the stage completes.
+            fut = pool.submit(_stage_json, r2, os.path.join(stage, "r2"))
+            _stage_json(r1, os.path.join(stage, "r1"))
+            _link_round(os.path.join(stage, "r1"), landing, "r1")
+            _run()
+            fut.result()
         _link_round(os.path.join(stage, "r2"), landing, "r2")
         _run()
         try:

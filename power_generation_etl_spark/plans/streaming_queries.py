@@ -600,10 +600,14 @@ _MG_SQL = f"""
 
 def _stage_event_halves_json(spark, sf_dir: str, stage: str, cols):
     """Write events split by md5(event_id)%2 into two JSON dirs — the
-    shared two-round feed for the sketch-store entries."""
+    shared two-round feed for the sketch-store entries. The two half
+    writes are independent jobs, so they run overlapped (guide §2.6:
+    back-fill one job's single-task tail with the other's work)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     ev = T(spark, sf_dir, "events").select("event_id", *cols)
-    halves = []
-    for i in (0, 1):
+
+    def _write(i: int) -> str:
         out = os.path.join(stage, f"half{i}")
         half = (
             F.conv(
@@ -613,8 +617,10 @@ def _stage_event_halves_json(spark, sf_dir: str, stage: str, cols):
             % 2
         )
         ev.filter(half == i).select(*cols).coalesce(1).write.json(out)
-        halves.append(out)
-    return halves
+        return out
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        return list(pool.map(_write, (0, 1)))
 
 
 def _link_json(src: str, landing: str, tag: str) -> None:
