@@ -46,7 +46,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 from power_generation_etl_spark.operators import minhash as mh
-from power_generation_etl_spark.plans.queries import T, _register, stream_scoped
+from power_generation_etl_spark.plans.queries import (
+    T,
+    _register,
+    overlap_two_rounds,
+    stream_scoped,
+)
 
 _OFF_CROSS = 100_000_000   # round-2 copies of round-1 (h4=0) docs
 _OFF_WITHIN = 200_000_000  # round-2 copies of round-2 (h4=1) docs
@@ -585,8 +590,8 @@ def stream_expectations_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
 
     out_schema = "grp string, check_name string, metric long, passed int"
     try:
-        _feed_and_run(_stage_half(0), "r1")
-        _feed_and_run(_stage_half(1), "r2")
+        # Round-2 staging overlaps round 1's stream (guide §2.6).
+        overlap_two_rounds(_stage_half, _feed_and_run)
         try:
             rows = grouped_expectations_from_store(spark, store, suite).collect()
         except ValueError:  # empty corpus: zero batches, no store
@@ -664,8 +669,9 @@ def stream_text_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_schema = "term string, df long, total_tf long"
     try:
-        _feed_and_run(_stage_half(0), "r1")  # round 1: shard ix_b0
-        _feed_and_run(_stage_half(1), "r2")  # round 2: appends ix_b1
+        # round 1 shards ix_b0; round 2 appends ix_b1. Round-2
+        # staging overlaps round 1's stream (guide §2.6).
+        overlap_two_rounds(_stage_half, _feed_and_run)
         try:
             rows = term_stats_from_store(spark, store, k=20).collect()
         except ValueError:  # empty corpus: zero batches, no shards

@@ -123,6 +123,27 @@ def stream_scoped(fn: QueryFn) -> QueryFn:
     return wrapped
 
 
+def overlap_two_rounds(stage_half, feed_and_run) -> None:
+    """Two-round streaming protocol with the independent staging jobs
+    overlapped (guide §2.6): round-2's staging write is submitted
+    concurrently with round-1's staging AND round 1's stream run —
+    they are independent Spark jobs — but round 2 is linked and run
+    only after BOTH round 1 and its stage complete, so round 1's
+    stream never sees round-2 files.
+
+    ``stage_half(i) -> src_dir`` writes half ``i``;
+    ``feed_and_run(src_dir, tag)`` links the staged files into the
+    landing dir under ``tag`` and runs one availableNow round.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(stage_half, 1)
+        feed_and_run(stage_half(0), "r1")
+        src1 = fut.result()
+    feed_and_run(src1, "r2")
+
+
 def ts_to_ntz(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an events-style timestamp column to TIMESTAMP_NTZ
     holding the file's naive wall-clock, whatever dtype the session's

@@ -56,6 +56,7 @@ from power_generation_etl_spark.plans.queries import (
     T,
     _register,
     ntz_epoch_us,
+    overlap_two_rounds,
     stream_scoped,
     ts_to_ntz,
 )
@@ -542,8 +543,9 @@ def stream_kmv_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_schema = "grp string, kmv_estimate long"
     try:
-        _feed_and_run(_stage_half(0), "r1")  # round 1: seeds kmv_v0
-        _feed_and_run(_stage_half(1), "r2")  # round 2: MERGES v0 + new
+        # round 1 seeds kmv_v0; round 2 MERGES v0 + new. Round-2
+        # staging overlaps round 1's stream (guide §2.6).
+        overlap_two_rounds(_stage_half, _feed_and_run)
         try:
             rows = kmv_estimate_from_store(spark, store, k=_KMV_K).collect()
         except ValueError:  # empty corpus: zero batches, no store
@@ -1355,8 +1357,9 @@ def stream_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"p{p} long" for p in _QS_PCTS
     )
     try:
-        _feed_and_run(_stage_half(0), "r1")  # round 1: seeds qs_v0
-        _feed_and_run(_stage_half(1), "r2")  # round 2: MERGES v0 + new
+        # round 1 seeds qs_v0; round 2 MERGES v0 + new. Round-2
+        # staging overlaps round 1's stream (guide §2.6).
+        overlap_two_rounds(_stage_half, _feed_and_run)
         try:
             rows = quantiles_from_store(
                 spark, store, _QS_PCTS, value_scale=_QS_SCALE
@@ -1472,8 +1475,9 @@ def stream_ivf_ingest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
     try:
-        _feed_and_run(_stage_half(0), "r1")  # round 1: shards ivf_b0
-        _feed_and_run(_stage_half(1), "r2")  # round 2: appends ivf_b1
+        # round 1 shards ivf_b0; round 2 appends ivf_b1. Round-2
+        # staging overlaps round 1's stream (guide §2.6).
+        overlap_two_rounds(_stage_half, _feed_and_run)
         try:
             rows = ivf_cells_from_store(spark, store).collect()
         except ValueError:  # zero batches (shouldn't happen: seeds exist)
@@ -1570,8 +1574,9 @@ def stream_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_schema = "check_name string, metric long, passed int"
     try:
-        _feed_and_run(_stage_half(0), "r1")  # round 1: seeds qx_v0
-        _feed_and_run(_stage_half(1), "r2")  # round 2: MERGES v0 + new
+        # round 1 seeds qx_v0; round 2 MERGES v0 + new. Round-2
+        # staging overlaps round 1's stream (guide §2.6).
+        overlap_two_rounds(_stage_half, _feed_and_run)
         try:
             rows = expectations_from_store(spark, store, suite).collect()
         except ValueError:  # empty corpus: zero batches, no store
