@@ -259,22 +259,33 @@ def mutual_knn_edges(
     from pyspark.sql.window import Window
 
     npar = df.sparkSession.sparkContext.defaultParallelism
+    va, vb = F.col("va"), F.col("vb")
+    # The norms depend on one side only, so they are hoisted to the
+    # n-scale side projections — the O(n²) per-pair expression runs
+    # ONLY the dot fold instead of dot + two norms (same fold over the
+    # same array → identical doubles; the dot/(na*nb) op order is
+    # unchanged, so the result is bit-identical). The dot stays the
+    # interpreted in-JVM fold deliberately: this exact path emits BOTH
+    # directions of every pair (twice `all_pairs_neardup`'s volume) and
+    # the A/Bs measured BOTH alternatives slower here — the Arrow
+    # kernel (cold 9.4→15.3 s: 2·n²·dim doubles across the boundary)
+    # and an unrolled static-dim getItem chain (~2× slower: 64
+    # nested-add terms exceed what codegen compiles and fall back to
+    # per-node interpreted eval) — see OPTIMIZATION_r11.md.
     a = df.select(
-        F.col(id_col).alias("id_a"), as_double_array(F.col(vec_col)).alias("va")
-    ).repartition(npar)
+        F.col(id_col).alias("id_a"),
+        as_double_array(F.col(vec_col)).alias("va"),
+    ).withColumn("_na", norm(va)).repartition(npar)
     b = df.select(
-        F.col(id_col).alias("id_b"), as_double_array(F.col(vec_col)).alias("vb")
-    )
-    # Deliberately the interpreted-expression cosine, NOT
-    # cosine_pairs_seq: this O(n²) exact path emits BOTH directions of
-    # every pair (twice `all_pairs_neardup`'s volume), and the A/B
-    # measured the Arrow crossing of 2·n²·dim doubles SLOWER than the
-    # in-JVM fold here (cold 9.4→15.3 s, warm parity), while the
-    # half-volume pair sites all won — see OPTIMIZATION_r11.md.
+        F.col(id_col).alias("id_b"),
+        as_double_array(F.col(vec_col)).alias("vb"),
+    ).withColumn("_nb", norm(vb))
     pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 4).alias("s4"),
+        F.round(
+            dot(va, vb) / (F.col("_na") * F.col("_nb")), 4
+        ).alias("s4"),
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("s4"), "id_b")
     topk = (
