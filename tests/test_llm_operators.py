@@ -1371,3 +1371,69 @@ class TestMutualKnn:
         assert mutual_knn_edges(
             df, "vec_id", "embedding", k=2, max_rows=0
         ).count() > 0
+
+    def test_hoisted_norms_match_inline_cosine(self, spark):
+        """r11 optimization pin: the per-side hoisted norms
+        (dot/(_na*_nb)) must reproduce the inline cosine(va, vb)
+        BIT-exactly — same folds over the same arrays in the same op
+        order — on awkward doubles (extreme magnitudes, negatives,
+        near-tie rounding boundaries). Zero-norm vectors are out of
+        contract either way (ANSI /0 errors identically in both
+        forms, like the rest of the cosine family)."""
+        import math
+
+        from power_generation_etl_spark.operators.similarity import (
+            as_double_array,
+            cosine,
+            mutual_knn_edges,
+        )
+
+        rows = [
+            (0, [0.1, 0.2, 0.3]),
+            (1, [0.1000000001, 0.2, 0.3]),
+            (2, [-5e-300, 7e150, 1.0]),
+            (3, [3.3333333333333335, -1.0, 2.5]),
+            (4, [1e-8, 1e8, -1e-8]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in mutual_knn_edges(df, "vec_id", "embedding", k=2).collect()
+        }
+        # Reference: the pre-hoist expression shape, evaluated directly.
+        a = df.select(
+            F.col("vec_id").alias("id_a"),
+            as_double_array(F.col("embedding")).alias("va"),
+        )
+        b = df.select(
+            F.col("vec_id").alias("id_b"),
+            as_double_array(F.col("embedding")).alias("vb"),
+        )
+        from pyspark.sql.window import Window
+
+        pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("s4"),
+        )
+        w = Window.partitionBy("id_a").orderBy(F.desc("s4"), "id_b")
+        topk = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 2)
+            .select("id_a", "id_b", "s4")
+        )
+        rev = topk.select(F.col("id_a").alias("ra"), F.col("id_b").alias("rb"))
+        want = {
+            (r["id_a"], r["id_b"]): r["s4"]
+            for r in topk.where(F.col("id_a") < F.col("id_b"))
+            .join(
+                rev,
+                (F.col("id_a") == F.col("rb")) & (F.col("id_b") == F.col("ra")),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for key, sim in want.items():
+            assert got[key] == sim or (
+                math.isnan(got[key]) and math.isnan(sim)
+            ), key
