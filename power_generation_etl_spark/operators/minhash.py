@@ -237,6 +237,62 @@ def _par(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 
 
+def minhash_signatures_from_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, m0..m{k-1}) MinHash signatures straight from documents,
+    LAZY and distinct-free — the single-consumer form for callers that
+    need ONLY signatures (the streaming intake kernel; the batch
+    near-dup family keeps `shingle_table` + `minhash_signature_table`
+    because the materialized distinct-shingle table feeds 2-3 subtrees
+    there).
+
+    Identical output to `minhash_signature_table(shingle_table(...))`:
+    ``min`` is duplicate-insensitive, so the signature over the shingle
+    MULTISET equals the signature over the distinct set — dropping the
+    set-dedup pass and, more importantly, the localCheckpoint
+    write+read of the widest intermediate (guide §1.2: don't
+    materialize what has one consumer). One exchange total: the
+    pre-window repartition doubles as the window's and the
+    aggregation's clustering (both only require hash clustering on
+    doc_id), so the plan is exchange → sort → lead-window → hash-agg
+    with map-side partials."""
+    from pyspark.sql.window import Window
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    ex = src.repartition(_par(df), "doc_id").select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("_t")), r"\s+")).alias("pos", "t"),
+    )
+    if n == 1:
+        sh = ex.select("doc_id", F.col("t").alias("s"))
+    else:
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        leads = [F.lead("t", j).over(w) for j in range(1, n)]
+        sh = (
+            ex.select(
+                "doc_id",
+                F.concat_ws(" ", F.col("t"), *leads).alias("s"),
+                leads[-1].alias("_last"),
+            )
+            .filter(F.col("_last").isNotNull())
+            .drop("_last")
+        )
+    hs = sh.select("doc_id", portable_hash32(F.col("s")).alias("h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_61))).alias(
+            f"m{i}"
+        )
+        for i, (a, b) in enumerate(_coefficients(k, seed))
+    ]
+    return hs.groupBy("doc_id").agg(*aggs)
+
+
 _SHINGLE_MEMO = PlanMemo("shingle_table")
 
 

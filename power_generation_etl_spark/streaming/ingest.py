@@ -213,8 +213,18 @@ def neardup_intake_batch(
     try:
         if new.isEmpty():
             return
-        sh = mh.shingle_table(new, "doc_id", "text", n)
-        sig = mh.minhash_signature_table(sh, k, seed).localCheckpoint()
+        # Signatures via the lazy distinct-free builder (r12): the
+        # signature aggregation is the ONLY shingle consumer in this
+        # kernel, so the batch path's materialized distinct-shingle
+        # table (a localCheckpoint write+read of the widest
+        # intermediate per micro-batch) is pure overhead here — min()
+        # is duplicate-insensitive, so the output is identical
+        # (pytest-pinned). The signature itself stays checkpointed: it
+        # feeds both verification sides, the band table, and the store
+        # append.
+        sig = mh.minhash_signatures_from_docs(
+            new, "doc_id", "text", n=n, k=k, seed=seed
+        ).localCheckpoint()
         bands = mh.band_key_table(sig, k, n_bands).select(
             "doc_id", "bk.band", "bk.key"
         )
@@ -312,13 +322,26 @@ def neardup_intake_batch(
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")
         )
-        keep_sig = sig.join(survivors.select("doc_id"), "doc_id")
-        keep_sig.write.mode("overwrite").parquet(
-            os.path.join(sig_path, f"batch={batch_id}")
-        )
-        bands.join(survivors.select("doc_id"), "doc_id").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(band_path, f"batch={batch_id}"))
+        # The signature-store and band-store appends both read only the
+        # persisted survivors + checkpointed sig — independent jobs, so
+        # they run overlapped (guide §2.6: fill one write's single-task
+        # tail with the other's work).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_sig() -> None:
+            sig.join(survivors.select("doc_id"), "doc_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sig_path, f"batch={batch_id}"))
+
+        def _write_bands() -> None:
+            bands.join(survivors.select("doc_id"), "doc_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(band_path, f"batch={batch_id}"))
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_write_sig), pool.submit(_write_bands)]
+        for f in futs:
+            f.result()  # surface either write's failure
         survivors.unpersist()
     finally:
         new.unpersist()

@@ -247,6 +247,33 @@ def test_stream_document_filter_redacts_pii(spark, tmp_path):
     assert "[EMAIL]" in out[0]["text"]
     assert "alice@example.com" not in out[0]["text"]
 
+def test_lazy_signatures_match_shingle_table_pipeline(spark):
+    """The intake kernel's lazy distinct-free signature builder
+    (minhash_signatures_from_docs, r12) must emit row-identical
+    signatures to the batch pipeline (shingle_table →
+    minhash_signature_table): min() is duplicate-insensitive, so
+    skipping the set-dedup and the shingle materialization cannot
+    change any component."""
+    from power_generation_etl_spark.operators import minhash as mh
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g a b c"),        # internal duplicate shingles
+            (2, "a b c d e f g a b c"),        # exact duplicate doc
+            (3, "one two"),                     # shorter than n: no shingles
+            (4, "x y z x y z x y z w"),
+            (5, None),                          # null text
+        ],
+        "doc_id long, text string",
+    )
+    old = mh.minhash_signature_table(
+        mh.shingle_table(docs, "doc_id", "text", 3), 16, 42
+    )
+    new = mh.minhash_signatures_from_docs(docs, "doc_id", "text", n=3, k=16, seed=42)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
 def test_neardup_intake_retry_is_idempotent(spark, tmp_path):
     """A retried micro-batch (same batch_id, store already holds the
     failed attempt's signatures) must reproduce its survivors — not
