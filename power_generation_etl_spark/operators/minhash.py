@@ -295,6 +295,18 @@ def minhash_signatures_from_docs(
 
 _SHINGLE_MEMO = PlanMemo("shingle_table")
 
+# Materialized signature products (r12): the LSH candidate join consumes
+# the signature table on BOTH sides and the volume guard aggregates it a
+# third time; Spark computes each consumer's subtree independently, so
+# the k-min-aggregate (or 61-sum SimHash) scan over the shingle table
+# ran 3× per call (measured in plans/r12/minhash_lsh_pairs_before.txt:
+# two full HashAggregate chains in the candidate join + the guard job).
+# A PlanMemo'd lineage cut computes it ONCE per (corpus, params) and
+# owns the pinned blocks (LRU-released), the same lifecycle as the
+# shingle memo. cap=2: two corpora in flight.
+_SIG_MEMO = PlanMemo("minhash_sig", cap=2)
+_SIMHASH_MEMO = PlanMemo("simhash_tbl", cap=2)
+
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles as a (doc_id, s) TABLE — the form
@@ -529,7 +541,15 @@ def minhash_lsh_pairs(
     by one aggregation job (memoized per corpus per session) — pass
     ``max_candidates=0`` for a fully lazy plan."""
     sh = shingle_table(df, id_col, text_col, n)
-    sig = minhash_signature_table(sh, k, seed)
+    # Signature table materialized once via the memo (r12): its three
+    # consumers (volume guard, both candidate-join sides) otherwise
+    # each re-run the k-min-aggregate scan over the shingle table.
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    sig = _SIG_MEMO.get_or_build(
+        (n, k, seed, _par(df)),
+        src,
+        lambda: _cut(minhash_signature_table(sh, k, seed)),
+    )
     npar = _par(df)
     tagged = band_key_table(sig, k, n_bands)
     effective_cap = bucket_cap
@@ -656,7 +676,13 @@ def simhash_pairs(
     excludes super-cap buckets with the identical recall contract
     (a pair is missed only when every shared chunk bucket exceeds the
     cap; the bit_count verification stays exact)."""
-    sims = simhash_table(df, id_col, text_col, n)
+    # Fingerprint table materialized once via the memo (r12): the
+    # volume guard and both candidate-join sides otherwise each re-run
+    # the 61-sum vote aggregation over the shingle table.
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    sims = _SIMHASH_MEMO.get_or_build(
+        (n,), src, lambda: _cut(simhash_table(df, id_col, text_col, n))
+    )
     chunks = F.array(
         *[
             F.struct(

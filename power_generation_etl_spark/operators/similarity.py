@@ -327,6 +327,11 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("bigint")
 
 
+# Materialized hyperplane band-key table (r12) — same lifecycle as the
+# minhash signature memo: 3 consumers per call, LRU-owned blocks.
+_VECLSH_MEMO = PlanMemo("vec_lsh_bands", cap=2)
+
+
 def lsh_bucketed_neardup(
     df: DataFrame,
     id_col: str,
@@ -383,9 +388,22 @@ def lsh_bucketed_neardup(
         ]
     )
     npar = df.sparkSession.sparkContext.defaultParallelism
-    tagged = df.select(
-        F.col(id_col).alias("id"), v.alias("vec"), F.explode(bands).alias("bk")
-    ).repartition(npar, "bk")
+    # Band-key table materialized once via the memo (r12): the volume
+    # guard and both candidate-join sides otherwise each re-ran the
+    # n_planes interpreted dot folds per row (the signature is a pure
+    # projection, but across 3 consumers it was the dominant per-row
+    # cost). ids+keys only — vectors join back per DISTINCT pair below,
+    # the r11 ids-only rule.
+    src = df.select(F.col(id_col).alias("id"), v.alias("_v"))
+    tagged = _VECLSH_MEMO.get_or_build(
+        (n_planes, n_bands, seed, npar),
+        src,
+        lambda: _cut(
+            df.select(
+                F.col(id_col).alias("id"), F.explode(bands).alias("bk")
+            ).repartition(npar, "bk")
+        ),
+    )
     effective_cap = bucket_cap
     if effective_cap is None:
         from power_generation_etl_spark.operators.minhash import (
