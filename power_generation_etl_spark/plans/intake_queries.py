@@ -39,7 +39,6 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -199,18 +198,21 @@ def stream_intake_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         q.stop()
 
-    try:
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            # Round-2 staging is independent of round 1 — overlap it
-            # with round 1's stream run (guide §2.6). Linking waits for
-            # the stage to finish so round 1 never sees r2 files.
-            fut = pool.submit(_stage_json, r2, os.path.join(stage, "r2"))
-            _stage_json(r1, os.path.join(stage, "r1"))
-            _link_round(os.path.join(stage, "r1"), landing, "r1")
-            _run()
-            fut.result()
-        _link_round(os.path.join(stage, "r2"), landing, "r2")
+    rounds = (r1, r2)
+
+    def _stage_half(i: int) -> str:
+        out_dir = os.path.join(stage, f"r{i + 1}")
+        _stage_json(rounds[i], out_dir)
+        return out_dir
+
+    def _feed_and_run(src: str, tag: str) -> None:
+        _link_round(src, landing, tag)
         _run()
+
+    try:
+        # Round-2 staging overlaps round 1's staging and stream run
+        # (guide §2.6), with the shared error-chaining protocol.
+        overlap_two_rounds(_stage_half, _feed_and_run)
         try:
             surv = spark.read.parquet(out)
             row = surv.agg(
@@ -400,17 +402,21 @@ def stream_intake_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         q.stop()
 
-    try:
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            # Overlap round-2 staging with round 1's stream run
-            # (guide §2.6); link only after the stage completes.
-            fut = pool.submit(_stage_json, r2, os.path.join(stage, "r2"))
-            _stage_json(r1, os.path.join(stage, "r1"))
-            _link_round(os.path.join(stage, "r1"), landing, "r1")
-            _run()
-            fut.result()
-        _link_round(os.path.join(stage, "r2"), landing, "r2")
+    rounds = (r1, r2)
+
+    def _stage_half(i: int) -> str:
+        out_dir = os.path.join(stage, f"r{i + 1}")
+        _stage_json(rounds[i], out_dir)
+        return out_dir
+
+    def _feed_and_run(src: str, tag: str) -> None:
+        _link_round(src, landing, tag)
         _run()
+
+    try:
+        # Round-2 staging overlaps round 1's staging and stream run
+        # (guide §2.6), with the shared error-chaining protocol.
+        overlap_two_rounds(_stage_half, _feed_and_run)
         try:
             # project the documented column explicitly — the batch=<id>
             # layout column must not leak into the contract schema

@@ -23,6 +23,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import os
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,6 +50,7 @@ def _register(name: str, oracle: str | None = None):
 
 _SF_BYTES_CACHE: dict[str, int] = {}
 _STREAM_TARGET_PART_BYTES = 32 << 20  # one state/shuffle partition per 32 MB
+_STREAM_SCOPE_LOCK = threading.RLock()  # see stream_parallelism_scope
 
 
 def _sf_dir_bytes(sf_dir: str) -> int:
@@ -102,12 +104,19 @@ def stream_parallelism_scope(spark: SparkSession, sf_dir: str):
         ),
     )
     key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(want))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+    # The scope mutates SESSION conf with try/finally restore — correct
+    # only while one entry holds it at a time. The catalog is
+    # single-threaded per session today; the RLock makes that contract
+    # explicit and safe (concurrent entries would serialize instead of
+    # clobbering each other's partition count / restoring a stale one).
+    # Reentrant so a scoped entry can call another scoped helper.
+    with _STREAM_SCOPE_LOCK:
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(want))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
 
 
 def stream_scoped(fn: QueryFn) -> QueryFn:
@@ -127,19 +136,41 @@ def overlap_two_rounds(stage_half, feed_and_run) -> None:
     """Two-round streaming protocol with the independent staging jobs
     overlapped (guide §2.6): round-2's staging write is submitted
     concurrently with round-1's staging AND round 1's stream run —
-    they are independent Spark jobs — but round 2 is linked and run
-    only after BOTH round 1 and its stage complete, so round 1's
-    stream never sees round-2 files.
+    the two ``coalesce(1)`` staging jobs also overlap EACH OTHER by
+    design (each is a single-task write; back-filling one's tail with
+    the other is the point, not an ordering accident) — but round 2 is
+    linked and run only after BOTH round 1 and its stage complete, so
+    round 1's stream never sees round-2 files.
 
     ``stage_half(i) -> src_dir`` writes half ``i``;
     ``feed_and_run(src_dir, tag)`` links the staged files into the
     landing dir under ``tag`` and runs one availableNow round.
+
+    The staging thread runs under ``inheritable_thread_target`` where
+    available so it carries the submitting thread's JVM-local
+    properties (job group/description — pinned-thread mode does not
+    inherit them); and if round 1 raises while the staging job also
+    failed, the staging failure is chained as the cause instead of
+    being silently discarded with the dropped future (ADVICE r11).
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    target = stage_half
+    try:  # carries job group/description into the worker thread
+        from pyspark import inheritable_thread_target
+
+        target = inheritable_thread_target(stage_half)
+    except Exception:
+        pass
     with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(stage_half, 1)
-        feed_and_run(stage_half(0), "r1")
+        fut = pool.submit(target, 1)
+        try:
+            feed_and_run(stage_half(0), "r1")
+        except BaseException as exc:
+            staged_err = fut.exception()  # waits; never discards silently
+            if staged_err is not None and staged_err is not exc:
+                raise exc from staged_err
+            raise
         src1 = fut.result()
     feed_and_run(src1, "r2")
 

@@ -1072,15 +1072,34 @@ def _run_session_rounds(spark: SparkSession, ev, cutoff: int, hi: int,
     try:
         cols = ["ts", "user_id", "value"]
         r1 = os.path.join(stage, "r1")
-        ev.filter(F.col("t_us") <= cutoff).select(*cols).coalesce(1).write.parquet(r1)
-        schema = spark.read.parquet(r1).schema
-        _link_into(landing, r1, "round1")
-        _run_round(schema)
-        if cutoff < hi:
-            r2 = os.path.join(stage, "r2")
+        r2 = os.path.join(stage, "r2")
+        # Round-2 staging is independent of round 1 — overlap it with
+        # round 1's staging AND stream run (guide §2.6), linking only
+        # after both complete (same protocol as overlap_two_rounds).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _stage_r2() -> None:
             ev.filter(F.col("t_us") > cutoff).select(*cols).coalesce(
                 1
             ).write.parquet(r2)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_stage_r2) if cutoff < hi else None
+            ev.filter(F.col("t_us") <= cutoff).select(*cols).coalesce(
+                1
+            ).write.parquet(r1)
+            schema = spark.read.parquet(r1).schema
+            _link_into(landing, r1, "round1")
+            try:
+                _run_round(schema)
+            except BaseException as exc:
+                err = fut.exception() if fut is not None else None
+                if err is not None and err is not exc:
+                    raise exc from err
+                raise
+            if fut is not None:
+                fut.result()
+        if cutoff < hi:
             _link_into(landing, r2, "round2")
             _run_round(schema)
         try:
@@ -1243,17 +1262,33 @@ def stream_transition_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         cols = ["event_id", "ts", "user_id", "event_type"]
         r1 = os.path.join(stage, "r1")
-        ev.filter(F.col("t_us") <= cutoff).select(*cols).coalesce(
-            1
-        ).write.parquet(r1)
-        schema = spark.read.parquet(r1).schema
-        _link_into(landing, r1, "round1")
-        _run_round(schema)
-        if cutoff < hi:
-            r2 = os.path.join(stage, "r2")
+        r2 = os.path.join(stage, "r2")
+        # Overlap round-2 staging with round 1 (guide §2.6) — same
+        # protocol and error chaining as _run_session_rounds.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _stage_r2() -> None:
             ev.filter(F.col("t_us") > cutoff).select(*cols).coalesce(
                 1
             ).write.parquet(r2)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_stage_r2) if cutoff < hi else None
+            ev.filter(F.col("t_us") <= cutoff).select(*cols).coalesce(
+                1
+            ).write.parquet(r1)
+            schema = spark.read.parquet(r1).schema
+            _link_into(landing, r1, "round1")
+            try:
+                _run_round(schema)
+            except BaseException as exc:
+                err = fut.exception() if fut is not None else None
+                if err is not None and err is not exc:
+                    raise exc from err
+                raise
+            if fut is not None:
+                fut.result()
+        if cutoff < hi:
             _link_into(landing, r2, "round2")
             _run_round(schema)
     finally:
