@@ -247,6 +247,37 @@ def test_stream_document_filter_redacts_pii(spark, tmp_path):
     assert "[EMAIL]" in out[0]["text"]
     assert "alice@example.com" not in out[0]["text"]
 
+def test_stream_parallelism_scope_serializes_and_restores(spark, tmp_path):
+    """The scope mutates session conf (shuffle partitions) with a
+    try/finally restore — safe only single-holder-at-a-time. The r12
+    RLock makes concurrent entries serialize instead of clobbering each
+    other's value / restoring a stale one."""
+    import threading
+    import time
+
+    from power_generation_etl_spark.plans.queries import (
+        stream_parallelism_scope,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    trace: list[str] = []
+
+    def enter(tag: str) -> None:
+        with stream_parallelism_scope(spark, str(tmp_path)):
+            trace.append(tag)
+            time.sleep(0.2)
+            trace.append(tag)
+
+    threads = [threading.Thread(target=enter, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert trace in (["a", "a", "b", "b"], ["b", "b", "a", "a"])
+    assert spark.conf.get(key) == orig
+
+
 def test_lazy_signatures_match_shingle_table_pipeline(spark):
     """The intake kernel's lazy distinct-free signature builder
     (minhash_signatures_from_docs, r12) must emit row-identical
