@@ -118,41 +118,58 @@ def cosine_pairs_seq(
     out_schema = StructType(list(keep) + [StructField(out_col, DoubleType())])
     keep_names = [f.name for f in keep]
 
-    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            out = pdf[keep_names].copy()
+    def kern(batches):
+        # mapInArrow (r12; was mapInPandas): the Arrow→pandas hop
+        # materialized every vector as a Python list and the kernel
+        # re-parsed them with np.array(tolist()) — O(pairs·dim) Python
+        # object churn that dominated the O(n²) entries. An Arrow
+        # list<double> column is one contiguous values buffer + offsets,
+        # so the (m, d) matrices are zero-copy reshapes; the scoring
+        # loop is unchanged (same IEEE-754 op sequence, bit-exact).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            n = rb.num_rows
+            idx = {nm: i for i, nm in enumerate(rb.schema.names)}
+            kept = [rb.column(idx[nm]) for nm in keep_names]
             if n == 0:
-                out[out_col] = pd.Series([], dtype="float64")
-                yield out
+                yield pa.RecordBatch.from_arrays(
+                    kept + [pa.array([], type=pa.float64())],
+                    names=keep_names + [out_col],
+                )
                 continue
-            va, vb = pdf[a_col], pdf[b_col]
-            mask = va.notna().to_numpy() & vb.notna().to_numpy()
+            va = rb.column(idx[a_col])
+            vb = rb.column(idx[b_col])
+            valid = pc.and_(va.is_valid(), vb.is_valid())
+            mask = valid.to_numpy(zero_copy_only=False)
             res = np.full(n, np.nan)
             if mask.any():
-                ma = np.array(va[mask].tolist(), dtype=np.float64)
-                mb = np.array(vb[mask].tolist(), dtype=np.float64)
-                d = ma.shape[1] if ma.ndim == 2 else 0
+                fa = va if mask.all() else va.filter(valid)
+                fb = vb if mask.all() else vb.filter(valid)
                 m = int(mask.sum())
+                ma = fa.flatten().to_numpy().reshape(m, -1)
+                mb = fb.flatten().to_numpy().reshape(m, -1)
                 num = np.zeros(m)
                 na = np.zeros(m)
                 nb = np.zeros(m)
-                for j in range(d):
+                for j in range(ma.shape[1]):
                     x, y = ma[:, j], mb[:, j]
                     num = num + x * y
                     na = na + x * x
                     nb = nb + y * y
                 with np.errstate(divide="ignore", invalid="ignore"):
                     res[mask] = num / (np.sqrt(na) * np.sqrt(nb))
-            if mask.all():
-                out[out_col] = res
-            else:  # NULL inputs stay NULL (not NaN) through Arrow
-                col = pd.Series(list(res), dtype=object)
-                col[~mask] = None
-                out[out_col] = col
-            yield out
+            out_arr = (
+                pa.array(res, type=pa.float64())
+                if mask.all()
+                else pa.array(res, type=pa.float64(), mask=~mask)
+            )
+            yield pa.RecordBatch.from_arrays(
+                kept + [out_arr], names=keep_names + [out_col]
+            )
 
-    return pairs.mapInPandas(kern, out_schema)
+    return pairs.mapInArrow(kern, out_schema)
 
 
 def brute_force_topk(
@@ -642,6 +659,23 @@ def kmeans_train(
 # residual twin must still find the coarse quantizer behind them.
 _KMEANS_MEMO = PlanMemo("kmeans_train", cap=8)
 
+# Shared materialized (id, vector) training projection (r12): the
+# coarse k-means trainer and the PQ trainer over one corpus scan the
+# IDENTICAL projection (column names aside), so each paid its own
+# lineage-cut materialization pass. One memoized cut serves both —
+# keyed on the name-canonicalized plan (toDF adds the same outer
+# projection on both call sites, so the canonicalized plans compare
+# sameSemantics). cap=2: two corpora in flight (e.g. raw + residual).
+_ANN_BASE_MEMO = PlanMemo("ann_train_base", cap=2)
+
+
+def _train_base(src: DataFrame) -> DataFrame:
+    """Memoized lineage-cut of a 2-column (id, vector) training
+    projection; returns columns (_id, _v) whatever the caller's second
+    column name was."""
+    canon = src.toDF("_id", "_v")
+    return _ANN_BASE_MEMO.get_or_build((), canon, lambda: _cut(canon))
+
 
 def _kmeans_train_impl(
     src: DataFrame, k: int, iters: int, kernel: str
@@ -649,8 +683,8 @@ def _kmeans_train_impl(
     # Materialize the (id, vec) projection once: every Lloyd's round is
     # a fresh job, and without this each one re-scans and re-casts the
     # source (at scale: persist to MEMORY_AND_DISK instead —
-    # lineage.cut's persist mode).
-    base = _cut(src)
+    # lineage.cut's persist mode). Shared with the PQ trainer (r12).
+    base = _train_base(src)
     v = F.col("_v")
     seeds = base.orderBy("_id").limit(k).select(v.alias("e")).collect()
     cents = [(i, [float(x) for x in r["e"]]) for i, r in enumerate(seeds)]
@@ -950,8 +984,10 @@ def _pq_train_impl(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    # Materialize the projection once: it feeds the iters training scans.
-    base = _cut(src)
+    # Materialize the projection once: it feeds the iters training
+    # scans. Shared with the coarse k-means trainer over the same
+    # corpus (r12) — the cut table is identical up to the column name.
+    base = _train_base(src).toDF("_id", "_enc")
     seed_rows = base.orderBy("_id").limit(k_sub).select("_enc").collect()
     books: list[list[tuple[int, list[float]]]] = [
         [

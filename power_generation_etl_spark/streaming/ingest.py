@@ -315,9 +315,10 @@ def neardup_intake_batch(
                 .select(F.col("id_a").alias("doc_id"))
             )
             drop = drop.unionByName(drop_st)
-        survivors = new.join(
-            drop.distinct(), "doc_id", "left_anti"
-        ).persist()
+        # No distinct() on the drop side: LEFT ANTI semantics are
+        # duplicate-insensitive on the right input, so the dedup was a
+        # pure extra exchange+aggregate per micro-batch (r12).
+        survivors = new.join(drop, "doc_id", "left_anti").persist()
         # deterministic per-batch dirs + overwrite = idempotent retry
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")
@@ -727,18 +728,37 @@ def stream_heavy_hitters(
         ranked = merged.withColumn(
             "_rn", F.row_number().over(Window.orderBy(F.desc("cnt"), "key"))
         )
-        cut_rows = ranked.where(F.col("_rn") == capacity + 1).select("cnt").collect()
-        cut = int(cut_rows[0]["cnt"]) if cut_rows else 0
+        # The (capacity+1)-th count enters the plan as a broadcast 1-row
+        # aggregate (max-of-when, 0 when absent) instead of a driver
+        # collect, and the NULL-key meta row is derived from that same
+        # 1-row frame — the whole truncation + meta write is ONE job
+        # (r12; previously a collect + a driver-built createDataFrame
+        # per micro-batch). Identical rows: cut and max_err are the
+        # same integers either way.
+        cut_agg = ranked.agg(
+            F.coalesce(
+                F.max(F.when(F.col("_rn") == capacity + 1, F.col("cnt"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("_cut")
+        )
         kept = (
-            ranked.where(F.col("_rn") <= capacity)
-            .select("key", (F.col("cnt") - cut).alias("cnt"))
+            ranked.crossJoin(F.broadcast(cut_agg))
+            .where(F.col("_rn") <= capacity)
+            .select(
+                "key",
+                (F.col("cnt") - F.col("_cut")).alias("cnt"),
+                (F.lit(prev_err) + F.col("_cut")).cast("bigint").alias("max_err"),
+            )
             .where(F.col("cnt") > 0)
-            .withColumn("max_err", F.lit(prev_err + cut).cast("bigint"))
         )
         # NULL-key meta row: keeps the cumulative error even if the
         # truncation just emptied the counter set (all counts == cut).
-        meta = spark.createDataFrame(
-            [(None, 0, prev_err + cut)], kept.schema
+        meta = cut_agg.select(
+            F.lit(None).cast("long").alias("key"),
+            F.lit(0).cast("bigint").alias("cnt"),
+            (F.lit(prev_err) + F.col("_cut")).cast("bigint").alias("max_err"),
         )
         kept.unionByName(meta).write.mode("overwrite").parquet(
             os.path.join(store_dir, f"mg_v{batch_id}")
@@ -810,8 +830,6 @@ def stream_type_drift(
             base = spark.read.parquet(
                 os.path.join(store_dir, f"drift_v{prev[-1]}")
             )
-            nb = new.agg(F.sum("cnt")).collect()[0][0] or 0
-            na = base.agg(F.sum("cnt")).collect()[0][0] or 0
             j = (
                 base.withColumnRenamed("cnt", "base_cnt")
                 .join(new.withColumnRenamed("cnt", "batch_cnt"), "key", "full_outer")
@@ -823,17 +841,37 @@ def stream_type_drift(
             )
             # Σ|batch_share − base_share| in exact integers: the L1 sum
             # cross-multiplied by both totals, ppm-scaled at the end.
-            drift_x = j.agg(
-                F.sum(
-                    F.abs(
-                        F.col("batch_cnt") * F.lit(int(na))
-                        - F.col("base_cnt") * F.lit(int(nb))
+            # na/nb and the cross-multiplied sum all come from ONE
+            # aggregation job over j (r12; previously three sequential
+            # driver round-trips per batch): Σbase_cnt/Σbatch_cnt over
+            # the full-outer join equal the per-side totals because the
+            # coalesce(…, 0) padding adds zeros, and the L1 term is
+            # computed against those same totals via a broadcast 1-row
+            # cross join — identical integers, one job.
+            tot = j.agg(
+                F.sum("base_cnt").cast("bigint").alias("na"),
+                F.sum("batch_cnt").cast("bigint").alias("nb"),
+            )
+            stats = (
+                j.crossJoin(F.broadcast(tot))
+                .agg(
+                    F.sum(
+                        F.abs(
+                            F.col("batch_cnt") * F.col("na")
+                            - F.col("base_cnt") * F.col("nb")
+                        )
                     )
+                    .cast("bigint")
+                    .alias("x"),
+                    F.first("na").alias("na"),
+                    F.first("nb").alias("nb"),
                 )
-                .cast("bigint")
-                .alias("x")
-            ).collect()[0]["x"] or 0
-            drift_ppm = (drift_x * 1_000_000) // (int(na) * int(nb)) if na and nb else 0
+                .collect()[0]
+            )
+            na = int(stats["na"] or 0)
+            nb = int(stats["nb"] or 0)
+            drift_x = int(stats["x"] or 0)
+            drift_ppm = (drift_x * 1_000_000) // (na * nb) if na and nb else 0
             alert = spark.createDataFrame(
                 [(batch_id, int(nb), int(drift_ppm))],
                 "batch_id long, n_rows long, drift_ppm long",
