@@ -756,7 +756,7 @@ def stream_heavy_hitters(
         # NULL-key meta row: keeps the cumulative error even if the
         # truncation just emptied the counter set (all counts == cut).
         meta = cut_agg.select(
-            F.lit(None).cast("long").alias("key"),
+            F.lit(None).cast(dict(kept.dtypes)["key"]).alias("key"),
             F.lit(0).cast("bigint").alias("cnt"),
             (F.lit(prev_err) + F.col("_cut")).cast("bigint").alias("max_err"),
         )
