@@ -1,23 +1,29 @@
 """Distributed suffix array by prefix doubling (Manber & Myers 1990;
-the doubling formulation of Larsson-Sadakane) — the classic
+the doubling formulation of Larsson-Sadakane, generalized to an
+arity-``_ARITY`` span multiply per round) — the classic
 variable-length complement to the fixed-L ExactSubstr screen
 (`corpus.py::exact_substring_spans`): a corpus-wide lexicographic
-order of every within-document token suffix, built in O(log maxlen)
-rounds with NO self-joins.
+order of every within-document token suffix, built in
+O(log_ARITY maxlen) rounds with NO self-joins.
 
 Per round with span ``delta``: pair each position's current rank with
-the rank ``delta`` positions ahead via ``lead(r, delta)`` over a
-per-document window (end-of-suffix = rank 0, sorting first), then
-re-key the (r, r2) pairs corpus-wide. Re-keying alternates between
-
-* an **arithmetic combine** ``r*(B+1) + r2`` (B = current rank bound)
-  — order- and equality-isomorphic to the pair, zero shuffles — used
-  whenever ``(B+1)^2 < 2^63`` (B < ~3e9, i.e. every round after a
-  densification at any realistic per-densify domain), and
-* a **global dense rank** (`rank.py::with_global_dense_rank`, a
-  two-pass range-partitioned dense_rank — never a single-partition
-  window, no distinct+join-back) that resets the bound to the key
-  domain size.
+the ranks ``delta, 2·delta, …, (ARITY−1)·delta`` positions ahead via
+``lead(r, j·delta)`` over ONE per-document window (end-of-suffix =
+rank 0, sorting first) — the lexicographic ARITY-tuple is order- and
+equality-isomorphic to the suffix truncated at ``ARITY·delta`` tokens
+by the standard doubling argument applied ARITY−1 times (equal keys
+synchronize end-of-suffix positions, so each further component
+compares the next ``delta`` tokens). The tuple is then re-keyed to one
+int64 by a **collect-free range-partitioned rank** (`_range_rekey`):
+range-partition + sort by the tuple, then
+``(range_partition_id << 40) + rank() within the partition``. Correct
+because Spark's RangePartitioner maps equal keys to one partition as a
+pure function of the key (given the driver-fixed boundaries), range
+partition ids ascend with the ranges, and ``rank()`` gives equal rows
+equal values — so the composite is order- and equality-isomorphic with
+zero driver collects (the r11 formulation's per-densify
+count-collect pass and its extra materialization are gone, and the
+arity cuts the round count from log2 to log4 of maxlen/INIT).
 
 After ``delta >= max_doc_tokens`` the key order equals full token-wise
 suffix order. Per-round lineage is cut with `lineage.cut` (pluggable:
@@ -38,24 +44,28 @@ adjacent-pair LCP is exact from the INIT-token window arrays for
 every pair that mismatches inside its first INIT tokens (the
 overwhelming majority), and the residual "hard" pairs — first INIT
 tokens fully equal, both suffixes longer than INIT — are resolved by
-a binary descent over the retained per-round rank tables: equal
-span-``d`` keys at the pair's current offsets certify
-``least(d, rem_a, rem_b)`` more matching tokens, so add and advance;
-after the span-INIT level the residue is < INIT and one bounded
-window-array compare finishes. The descent is skipped entirely when
-the hard set is empty (one bounded count against the checkpointed
-pairs), and each level streams the level's rank table ONCE: the two
-sides of a pair are exploded into (pair, side) probe rows, matched in
-a single equi-join, and recombined with a tiny groupBy — h pairs cost
-2h probe rows, never two full scans. A 1M-token document costs the
-same per-position work as a 100-token one.
+a radix-ARITY descent over the retained per-round rank tables: at the
+span-``d`` level each pair probes the offsets ``lcp + j·d`` for
+``j = 0..ARITY−2``; ``j`` consecutive leading key-equalities certify
+``least(j·d, rem)`` more matching tokens, so entering a level with
+residue < ARITY·d always leaves residue < d — one level per round,
+matching the build. After the span-INIT level the residue is < INIT
+and one bounded window-array compare finishes. The descent is skipped
+entirely when the hard set is empty (one bounded count against the
+checkpointed pairs), and each level streams the level's rank table
+ONCE: the probe offsets of a pair are exploded into (pair, side,
+offset) rows, matched in a single equi-join, and recombined with a
+tiny groupBy — h pairs cost 2·(ARITY−1)·h probe rows, never two full
+scans. A 1M-token document costs the same per-position work as a
+100-token one.
 
 Scale notes (100 TB): the pairing step is a per-document window
 (``lead`` over partitionBy(doc_id)), so nothing ever crosses
-documents, and the round count is ceil(log2(max DOC length / INIT)) —
-independent of corpus size (16 rounds for 1M-token documents at
-INIT=16). Each round shuffles position-scale (doc, pos, rank) triples
-at most once — the O(n log maxlen) total that makes suffix-array
+documents, and the round count is ceil(log_ARITY(max DOC length /
+INIT)) — independent of corpus size (8 rounds for 1M-token documents
+at INIT=16, ARITY=4; the r11 doubling build took 16). Each round
+shuffles position-scale (doc, pos, rank-tuple) rows a bounded number
+of times — the O(n log maxlen) total that makes suffix-array
 construction heavier than the L-gram digest screen, which is why
 ExactSubstr is the dedup workhorse and the suffix array the
 variable-length analysis tool. The hard-pair descent degrades
@@ -79,22 +89,28 @@ from pyspark.sql.window import Window
 
 from ..lineage import cut, cut_index
 from ..memo import PlanMemo
-from .rank import with_global_dense_rank, with_global_rank
+from .rank import with_global_rank
 
 # Round-0 string-prefix width: one window of INIT-1 leads replaces
-# log2(INIT) doubling rounds (each of which costs a position-scale
+# log_ARITY(INIT) doubling rounds (each of which costs a position-scale
 # shuffle or two), and bounds the LCP tail-compare below. 16 measured
 # faster than 8 at sf0.1 (one fewer doubling round; the extra leads
 # ride the same per-doc sort).
 _INIT = 16
 
-# Arithmetic combine r*(B+1)+r2 is exact in int64 iff (B+1)^2 < 2^63;
-# above this bound the round densifies instead. A densify resets the
-# bound to the distinct-key count, so rounds alternate
-# combine/densify until the corpus itself exceeds ~3e9 distinct keys
-# per densify — at which point every round densifies (graceful, still
-# O(1) shuffles/round).
-_COMBINE_MAX_BOUND = 3_000_000_000
+# Span multiplier per doubling round (module docstring): each round
+# leads ARITY-1 ranks ahead and re-keys the lexicographic tuple, so
+# rounds = ceil(log_ARITY(maxlen/INIT)) — half the rounds of classic
+# doubling at 4. The trade is a wider per-round sort key
+# (ARITY int64s) and (ARITY-1)·2 descent probe rows per hard pair;
+# 4 measured faster than 2 and 8 at sf0.1 (r12).
+_ARITY = 4
+
+# _range_rekey composite: (range partition id << _REKEY_SHIFT) + local
+# rank. 40 bits of local rank (1T rows per range partition) leaves 22
+# bits of partition id (4.2M partitions) inside a positive int64 —
+# both far past 100 TB shapes.
+_REKEY_SHIFT = 40
 
 # Non-whitespace C0 control characters: stripped before tokenization
 # so every token character sorts strictly above ' ' (module
@@ -149,6 +165,37 @@ def _base(src: DataFrame) -> DataFrame:
     )
 
 
+def _range_rekey(keyed: DataFrame, order_cols: list[str]) -> DataFrame:
+    """(doc_id, pos, r): one int64 key per row, order- and
+    equality-isomorphic to the lexicographic tuple `order_cols` —
+    computed with ZERO driver collects (module docstring): range
+    partition + in-partition sort by the tuple, then
+    ``(spark_partition_id << _REKEY_SHIFT) + rank()``.
+
+    Correctness: RangePartitioner boundaries are fixed by the driver
+    before execution and map a key to its partition as a pure function
+    of the key (equal tuples never straddle partitions, retried tasks
+    reproduce the assignment); partition ids ascend with the ranges,
+    so inter-partition order is preserved by the high bits and
+    intra-partition order/equality by ``rank()`` (equal tuples share a
+    rank). The key is sparse, not dense — every consumer needs only
+    order/equality isomorphism."""
+    cols = [F.col(c) for c in order_cols]
+    w = Window.partitionBy("_rp").orderBy(*cols)
+    return (
+        keyed.repartitionByRange(*cols)
+        .withColumn("_rp", F.spark_partition_id().cast("bigint"))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.shiftleft(F.col("_rp"), _REKEY_SHIFT)
+                + F.rank().over(w)
+            ).alias("r"),
+        )
+    )
+
+
 def _rank_levels(
     base: DataFrame, keep_levels: bool = True
 ) -> tuple[int, list[tuple[int, DataFrame]]]:
@@ -158,10 +205,10 @@ def _rank_levels(
     (span, ranks) with ranks = (doc_id, pos, r): r is an
     order-isomorphic int64 key of the suffix's first
     min(span, remaining) tokens (end-of-suffix sorting first; equal
-    keys iff equal truncated token sequences — dense after a densify
-    round, sparse after an arithmetic combine, equality/order
-    semantics identical). The last level's span >= maxlen, so its key
-    order equals full suffix order (up to ties between byte-identical
+    keys iff equal truncated token sequences — sparse `_range_rekey`
+    keys, equality/order semantics exact). Spans multiply by `_ARITY`
+    per round. The last level's span >= maxlen, so its key order
+    equals full suffix order (up to ties between byte-identical
     suffixes). Every table is materialized via `lineage.cut_index`
     (reliable checkpoint under the persist mode — see lineage.py).
 
@@ -174,45 +221,41 @@ def _rank_levels(
     maxlen = row["m"] or 0
     if maxlen == 0:
         return 0, []
-    # Round 0: dense rank of each suffix's first INIT tokens, joined
-    # with ' '. Because tokens contain no whitespace or non-whitespace
+    # Round 0: rank of each suffix's first INIT tokens, joined with
+    # ' '. Because tokens contain no whitespace or non-whitespace
     # control chars, every token character is > ' ', so string order
     # on the joined form equals token-wise order with end-of-suffix
     # first (short suffixes join only their remaining tokens and sort
-    # as prefixes — first). One window of leads replaces log2(INIT)
-    # doubling rounds, and the dense rank attaches in place — no
-    # distinct + join-back.
-    ranked, bound = with_global_dense_rank(
-        base.select("doc_id", "pos", F.array_join("_w", " ").alias("_p0")),
-        [F.col("_p0")],
-        rank_col="r",
+    # as prefixes — first). One window of leads replaces
+    # log_ARITY(INIT) doubling rounds.
+    ranks = cut_index(
+        _range_rekey(
+            base.select(
+                "doc_id", "pos", F.array_join("_w", " ").alias("_k0")
+            ),
+            ["_k0"],
+        )
     )
-    ranks = cut_index(ranked.select("doc_id", "pos", "r"))
     span = _INIT
     levels = [(span, ranks)]
     wl = Window.partitionBy("doc_id").orderBy("pos")
     while span < maxlen:
-        r2 = F.coalesce(F.lead("r", span).over(wl), F.lit(0))  # end sorts first
-        if bound < _COMBINE_MAX_BOUND:
-            # lexicographic (r, r2) == numeric r*(bound+1)+r2: order-
-            # and equality-preserving, exact in int64, zero shuffles
-            # beyond the window's doc_id exchange.
-            ranks = cut_index(
-                ranks.select(
-                    "doc_id",
-                    "pos",
-                    (F.col("r") * F.lit(bound + 1) + r2).alias("r"),
-                )
+        # ARITY-1 leads over ONE window: the lexicographic tuple
+        # (r, r@span, …, r@(ARITY-1)·span) is order/equality-isomorphic
+        # to the suffix truncated at ARITY·span tokens (module
+        # docstring); end-of-suffix leads coalesce to 0, which sorts
+        # below every real key (rekey keys are >= 1).
+        lead_cols = [
+            F.coalesce(F.lead("r", j * span).over(wl), F.lit(0)).alias(
+                f"_r{j}"
             )
-            bound = (bound + 1) * (bound + 1) - 1
-        else:
-            ranked, bound = with_global_dense_rank(
-                ranks.select("doc_id", "pos", "r", r2.alias("_r2")),
-                [F.col("r"), F.col("_r2")],
-                rank_col="_nr",
-            )
-            ranks = cut_index(ranked.select("doc_id", "pos", F.col("_nr").alias("r")))
-        span *= 2
+            for j in range(1, _ARITY)
+        ]
+        keyed = ranks.select("doc_id", "pos", "r", *lead_cols)
+        ranks = cut_index(
+            _range_rekey(keyed, ["r"] + [f"_r{j}" for j in range(1, _ARITY)])
+        )
+        span *= _ARITY
         levels.append((span, ranks))
         if not keep_levels:
             del levels[:-1]
@@ -297,24 +340,30 @@ def _descend_hard(
     levels: list[tuple[int, DataFrame]],
     base: DataFrame,
 ) -> DataFrame:
-    """Resolve hard pairs' LCP by binary descent over the rank levels.
+    """Resolve hard pairs' LCP by radix-`_ARITY` descent over the rank
+    levels.
 
     Largest span first. Each level streams its (checkpointed) rank
-    table ONCE: the pair's two current offsets become two probe rows
-    (pair id, doc, offset, remaining) carrying the full pair state, one
-    LEFT equi-join attaches the rank at each probe (an offset past the
-    document end finds no row → null rank), and a groupBy over the 2h
-    probe rows reconstructs each pair, advancing its LCP by
-    ``least(span, rem_a, rem_b)`` exactly when BOTH probes landed with
-    EQUAL ranks. No join back against the hard set — each level's plan
+    table ONCE: the pair's probe offsets ``lcp + j·span`` for
+    ``j = 0.._ARITY-2`` on both sides become 2·(ARITY−1) probe rows
+    (pair id, j, doc, offset), one LEFT equi-join attaches the rank at
+    each probe (an offset past the document end finds no row → null
+    rank), and a groupBy over the probe rows reconstructs each pair,
+    advancing its LCP by ``least(j·span, rem)`` for the longest
+    CONSECUTIVE run of leading offset-equalities (eq at offset j·span
+    certifies the next span tokens only when offsets 0..j−1 already
+    matched — a lone deeper equality certifies nothing contiguous and
+    is ignored). No join back against the hard set — each level's plan
     references the previous level ONCE, keeping the retained lineage
     LINEAR in the level count (a hard ⟕ f(hard) join-back doubles the
     plan per level: exponential plan text under the lineage-keeping
-    persist cut mode). Invariant: after the span-d level the
-    undiscovered residue is < d, so the post-loop residue is < INIT
-    and one bounded window-array compare finishes. The hard set is
-    re-materialized per level (h rows — tiny) so every join plan stays
-    shallow and AQE sees exact sizes.
+    persist cut mode). Invariant: entering the span-d level the
+    undiscovered residue is < ARITY·d (the level above resolved up to
+    (ARITY−1) spans of 4d… i.e. left < 4d) and the probes resolve up
+    to (ARITY−1)·d, so the level leaves residue < d — the post-loop
+    residue is < INIT and one bounded window-array compare finishes.
+    The hard set is re-materialized per level (h rows — tiny) so every
+    join plan stays shallow and AQE sees exact sizes.
     """
     for span, ranks in reversed(levels):
         probes = hard.select(
@@ -328,40 +377,56 @@ def _descend_hard(
             "lcp",
             F.explode(
                 F.array(
-                    F.struct(
-                        F.col("doc_a").alias("doc"),
-                        (F.col("pos_a") + F.col("lcp")).alias("off"),
-                        (F.col("_la") - F.col("pos_a") - F.col("lcp") + 1).alias(
-                            "rem"
-                        ),
-                    ),
-                    F.struct(
-                        F.col("doc_b").alias("doc"),
-                        (F.col("pos_b") + F.col("lcp")).alias("off"),
-                        (F.col("_lb") - F.col("pos_b") - F.col("lcp") + 1).alias(
-                            "rem"
-                        ),
-                    ),
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.col(f"doc_{side}").alias("doc"),
+                            (
+                                F.col(f"pos_{side}")
+                                + F.col("lcp")
+                                + F.lit(j * span)
+                            ).alias("off"),
+                        )
+                        for j in range(_ARITY - 1)
+                        for side in ("a", "b")
+                    ]
                 )
             ).alias("_s"),
         ).select(
             "_pid", "doc_a", "pos_a", "doc_b", "pos_b", "_la", "_lb", "lcp",
-            "_s.doc", "_s.off", "_s.rem",
+            "_s.j", "_s.doc", "_s.off",
         )
         r = ranks.select(
             F.col("doc_id").alias("doc"), F.col("pos").alias("off"), "r"
         )
-        # LEFT join keeps both probe rows of every pair (an offset past
+        # LEFT join keeps every probe row of every pair (an offset past
         # the document end finds no rank row → null r), so one groupBy
         # reconstructs the pair WITHOUT joining back against `hard` —
         # each level's plan references the previous level exactly ONCE.
         # (The earlier hard ⟕ f(hard) join-back doubled the retained
         # lineage per level: exponential plan text that OOM'd AQE's
         # plan stringifier under the lineage-keeping persist mode.)
-        advanced = F.when(
-            (F.count("r") == 2) & (F.min("r") == F.max("r")),
-            F.least(F.lit(span), F.min("rem")),
-        ).otherwise(F.lit(0))
+        # m = min remaining tokens from the current match point — the
+        # cap for every advance (an equality whose window crosses a
+        # document end certifies only to the end, and equal keys
+        # synchronize ends across the pair).
+        m = (
+            F.least(
+                F.first("_la") - F.first("pos_a"),
+                F.first("_lb") - F.first("pos_b"),
+            )
+            + 1
+            - F.first("lcp")
+        )
+        eqs = []
+        for j in range(_ARITY - 1):
+            rj = F.when(F.col("j") == j, F.col("r"))
+            eqs.append((F.count(rj) == 2) & (F.min(rj) == F.max(rj)))
+        advanced = F.least(F.lit((_ARITY - 1) * span), m)
+        for j in range(_ARITY - 2, -1, -1):
+            advanced = F.when(eqs[j], advanced).otherwise(
+                F.least(F.lit(j * span), m) if j > 0 else F.lit(0)
+            )
         hard = cut(
             probes.join(r, ["doc", "off"], "left")
             .groupBy("_pid")
