@@ -87,3 +87,59 @@ def test_sequence_profile_bucket_invariance_and_runs(spark):
         got = run(nb)
         assert got[10] == (3, 6, 4, 3)
         assert got[11] == (2, 10, 10, 1)
+
+
+def _seq_corpus(spark, seed=7, n_users=12, n_rows=400):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.randrange(n_users),
+            rng.randrange(10_000),
+            i,
+            rng.randrange(-50, 200),
+        )
+        for i in range(n_rows)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, cents long"
+    )
+
+
+def test_hot_key_routing_identical_sequence_profile(spark):
+    """Hot-key routing (r12): keys above the threshold run through the
+    JVM gaps-and-islands twin instead of the pandas kernel — the
+    emitted rows must be IDENTICAL for every threshold (disabled /
+    everything-hot / mixed split)."""
+    df = _seq_corpus(spark)
+
+    def run(thr):
+        return sorted(
+            tuple(r)
+            for r in sequence_profile(
+                df, "user_id", ["ts_us", "event_id"], "cents",
+                hot_key_threshold=thr,
+            ).collect()
+        )
+
+    base = run(0)  # routing disabled: pure kernel
+    assert base == run(1)  # every key hot: pure JVM twin
+    assert base == run(30)  # mixed: some keys route, some stay
+
+
+def test_hot_key_routing_identical_cogroup(spark):
+    o, e = _frames(spark)
+
+    def run(thr):
+        return sorted(
+            tuple(r)
+            for r in cogroup_activity(
+                o, e, "k", "ke", "oday", "eday", "cents",
+                hot_key_threshold=thr,
+            ).collect()
+        )
+
+    base = run(0)
+    assert base == run(1)  # every key hot (combined-rows counting)
+    assert base == run(3)  # key 1 hot (2 orders + 3 events), others cold
