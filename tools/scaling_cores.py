@@ -160,8 +160,16 @@ def main() -> int:
     print(out_md)
     with open(os.path.join(ROOT, "SCALING_r12.md"), "a") as fh:
         fh.write(out_md + "\n")
-    with open(os.path.join(ROOT, "SCALING_r12.json"), "w") as fh:
-        json.dump(summary, fh, indent=1)
+    # Merge (don't clobber) so targeted re-probes of individual queries
+    # update only their own entries.
+    jpath = os.path.join(ROOT, "SCALING_r12.json")
+    merged = {}
+    if os.path.exists(jpath):
+        with open(jpath) as fh:
+            merged = json.load(fh)
+    merged.update(summary)
+    with open(jpath, "w") as fh:
+        json.dump(merged, fh, indent=1)
     return 0
 
 
