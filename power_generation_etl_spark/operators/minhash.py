@@ -237,12 +237,39 @@ def _par(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 
 
+# Per-doc shingle-array table (r12): (doc_id, _ss = collect_list of
+# the doc's distinct shingles, n_sh). Built from the memoized shingle
+# table and itself memoized per (corpus, n) — minhash_lsh_pairs,
+# prefix_jaccard_pairs, and prefix_jaccard_capped all verify over the
+# identical table in one catalog pass. Same lifecycle as the other
+# near-dup memos.
+_DOCARR_MEMO = PlanMemo("shingle_doc_arrays", cap=2)
+
+
+def shingle_doc_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    par = _par(df)
+
+    def build() -> DataFrame:
+        sh = shingle_table(df, id_col, text_col, n)
+        return _cut(
+            sh.groupBy("doc_id").agg(
+                F.collect_list("s").alias("_ss"),
+                F.count(F.lit(1)).alias("n_sh"),
+            )
+        )
+
+    return _DOCARR_MEMO.get_or_build((n, par), src, build)
+
+
 def _verify_jaccard_pairs(
-    cands: DataFrame, sh: DataFrame, threshold: float
+    cands: DataFrame, docs_arr: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard verification of (id_a, id_b) candidate pairs from
-    per-doc shingle ARRAYS (r12): one `collect_list` per doc, two
-    equi-joins attach both arrays, and `array_intersect` on the exact
+    per-doc shingle ARRAYS (r12): two equi-joins attach both docs'
+    arrays (`shingle_doc_arrays`), and `array_intersect` on the exact
     shingle STRINGS (no hash step — collision-free) computes |A∩B| in
     one row per pair. Replaces the candidates × shingles row explosion
     (each pair expanded to |sh(a)| rows, re-joined on (id_b, s), then
@@ -252,9 +279,6 @@ def _verify_jaccard_pairs(
     byte-identical output. Arrays are doc-bounded (distinct shingles
     of ONE document), so per-row memory is the same bound the shingle
     table already guarantees."""
-    docs_arr = sh.groupBy("doc_id").agg(
-        F.collect_list("s").alias("_ss"), F.count(F.lit(1)).alias("n_sh")
-    )
     da = docs_arr.select(
         F.col("doc_id").alias("id_a"),
         F.col("_ss").alias("_sa"),
@@ -636,12 +660,14 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Exact verification on candidates only, via per-doc shingle
-    # arrays (`_verify_jaccard_pairs`). The joins are equi-keyed and
-    # deliberately NOT force-broadcast: on a dup-heavy corpus the
-    # candidate set is anything but small; AQE promotes at runtime
-    # when a side is actually under the threshold.
-    return _verify_jaccard_pairs(cands, sh, threshold)
+    # Exact verification on candidates only, via the memoized per-doc
+    # shingle-array table (`_verify_jaccard_pairs`). The joins are
+    # equi-keyed and deliberately NOT force-broadcast: on a dup-heavy
+    # corpus the candidate set is anything but small; AQE promotes at
+    # runtime when a side is actually under the threshold.
+    return _verify_jaccard_pairs(
+        cands, shingle_doc_arrays(df, id_col, text_col, n), threshold
+    )
 
 
 def simhash_table(
@@ -906,7 +932,9 @@ def prefix_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # Exact verification from per-doc shingle arrays — same r12 form
-    # as the LSH verifier (one row per pair, no candidates × shingles
-    # row explosion; byte-identical output).
-    return _verify_jaccard_pairs(cands, sh, threshold)
+    # Exact verification from the memoized per-doc shingle-array table
+    # — same r12 form as the LSH verifier (one row per pair, no
+    # candidates × shingles row explosion; byte-identical output).
+    return _verify_jaccard_pairs(
+        cands, shingle_doc_arrays(df, id_col, text_col, n), threshold
+    )

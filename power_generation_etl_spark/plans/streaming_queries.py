@@ -934,6 +934,13 @@ def stream_type_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SESS_GAP_US = 30 * 60 * 1_000_000
+
+# (cutoff, lo, hi) of the two-round session split — a scalar constant
+# of the corpus, shared by the stateful and native sessionizer entries
+# (see _session_round_split). cap=2: two corpora in flight.
+from power_generation_etl_spark.memo import PlanMemo  # noqa: E402
+
+_SESSION_SPLIT_MEMO = PlanMemo("session_split", cap=2)
 _SESS_DELAY_MS = 600_000  # the 10-minute watermark, ms
 
 # Shared oracle for BOTH sessionizer entries: batch gap-sessionization
@@ -983,7 +990,14 @@ def _session_round_split(spark: SparkSession, sf_dir: str):
     row is ever watermark-late, so the emitted set is split-independent
     (it depends only on session structure and the global max event
     time). Returns (ev, cutoff_us, lo, hi) with ev = (ts instant,
-    user_id, value, t_us); ev is None on an empty corpus."""
+    user_id, value, t_us); ev is None on an empty corpus.
+
+    The collected (cutoff, lo, hi) scalars are a CONSTANT of the
+    corpus, memoized per source plan (r12): the stateful and native
+    sessionizer entries both run this picker (a min/max pass + a batch
+    sessionization window + an ordered first()) over the same events
+    table in one catalog pass — the second entry now pays zero picker
+    jobs."""
     from power_generation_etl_spark.operators import temporal as tmp
 
     ev = T(spark, sf_dir, "events").select(
@@ -991,29 +1005,37 @@ def _session_round_split(spark: SparkSession, sf_dir: str):
         "user_id",
         "value",
     ).withColumn("t_us", F.unix_micros("ts"))
-    lo, hi = ev.agg(F.min("t_us"), F.max("t_us")).first()
-    if lo is None:
+
+    def build() -> tuple:
+        lo, hi = ev.agg(F.min("t_us"), F.max("t_us")).first()
+        if lo is None:
+            return None, 0, None, None
+        mid = (lo + hi) // 2
+        sess = tmp.sessionize(
+            ev.select("user_id", "t_us"), key="user_id", ts="t_us",
+            gap_sec=_SESS_GAP_US,
+        )
+        cand = (
+            sess.groupBy("user_id", "session_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("t_us").alias("st"),
+                F.max("t_us").alias("en"),
+            )
+            .filter((F.col("n") >= 2) & (F.col("en") > F.col("st")))
+            .withColumn(
+                "d",
+                F.abs((F.col("st") + F.col("en")) / F.lit(2.0) - F.lit(mid)),
+            )
+            .orderBy("d", "user_id")
+            .first()
+        )
+        cutoff = (cand["st"] + cand["en"]) // 2 if cand is not None else mid
+        return "ok", cutoff, lo, hi
+
+    marker, cutoff, lo, hi = _SESSION_SPLIT_MEMO.get_or_build((), ev, build)
+    if marker is None:
         return None, 0, None, None
-    mid = (lo + hi) // 2
-    sess = tmp.sessionize(
-        ev.select("user_id", "t_us"), key="user_id", ts="t_us",
-        gap_sec=_SESS_GAP_US,
-    )
-    cand = (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("t_us").alias("st"),
-            F.max("t_us").alias("en"),
-        )
-        .filter((F.col("n") >= 2) & (F.col("en") > F.col("st")))
-        .withColumn(
-            "d", F.abs((F.col("st") + F.col("en")) / F.lit(2.0) - F.lit(mid))
-        )
-        .orderBy("d", "user_id")
-        .first()
-    )
-    cutoff = (cand["st"] + cand["en"]) // 2 if cand is not None else mid
     return ev, cutoff, lo, hi
 
 
