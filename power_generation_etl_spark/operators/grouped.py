@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..lineage import cut as _cut
+
 
 def _n_buckets(df: DataFrame, n_buckets: int | None) -> int:
     if n_buckets is not None:
@@ -79,7 +81,13 @@ def _hot_threshold(hot_key_threshold: int | None) -> int | None:
         return hot_key_threshold if hot_key_threshold > 0 else None
     env = os.environ.get(_HOTKEY_ENV)
     if env is not None:
-        v = int(float(env))
+        try:
+            v = int(float(env))  # accept "2e6" / "2000000"
+        except ValueError:
+            raise ValueError(
+                f"{_HOTKEY_ENV}={env!r} is not a number; set a rows-per-key "
+                "bound like 2000000 (or <=0 to disable hot-key routing)"
+            ) from None
         return v if v > 0 else None
     return _HOTKEY_DEFAULT
 
@@ -236,7 +244,12 @@ def sequence_profile(
     thr = _hot_threshold(hot_key_threshold)
     kernel_in = narrow
     if thr is not None:
-        hot = (
+        # Materialized once (lineage.cut): the detection aggregation
+        # has two consumers (anti + semi) and Spark plans each subtree
+        # independently — uncut, the full-scan count re-ran per
+        # consumer (visible as repeated HashAggregate+BroadcastExchange
+        # subtrees in the committed plan dumps).
+        hot = _cut(
             narrow.groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("_hn"))
             .where(F.col("_hn") > thr)
@@ -395,8 +408,10 @@ def cogroup_activity(
     if thr is not None:
         # Hot = combined rows across BOTH sides (the cogroup worker
         # holds both frames at once); one count over the unioned key
-        # columns, broadcast to the anti (cold) and semi (hot) splits.
-        hot = (
+        # columns, MATERIALIZED once (lineage.cut — its four anti/semi
+        # consumers would otherwise each re-run the union+count scan),
+        # broadcast to the anti (cold) and semi (hot) splits.
+        hot = _cut(
             o.select(F.col(key_order).alias("_k"))
             .unionAll(e.select(F.col(key_event).alias("_k")))
             .groupBy("_k")

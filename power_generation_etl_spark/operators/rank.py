@@ -27,9 +27,12 @@ and the rank pass see the *same materialized* range partitioning
 the same lineage are deterministic in practice, but the cut makes it
 a guarantee and pays for itself by not re-sorting in pass 2).
 
-All three variants (`row_number`, `dense_rank`, running sum) share the
-same scaffolding (`_two_pass`), differing only in the per-partition
-aggregate and the partition-local window expression.
+Both variants (`row_number` and the running sum) share the same
+scaffolding (`_two_pass`), differing only in the per-partition
+aggregate and the partition-local window expression. (A dense_rank
+variant existed through r11 for the suffix family's densify rounds;
+the r12 collect-free `suffix.py::_range_rekey` replaced its last
+caller and it was removed.)
 
 `ntile` then needs no second sort: with `q = total div n`,
 `r = total mod n`, SQL ntile gives the first `r` buckets `q+1` rows —
@@ -110,30 +113,6 @@ def with_global_rank(
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(total).cast("bigint"))
     return out
-
-
-def with_global_dense_rank(
-    df: DataFrame,
-    order: list[Column],
-    rank_col: str = "rank",
-) -> tuple[DataFrame, int]:
-    """`df` + 1-based `rank_col` equal to `dense_rank() OVER (ORDER BY
-    *order)` — same two-pass range-partitioned shape as
-    `with_global_rank`, but rows with equal keys share a rank, so the
-    caller gets an order-isomorphic DENSE re-keying of the key domain
-    without a `distinct()` + rank + join-back round-trip (three
-    shuffles collapse to one range exchange). Correct because Spark's
-    RangePartitioner maps a key to its partition as a pure function of
-    the key, so equal keys never straddle a partition boundary and the
-    per-partition `countDistinct` prefix sums are exact. Returns
-    (ranked df, domain size = number of distinct keys)."""
-    return _two_pass(
-        df,
-        order,
-        F.count_distinct(F.struct(*order)),
-        lambda w: F.dense_rank().over(w),
-        rank_col,
-    )
 
 
 def with_running_sum(

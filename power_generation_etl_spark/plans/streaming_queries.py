@@ -52,6 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from power_generation_etl_spark.memo import PlanMemo
+
 from power_generation_etl_spark.plans.queries import (
     T,
     _register,
@@ -938,8 +940,6 @@ _SESS_GAP_US = 30 * 60 * 1_000_000
 # (cutoff, lo, hi) of the two-round session split — a scalar constant
 # of the corpus, shared by the stateful and native sessionizer entries
 # (see _session_round_split). cap=2: two corpora in flight.
-from power_generation_etl_spark.memo import PlanMemo  # noqa: E402
-
 _SESSION_SPLIT_MEMO = PlanMemo("session_split", cap=2)
 _SESS_DELAY_MS = 600_000  # the 10-minute watermark, ms
 

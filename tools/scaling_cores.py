@@ -165,8 +165,11 @@ def main() -> int:
     jpath = os.path.join(ROOT, "SCALING_r12.json")
     merged = {}
     if os.path.exists(jpath):
-        with open(jpath) as fh:
-            merged = json.load(fh)
+        try:
+            with open(jpath) as fh:
+                merged = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            merged = {}  # corrupt/partial file: fall back to clobber
     merged.update(summary)
     with open(jpath, "w") as fh:
         json.dump(merged, fh, indent=1)
